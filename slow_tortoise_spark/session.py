@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the datacube engine.
+
+Defaults follow public Spark tuning guidance: AQE on (runtime coalescing,
+skew-join splitting), UTC session timezone (temporal truncation must be
+UTC — the reference truncates epoch-ms timestamps in UTC), Arrow enabled
+for the few Pandas-UDF paths (tile protobuf serialization, grouped sinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "slow_tortoise_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[N]`` with N from $SPARK_GRAFT_CPUS (fallback: all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # Some producers write TIMESTAMP(NANOS) parquet, which Spark rejects
+        # by default; read them as long (ns) and re-type at the source layer.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

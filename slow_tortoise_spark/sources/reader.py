@@ -1,0 +1,148 @@
+"""Datacube parquet ingestion (reference ops S1–S3, P13).
+
+The reference reads one-or-many parquet shards whose schemas drift: later
+shards may add qualifier columns, and some shards are "string duplicates"
+(``*_str[.N].parquet.gzip``) that must be skipped
+(/root/reference/flows/data_pipeline.py:149-236). This module re-expresses
+that as:
+
+* a single ``spark.read.parquet`` over many paths when schemas agree
+  (Catalyst schema merge), or
+* per-file reads harmonized with ``unionByName(allowMissingColumns=True)``
+  when they don't — missing string columns become empty strings, region
+  columns unify to string with ``"None"`` fills.
+
+At scale this is a plain distributed parquet scan: predicate pushdown and
+column pruning are Catalyst's job; we only normalize the logical schema.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.schema import NULL_TOKEN, REGION_LEVELS
+
+#: Shards that duplicate numeric data with stringified values; skipped on read.
+STRING_SHARD_RE = re.compile(r".*_str(\.[0-9]+)?\.parquet(\.gzip)?$")
+
+
+def filter_string_shards(paths: list[str]) -> list[str]:
+    """Drop '*_str*.parquet[.gzip]' duplicate shards (reference P13)."""
+    return [p for p in paths if not STRING_SHARD_RE.match(p)]
+
+
+def read_datacube(
+    spark: SparkSession,
+    paths: str | list[str],
+    harmonize: bool = True,
+) -> DataFrame:
+    """Read one or more datacube parquet files into a single DataFrame.
+
+    With ``harmonize=True`` each file is read separately and the union is
+    taken by column name, padding columns a file lacks. String-typed shard
+    duplicates are excluded by filename. Raises ``ValueError`` on an empty
+    result (reference S3 fails the run on 0 rows).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    paths = filter_string_shards(paths)
+    if not paths:
+        raise ValueError("no datacube files to read after shard filtering")
+
+    if not harmonize or len(paths) == 1:
+        df = spark.read.parquet(*paths)
+    else:
+        frames = [spark.read.parquet(p) for p in paths]
+        all_cols: dict[str, None] = {}  # ordered set of all column names
+        for f in frames:
+            for c in f.columns:
+                all_cols.setdefault(c)
+        harmonized = []
+        for f in frames:
+            missing = [c for c in all_cols if c not in f.columns]
+            # Reference pads missing columns with empty strings and forces
+            # 'feature' + added columns to string dtype.
+            f = f.select(
+                *f.columns, *[F.lit("").alias(c) for c in missing]
+            )
+            harmonized.append(f)
+        df = harmonized[0]
+        for f in harmonized[1:]:
+            df = df.unionByName(f, allowMissingColumns=True)
+
+    # Region columns: unify to string; null → "None" (matches the
+    # reference's dtype unification for multi-file reads).
+    for c in REGION_LEVELS:
+        if c in df.columns:
+            df = df.withColumn(c, F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN)))
+    if "feature" in df.columns:
+        df = df.withColumn("feature", F.col("feature").cast("string"))
+    return df
+
+
+def assert_non_empty(df: DataFrame) -> int:
+    """Row-count guard (reference S3): fail on an empty datacube."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("datacube is empty — nothing to process")
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Star-schema convenience loader for the ad-hoc query surface
+# ---------------------------------------------------------------------------
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only inspection)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, re-typing TIMESTAMP(NANOS) columns to timestamps.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong`` the scan surfaces nanos as
+    long; we truncate to microseconds (integer DIV, matching how micro-
+    precision engines read the same files) and cast to TimestampType.
+    """
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def read_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the TPC-H-ish test tables from ``sf_dir`` and register temp views."""
+    out = {}
+    for name in STAR_TABLES:
+        df = read_table(spark, f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

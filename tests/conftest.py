@@ -1,0 +1,23 @@
+"""Shared Spark fixture for the test suite (session-scoped, local mode)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from slow_tortoise_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="slow_tortoise_tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,83 @@
+"""Temporal + spatial aggregation semantics (reference A1–A5 golden cases:
+monthly sum/mean, UTC truncation, weighted averages, s_*_t_* naming)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.spatial import global_timeseries, spatial_aggregation
+from slow_tortoise_spark.operators.temporal import temporal_aggregation, to_normalized_time
+
+
+def _ms(y, m, d):
+    return int(dt.datetime(y, m, d, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def _cube(spark):
+    # Two countries, one feature, observations inside the same months.
+    rows = [
+        Row(timestamp=_ms(2020, 1, 5), country="A", feature="f", value=1.0, w=1.0),
+        Row(timestamp=_ms(2020, 1, 20), country="A", feature="f", value=3.0, w=3.0),
+        Row(timestamp=_ms(2020, 1, 10), country="B", feature="f", value=10.0, w=1.0),
+        Row(timestamp=_ms(2020, 2, 1), country="A", feature="f", value=5.0, w=1.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_to_normalized_time(spark):
+    df = spark.createDataFrame(
+        [Row(ts=_ms(2020, 3, 17)), Row(ts=None)]
+    )
+    out = df.select(
+        to_normalized_time(F.col("ts"), "month").alias("m"),
+        to_normalized_time(F.col("ts"), "year").alias("y"),
+        to_normalized_time(F.col("ts"), "all").alias("a"),
+    ).collect()
+    assert out[0]["m"] == _ms(2020, 3, 1)
+    assert out[0]["y"] == _ms(2020, 1, 1)
+    assert out[0]["a"] == 0
+    assert out[1]["m"] == 0  # NaT → 0
+
+
+def test_temporal_aggregation_month(spark):
+    t = temporal_aggregation(_cube(spark).drop("w"), "month")
+    got = {(r["country"], r["timestamp"]): (r["t_sum"], r["t_mean"])
+           for r in t.collect()}
+    assert got[("A", _ms(2020, 1, 1))] == (4.0, 2.0)
+    assert got[("B", _ms(2020, 1, 1))] == (10.0, 10.0)
+    assert got[("A", _ms(2020, 2, 1))] == (5.0, 5.0)
+
+
+def test_temporal_aggregation_weighted(spark):
+    t = temporal_aggregation(_cube(spark), "month", weight_column="w")
+    a_jan = [r for r in t.collect()
+             if r["country"] == "A" and r["timestamp"] == _ms(2020, 1, 1)][0]
+    # wavg = (1*1 + 3*3) / (1+3) = 2.5; carried weight = mean(1,3) = 2
+    assert a_jan["t_wavg"] == 2.5 and a_jan["w"] == 2.0
+
+
+def test_global_timeseries_contract(spark):
+    t = temporal_aggregation(_cube(spark).drop("w"), "month")
+    g = global_timeseries(t)
+    assert g.columns == ["feature", "timestamp", "s_sum_t_sum", "s_mean_t_sum",
+                         "s_sum_t_mean", "s_mean_t_mean", "s_count"]
+    jan = [r for r in g.collect() if r["timestamp"] == _ms(2020, 1, 1)][0]
+    # groups A(4,2) and B(10,10): s_sum_t_sum=14, s_mean_t_sum=7,
+    # s_sum_t_mean=12, s_mean_t_mean=6, s_count=2
+    assert (jan["s_sum_t_sum"], jan["s_mean_t_sum"], jan["s_sum_t_mean"],
+            jan["s_mean_t_mean"], jan["s_count"]) == (14.0, 7.0, 12.0, 6.0, 2)
+
+
+def test_spatial_weighted_and_summary_aggs(spark):
+    t = temporal_aggregation(_cube(spark), "month", weight_column="w")
+    s = spatial_aggregation(t, keys=["feature", "timestamp"],
+                            aggs=["min", "max", "sum", "mean"],
+                            weight_column="w")
+    jan = [r for r in s.collect() if r["timestamp"] == _ms(2020, 1, 1)][0]
+    assert jan["s_min_t_sum"] == 4.0 and jan["s_max_t_sum"] == 10.0
+    # s_wavg_t_sum = (4*2 + 10*1) / (2+1) = 6.0
+    assert jan["s_wavg_t_sum"] == 6.0
+    assert jan["s_count"] == 2
