@@ -1,0 +1,239 @@
+"""Batch pipeline orchestrator — the reference's Prefect DAG collapsed
+into one plain Python driver function (SURVEY.md §3: the whole Prefect
+layer is replaced by Catalyst planning + explicit cache()/unpersist()).
+
+Dataflow spine (matches /root/reference/flows/data_pipeline.py:977-1137):
+
+    read → validate_and_fix → [raw passthrough, region/qualifier lists]
+    → for time_res in (month, year):
+        temporal_aggregation → global timeseries, regional rollups,
+        extrema, qualifier pivots → subtile_aggregation → tiles + stats
+    → temporal_aggregation("all") → output summary → results.json
+
+Caching policy: the validated cube feeds every branch → cache it; each
+temporal aggregate feeds 4+ branches → cache, unpersist when the
+resolution completes. At 100 TB replace cache() with a checkpoint to
+fast storage if executor memory can't hold the working set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.extrema import regional_extrema
+from slow_tortoise_spark.operators.pivot import qualifier_timeseries_pivot
+from slow_tortoise_spark.operators.regional import (
+    extract_region_columns,
+    regional_aggregation_all_levels,
+)
+from slow_tortoise_spark.operators.spatial import global_timeseries
+from slow_tortoise_spark.operators.summary import (
+    apply_qualifier_count_limit,
+    output_summary,
+    qualifier_counts,
+    qualifier_values,
+    region_lists,
+    rows_per_feature,
+)
+from slow_tortoise_spark.operators.temporal import temporal_aggregation
+from slow_tortoise_spark.operators.tiles import (
+    grid_stats,
+    subtile_aggregation,
+    tiles_all_levels,
+)
+from slow_tortoise_spark.operators.validate import (
+    get_qualifier_columns,
+    validate_and_fix,
+)
+from slow_tortoise_spark.sinks.writers import (
+    WRITE_TYPES,
+    write_grouped_csv,
+    write_json,
+    write_tiles,
+)
+from slow_tortoise_spark.sources.reader import assert_non_empty, read_datacube
+
+
+@dataclass
+class PipelineParams:
+    """Mirrors the reference flow parameters that affect semantics."""
+
+    data_id: str
+    run_id: str
+    data_paths: list[str]
+    dest_root: str = "/tmp/slow_tortoise_out"
+    dest_type: str = "file"  # file | s3 | null
+    weight_column: str = ""
+    fill_timestamp: int = 0
+    raw_count_threshold: int = 10_000
+    qualifier_max_count: int = 10_000
+    time_resolutions: tuple[str, ...] = ("month", "year")
+    compute_tiles: bool = True
+    extra_writer_args: dict = field(default_factory=dict)
+
+
+def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
+    """Execute the full artifact pipeline; returns the run summary dict."""
+    writer = WRITE_TYPES[params.dest_type](
+        params.dest_root, **params.extra_writer_args
+    )
+    prefix = f"{params.data_id}/{params.run_id}"
+    results: dict[str, Any] = {"data_id": params.data_id, "run_id": params.run_id}
+
+    raw = read_datacube(spark, params.data_paths)
+    df, stats = validate_and_fix(
+        raw, weight_column=params.weight_column, fill_timestamp=params.fill_timestamp
+    )
+    df = df.cache()
+    results["rows"] = assert_non_empty(df)
+    results["validation"] = stats.__dict__
+
+    qualifiers = [
+        c
+        for c in get_qualifier_columns(df, stats.weight_column)
+        if c not in ("timestamp", "value", "lat", "lng")
+        and c not in extract_region_columns(df)
+    ]
+    # Qualifier cardinality gate (R4) — computed once, applied everywhere.
+    if qualifiers:
+        counts_row = qualifier_counts(df, qualifiers).agg(
+            *[F.max(f"{q}_count").alias(q) for q in qualifiers]
+        ).first()
+        counts = {q: int(counts_row[q] or 0) for q in qualifiers}
+        qualifiers = apply_qualifier_count_limit(counts, params.qualifier_max_count)
+        results["qualifier_counts"] = counts
+
+    # Raw passthrough for small features (S7).
+    feature_rows = {r["feature"]: r["n_rows"] for r in rows_per_feature(df).collect()}
+    small = [f for f, n in feature_rows.items() if n <= params.raw_count_threshold]
+    if small:
+        write_grouped_csv(
+            df.filter(F.col("feature").isin(small)),
+            group_cols=["feature"],
+            path_fn=lambda k: f"{prefix}/raw/{k['feature']}/raw.csv",
+            writer=writer,
+        )
+    results["rows_per_feature"] = feature_rows
+
+    # Region + qualifier inventories (A7/A8) → JSON artifacts.
+    region_cols = extract_region_columns(df)
+    for level in range(len(region_cols)):
+        for r in region_lists(df, level).collect():
+            write_json(
+                r["regions"],
+                f"{prefix}/info/regions-{level}-{r['feature']}.json",
+                writer,
+            )
+    for q in qualifiers:
+        for r in qualifier_values(df, q).collect():
+            write_json(
+                {"values": r["values"], "count": r["count"]},
+                f"{prefix}/info/qualifier-{q}-{r['feature']}.json",
+                writer,
+            )
+
+    weight = stats.weight_column
+    agg_cols = ["s_sum_t_sum", "s_mean_t_sum", "s_sum_t_mean", "s_mean_t_mean"]
+
+    for time_res in params.time_resolutions:
+        t = temporal_aggregation(df, time_res, weight_column=weight).cache()
+
+        # Global timeseries CSV per feature.
+        ts = global_timeseries(t, weight_column=weight)
+        write_grouped_csv(
+            ts,
+            group_cols=["feature"],
+            path_fn=lambda k, tr=time_res: f"{prefix}/timeseries/{tr}/{k['feature']}/global.csv",
+            writer=writer,
+        )
+
+        # Regional rollups: all levels in one shuffle, one CSV per
+        # (feature, level, timestamp).
+        if region_cols:
+            regional = regional_aggregation_all_levels(
+                t, weight_column=weight
+            ).cache()
+            write_grouped_csv(
+                regional.withColumnRenamed("region_id", "id"),
+                group_cols=["feature", "level", "timestamp"],
+                path_fn=lambda k, tr=time_res: (
+                    f"{prefix}/regional/{tr}/{k['feature']}/level-{k['level']}/"
+                    f"{k['timestamp']}.csv"
+                ),
+                writer=writer,
+            )
+            # Extrema across all levels' aggregates (R3).
+            extrema = regional_extrema(regional, [c for c in agg_cols
+                                                  if c in regional.columns])
+            # ≤ 20 ties × 2 kinds × 4 cols × features — safe to collect.
+            ex = extrema.collect()
+            by_feature: dict[str, dict] = {}
+            for r in ex:
+                node = by_feature.setdefault(r["feature"], {"min": {}, "max": {}})
+                node[r["kind"]].setdefault(r["agg_col"], []).append(
+                    {"region_id": r["region_id"], "timestamp": r["timestamp"],
+                     "value": r["value"]}
+                )
+            for feat, node in by_feature.items():
+                write_json(node, f"{prefix}/extrema/{time_res}/{feat}.json", writer)
+            regional.unpersist()
+
+        # Qualifier timeseries pivots (V1), one CSV per (feature, agg col).
+        for q in qualifiers:
+            tq = temporal_aggregation(
+                df.select("timestamp", "feature", q, "value"),
+                time_res,
+            )
+            sq = tq.groupBy("feature", "timestamp", q).agg(
+                F.sum("t_sum").alias("s_sum_t_sum"),
+                F.avg("t_mean").alias("s_mean_t_mean"),
+            )
+            for agg_col in ("s_sum_t_sum", "s_mean_t_mean"):
+                wide = qualifier_timeseries_pivot(sq, q, agg_col)
+                write_grouped_csv(
+                    wide,
+                    group_cols=["feature"],
+                    path_fn=lambda k, tr=time_res, qq=q, ac=agg_col: (
+                        f"{prefix}/qualifiers/{tr}/{k['feature']}/{qq}/{ac}.csv"
+                    ),
+                    writer=writer,
+                )
+
+        # Tiling family (G5–G8) — only when coordinates exist.
+        if params.compute_tiles and "lat" in df.columns and "lng" in df.columns:
+            sub = subtile_aggregation(t).cache()
+            if sub.limit(1).count() > 0:
+                tiles = tiles_all_levels(sub)
+                n_tiles = write_tiles(
+                    tiles,
+                    path_fn=lambda r, tr=time_res: (
+                        f"{prefix}/tiles/{tr}/{r['feature']}/"
+                        f"{r['timestamp']}-{r['tile']['z']}-{r['tile']['x']}-"
+                        f"{r['tile']['y']}.tile"
+                    ),
+                    writer=writer,
+                )
+                results[f"tiles_{time_res}"] = n_tiles
+                gs = grid_stats(sub)
+                write_grouped_csv(
+                    gs.orderBy("zoom"),
+                    group_cols=["feature", "timestamp"],
+                    path_fn=lambda k, tr=time_res: (
+                        f"{prefix}/stats/{tr}/{k['feature']}/{k['timestamp']}.csv"
+                    ),
+                    writer=writer,
+                )
+            sub.unpersist()
+        t.unpersist()
+
+    # All-time summary (A6).
+    t_all = temporal_aggregation(df, "all", weight_column=weight)
+    summary = output_summary(t_all)
+    results["output_agg_values"] = [r.asDict() for r in summary.collect()]
+    write_json(results, f"{prefix}/results.json", writer)
+    df.unpersist()
+    return results

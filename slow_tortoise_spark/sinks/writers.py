@@ -1,0 +1,145 @@
+"""Pluggable artifact writers (reference ops S4–S9, S7/S8 sinks).
+
+The reference materializes many small artifacts (one CSV per region, one
+protobuf per tile) to S3/Minio or local disk from inside worker-side
+``groupby().apply`` lambdas. The Spark-native equivalent: executors write
+inside ``applyInPandas`` / ``foreachPartition`` after a repartition on the
+grouping keys, through a destination object small enough to pickle.
+
+Writers:
+    FileWriter  — local filesystem (dirs auto-created)
+    S3Writer    — any S3-compatible store via boto3 (import-gated; one
+                  client per executor process, lazily created)
+    NullWriter  — no-op, for profiling compute without the sink
+
+Path conventions follow the reference's `{data_id}/{run_id}/...` layout
+(/root/reference/doc/minio-folder-structure.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+
+class FileWriter:
+    """S5: write bytes/str to a local path, creating directories."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def write(self, body: bytes | str, rel_path: str) -> None:
+        path = os.path.join(self.root, rel_path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        mode = "wb" if isinstance(body, (bytes, bytearray)) else "w"
+        with open(path, mode) as f:
+            f.write(body)
+
+
+class NullWriter:
+    """S6: swallow everything (profiling sink)."""
+
+    def __init__(self, *_args, **_kwargs):
+        pass
+
+    def write(self, body: bytes | str, rel_path: str) -> None:
+        pass
+
+
+class S3Writer:
+    """S4: put_object to an S3-compatible store.
+
+    The boto3 client is created lazily per process (executors each build
+    their own after unpickling) and cached — the reference does the same
+    per Dask worker.
+    """
+
+    def __init__(self, bucket: str, endpoint_url: str | None = None):
+        self.bucket = bucket
+        self.endpoint_url = endpoint_url
+        self._client = None
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_client"] = None
+        return state
+
+    @property
+    def client(self):
+        if self._client is None:
+            import boto3  # optional dependency, only needed for S3 runs
+
+            self._client = boto3.client("s3", endpoint_url=self.endpoint_url)
+        return self._client
+
+    def write(self, body: bytes | str, rel_path: str) -> None:
+        if isinstance(body, str):
+            body = body.encode()
+        self.client.put_object(Bucket=self.bucket, Key=rel_path, Body=body)
+
+
+WRITE_TYPES = {"file": FileWriter, "s3": S3Writer, "null": NullWriter}
+
+
+# ---------------------------------------------------------------------------
+# Grouped sinks
+# ---------------------------------------------------------------------------
+
+
+def write_grouped_csv(
+    df,
+    group_cols: list[str],
+    path_fn,
+    writer,
+    drop_group_cols: bool = True,
+) -> int:
+    """S7-style sink: one CSV artifact per distinct group.
+
+    ``path_fn(group_key_dict) -> rel_path``. Executes as ``applyInPandas``
+    over a hash-repartition on the group columns, so each group is
+    serialized exactly once, executor-side. Returns number of files.
+    """
+    import pandas as pd
+
+    value_cols = [c for c in df.columns if c not in group_cols]
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = {c: pdf.iloc[0][c] for c in group_cols}
+        body = pdf[value_cols].to_csv(index=False) if drop_group_cols else pdf.to_csv(index=False)
+        writer.write(body, path_fn(key))
+        return pd.DataFrame({"n": [len(pdf)]})
+
+    out = df.groupBy(*group_cols).applyInPandas(emit, schema="n long")
+    return out.count()
+
+
+def write_json(obj, rel_path: str, writer) -> None:
+    """S9: driver-side JSON artifact (small data: run metadata, lists)."""
+    writer.write(json.dumps(obj, default=str), rel_path)
+
+
+def write_tiles(tiles_df, path_fn, writer) -> int:
+    """S8: serialize + write one protobuf per tile row, executor-side.
+
+    ``tiles_df`` is the output of operators.tiles.tiles_for_level /
+    tiles_all_levels; ``path_fn(row_dict) -> rel_path``.
+    """
+    from slow_tortoise_spark.sinks.tile_proto import encode_tile
+
+    def emit(rows: Iterable) -> Iterable:
+        n = 0
+        for row in rows:
+            bins = {
+                b["bin"]: (b["s_sum_t_sum"], b["s_sum_t_mean"], float(b["weight"]))
+                for b in row["bins"]
+            }
+            tile = row["tile"]
+            buf = encode_tile(tile["z"], tile["x"], tile["y"],
+                              row["total_bins"], bins)
+            writer.write(buf, path_fn(row.asDict(recursive=True)))
+            n += 1
+        yield (n,)
+
+    counts = tiles_df.rdd.mapPartitions(emit).collect()
+    return sum(c[0] for c in counts)

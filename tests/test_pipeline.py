@@ -1,0 +1,77 @@
+"""End-to-end pipeline smoke: build a small datacube parquet, run the full
+artifact pipeline to a temp dir, assert the artifact families exist
+(mirrors the reference's e2e smoke in tests/test_data_pipeline.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+
+import pytest
+
+from slow_tortoise_spark.pipeline import PipelineParams, run_pipeline
+from slow_tortoise_spark.sinks.tile_proto import decode_tile
+
+
+def _ms(y, m, d):
+    return int(dt.datetime(y, m, d, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+@pytest.fixture(scope="module")
+def cube_path(tmp_path_factory):
+    import pandas as pd
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "timestamp": _ms(2020, 1 + i % 4, 1 + i % 25),
+                "country": "Ethiopia" if i % 2 else "Kenya",
+                "admin1": f"adm{i % 3}",
+                "admin2": None,
+                "admin3": None,
+                "lat": 10.0 + (i % 7) * 0.01,
+                "lng": 40.0 + (i % 5) * 0.01,
+                "feature": "rainfall" if i % 3 else "temp",
+                "value": float(i + 1),
+                "qual1": "qa" if i % 2 else "qb",
+            }
+        )
+    path = str(tmp_path_factory.mktemp("cube") / "cube.parquet")
+    pd.DataFrame(rows).to_parquet(path)
+    return path
+
+
+def test_run_pipeline_artifacts(spark, cube_path, tmp_path):
+    out = str(tmp_path / "artifacts")
+    params = PipelineParams(
+        data_id="d1",
+        run_id="r1",
+        data_paths=[cube_path],
+        dest_root=out,
+        time_resolutions=("month",),
+    )
+    results = run_pipeline(spark, params)
+
+    assert results["rows"] == 40
+    root = os.path.join(out, "d1/r1")
+    assert glob.glob(f"{root}/timeseries/month/*/global.csv")
+    assert glob.glob(f"{root}/regional/month/*/level-0/*.csv")
+    assert glob.glob(f"{root}/qualifiers/month/*/qual1/s_sum_t_sum.csv")
+    assert glob.glob(f"{root}/extrema/month/*.json")
+    assert glob.glob(f"{root}/stats/month/*/*.csv")
+    assert glob.glob(f"{root}/raw/*/raw.csv")
+    assert glob.glob(f"{root}/info/regions-0-*.json")
+    tiles = glob.glob(f"{root}/tiles/month/*/*.tile")
+    assert tiles
+    with open(os.path.join(root, "results.json")) as f:
+        rj = json.load(f)
+    assert rj["rows"] == 40 and rj["output_agg_values"]
+
+    # A tile parses and its coords match its filename.
+    t = decode_tile(open(tiles[0], "rb").read())
+    ts, z, x, y = os.path.basename(tiles[0])[: -len(".tile")].split("-")
+    assert (t["z"], t["x"], t["y"]) == (int(z), int(x), int(y))
+    assert t["total_bins"] == 4096 and t["stats"]
