@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, exact → approximate, each with a documented scale path:
+
+* **Exact** — group by a normalized-text fingerprint (md5). One shuffle.
+* **N-gram Jaccard** — exact pairwise similarity via a shingle self-join.
+  Correct but O(pairs-sharing-a-shingle); the small-corpus baseline and
+  the verifier for the approximate methods.
+* **MinHash + LSH** — k min-hashes per doc (one groupBy with k aggregate
+  expressions), banded into buckets; only same-bucket docs become
+  candidate pairs. The 100 TB path: cost is linear in corpus + bucket
+  collisions, never all-pairs.
+* **SimHash** — 16-bit sign-sum fingerprint; equal fingerprints (or small
+  hamming distance) are near-dup candidates.
+
+Determinism note: every hash is md5-based (no engine-specific hash
+functions), and min-hashing uses the *lexicographic* order of md5 hex
+strings — any total order works for MinHash, and string order is portable
+across engines (the DuckDB oracle reproduces it verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.text import fingerprint, tokens_col
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of whitespace-normalized, lowercased text."""
+    toks = tokens_col(F.lower(text))
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs."""
+    return (
+        df.select("doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of documents with identical normalized text.
+
+    Returns (fingerprint, doc_ids sorted, dup_count) for groups of ≥ 2.
+    Representative selection for drop-dedup = min(doc_id) per group.
+    """
+    fp = fingerprint(df, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count("*").alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per identical-text group."""
+    fp = fingerprint(df, text_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (pairwise baseline / verifier)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    Shape: shingle self-join (equi-join on shingle, doc_a < doc_b) →
+    per-pair intersection counts → join per-doc set sizes. Exact; cost
+    grows with shingle co-occurrence, so this is the verification path —
+    use minhash_lsh_candidates to prefilter at scale.
+    """
+    sh = doc_shingles(df, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, k: int = 8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Hash family i = md5(i || ':' || shingle); the signature element is the
+    lexicographic minimum hex digest. One explode + one groupBy with k
+    aggregates — a single shuffle regardless of k.
+    """
+    sh = doc_shingles(df, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature of k hashes split into ``bands`` bands of k/bands rows; docs
+    sharing any band hash become a candidate pair. Returns distinct
+    (doc_a < doc_b). Verify candidates with jaccard_pairs semantics on the
+    candidate subset when exact scores are needed.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows = k // bands
+    sig = minhash_signature(df, k, n, text_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _nibble(h: Column, j: int) -> Column:
+    """Value 0..15 of hex char j (1-based) of a hex digest — portable
+    (expressible as strpos/substr in any SQL engine)."""
+    return F.instr(F.lit(_HEX), F.substring(h, j, 1)) - F.lit(1)
+
+
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace tokens (md5-derived bits).
+
+    Bit i comes from hex nibble i//4 of md5(token), bit i%4. Per document:
+    sum (+1/−1) votes per bit, then pack sign bits into ``simhash``.
+    Exploded tokens + one groupBy with 16 conditional sums — one shuffle.
+    """
+    toks = df.select(
+        "doc_id",
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(_nibble(h, 1 + i // 4), i % 4).bitwiseAND(1) == 1,
+                   1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    sums = toks.groupBy("doc_id").agg(*votes)
+    packed = None
+    for i in range(16):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return sums.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 16-bit simhash (near-dup buckets)."""
+    sh = simhash16(df, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count("*").alias("bucket_size"),
+        )
+        .filter(F.col("bucket_size") >= 2)
+    )

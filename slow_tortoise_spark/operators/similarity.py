@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* **Brute-force cosine top-k** — exact; the embedding column stays
+  JVM-side (``F.zip_with`` products + ``F.aggregate`` sum, codegen'd).
+  Cost: one scan per query. Fine for ad-hoc queries and as the recall
+  oracle for the approximate tier.
+* **IVF (inverted-file) top-k** — the scale path: vectors are assigned
+  once to their nearest centroid (a broadcast of C centroids); a query
+  probes only the ``nprobe`` nearest cells, scanning ~nprobe/C of the
+  data. Centroid selection here is deterministic k-seed (every
+  ``stride``-th vector) — swap in k-means iterations for production
+  quality without changing the query path.
+
+An LSH variant (random-hyperplane signs) is the other classic scale
+path; IVF was chosen because the partition-pruning structure maps
+directly onto Spark partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``query`` against every vector.
+
+    The query is a literal array (broadcast in the plan, not a join).
+    Ordering ties break by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Assign every vector to its nearest of ``n_cells`` centroids.
+
+    Returns (indexed DataFrame with a ``cell`` column, centroid list).
+    Centroids are deterministic seeds: the first vector of every stride.
+    The assignment is one scan with a broadcast centroid array; persist
+    the result partitioned by ``cell`` for repeated queries.
+    """
+    n = df.count()
+    stride = max(n // n_cells, 1)
+    seeds = (
+        df.withColumn("_rank", F.row_number().over(Window.orderBy(id_col)))
+        .filter(((F.col("_rank") - 1) % stride == 0) & (F.col("_rank") <= stride * n_cells))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+
+    best = None
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(x) for x in cvec])
+        cos = cosine_col(F.col(vec_col).cast("array<double>"), c)
+        pair = F.struct(cos.alias("cos"), F.lit(cid).alias("cell"))
+        best = pair if best is None else F.when(pair["cos"] > best["cos"], pair).otherwise(best)
+    indexed = df.withColumn("cell", best["cell"])
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only the ``nprobe`` cells nearest to query."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query))
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        return sum(a * b for a, b in zip(query, c)) / (qn * cn or 1.0)
+
+    probe = [cid for cid, c in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]]
+    return brute_force_topk(
+        indexed.filter(F.col("cell").isin(probe)), query, k, id_col, vec_col
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) — baseline tier).
+
+    At scale, bucket by IVF cell (or hyperplane-LSH signature) first and
+    compare only within buckets.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_col(F.col("va").cast("array<double>"),
+                       F.col("vb").cast("array<double>")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,138 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference's scope: the building blocks a 100 TB document
+pipeline needs — token counting, quality scoring, language ID, and
+document fingerprinting. Everything is native Column expressions
+(regexp/split/md5 are JVM-side, codegen'd), so these run at scan
+throughput with zero Python in the hot path.
+
+All operators take/return DataFrames keyed by ``doc_id`` with a ``text``
+column (the `documents` table shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword sets for the n-gram/stopword-ratio language
+#: heuristic. Deliberately small and deterministic (no model dependency).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "que", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+}
+
+_TOKEN_SPLIT = r"\s+"
+#: BPE-ish word/number/punctuation pieces (GPT-2-style coarse classes).
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _match_any(values: tuple[str, ...], lower: bool = False):
+    """Single-parameter predicate: element equals any of ``values``.
+
+    OR-chain equality — ``isin`` can't bind to lambda variables inside
+    higher-order functions, a plain disjunction can.
+    """
+
+    def predicate(t: Column) -> Column:
+        probe = F.lower(t) if lower else t
+        out = F.lit(False)
+        for v in values:
+            out = out | (probe == F.lit(v))
+        return out
+
+    return predicate
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens (empty strings removed)."""
+    return F.filter(F.split(F.trim(text), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish pieces: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: lengths, ratios, stopword density.
+
+    Columns added: n_chars_computed, n_tokens, n_bpe_tokens, avg_token_len,
+    punct_ratio, digit_ratio, upper_ratio, stopword_ratio, quality_score.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    n_upper = F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    # NB: F.filter treats a two-parameter lambda as (element, index) — use
+    # single-parameter closures only.
+    en = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, _match_any(en, lower=True)))
+
+    out = (
+        df.withColumn("n_chars_computed", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(text))
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tokens > 0,
+                   (n_chars - n_tokens + 1).cast("double") / n_tokens),
+        )
+        .withColumn("punct_ratio", n_punct.cast("double") / F.greatest(n_chars, F.lit(1)))
+        .withColumn("digit_ratio", n_digit.cast("double") / F.greatest(n_chars, F.lit(1)))
+        .withColumn("upper_ratio", n_upper.cast("double") / F.greatest(n_chars, F.lit(1)))
+        .withColumn(
+            "stopword_ratio",
+            n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)),
+        )
+    )
+    # A simple monotone score: long-enough docs with modest punctuation and
+    # some stopwords score high. Deterministic; tune per corpus.
+    return out.withColumn(
+        "quality_score",
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - F.least(F.col("punct_ratio") * 2, F.lit(1.0)))
+        * (F.lit(0.5) + F.least(F.col("stopword_ratio") * 2, F.lit(0.5))),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic → ``lang_pred`` + per-lang hit counts.
+
+    For each language, count tokens that are in its stopword set; the
+    argmax wins, with 'und' (undetermined) when nothing hits. Ties break
+    by language-code order for determinism.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    out = df
+    for lang, words in LANG_STOPWORDS.items():
+        out = out.withColumn(
+            f"hits_{lang}", F.size(F.filter(toks, _match_any(words)))
+        )
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text.
+
+    Stable across formatting-only edits; the exact-dedup key.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(normalized))

@@ -1,0 +1,150 @@
+"""Training-data toolbox: dedup, similarity, text analysis, multimodal
+plumbing — exercised against the synthetic documents/embeddings tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.dedup import (
+    doc_shingles,
+    drop_exact_duplicates,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash16,
+    simhash_duplicates,
+)
+from slow_tortoise_spark.operators.multimodal import (
+    extract_image_features,
+    sample_video_frames,
+)
+from slow_tortoise_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    embedding_near_duplicates,
+    ivf_topk,
+)
+from slow_tortoise_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+)
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="The  quick brown fox jumps over the lazy dog "),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=3, text="el rapido zorro salta sobre el perro y el gato"),
+        Row(doc_id=4, text="completely different words here nothing shared"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    dups = exact_duplicates(_docs(spark)).collect()
+    assert len(dups) == 1
+    assert dups[0]["doc_ids"] == [0, 1] and dups[0]["keep_doc_id"] == 0
+    kept = drop_exact_duplicates(_docs(spark))
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3, 4}
+
+
+def test_shingles_and_jaccard(spark):
+    sh = doc_shingles(_docs(spark).filter("doc_id = 0"), n=3).collect()
+    assert len(sh) == 7  # 9 tokens → 7 trigrams
+    pairs = jaccard_pairs(_docs(spark), threshold=0.4).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0  # identical after normalization
+    assert (0, 2) in got and 0.4 < got[(0, 2)] < 1.0
+    assert (0, 4) not in got
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sig = minhash_signature(_docs(spark), k=8)
+    assert len(sig.columns) == 9
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_candidates(_docs(spark), k=8, bands=4).collect()}
+    assert (0, 1) in cands  # identical docs always collide on every band
+    assert (0, 4) not in cands
+
+
+def test_simhash(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash16(_docs(spark)).collect()}
+    assert sh[0] == sh[1]  # identical token multisets
+    assert all(0 <= v < 2**16 for v in sh.values())
+    buckets = simhash_duplicates(_docs(spark)).collect()
+    assert any(b["doc_ids"] == [0, 1] for b in buckets)
+
+
+def test_text_quality_and_lang(spark):
+    q = {r["doc_id"]: r for r in quality_features(_docs(spark)).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(_docs(spark)).collect()}
+    assert lang[0] == "en" and lang[3] == "es"
+    fp = fingerprint(_docs(spark)).collect()
+    fps = {r["doc_id"]: r["fingerprint"] for r in fp}
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_brute_force_topk_real_embeddings(spark, sf_dir):
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    query = emb.filter("vec_id = 0").first()["embedding"]
+    top = brute_force_topk(emb, [float(x) for x in query], k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
+    assert len(top) == 5
+    assert all(top[i]["cosine"] >= top[i + 1]["cosine"] for i in range(4))
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    indexed, centroids = build_ivf_index(emb, n_cells=8)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(indexed, centroids, query, k=5, nprobe=4).collect()]
+    # probe includes the query's own cell → its exact match must appear
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 2  # decent recall on 8 cells
+
+
+def test_embedding_near_duplicates_self(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.01, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = embedding_near_duplicates(df, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        Row(media_id=1, kind="image", content=bytearray(b"fakepng"), mime="image/png",
+            width=2, height=2, duration_ms=None),
+        Row(media_id=2, kind="video", content=bytearray(b"fakemp4"), mime="video/mp4",
+            width=4, height=4, duration_ms=3500),
+    ]
+    from slow_tortoise_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = extract_image_features(df.filter("kind = 'image'")).collect()
+    assert len(feats) == 1
+    f0 = feats[0]
+    assert f0["n_bytes"] == 7 and len(f0["features"]) == 16
+    # deterministic stub: same content → same features
+    feats2 = extract_image_features(df.filter("kind = 'image'")).collect()
+    assert feats2[0]["sha"] == f0["sha"]
+
+    frames = sample_video_frames(df.filter("kind = 'video'"), every_ms=1000)
+    assert [r["frame_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
