@@ -1,0 +1,1256 @@
+"""Query catalog: every operator from SURVEY.md §2 (plus the training-data
+extensions) expressed as a (spark_query, oracle_sql) pair over the
+synthetic star-schema tables in /root/testdata.
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame; the
+matching SQL string in ``ORACLE_SQL`` computes the same result in DuckDB
+(tables pre-registered as views). Column names are aliased identically on
+both sides.
+
+Float determinism rules (sum order differs between engines, so raw
+double sums can differ in the low bits):
+
+* money-scale sums (lineitem/orders) → ``SUM(CAST(x AS DECIMAL(25,6)))``
+  then one cast to double: decimal addition is exact, hence
+  order-independent and bit-identical across engines;
+* small/bounded sums (events values, 64-dim dot products) → double math
+  plus ``round(…, 4..6)``: the attainable error (≲1e-10) is many orders
+  below the rounding grid;
+* min/max/count → naturally exact.
+
+The datacube-operator queries (temporal/spatial/regional/tiles) map the
+``events`` table onto the datacube shape: ts→timestamp (epoch ms),
+event_type→feature, a user_id bucket→country, value→value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash16,
+)
+from slow_tortoise_spark.operators.extrema import regional_extrema
+from slow_tortoise_spark.operators.pivot import qualifier_timeseries_pivot
+from slow_tortoise_spark.operators.regional import regional_aggregation_all_levels
+from slow_tortoise_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    cosine_col,
+    ivf_topk,
+)
+from slow_tortoise_spark.operators.temporal import temporal_aggregation, to_normalized_time
+from slow_tortoise_spark.operators.text import language_id, fingerprint
+from slow_tortoise_spark.sources.reader import read_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → datacube mapping shared by the datacube-operator queries."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.unix_millis("ts").alias("timestamp"),
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")).alias("country"),
+        F.col("event_type").alias("feature"),
+        F.col("value"),
+    )
+
+
+_EVENTS_CUBE_SQL = """
+  SELECT epoch_ms(ts) AS timestamp,
+         'u' || CAST(user_id % 10 AS VARCHAR) AS country,
+         event_type AS feature, value
+  FROM events
+"""
+
+# Exact decimal sum, then a single deterministic conversion to double.
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def _dsum(col):
+    return F.sum(col.cast("decimal(25,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Ad-hoc analytics over the star schema (joins, windows, set ops, sort/limit)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + hash aggregate (fixed small groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(price).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(price) / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q_PRICING_SUMMARY = f"""
+  SELECT l_returnflag, l_linestatus,
+         {_DSUM.format(x='l_quantity')} AS sum_qty,
+         {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+         {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+         {_DSUM.format(x='l_quantity')} / COUNT(*) AS avg_qty,
+         {_DSUM.format(x='l_extendedprice')} / COUNT(*) AS avg_price,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+  ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """3-way join (broadcast dims) + aggregate + top-k by exact revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.desc("_rev"), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey", "c_mktsegment", F.col("_rev").cast("double").alias("revenue")
+        )
+    )
+
+
+_Q_TOP_ORDERS = """
+  SELECT o_orderkey, c_mktsegment, CAST(_rev AS DOUBLE) AS revenue
+  FROM (
+    SELECT o_orderkey, c_mktsegment,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS _rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderkey, c_mktsegment
+  )
+  ORDER BY _rev DESC, o_orderkey
+  LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, revenue per region/nation."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+_Q_REGION_REVENUE = """
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lineitems
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+  ORDER BY revenue DESC, n_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS): customers having orders, per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q_SEMI_JOIN = """
+  SELECT c_mktsegment, COUNT(*) AS n_customers
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers who never placed an urgent
+    order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_Q_ANTI_JOIN = """
+  SELECT c_custkey, c_name FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+  ORDER BY c_custkey
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT + EXCEPT over (user, day) keys: days a user clicked and
+    purchased but hit no error."""
+    ev = _t(spark, sf_dir, "events")
+
+    def pairs(kind):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .select(
+                "user_id",
+                F.unix_millis(F.date_trunc("day", F.col("ts"))).alias("day"),
+            )
+            .distinct()
+        )
+
+    return (
+        pairs("click")
+        .intersect(pairs("purchase"))
+        .exceptAll(pairs("error"))
+        .orderBy("user_id", "day")
+    )
+
+
+_Q_SET_OPS = """
+  SELECT DISTINCT user_id, epoch_ms(date_trunc('day', ts)) AS day
+  FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id, epoch_ms(date_trunc('day', ts))
+  FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id, epoch_ms(date_trunc('day', ts))
+  FROM events WHERE event_type = 'error'
+  ORDER BY user_id, day
+"""
+
+
+def q_window_topn(spark, sf_dir):
+    """T1-style windowed top-k: top 3 orders per customer."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+_Q_WINDOW_TOPN = """
+  SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+  ) WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def q_window_running(spark, sf_dir):
+    """Running per-supplier quantity (window sum over a total order)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+_Q_WINDOW_RUNNING = """
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                               ORDER BY l_shipdate, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS running_qty
+  FROM lineitem
+"""
+
+
+def q_harmonized_union(spark, sf_dir):
+    """S2 semantics: schema-drifted shards unioned by name, padded columns."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_id", "event_type", "value")
+    b = ev.select("event_id", "user_id")
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .orderBy("event_id", "event_type")
+    )
+
+
+_Q_HARMONIZED_UNION = """
+  SELECT event_id, event_type, value, NULL AS user_id FROM events
+  UNION ALL
+  SELECT event_id, NULL, NULL, user_id FROM events
+  ORDER BY event_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Datacube operator family (A1–A9, R1–R3, V1, P-series) on the events cube
+# ---------------------------------------------------------------------------
+
+
+def q_temporal_agg_month(spark, sf_dir):
+    """A1+A2: month truncation + groupby-all-but-value (library operator)."""
+    cube = _events_cube(spark, sf_dir)
+    t = temporal_aggregation(cube, "month")
+    return t.select(
+        "feature",
+        "country",
+        "timestamp",
+        F.round("t_sum", 4).alias("t_sum"),
+        F.round("t_mean", 6).alias("t_mean"),
+    ).orderBy("feature", "country", "timestamp")
+
+
+_Q_TEMPORAL_AGG_MONTH = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL})
+  SELECT feature, country,
+         epoch_ms(date_trunc('month', epoch_ms(timestamp))) AS timestamp,
+         round(SUM(value), 4) AS t_sum,
+         round(AVG(value), 6) AS t_mean
+  FROM cube GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_temporal_agg_year(spark, sf_dir):
+    """A2 year resolution."""
+    cube = _events_cube(spark, sf_dir)
+    t = temporal_aggregation(cube, "year")
+    return t.select(
+        "feature", "country", "timestamp",
+        F.round("t_sum", 4).alias("t_sum"),
+        F.round("t_mean", 6).alias("t_mean"),
+    ).orderBy("feature", "country", "timestamp")
+
+
+_Q_TEMPORAL_AGG_YEAR = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL})
+  SELECT feature, country,
+         epoch_ms(date_trunc('year', epoch_ms(timestamp))) AS timestamp,
+         round(SUM(value), 4) AS t_sum,
+         round(AVG(value), 6) AS t_mean
+  FROM cube GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_temporal_agg_all(spark, sf_dir):
+    """A2 'all' resolution: every timestamp collapses to 0."""
+    cube = _events_cube(spark, sf_dir)
+    t = temporal_aggregation(cube, "all")
+    return t.select(
+        "feature", "country", "timestamp",
+        F.round("t_sum", 4).alias("t_sum"),
+        F.round("t_mean", 6).alias("t_mean"),
+    ).orderBy("feature", "country")
+
+
+_Q_TEMPORAL_AGG_ALL = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL})
+  SELECT feature, country, CAST(0 AS BIGINT) AS timestamp,
+         round(SUM(value), 4) AS t_sum,
+         round(AVG(value), 6) AS t_mean
+  FROM cube GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_global_timeseries(spark, sf_dir):
+    """A4: spatial agg of temporal agg — the flagship datacube artifact."""
+    cube = _events_cube(spark, sf_dir)
+    t = temporal_aggregation(cube, "month")
+    s = t.groupBy("feature", "timestamp").agg(
+        F.round(F.sum("t_sum"), 4).alias("s_sum_t_sum"),
+        F.round(F.avg("t_sum"), 6).alias("s_mean_t_sum"),
+        F.round(F.sum("t_mean"), 4).alias("s_sum_t_mean"),
+        F.round(F.avg("t_mean"), 6).alias("s_mean_t_mean"),
+        F.count("t_mean").alias("s_count"),
+    )
+    return s.orderBy("feature", "timestamp")
+
+
+_Q_GLOBAL_TIMESERIES = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL}),
+  t AS (
+    SELECT feature, country,
+           epoch_ms(date_trunc('month', epoch_ms(timestamp))) AS timestamp,
+           SUM(value) AS t_sum, AVG(value) AS t_mean
+    FROM cube GROUP BY 1, 2, 3
+  )
+  SELECT feature, timestamp,
+         round(SUM(t_sum), 4) AS s_sum_t_sum,
+         round(AVG(t_sum), 6) AS s_mean_t_sum,
+         round(SUM(t_mean), 4) AS s_sum_t_mean,
+         round(AVG(t_mean), 6) AS s_mean_t_mean,
+         COUNT(t_mean) AS s_count
+  FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_weighted_agg(spark, sf_dir):
+    """A3/A5: weighted average — price weighted by quantity per flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    wsum = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,6)")
+    ).cast("double")
+    qsum = _dsum(F.col("l_quantity"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (wsum / qsum).alias("t_wavg"),
+            qsum.alias("weight_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q_WEIGHTED_AGG = f"""
+  SELECT l_returnflag,
+         {_DSUM.format(x='l_extendedprice * l_quantity')}
+           / {_DSUM.format(x='l_quantity')} AS t_wavg,
+         {_DSUM.format(x='l_quantity')} AS weight_sum
+  FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_output_summary(spark, sf_dir):
+    """A6: per-feature 8-column summary over the all-time temporal agg."""
+    cube = _events_cube(spark, sf_dir)
+    t = temporal_aggregation(cube, "all")
+    exprs = []
+    for g, fn in (("min", F.min), ("max", F.max)):
+        for tc in ("t_sum", "t_mean"):
+            exprs.append(F.round(fn(tc), 4).alias(f"s_{g}_{tc}"))
+    exprs.append(F.round(F.sum("t_sum"), 4).alias("s_sum_t_sum"))
+    exprs.append(F.round(F.avg("t_sum"), 6).alias("s_mean_t_sum"))
+    exprs.append(F.round(F.sum("t_mean"), 4).alias("s_sum_t_mean"))
+    exprs.append(F.round(F.avg("t_mean"), 6).alias("s_mean_t_mean"))
+    return t.groupBy("feature").agg(*exprs).orderBy("feature")
+
+
+_Q_OUTPUT_SUMMARY = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL}),
+  t AS (
+    SELECT feature, country, SUM(value) AS t_sum, AVG(value) AS t_mean
+    FROM cube GROUP BY 1, 2
+  )
+  SELECT feature,
+         round(MIN(t_sum), 4) AS s_min_t_sum,
+         round(MIN(t_mean), 4) AS s_min_t_mean,
+         round(MAX(t_sum), 4) AS s_max_t_sum,
+         round(MAX(t_mean), 4) AS s_max_t_mean,
+         round(SUM(t_sum), 4) AS s_sum_t_sum,
+         round(AVG(t_sum), 6) AS s_mean_t_sum,
+         round(SUM(t_mean), 4) AS s_sum_t_mean,
+         round(AVG(t_mean), 6) AS s_mean_t_mean
+  FROM t GROUP BY feature ORDER BY feature
+"""
+
+
+def q_region_id(spark, sf_dir):
+    """P12: region_id concat with '__' delimiter over joined dims."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            F.concat_ws("__", F.col("r_name"), F.col("n_name")).alias("region_id"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_Q_REGION_ID = """
+  SELECT c_custkey, r_name || '__' || n_name AS region_id
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  ORDER BY c_custkey
+"""
+
+
+def q_regional_rollup(spark, sf_dir):
+    """R1: all admin levels in one ROLLUP pass (library operator).
+
+    Hierarchy: region (level 0) → nation (level 1); measure o_totalprice.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cube = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.lit("orders").alias("feature"),
+            F.lit(0).cast("long").alias("timestamp"),
+            F.col("r_name").alias("country"),
+            F.col("n_name").alias("admin1"),
+            F.col("o_totalprice").cast("decimal(25,6)").alias("t_sum"),
+            F.col("o_totalprice").alias("t_mean"),
+        )
+    )
+    rolled = regional_aggregation_all_levels(cube, aggs=["sum"], max_level=1)
+    return rolled.select(
+        "level",
+        "region_id",
+        F.col("s_sum_t_sum").cast("double").alias("total"),
+        F.col("s_count").alias("n_orders"),
+    ).orderBy("level", "region_id")
+
+
+_Q_REGIONAL_ROLLUP = f"""
+  WITH cube AS (
+    SELECT r_name AS country, n_name AS admin1, o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+  )
+  SELECT 0 AS level, country AS region_id,
+         {_DSUM.format(x='o_totalprice')} AS total, COUNT(*) AS n_orders
+  FROM cube GROUP BY country
+  UNION ALL
+  SELECT 1 AS level, country || '__' || admin1 AS region_id,
+         {_DSUM.format(x='o_totalprice')} AS total, COUNT(*) AS n_orders
+  FROM cube GROUP BY country, admin1
+  ORDER BY level, region_id
+"""
+
+
+def q_regional_timeseries(spark, sf_dir):
+    """R2: per-region monthly timeseries (nation × order month)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("region_id"),
+            F.unix_millis(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "timestamp"
+            ),
+        )
+        .agg(
+            _dsum(F.col("o_totalprice")).alias("s_sum_t_sum"),
+            F.count("*").alias("s_count"),
+        )
+        .orderBy("region_id", "timestamp")
+    )
+
+
+_Q_REGIONAL_TIMESERIES = f"""
+  SELECT n_name AS region_id,
+         epoch_ms(date_trunc('month', o_orderdate)) AS timestamp,
+         {_DSUM.format(x='o_totalprice')} AS s_sum_t_sum,
+         COUNT(*) AS s_count
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_regional_extrema(spark, sf_dir):
+    """R3+T1: global min/max rows with ties, capped at 20 (library op)."""
+    cube = _events_cube(spark, sf_dir)
+    regional = (
+        cube.groupBy(
+            "feature",
+            F.col("country").alias("region_id"),
+            (F.col("timestamp") - F.col("timestamp") % 86400000).alias("timestamp"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("s_sum_t_sum"))
+    )
+    ex = regional_extrema(regional, ["s_sum_t_sum"], tie_cap=20)
+    return ex.select("feature", "kind", "region_id", "timestamp", "value").orderBy(
+        "feature", "kind", "timestamp", "region_id"
+    )
+
+
+_Q_REGIONAL_EXTREMA = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL}),
+  regional AS (
+    SELECT feature, country AS region_id,
+           timestamp - timestamp % 86400000 AS timestamp,
+           {_DSUM.format(x='value')} AS value
+    FROM cube GROUP BY 1, 2, 3
+  ),
+  flagged AS (
+    SELECT *,
+           MIN(value) OVER (PARTITION BY feature) AS _min,
+           MAX(value) OVER (PARTITION BY feature) AS _max
+    FROM regional
+  ),
+  hits AS (
+    SELECT feature,
+           CASE WHEN value = _min THEN 'min' ELSE 'max' END AS kind,
+           region_id, timestamp, value
+    FROM flagged WHERE value = _min OR value = _max
+  ),
+  capped AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY feature, kind
+                                 ORDER BY timestamp DESC, region_id) AS _rn
+    FROM hits
+  )
+  SELECT feature, kind, region_id, timestamp, value
+  FROM capped WHERE _rn <= 20
+  ORDER BY feature, kind, timestamp, region_id
+"""
+
+
+def q_qualifier_pivot(spark, sf_dir):
+    """V1: qualifier pivot — event_type values become columns."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") - F.unix_millis("ts") % 86400000).alias("timestamp")
+    base = ev.select(day, "event_type", "value")
+    wide = qualifier_timeseries_pivot(
+        base.withColumn("feature", F.lit("events")),
+        "event_type",
+        "value",
+        values=EVENT_TYPES,
+        keys=["timestamp"],
+    )
+    cols = [F.round(F.col(c), 4).alias(c) for c in EVENT_TYPES]
+    return wide.select("timestamp", *cols).orderBy("timestamp")
+
+
+_Q_QUALIFIER_PIVOT = """
+  SELECT epoch_ms(ts) - epoch_ms(ts) % 86400000 AS timestamp,
+         round(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+         round(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+         round(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+         round(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+         round(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+  FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_qualifier_counts(spark, sf_dir):
+    """A8: distinct qualifier-value counts per feature."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("feature"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("props").alias("n_props"),
+        )
+        .orderBy("feature")
+    )
+
+
+_Q_QUALIFIER_COUNTS = """
+  SELECT event_type AS feature,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT props) AS n_props
+  FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_region_lists(spark, sf_dir):
+    """A7: sorted distinct region inventory per feature (as joined string)."""
+    cube = _events_cube(spark, sf_dir)
+    return (
+        cube.groupBy("feature")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("country")), ",").alias("regions"),
+            F.countDistinct("country").alias("region_count"),
+        )
+        .orderBy("feature")
+    )
+
+
+_Q_REGION_LISTS = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL})
+  SELECT feature,
+         string_agg(DISTINCT country, ',' ORDER BY country) AS regions,
+         COUNT(DISTINCT country) AS region_count
+  FROM cube GROUP BY feature ORDER BY feature
+"""
+
+
+def q_rows_per_feature(spark, sf_dir):
+    """A9/S3: row counts per feature."""
+    cube = _events_cube(spark, sf_dir)
+    return cube.groupBy("feature").agg(F.count("*").alias("n_rows")).orderBy("feature")
+
+
+_Q_ROWS_PER_FEATURE = f"""
+  WITH cube AS ({_EVENTS_CUBE_SQL})
+  SELECT feature, COUNT(*) AS n_rows FROM cube GROUP BY feature ORDER BY feature
+"""
+
+
+def q_validate_coercion(spark, sf_dir):
+    """P3/P4/P5: try_cast coercion, null fill with 'None', regexp cleanup."""
+    ev = _t(spark, sf_dir, "events")
+    k_num = F.regexp_extract("props", r"(\d+)", 1).try_cast("double")
+    dirty_country = F.when(F.col("user_id") % 7 == 0, None).otherwise(
+        F.concat(F.lit("c//"), (F.col("user_id") % 3).cast("string"))
+    )
+    return ev.select(
+        "event_id",
+        k_num.alias("k_num"),
+        F.coalesce(F.regexp_replace(dirty_country, "//", ""), F.lit("None")).alias(
+            "country"
+        ),
+        F.coalesce(F.col("value").try_cast("double"), F.lit(0.0)).alias("value_filled"),
+    ).orderBy("event_id")
+
+
+_Q_VALIDATE_COERCION = """
+  SELECT event_id,
+         TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS DOUBLE) AS k_num,
+         COALESCE(regexp_replace(
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE 'c//' || CAST(user_id % 3 AS VARCHAR) END, '//', '', 'g'),
+           'None') AS country,
+         COALESCE(TRY_CAST(value AS DOUBLE), 0.0) AS value_filled
+  FROM events ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tiling family (G1–G7) on synthesized coordinates
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic coordinates from c_custkey (same formula both
+# engines; +0.37 keeps points off tile boundaries).
+_LAT_SQL = "(c_custkey % 160) - 80 + 0.37"
+_LNG_SQL = "((c_custkey * 7) % 360) - 180 + 0.37"
+# ln(tan+sec) form of the mercator y — used verbatim on both sides so the
+# floating-point path is identical before the floor.
+_TILE_SQL = f"""
+  SELECT c_custkey, c_acctbal,
+         CAST(floor(({_LNG_SQL} + 180.0) / 360.0 * 16384.0) AS INT) AS x14,
+         CAST(floor((1.0 - ln(tan(radians({_LAT_SQL}))
+                              + 1.0 / cos(radians({_LAT_SQL}))) / pi())
+                    / 2.0 * 16384.0) AS INT) AS y14
+  FROM customer
+"""
+
+
+def _tiles14(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(_TILE_SQL)
+
+
+def q_tile_binning(spark, sf_dir):
+    """G1: deg2num at zoom 14 as pure column math."""
+    return _tiles14(spark, sf_dir).select("c_custkey", "x14", "y14").orderBy(
+        "c_custkey"
+    )
+
+
+_Q_TILE_BINNING = f"""
+  SELECT c_custkey, x14, y14 FROM ({_TILE_SQL}) ORDER BY c_custkey
+"""
+
+
+def q_tile_rollup(spark, sf_dir):
+    """G2–G4: coarsen to zoom 8, owning tile at zoom 2, flat bin index."""
+    t = _tiles14(spark, sf_dir)
+    out = t.select(
+        "c_acctbal",
+        F.shiftright("x14", 6).alias("x8"),
+        F.shiftright("y14", 6).alias("y8"),
+    ).select(
+        "c_acctbal",
+        F.shiftright("x8", 6).alias("tx"),
+        F.shiftright("y8", 6).alias("ty"),
+        (
+            (F.col("x8") - F.shiftright("x8", 6) * 64)
+            + (F.col("y8") - F.shiftright("y8", 6) * 64) * 64
+        ).alias("bin"),
+    )
+    return (
+        out.groupBy("tx", "ty", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("c_acctbal")).alias("sum_bal"),
+        )
+        .orderBy("tx", "ty", "bin")
+    )
+
+
+_Q_TILE_ROLLUP = f"""
+  WITH t14 AS ({_TILE_SQL}),
+  t8 AS (SELECT c_acctbal, x14 // 64 AS x8, y14 // 64 AS y8 FROM t14)
+  SELECT x8 // 64 AS tx, y8 // 64 AS ty,
+         (x8 - (x8 // 64) * 64) + (y8 - (y8 // 64) * 64) * 64 AS bin,
+         COUNT(*) AS n,
+         {_DSUM.format(x='c_acctbal')} AS sum_bal
+  FROM t8 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_grid_stats(spark, sf_dir):
+    """G7: per-zoom min/max of per-cell aggregates (exploded zooms)."""
+    t = _tiles14(spark, sf_dir)
+    df = t.withColumn("zoom", F.explode(F.sequence(F.lit(6), F.lit(8))))
+    cells = (
+        df.select(
+            "zoom",
+            F.expr("shiftright(x14, 14 - zoom)").alias("cx"),
+            F.expr("shiftright(y14, 14 - zoom)").alias("cy"),
+            "c_acctbal",
+        )
+        .groupBy("zoom", "cx", "cy")
+        .agg(F.count("*").alias("n"), _dsum(F.col("c_acctbal")).alias("bal"))
+    )
+    return (
+        cells.groupBy("zoom")
+        .agg(
+            F.min("n").alias("min_n"),
+            F.max("n").alias("max_n"),
+            F.min("bal").alias("min_bal"),
+            F.max("bal").alias("max_bal"),
+        )
+        .orderBy("zoom")
+    )
+
+
+_Q_GRID_STATS = f"""
+  WITH t14 AS ({_TILE_SQL}),
+  cells AS (
+    SELECT z.zoom,
+           x14 // CAST(pow(2, 14 - z.zoom) AS INT) AS cx,
+           y14 // CAST(pow(2, 14 - z.zoom) AS INT) AS cy,
+           COUNT(*) AS n,
+           {_DSUM.format(x='c_acctbal')} AS bal
+    FROM t14, (SELECT unnest(generate_series(6, 8)) AS zoom) z
+    GROUP BY 1, 2, 3
+  )
+  SELECT zoom, MIN(n) AS min_n, MAX(n) AS max_n,
+         MIN(bal) AS min_bal, MAX(bal) AS max_bal
+  FROM cells GROUP BY zoom ORDER BY zoom
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / text / similarity on documents + embeddings
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+  toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS l
+    FROM documents
+  ),
+  flat AS (
+    SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM toks
+  ),
+  grams AS (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM flat
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(tok, 2) OVER w IS NOT NULL
+  ),
+  shingles AS (SELECT DISTINCT doc_id, shingle FROM grams)
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Exact-dedup fingerprint: md5 of normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+_Q_DOC_FINGERPRINTS = """
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Text quality metrics: token/char counts, punctuation, digit ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_punct.alias("n_punct"),
+        F.round(n_digit.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "digit_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+_Q_TOKEN_STATS = """
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / greatest(length(text), 1), 6) AS digit_ratio
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-hit language heuristic (library operator)."""
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+def _lang_id_sql():
+    from slow_tortoise_spark.operators.text import LANG_STOPWORDS
+
+    hits = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hits.append(
+            f"len(list_filter(toks, x -> x IN ({words}))) AS hits_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = best THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+      ),
+      h AS (SELECT doc_id, {', '.join(hits)} FROM t),
+      b AS (SELECT *, {best} AS best FROM h)
+      SELECT doc_id, CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_pred
+      FROM b ORDER BY doc_id
+    """
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=8) — portable lexicographic min-md5."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signature(docs, k=8).orderBy("doc_id")
+
+
+_MH_COLS = ", ".join(
+    f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(8)
+)
+_Q_MINHASH_SIGNATURES = f"""
+  WITH {_SHINGLES_SQL}
+  SELECT doc_id, {_MH_COLS} FROM shingles GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded LSH candidate pairs (k=8, bands=4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, k=8, bands=4).orderBy("doc_a", "doc_b")
+
+
+_Q_MINHASH_LSH_PAIRS = f"""
+  WITH {_SHINGLES_SQL},
+  sig AS (SELECT doc_id, {_MH_COLS} FROM shingles GROUP BY doc_id),
+  bands AS (
+    SELECT doc_id, '0:' || md5(mh0 || '|' || mh1) AS bucket FROM sig
+    UNION ALL SELECT doc_id, '1:' || md5(mh2 || '|' || mh3) FROM sig
+    UNION ALL SELECT doc_id, '2:' || md5(mh4 || '|' || mh5) FROM sig
+    UNION ALL SELECT doc_id, '3:' || md5(mh6 || '|' || mh7) FROM sig
+  )
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  ORDER BY doc_a, doc_b
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs ≥ 0.7 (ratio of exact ints → portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, threshold=0.7)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+_Q_JACCARD_PAIRS = f"""
+  WITH {_SHINGLES_SQL},
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b,
+         round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.7
+  ORDER BY doc_a, doc_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (md5 nibble bits, portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash16(docs).orderBy("doc_id")
+
+
+def _simhash_sql():
+    votes = []
+    for i in range(16):
+        nib = f"(strpos('0123456789abcdef', substr(h, {1 + i // 4}, 1)) - 1)"
+        votes.append(
+            f"SUM(CASE WHEN ({nib} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        )
+    packed = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+      WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      ),
+      hashed AS (SELECT doc_id, md5(tok) AS h FROM t),
+      sums AS (SELECT doc_id, {', '.join(votes)} FROM hashed GROUP BY doc_id)
+      SELECT doc_id, CAST({packed} AS BIGINT) AS simhash
+      FROM sums ORDER BY doc_id
+    """
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = brute_force_topk(emb, query, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_Q_ANN_COSINE_TOPK = """
+  WITH q AS (
+    SELECT unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = 0
+  ),
+  v AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ),
+  dots AS (
+    SELECT v.vec_id,
+           SUM(v.x * q.x) AS dot,
+           sqrt(SUM(v.x * v.x)) AS nv
+    FROM v JOIN q ON v.i = q.i
+    GROUP BY v.vec_id
+  ),
+  qn AS (SELECT sqrt(SUM(x * x)) AS nq FROM q)
+  SELECT vec_id, round(dot / (nv * qn.nq), 6) AS cosine
+  FROM dots, qn
+  ORDER BY cosine DESC, vec_id
+  LIMIT 10
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """All-pairs cosine ≥ 0.4 (exact O(n²) baseline tier)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.round(cos, 6) >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q_EMBEDDING_NEAR_DUPS = """
+  WITH v AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ),
+  pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM(a.x * b.x) AS dot
+    FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+  ),
+  norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM v GROUP BY vec_id)
+  SELECT id_a, id_b, round(dot / (na.n * nb.n), 6) AS cosine
+  FROM pairs
+  JOIN norms na ON id_a = na.vec_id
+  JOIN norms nb ON id_b = nb.vec_id
+  WHERE round(dot / (na.n * nb.n), 6) >= 0.4
+  ORDER BY id_a, id_b
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (no SQL oracle — rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    indexed, centroids = build_ivf_index(emb, n_cells=8)
+    return ivf_topk(indexed, centroids, query, k=10, nprobe=4).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "region_revenue": q_region_revenue,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "set_ops": q_set_ops,
+    "window_topn": q_window_topn,
+    "window_running": q_window_running,
+    "harmonized_union": q_harmonized_union,
+    "temporal_agg_month": q_temporal_agg_month,
+    "temporal_agg_year": q_temporal_agg_year,
+    "temporal_agg_all": q_temporal_agg_all,
+    "global_timeseries": q_global_timeseries,
+    "weighted_agg": q_weighted_agg,
+    "output_summary": q_output_summary,
+    "region_id": q_region_id,
+    "regional_rollup": q_regional_rollup,
+    "regional_timeseries": q_regional_timeseries,
+    "regional_extrema": q_regional_extrema,
+    "qualifier_pivot": q_qualifier_pivot,
+    "qualifier_counts": q_qualifier_counts,
+    "region_lists": q_region_lists,
+    "rows_per_feature": q_rows_per_feature,
+    "validate_coercion": q_validate_coercion,
+    "tile_binning": q_tile_binning,
+    "tile_rollup": q_tile_rollup,
+    "grid_stats": q_grid_stats,
+    "doc_fingerprints": q_doc_fingerprints,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ivf_topk": q_ivf_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": _Q_PRICING_SUMMARY,
+    "top_orders": _Q_TOP_ORDERS,
+    "region_revenue": _Q_REGION_REVENUE,
+    "semi_join": _Q_SEMI_JOIN,
+    "anti_join": _Q_ANTI_JOIN,
+    "set_ops": _Q_SET_OPS,
+    "window_topn": _Q_WINDOW_TOPN,
+    "window_running": _Q_WINDOW_RUNNING,
+    "harmonized_union": _Q_HARMONIZED_UNION,
+    "temporal_agg_month": _Q_TEMPORAL_AGG_MONTH,
+    "temporal_agg_year": _Q_TEMPORAL_AGG_YEAR,
+    "temporal_agg_all": _Q_TEMPORAL_AGG_ALL,
+    "global_timeseries": _Q_GLOBAL_TIMESERIES,
+    "weighted_agg": _Q_WEIGHTED_AGG,
+    "output_summary": _Q_OUTPUT_SUMMARY,
+    "region_id": _Q_REGION_ID,
+    "regional_rollup": _Q_REGIONAL_ROLLUP,
+    "regional_timeseries": _Q_REGIONAL_TIMESERIES,
+    "regional_extrema": _Q_REGIONAL_EXTREMA,
+    "qualifier_pivot": _Q_QUALIFIER_PIVOT,
+    "qualifier_counts": _Q_QUALIFIER_COUNTS,
+    "region_lists": _Q_REGION_LISTS,
+    "rows_per_feature": _Q_ROWS_PER_FEATURE,
+    "validate_coercion": _Q_VALIDATE_COERCION,
+    "tile_binning": _Q_TILE_BINNING,
+    "tile_rollup": _Q_TILE_ROLLUP,
+    "grid_stats": _Q_GRID_STATS,
+    "doc_fingerprints": _Q_DOC_FINGERPRINTS,
+    "token_stats": _Q_TOKEN_STATS,
+    "lang_id": _lang_id_sql(),
+    "minhash_signatures": _Q_MINHASH_SIGNATURES,
+    "minhash_lsh_pairs": _Q_MINHASH_LSH_PAIRS,
+    "jaccard_pairs": _Q_JACCARD_PAIRS,
+    "simhash": _simhash_sql(),
+    "ann_cosine_topk": _Q_ANN_COSINE_TOPK,
+    "embedding_near_dups": _Q_EMBEDDING_NEAR_DUPS,
+    # "ivf_topk" intentionally has no oracle (approximate, non-SQL).
+}

@@ -132,6 +132,9 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     long; we truncate to microseconds (integer DIV, matching how micro-
     precision engines read the same files) and cast to TimestampType.
     """
+    # Runtime-settable; done here so callers with a vanilla session (e.g.
+    # the external driver) can still read TIMESTAMP(NANOS) files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
