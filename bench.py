@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a cheap count-style action (collect for
+small results) and timed wall-clock. The session is warmed with a trivial
+job first so JVM startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one per operator family, weighted toward the heavy ones.
+BENCH_QUERIES = [
+    "pricing_summary",      # scan + hash agg
+    "top_orders",           # fact-fact join + topk
+    "region_revenue",       # 6-table join
+    "window_running",       # big window
+    "global_timeseries",    # two-stage datacube agg
+    "regional_rollup",      # ROLLUP all levels
+    "regional_extrema",     # window min/max + ties
+    "qualifier_pivot",      # pivot
+    "tile_rollup",          # tile geometry + agg
+    "grid_stats",           # exploded zooms
+    "minhash_lsh_pairs",    # dedup scale path
+    "jaccard_pairs",        # dedup exact path
+    "simhash",              # bit-math fingerprints
+    "ann_cosine_topk",      # similarity scan
+    "token_stats",          # text metrics
+]
+
+
+def main() -> None:
+    from slow_tortoise_spark.queries import QUERIES
+    from slow_tortoise_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="slow_tortoise_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # warm up the JVM + parquet footers
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,22 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy explodes.
+
+    Small single-row-group parquet files scan as one partition, which
+    would serialize the shingle/hash work onto one core; at real scale
+    inputs arrive as many files and this is a no-op.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(parallelism // 2, 2):
+        return df.repartition(parallelism)
+    return df
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) pairs."""
+    df = _fan_out(df.select("doc_id", text_col))
     return (
         df.select("doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("shingle"))
         .distinct()
@@ -219,7 +233,7 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     sum (+1/−1) votes per bit, then pack sign bits into ``simhash``.
     Exploded tokens + one groupBy with 16 conditional sums — one shuffle.
     """
-    toks = df.select(
+    toks = _fan_out(df.select("doc_id", text_col)).select(
         "doc_id",
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
     )
