@@ -1254,3 +1254,237 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dups": _Q_EMBEDDING_NEAR_DUPS,
     # "ivf_topk" intentionally has no oracle (approximate, non-SQL).
 }
+
+
+# ---------------------------------------------------------------------------
+# Extended coverage: cube, streaming, constructed dedup, hyperplane LSH,
+# multimodal plumbing parity
+# ---------------------------------------------------------------------------
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets over (returnflag, linestatus) with exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q_CUBE_AGG = f"""
+  SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+         COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+         {_DSUM.format(x='l_quantity')} AS sum_qty,
+         COUNT(*) AS n
+  FROM lineitem
+  GROUP BY CUBE (l_returnflag, l_linestatus)
+  ORDER BY 1, 2
+"""
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    """Structured Streaming: hourly windowed agg over the events stream
+    (availableNow drain; equals the batch grouping on complete input)."""
+    from pyspark.sql import types as T
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        run_to_memory,
+        windowed_temporal_agg,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory: expose the single
+    # parquet file through a symlink dir (read-only w.r.t. the testdata).
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"st_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .select(
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+            F.col("event_type").alias("feature"),
+            "value",
+        )
+    )
+    out = run_to_memory(
+        windowed_temporal_agg(sdf, window="1 hour"),
+        f"win_counts_{abs(hash(sf_dir)) % 10**6}",
+        spark,
+        output_mode="complete",
+    )
+    return out.select(
+        F.unix_millis("window_start").alias("window_start"),
+        "feature",
+        F.round("t_sum", 4).alias("t_sum"),
+        "t_count",
+    ).orderBy("window_start", "feature")
+
+
+_Q_STREAMING_WINDOW_COUNTS = """
+  SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS window_start,
+         event_type AS feature,
+         round(SUM(value), 4) AS t_sum,
+         COUNT(value) AS t_count
+  FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact dedup over a corpus with constructed duplicates (documents
+    unioned with an id-shifted copy): every text forms a dup group."""
+    from slow_tortoise_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    groups = exact_duplicates(docs.unionByName(dup))
+    return groups.select(
+        "fingerprint",
+        "keep_doc_id",
+        "dup_count",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",").alias(
+            "doc_ids"
+        ),
+    ).orderBy("keep_doc_id")
+
+
+_Q_DEDUP_EXACT_DOCS = """
+  WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+  )
+  SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         MIN(doc_id) AS keep_doc_id,
+         COUNT(*) AS dup_count,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+  FROM corpus
+  GROUP BY 1 HAVING COUNT(*) >= 2
+  ORDER BY keep_doc_id
+"""
+
+
+def _hyperplanes() -> list[list[float]]:
+    """4 deterministic pseudo-random hyperplanes (seed 42, 6dp literals so
+    the SQL oracle embeds the identical values)."""
+    import numpy as np
+
+    rs = np.random.RandomState(42)
+    return [[float(x) for x in row] for row in np.round(rs.randn(4, 64), 6)]
+
+
+def q_hyperplane_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 4 sign bits → 16 buckets per embedding.
+
+    The other classic ANN scale path next to IVF: same-bucket vectors are
+    near-duplicate candidates; buckets are portable (plane literals are
+    shared with the oracle verbatim).
+    """
+    from slow_tortoise_spark.operators.similarity import dot_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes()):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot_col(v, p) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return (
+        emb.select("vec_id", bucket.alias("bucket"))
+        .orderBy("vec_id")
+    )
+
+
+def _hyperplane_sql() -> str:
+    planes = _hyperplanes()
+    rows = []
+    for i, plane in enumerate(planes):
+        vals = ", ".join(
+            f"({j + 1}, {x!r})" for j, x in enumerate(plane)
+        )
+        rows.append(f"SELECT {i} AS plane, i, x FROM (VALUES {vals}) t(i, x)")
+    planes_sql = " UNION ALL ".join(rows)
+    return f"""
+      WITH planes AS ({planes_sql}),
+      v AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ),
+      dots AS (
+        SELECT v.vec_id, p.plane, SUM(v.x * p.x) AS dot
+        FROM v JOIN planes p ON v.i = p.i
+        GROUP BY 1, 2
+      )
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, plane) AS INT)
+                           ELSE 0 END) AS INT) AS bucket
+      FROM dots GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary content through the Arrow-batched
+    mapInPandas extractor (deterministic stub), verified end-to-end."""
+    from slow_tortoise_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_image_features(media)
+    return feats.select("media_id", "n_bytes", "sha").orderBy("media_id")
+
+
+_Q_MEDIA_FEATURES = """
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         substr(sha256(text), 1, 16) AS sha
+  FROM documents ORDER BY media_id
+"""
+
+
+QUERIES.update(
+    {
+        "cube_agg": q_cube_agg,
+        "streaming_window_counts": q_streaming_window_counts,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
+        "media_features": q_media_features,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cube_agg": _Q_CUBE_AGG,
+        "streaming_window_counts": _Q_STREAMING_WINDOW_COUNTS,
+        "dedup_exact_docs": _Q_DEDUP_EXACT_DOCS,
+        "hyperplane_lsh_buckets": _hyperplane_sql(),
+        "media_features": _Q_MEDIA_FEATURES,
+    }
+)

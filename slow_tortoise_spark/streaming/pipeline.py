@@ -1,0 +1,174 @@
+"""Structured Streaming surface for the datacube engine.
+
+The reference is batch-only (time is a data column, SURVEY.md §2.8); this
+module is the Spark-native extension for continuously-arriving datacube
+shards and event streams:
+
+* ``stream_datacube``       — file-source ingest with an explicit schema
+* ``windowed_temporal_agg`` — event-time tumbling windows + watermark
+                              (the streaming analogue of A1/A2)
+* ``sessionize``            — session windows per key (gap-based)
+* ``running_user_state``    — custom stateful operator via
+                              ``applyInPandasWithState`` (running per-key
+                              counters that survive across micro-batches)
+* ``write_stream_artifacts``— foreachBatch bridge into the batch sink
+                              layer so streaming runs emit the same
+                              artifact families as batch runs
+
+Late data: watermarks bound state; with ``availableNow`` triggers over
+complete inputs the results converge to the batch equivalents (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from slow_tortoise_spark.schema import DATACUBE_SCHEMA
+
+
+def stream_datacube(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DATACUBE_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source streaming ingest of datacube parquet shards."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_temporal_agg(
+    sdf: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming A1: per (feature, window) sum/mean/count of value.
+
+    ``time_col`` must be a TimestampType column (use
+    ``F.timestamp_millis(col('timestamp'))`` for epoch-ms cubes). The
+    watermark bounds both late data and state size.
+    """
+    return (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), "feature")
+        .agg(
+            F.sum("value").alias("t_sum"),
+            F.avg("value").alias("t_mean"),
+            F.count("value").alias("t_count"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "feature",
+            "t_sum",
+            "t_mean",
+            "t_count",
+        )
+    )
+
+
+def sessionize(
+    sdf: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    key_col: str = "user_id",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Gap-based session windows per key (native session_window)."""
+    return (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("s"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+_RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_state(sdf: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator: running per-key count + value total.
+
+    ``applyInPandasWithState`` keeps (n_events, total) per key across
+    micro-batches and emits the updated row every time the key appears.
+    The pattern to copy for bespoke streaming operators the built-in
+    aggregations can't express.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [total]}
+        )
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(sdf: DataFrame, table: str, spark: SparkSession,
+                  output_mode: str = "append") -> DataFrame:
+    """Drain a (bounded) stream into an in-memory table with availableNow
+    and return the materialized result — used by tests and the query
+    catalog's rows-only streaming entries."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
+
+
+def write_stream_artifacts(sdf: DataFrame, batch_fn, checkpoint: str):
+    """foreachBatch bridge: reuse the batch sink layer per micro-batch.
+
+    ``batch_fn(df, batch_id)`` receives a normal DataFrame — call the
+    batch pipeline writers from it.
+    """
+    return (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
