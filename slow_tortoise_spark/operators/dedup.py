@@ -111,12 +111,15 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
-    """All document pairs with shingle-set Jaccard ≥ threshold.
+    """All document pairs with shingle-set Jaccard ≥ threshold (exact).
 
-    Shape: shingle self-join (equi-join on shingle, doc_a < doc_b) →
-    per-pair intersection counts → join per-doc set sizes. Exact; cost
-    grows with shingle co-occurrence, so this is the verification path —
-    use minhash_lsh_candidates to prefilter at scale.
+    Plain shingle self-join → per-pair intersection counts → size join.
+    Fastest when the shingle vocabulary is dense (many docs share most
+    shingles, so prefix pruning can't discard much — true of this repo's
+    synthetic corpus). For sparse real-world vocabularies use
+    ``jaccard_pairs_prefix``, which prunes the join to frequency-ordered
+    prefixes and scales to corpora where this variant's pair blow-up is
+    quadratic.
     """
     sh = doc_shingles(df, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -131,7 +134,7 @@ def jaccard_pairs(
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    out = (
+    return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
@@ -144,7 +147,91 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin-style prefix filtering.
+
+    Two sets with Jaccard ≥ t must share an element within each other's
+    first ⌊(1−t)·|A|⌋+1 shingles when ordered by global document
+    frequency (rarest first): only those prefixes are self-joined to form
+    candidates, then the exact intersection is counted for candidates
+    only. Same results as ``jaccard_pairs``; wins when the vocabulary is
+    sparse enough that prefixes rarely collide (typical web corpora).
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    # Global frequency order (rarest first); ties broken by shingle text
+    # so both sides of the self-join see the same order.
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rank") <= F.floor((1 - threshold) * F.col("n_shingles")) + 1
+    ).select("doc_id", "shingle")
+
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # Exact intersection counts for candidates only: fan the candidate
+    # pairs out over doc_a's shingles, then equi-join doc_b's — the full
+    # all-pairs shingle self-join never happens.
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("_db"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("_db"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Skew-resistant aggregation (two-phase salted combine).
+
+When a handful of grouping keys dominate (one country holds half the
+observations, one feature is 100× the rest), the single-shuffle
+``groupBy`` puts a whole hot key into one reducer task. AQE's skew-join
+splitting doesn't help aggregations, so the classic fix is salting:
+
+    phase 1: groupBy(keys + salt) — the hot key spreads over S tasks
+    phase 2: groupBy(keys) re-combining the partials
+
+Only algebraic aggregates decompose this way; this module implements the
+common set (sum / count / min / max and mean via sum+count). Results are
+identical to the direct aggregation (modulo float addition order, like
+any shuffle-order change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (partial expr builder, final expr builder) per supported aggregate.
+_ALGEBRAIC = {
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_aggregation(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output name → (fn, column),
+    fn ∈ {sum, count, min, max, mean}.
+
+    ``mean`` decomposes into sum+count internally. The salt is
+    ``pmod(hash(whole row id-ish), salt_buckets)`` — any spread works, it
+    never appears in the output.
+    """
+    partials = []
+    finals = []
+    for out, (fn, col) in aggs.items():
+        if fn == "mean":
+            partials.append(F.sum(col).alias(f"__s_{out}"))
+            partials.append(F.count(col).alias(f"__c_{out}"))
+            finals.append(
+                (F.sum(f"__s_{out}") / F.sum(f"__c_{out}")).alias(out)
+            )
+        elif fn in _ALGEBRAIC:
+            part, final = _ALGEBRAIC[fn]
+            partials.append(part(F.col(col)).alias(f"__p_{out}"))
+            finals.append(final(F.col(f"__p_{out}")).alias(out))
+        else:
+            raise ValueError(f"{fn!r} is not an algebraic aggregate")
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(k) for k in df.columns]), F.lit(salt_buckets))
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)

@@ -1488,3 +1488,46 @@ ORACLE_SQL.update(
         "media_features": _Q_MEDIA_FEATURES,
     }
 )
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew path: two-phase salted aggregation; results equal the direct
+    groupBy (oracle), the shuffle shape spreads hot keys over 16 tasks."""
+    from slow_tortoise_spark.operators.skew import salted_aggregation
+
+    ev = _t(spark, sf_dir, "events")
+    # decimal-cast value so the two-phase sum is order-independent
+    base = ev.select(
+        "event_type", F.col("value").cast("decimal(25,6)").alias("v")
+    )
+    out = salted_aggregation(
+        base,
+        keys=["event_type"],
+        aggs={
+            "total": ("sum", "v"),
+            "n": ("count", "v"),
+            "vmin": ("min", "v"),
+            "vmax": ("max", "v"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("total").cast("double").alias("total"),
+        "n",
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    ).orderBy("event_type")
+
+
+_Q_SALTED_AGG = f"""
+  SELECT event_type,
+         {_DSUM.format(x='value')} AS total,
+         COUNT(value) AS n,
+         CAST(MIN(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS vmin,
+         CAST(MAX(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS vmax
+  FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["salted_agg"] = q_salted_agg
+ORACLE_SQL["salted_agg"] = _Q_SALTED_AGG

@@ -1,0 +1,145 @@
+"""Property-based checks (hypothesis) — invariants the reference's golden
+tests never cover: truncation idempotence, tile-parent consistency, mass
+conservation through aggregation, proto codec round-trip."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from slow_tortoise_spark.sinks.tile_proto import decode_tile, encode_tile
+
+# ---------------------------------------------------------------------------
+# Pure-Python properties (cheap — hammer them)
+# ---------------------------------------------------------------------------
+
+_stats = st.tuples(
+    st.floats(-1e12, 1e12, allow_nan=False),
+    st.floats(-1e12, 1e12, allow_nan=False),
+    st.floats(0, 1e9, allow_nan=False),
+)
+
+
+@given(
+    z=st.integers(0, 8),
+    x=st.integers(0, 2**8),
+    y=st.integers(0, 2**8),
+    bins=st.dictionaries(st.integers(0, 4095), _stats, max_size=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_proto_roundtrip_property(z, x, y, bins):
+    tile = decode_tile(encode_tile(z, x, y, 4096, bins))
+    assert (tile["z"], tile["x"], tile["y"]) == (z, x, y)
+    assert set(tile["stats"]) == {k for k, v in bins.items() if any(v)} | {
+        k for k, v in bins.items() if not any(v)
+    }
+    for k, (a, b, c) in bins.items():
+        ra, rb, rc = tile["stats"][k]
+        assert ra == a and rb == b and rc == c
+
+
+@given(
+    lat=st.floats(-85.0, 85.0, allow_nan=False),
+    lng=st.floats(-179.999, 179.999, allow_nan=False),
+    zoom=st.integers(1, 14),
+)
+@settings(max_examples=200, deadline=None)
+def test_tile_parent_consistency_python(lat, lng, zoom):
+    """deg2num(z) coarsened one level == deg2num(z-1) directly.
+
+    Mirrors the Column math in operators/tiles.py with the same formulas;
+    guards the shiftright-based parent derivation.
+    """
+    def deg2num(lat_deg, lon_deg, z):
+        lat_rad = math.radians(lat_deg)
+        n = 2.0**z
+        xt = int((lon_deg + 180.0) / 360.0 * n)
+        yt = int((1.0 - math.asinh(math.tan(lat_rad)) / math.pi) / 2.0 * n)
+        return xt, yt
+
+    x, y = deg2num(lat, lng, zoom)
+    px, py = deg2num(lat, lng, zoom - 1)
+    assert (x >> 1, y >> 1) == (px, py)
+
+
+# ---------------------------------------------------------------------------
+# Spark properties (fewer examples — each is a job)
+# ---------------------------------------------------------------------------
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2_000_000_000_000),  # epoch ms ≈ up to 2033
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["f1", "f2"]),
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_rows)
+@settings(max_examples=8, deadline=None)
+def test_temporal_agg_conserves_mass(spark_session, rows):
+    """Σ t_sum == Σ value for every resolution, and truncation is
+    idempotent (truncating the truncated timestamp is a no-op)."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.temporal import (
+        temporal_aggregation,
+        to_normalized_time,
+    )
+
+    df = spark_session.createDataFrame(
+        rows, "timestamp long, country string, feature string, value double"
+    )
+    total = sum(r[3] for r in rows)
+    for res in ("month", "year", "all"):
+        t = temporal_aggregation(df, res)
+        got = t.agg(F.sum("t_sum")).first()[0]
+        assert abs(got - total) < 1e-6 * max(1.0, abs(total))
+        twice = t.select(
+            (to_normalized_time(F.col("timestamp"), res)
+             == F.col("timestamp")).alias("fixed")
+        )
+        assert all(r["fixed"] for r in twice.collect())
+
+
+@given(rows=_rows)
+@settings(max_examples=5, deadline=None)
+def test_rollup_levels_nest(spark_session, rows):
+    """Level-0 totals equal the sum of their level-1 children."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.regional import (
+        regional_aggregation_all_levels,
+    )
+
+    df = spark_session.createDataFrame(
+        rows, "timestamp long, country string, feature string, value double"
+    ).withColumn("admin1", F.concat(F.col("country"), F.lit("-a")))
+    t = df.withColumnRenamed("value", "t_sum").withColumn(
+        "t_mean", F.col("t_sum")
+    )
+    rolled = regional_aggregation_all_levels(t, aggs=["sum"], max_level=1)
+    l0 = {(r["feature"], r["timestamp"], r["region_id"]): r["s_sum_t_sum"]
+          for r in rolled.filter("level = 0").collect()}
+    from collections import defaultdict
+
+    children = defaultdict(float)
+    for r in rolled.filter("level = 1").collect():
+        parent = r["region_id"].split("__")[0]
+        children[(r["feature"], r["timestamp"], parent)] += r["s_sum_t_sum"]
+    for k, v in l0.items():
+        assert abs(children[k] - v) < 1e-6 * max(1.0, abs(v))
+
+
+# session-scoped fixture alias usable inside @given (function-scoped
+# fixtures don't mix with hypothesis)
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark_session(spark):
+    return spark

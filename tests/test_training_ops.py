@@ -148,3 +148,13 @@ def test_multimodal_plumbing(spark):
 
     frames = sample_video_frames(df.filter("kind = 'video'"), every_ms=1000)
     assert [r["frame_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
+
+
+def test_jaccard_prefix_matches_naive(spark):
+    from slow_tortoise_spark.operators.dedup import jaccard_pairs_prefix
+
+    naive = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+             for r in jaccard_pairs(_docs(spark), threshold=0.4).collect()}
+    pref = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs_prefix(_docs(spark), threshold=0.4).collect()}
+    assert naive == pref
