@@ -47,6 +47,10 @@ def spatial_aggregation(
     bad = [a for a in aggs if a not in SPATIAL_AGGS]
     if bad:
         raise ValueError(f"unsupported spatial aggs {bad}; allowed: {SPATIAL_AGGS}")
+    # 'count' is always emitted as the single s_count column, never as
+    # s_count_t_* (reference strips it from the agg list the same way,
+    # /root/reference/flows/common.py:111-113).
+    aggs = [a for a in aggs if a != "count"]
 
     t_cols = [c for c in temporal_agg_columns(weight_column) if c in df.columns]
     exprs = []

@@ -1531,3 +1531,67 @@ _Q_SALTED_AGG = f"""
 
 QUERIES["salted_agg"] = q_salted_agg
 ORACLE_SQL["salted_agg"] = _Q_SALTED_AGG
+
+
+def q_weighted_timeseries(spark, sf_dir):
+    """A3+A5 end-to-end: weighted temporal agg (t_wavg + carried weight)
+    then weighted spatial agg (s_g_t_wavg and s_wavg_t_*), via the
+    library operators."""
+    from slow_tortoise_spark.operators.spatial import spatial_aggregation
+
+    li = _t(spark, sf_dir, "lineitem")
+    cube = li.select(
+        # l_shipdate is TIMESTAMP_NTZ; cast → LTZ is identity under the
+        # UTC session timezone and unix_millis requires it.
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("timestamp"),
+        F.concat(F.lit("s"), (F.col("l_suppkey") % 5).cast("string")).alias("country"),
+        F.col("l_returnflag").alias("feature"),
+        F.col("l_extendedprice").alias("value"),
+        F.col("l_quantity").alias("w"),
+    )
+    t = temporal_aggregation(cube, "month", weight_column="w")
+    s = spatial_aggregation(
+        t, keys=["feature", "timestamp"], aggs=["sum", "mean"], weight_column="w"
+    )
+    return s.select(
+        "feature",
+        "timestamp",
+        F.round("s_sum_t_sum", 2).alias("s_sum_t_sum"),
+        F.round("s_mean_t_mean", 4).alias("s_mean_t_mean"),
+        F.round("s_sum_t_wavg", 4).alias("s_sum_t_wavg"),
+        F.round("s_wavg_t_sum", 4).alias("s_wavg_t_sum"),
+        F.round("s_wavg_t_wavg", 4).alias("s_wavg_t_wavg"),
+        "s_count",
+    ).orderBy("feature", "timestamp")
+
+
+_Q_WEIGHTED_TIMESERIES = """
+  WITH cube AS (
+    SELECT epoch_ms(l_shipdate) AS timestamp,
+           's' || CAST(l_suppkey % 5 AS VARCHAR) AS country,
+           l_returnflag AS feature,
+           l_extendedprice AS value,
+           l_quantity AS w
+    FROM lineitem
+  ),
+  t AS (
+    SELECT feature, country,
+           epoch_ms(date_trunc('month', epoch_ms(timestamp))) AS timestamp,
+           SUM(value) AS t_sum,
+           AVG(value) AS t_mean,
+           SUM(value * w) / SUM(w) AS t_wavg,
+           AVG(w) AS w
+    FROM cube GROUP BY 1, 2, 3
+  )
+  SELECT feature, timestamp,
+         round(SUM(t_sum), 2) AS s_sum_t_sum,
+         round(AVG(t_mean), 4) AS s_mean_t_mean,
+         round(SUM(t_wavg), 4) AS s_sum_t_wavg,
+         round(SUM(t_sum * w) / SUM(w), 4) AS s_wavg_t_sum,
+         round(SUM(t_wavg * w) / SUM(w), 4) AS s_wavg_t_wavg,
+         COUNT(t_mean) AS s_count
+  FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["weighted_timeseries"] = q_weighted_timeseries
+ORACLE_SQL["weighted_timeseries"] = _Q_WEIGHTED_TIMESERIES

@@ -81,3 +81,24 @@ def test_spatial_weighted_and_summary_aggs(spark):
     # s_wavg_t_sum = (4*2 + 10*1) / (2+1) = 6.0
     assert jan["s_wavg_t_sum"] == 6.0
     assert jan["s_count"] == 2
+
+
+def test_weighted_spatial_full_contract(spark):
+    """Weighted spatial agg emits s_g_t_wavg for each spatial agg plus the
+    three s_wavg_t_* columns computed against the carried weight — the
+    rename/drop contract of the reference (flows/common.py:107-160)."""
+    t = temporal_aggregation(_cube(spark), "month", weight_column="w")
+    s = spatial_aggregation(t, keys=["feature", "timestamp"],
+                            aggs=["sum", "mean", "count"], weight_column="w")
+    cols = set(s.columns)
+    assert {"s_sum_t_sum", "s_sum_t_mean", "s_sum_t_wavg",
+            "s_mean_t_sum", "s_mean_t_mean", "s_mean_t_wavg",
+            "s_wavg_t_sum", "s_wavg_t_mean", "s_wavg_t_wavg",
+            "s_count"} <= cols
+    # 'count' in the agg list must NOT produce s_count_t_* columns
+    assert not any(c.startswith("s_count_t_") for c in cols)
+    jan = [r for r in s.collect() if r["timestamp"] == _ms(2020, 1, 1)][0]
+    # carried weights: A→mean(1,3)=2, B→1; t_wavg: A→2.5, B→10
+    # s_wavg_t_wavg = (2.5*2 + 10*1)/(2+1) = 5.0
+    assert jan["s_wavg_t_wavg"] == 5.0
+    assert jan["s_count"] == 2
