@@ -1,0 +1,148 @@
+"""Temporal join operators Spark's API lacks as primitives: as-of join,
+range join, and time-based rolling windows.
+
+All three are compositions of existing DataFrame ops (SURVEY §2.8 —
+option (a) before reaching for Pandas UDFs):
+
+* **as-of join** — the union+window trick: stack left and right rows on
+  the shared key/time axis, carry the most recent right-row values
+  forward with ``last(ignorenulls)`` over an ordered window, keep left
+  rows. One shuffle on (key), no per-row Python, no O(n·m) pair blow-up.
+* **range join** — a plain join with an interval predicate; bucketing
+  both sides to coarse time buckets turns it into an equi-join on
+  (bucket) with a residual filter, which is the scale path (Spark would
+  otherwise nested-loop it).
+* **rolling window** — native ``rangeBetween`` over an epoch-numeric
+  ordering column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time <= left_time`` for the same ``on`` key.
+
+    Ties on time resolve to the right row that sorts last among the tied
+    group (stable given unique (key, time) pairs; add a tiebreaker column
+    to ``right`` and include it in ``value_cols`` when times can tie).
+    ``tolerance_ms`` drops matches older than the given gap.
+
+    Implementation: union both sides tagged by origin; within each key,
+    order by (time, origin) so a right row at time T precedes a left row
+    at the same T; ``last(value, ignorenulls=True)`` carries right values
+    forward; filter back to left rows. Cost: one shuffle on ``on``.
+    """
+    lt = F.col(left_time).cast("long")
+    l_tagged = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn("__rt", F.lit(None).cast("long"))
+
+    rt = F.col(right_time).cast("long")
+    r_tagged = right.select(
+        F.col(on),
+        rt.alias("__t"),
+        F.lit(0).alias("__is_left"),
+        rt.alias("__rt"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+
+    stacked = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = stacked
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn("__rt", F.last("__rt", ignorenulls=True).over(w))
+
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance_ms is not None:
+        keep = F.col("__t") - F.col("__rt") <= F.lit(tolerance_ms)
+        for c in value_cols:
+            out = out.withColumn(
+                f"__r_{c}", F.when(keep, F.col(f"__r_{c}"))
+            )
+        out = out.withColumn("__rt", F.when(keep, F.col("__rt")))
+    renames = {f"__r_{c}": f"right_{c}" for c in value_cols}
+    for src, dst in renames.items():
+        out = out.withColumnRenamed(src, dst)
+    return out.withColumnRenamed("__rt", "right_time_ms").drop("__t", "__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: Column,
+    right_time: Column,
+    lower_ms: int,
+    upper_ms: int,
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """Join rows where ``right_time - left_time ∈ [lower_ms, upper_ms]``.
+
+    With ``bucket_ms`` set, both sides get coarse bucket keys and the
+    join becomes an equi-join on candidate buckets plus a residual
+    filter — the shape that scales (Spark plans raw interval predicates
+    as broadcast nested loop). Bucket span must cover the interval:
+    right rows explode to ceil((upper-lower)/bucket)+1 candidate buckets.
+    """
+    lt = left_time.cast("long")
+    rt = right_time.cast("long")
+    cond_lo = rt - lt >= F.lit(lower_ms)
+    cond_hi = rt - lt <= F.lit(upper_ms)
+    if bucket_ms is None:
+        return left.join(right, cond_lo & cond_hi)
+
+    n_buckets = (upper_ms - lower_ms) // bucket_ms + 1
+    l_b = left.withColumn("__lb", F.floor((lt + F.lit(lower_ms)) / F.lit(bucket_ms)))
+    r_b = right.withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(
+                F.floor(rt / F.lit(bucket_ms)) - F.lit(n_buckets),
+                F.floor(rt / F.lit(bucket_ms)),
+            )
+        ),
+    )
+    joined = l_b.join(r_b, F.col("__lb") == F.col("__rb"))
+    return joined.filter(cond_lo & cond_hi).drop("__lb", "__rb")
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    window_ms: int,
+) -> DataFrame:
+    """Per-key rolling aggregates over the trailing ``window_ms``:
+    count + sum of ``value_col`` for rows within (t − window, t]."""
+    t = F.col(time_col).cast("long")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(t)
+        .rangeBetween(-(window_ms - 1), 0)
+    )
+    return df.withColumn("rolling_n", F.count(value_col).over(w)).withColumn(
+        "rolling_sum", F.sum(value_col).over(w)
+    )

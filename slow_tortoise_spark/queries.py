@@ -1595,3 +1595,162 @@ _Q_WEIGHTED_TIMESERIES = """
 
 QUERIES["weighted_timeseries"] = q_weighted_timeseries
 ORACLE_SQL["weighted_timeseries"] = _Q_WEIGHTED_TIMESERIES
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event gets the user's most recent click
+    at or before it (union+window carry-forward, one shuffle)."""
+    from slow_tortoise_spark.operators.timejoin import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "value", "t_us"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="t_us",
+        right_time="t_us",
+        value_cols=["value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("right_value", 4).alias("click_value"),
+        F.col("right_time_ms").alias("click_t_us"),
+    ).orderBy("event_id")
+
+
+_Q_ASOF_JOIN = """
+  SELECT p.event_id, p.user_id,
+         round(c.value, 4) AS click_value,
+         c.t_us AS click_t_us
+  FROM events p
+  LEFT JOIN LATERAL (
+    SELECT value, epoch_us(ts) AS t_us
+    FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.ts <= p.ts
+    ORDER BY c.ts DESC LIMIT 1
+  ) c ON true
+  WHERE p.event_type = 'purchase'
+  ORDER BY p.event_id
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (bucketed equi-join + residual): purchases within one
+    hour after each signup."""
+    from slow_tortoise_spark.operators.timejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.unix_millis("ts").alias("signup_ms"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis("ts").alias("purchase_ms"),
+    )
+    joined = range_join(
+        signups,
+        purchases,
+        left_time=F.col("signup_ms"),
+        right_time=F.col("purchase_ms"),
+        lower_ms=0,
+        upper_ms=3_600_000,
+        bucket_ms=3_600_000,
+    )
+    return (
+        joined.groupBy("signup_id")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("signup_id")
+    )
+
+
+_Q_RANGE_JOIN = """
+  SELECT s.event_id AS signup_id, COUNT(*) AS n_purchases
+  FROM events s
+  JOIN events p
+    ON p.event_type = 'purchase'
+   AND epoch_ms(p.ts) - epoch_ms(s.ts) BETWEEN 0 AND 3600000
+  WHERE s.event_type = 'signup'
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rolling_window(spark, sf_dir):
+    """Per-user trailing-1h rolling count + sum (range frame)."""
+    from slow_tortoise_spark.operators.timejoin import rolling_time_agg
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "value", F.unix_millis("ts").alias("t_ms")
+    )
+    out = rolling_time_agg(base, key="user_id", time_col="t_ms",
+                           value_col="value", window_ms=3_600_000)
+    return out.select(
+        "event_id", "user_id", "rolling_n",
+        F.round("rolling_sum", 4).alias("rolling_sum"),
+    ).orderBy("event_id")
+
+
+_Q_ROLLING_WINDOW = """
+  SELECT event_id, user_id,
+         COUNT(value) OVER w AS rolling_n,
+         round(SUM(value) OVER w, 4) AS rolling_sum
+  FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS t_ms FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_ms
+               RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
+  ORDER BY event_id
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median, p90) per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q_PERCENTILES = """
+  SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+         round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+  FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update(
+    {
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "rolling_window": q_rolling_window,
+        "percentiles": q_percentiles,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "asof_join": _Q_ASOF_JOIN,
+        "range_join": _Q_RANGE_JOIN,
+        "rolling_window": _Q_ROLLING_WINDOW,
+        "percentiles": _Q_PERCENTILES,
+    }
+)

@@ -133,8 +133,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     precision engines read the same files) and cast to TimestampType.
     """
     # Runtime-settable; done here so callers with a vanilla session (e.g.
-    # the external driver) can still read TIMESTAMP(NANOS) files.
+    # the external driver) can still read TIMESTAMP(NANOS) files, and so
+    # calendar truncation is UTC regardless of the host timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))

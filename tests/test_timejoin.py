@@ -1,0 +1,66 @@
+"""As-of join, range join, rolling window — semantics on hand-built
+timelines."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.timejoin import (
+    asof_join,
+    range_join,
+    rolling_time_agg,
+)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [Row(id=1, k="a", t=100), Row(id=2, k="a", t=250), Row(id=3, k="b", t=50)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=90, v=1.0), Row(k="a", t=200, v=2.0), Row(k="b", t=60, v=9.0)]
+    )
+    out = {r["id"]: (r["right_v"], r["right_time_ms"]) for r in asof_join(
+        left, right, on="k", left_time="t", right_time="t", value_cols=["v"]
+    ).collect()}
+    assert out[1] == (1.0, 90)     # latest right at t<=100 is t=90
+    assert out[2] == (2.0, 200)    # t<=250 → t=200
+    assert out[3] == (None, None)  # no right row at t<=50 for k=b
+
+
+def test_asof_join_equal_times_and_tolerance(spark):
+    left = spark.createDataFrame([Row(id=1, k="a", t=100)])
+    right = spark.createDataFrame([Row(k="a", t=100, v=5.0)])
+    eq = asof_join(left, right, "k", "t", "t", ["v"]).collect()[0]
+    assert eq["right_v"] == 5.0  # right row at the same instant matches
+
+    far = spark.createDataFrame([Row(k="a", t=10, v=7.0)])
+    tol = asof_join(left, far, "k", "t", "t", ["v"], tolerance_ms=50).collect()[0]
+    assert tol["right_v"] is None  # 90ms gap > 50ms tolerance
+
+
+def test_range_join_bucketed_equals_plain(spark):
+    left = spark.createDataFrame(
+        [Row(lid=i, lt=i * 100) for i in range(20)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=i, rt=i * 130 + 25) for i in range(20)]
+    )
+    plain = range_join(left, right, F.col("lt"), F.col("rt"), 0, 300)
+    bucketed = range_join(left, right, F.col("lt"), F.col("rt"), 0, 300,
+                          bucket_ms=150)
+    key = lambda rows: sorted((r["lid"], r["rid"]) for r in rows)
+    assert key(plain.collect()) == key(bucketed.collect())
+    assert len(plain.collect()) > 0
+
+
+def test_rolling_time_agg(spark):
+    df = spark.createDataFrame(
+        [Row(k="u", t=0, v=1.0), Row(k="u", t=500, v=2.0),
+         Row(k="u", t=999, v=4.0), Row(k="u", t=1500, v=8.0)]
+    )
+    out = {r["t"]: (r["rolling_n"], r["rolling_sum"]) for r in
+           rolling_time_agg(df, "k", "t", "v", window_ms=1000).collect()}
+    assert out[0] == (1, 1.0)
+    assert out[999] == (3, 7.0)    # window (−1, 999] includes t=0
+    assert out[1500] == (2, 12.0)  # window (500, 1500] → t=999, t=1500
