@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the optimizations the engine relies on
+must actually appear in the executed plans (scale behavior is decided
+here, not in the row counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.queries import (
+    q_pricing_summary,
+    q_semi_join,
+    q_temporal_agg_month,
+    q_top_orders,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns_and_pushes_filter(spark, sf_dir):
+    plan = _plan(q_pricing_summary(spark, sf_dir))
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    # column pruning: only the 6 needed lineitem columns are read
+    assert "l_quantity" in scan and "l_orderkey" not in scan
+    # the shipdate predicate reaches the parquet reader itself
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in scan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(q_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not trigger a sort-merge
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(q_semi_join(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_aggregation_has_partial_combine(spark, sf_dir):
+    plan = _plan(q_temporal_agg_month(spark, sf_dir))
+    # partial → exchange → final hash aggregation (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    df = q_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE only materializes codegen spans in the final plan
+    plan = _plan(df)
+    # '*(N)' prefixes mark WholeStageCodegen stages in the final plan;
+    # the aggregate must sit inside one.
+    assert "*(" in plan and ") HashAggregate" in plan
+
+
+def test_tile_math_has_no_python_udf(spark, sf_dir):
+    from slow_tortoise_spark.queries import q_tile_rollup
+
+    plan = _plan(q_tile_rollup(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
