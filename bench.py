@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "simhash",              # bit-math fingerprints
     "ann_cosine_topk",      # similarity scan
     "token_stats",          # text metrics
+    "asof_join",            # union+window as-of join
+    "rolling_window",       # time-range window frames
+    "salted_agg",           # two-phase skew aggregation
 ]
 
 

@@ -27,30 +27,36 @@ def regional_extrema(
     ``kind`` ∈ {'min','max'}; at most ``tie_cap`` tied rows per
     (feature, kind, agg_col), preferring the largest timestamps.
     """
-    per_feature = Window.partitionBy("feature")
-    stacked = None
-    for col in agg_columns:
-        base = df_regional.select("feature", "region_id", "timestamp",
-                                  F.col(col).alias("value"))
-        base = base.withColumn("_min", F.min("value").over(per_feature))
-        base = base.withColumn("_max", F.max("value").over(per_feature))
-        hits = (
-            base.filter((F.col("value") == F.col("_min"))
-                        | (F.col("value") == F.col("_max")))
-            .withColumn(
-                "kind",
-                F.when(F.col("value") == F.col("_min"), "min").otherwise("max"),
-            )
-            .withColumn("agg_col", F.lit(col))
-            .drop("_min", "_max")
-        )
-        stacked = hits if stacked is None else stacked.unionByName(hits)
+    # Melt the agg columns into (agg_col, value) rows so one window pass
+    # covers every column — N columns cost one shuffle, not N.
+    melted = df_regional.select(
+        "feature",
+        "region_id",
+        "timestamp",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("agg_col"), F.col(c).alias("value"))
+                for c in agg_columns
+            ])
+        ).alias("m"),
+    ).select("feature", "region_id", "timestamp", "m.agg_col", "m.value")
+
+    per_feature_col = Window.partitionBy("feature", "agg_col")
+    flagged = melted.withColumn(
+        "_min", F.min("value").over(per_feature_col)
+    ).withColumn("_max", F.max("value").over(per_feature_col))
+    hits = flagged.filter(
+        (F.col("value") == F.col("_min")) | (F.col("value") == F.col("_max"))
+    ).withColumn(
+        "kind", F.when(F.col("value") == F.col("_min"), "min").otherwise("max")
+    ).drop("_min", "_max")
 
     cap_window = Window.partitionBy("feature", "kind", "agg_col").orderBy(
         F.col("timestamp").desc(), F.col("region_id")
     )
     return (
-        stacked.withColumn("_rn", F.row_number().over(cap_window))
+        hits.withColumn("_rn", F.row_number().over(cap_window))
         .filter(F.col("_rn") <= tie_cap)
         .drop("_rn")
+        .select("feature", "kind", "agg_col", "region_id", "timestamp", "value")
     )

@@ -1754,3 +1754,22 @@ ORACLE_SQL.update(
         "percentiles": _Q_PERCENTILES,
     }
 )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Approximate distinct counts (HLL) next to exact — rows-only check
+    (HLL sketches are engine-specific by nature). Max relative error is
+    asserted in tests instead."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["approx_distinct"] = q_approx_distinct
+# intentionally no oracle: sketch values are engine-specific (rows-only)
