@@ -50,8 +50,15 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
-    # warm up the JVM + parquet footers
+    # Warm up the JVM, codegen compiler, and parquet reader paths so
+    # one-time costs aren't attributed to the first query. (Data still
+    # flows from files on every query; only process state is warmed.)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from slow_tortoise_spark.sources.reader import read_table
+
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings", "nation", "region", "supplier"):
+        read_table(spark, f"{sf_dir}/{t}.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

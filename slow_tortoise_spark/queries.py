@@ -123,18 +123,27 @@ _Q_PRICING_SUMMARY = f"""
 
 
 def q_top_orders(spark, sf_dir):
-    """3-way join (broadcast dims) + aggregate + top-k by exact revenue."""
+    """Fact pre-aggregation below the join, then broadcast dims + top-k.
+
+    Aggregating lineitem by l_orderkey *before* joining shrinks the join
+    input from |lineitem| to |orders| rows — the partial-agg-pushdown
+    Catalyst won't do on its own; at 100 TB it's the difference between
+    shuffling the fact table and shuffling the order-level summary.
+    """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(25,6)"
+            )
+        ).alias("_rev")
     )
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("o_orderkey", "c_mktsegment")
-        .agg(rev.alias("_rev"))
+        .select("o_orderkey", "c_mktsegment", "_rev")
         .orderBy(F.desc("_rev"), "o_orderkey")
         .limit(10)
         .select(
