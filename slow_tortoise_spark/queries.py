@@ -1782,3 +1782,92 @@ def q_approx_distinct(spark, sf_dir):
 
 QUERIES["approx_distinct"] = q_approx_distinct
 # intentionally no oracle: sketch values are engine-specific (rows-only)
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON scalar functions over the props column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    ).orderBy("event_id")
+
+
+_Q_JSON_EXTRACT = """
+  SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+         json_extract_string(props, '$.missing') AS missing
+  FROM events ORDER BY event_id
+"""
+
+
+def q_date_parts(spark, sf_dir):
+    """Calendar part extraction + date arithmetic on order dates."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.groupBy(
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            F.month(d).alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.dayofmonth(d)).alias("first_dom"),
+            F.max(F.dayofmonth(d)).alias("last_dom"),
+        )
+        .orderBy("y", "q", "m")
+    )
+
+
+_Q_DATE_PARTS = """
+  SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+         month(o_orderdate) AS m,
+         COUNT(*) AS n,
+         MIN(day(o_orderdate)) AS first_dom,
+         MAX(day(o_orderdate)) AS last_dom
+  FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    """String scalar surface: case, substring, pad, replace, edit
+    distance against a fixed probe."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.levenshtein(F.lower("p_brand"), F.lit("brand#00")).alias("brand_dist"),
+    ).orderBy("p_partkey")
+
+
+_Q_STRING_FUNCS = """
+  SELECT p_partkey,
+         upper(p_brand) AS brand_upper,
+         substr(p_name, 1, 8) AS name_prefix,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+         regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+         levenshtein(lower(p_brand), 'brand#00') AS brand_dist
+  FROM part ORDER BY p_partkey
+"""
+
+QUERIES.update(
+    {
+        "json_extract": q_json_extract,
+        "date_parts": q_date_parts,
+        "string_funcs": q_string_funcs,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "json_extract": _Q_JSON_EXTRACT,
+        "date_parts": _Q_DATE_PARTS,
+        "string_funcs": _Q_STRING_FUNCS,
+    }
+)
