@@ -1,0 +1,118 @@
+"""Golden parity with the reference's own unit-test expectations.
+
+Inputs and expected numbers reproduced from
+/root/reference/tests/unit/test_compute_global_timeseries.py:29-70 and
+/root/reference/tests/unit/test_compute_regional_aggregation.py:30-120
+(values only — the computation below is this engine's own operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from slow_tortoise_spark.operators.regional import (
+    regional_aggregation,
+    regional_aggregation_all_levels,
+)
+from slow_tortoise_spark.operators.spatial import global_timeseries
+
+
+def test_global_timeseries_reference_golden(spark):
+    rows = [
+        Row(timestamp=0, country="Ethiopia", feature="feature1", t_sum=4.0, t_mean=2.0),
+        Row(timestamp=0, country="South Sudan", feature="feature1", t_sum=60.0, t_mean=30.0),
+        Row(timestamp=1, country="Ethiopia", feature="feature1", t_sum=6.0, t_mean=3.0),
+        Row(timestamp=1, country="South Sudan", feature="feature1", t_sum=80.0, t_mean=0.8),
+        Row(timestamp=1, country="Ethiopia", feature="feature2", t_sum=6.0, t_mean=3.0),
+        Row(timestamp=1, country="South Sudan", feature="feature2", t_sum=180.0, t_mean=1.8),
+    ]
+    out = global_timeseries(spark.createDataFrame(rows))
+    got = {
+        (r["feature"], r["timestamp"]): (
+            r["s_sum_t_sum"], r["s_mean_t_sum"], r["s_sum_t_mean"],
+            r["s_mean_t_mean"], r["s_count"],
+        )
+        for r in out.collect()
+    }
+    # expected CSVs from the reference test, row by row
+    assert got[("feature1", 0)] == (64.0, 32.0, 32.0, 16.0, 2)
+    assert got[("feature1", 1)] == (86.0, 43.0, 3.8, 1.9, 2)
+    assert got[("feature2", 1)] == (186.0, 93.0, 4.8, 2.4, 2)
+
+
+_REGIONAL_ROWS = [
+    # (timestamp, country, admin1, admin2, admin3, feature, t_sum, t_mean)
+    (0, "A", "AA", "AAA", "AAAA", "F1", 4.0, 2.0),
+    (0, "A", "AA", "AAA", "AAAA", "F1", 10.0, 5.0),
+    (0, "A", "AA", "AAB", "AABD", "F1", 8.0, 4.0),
+    (0, "A", "AA", "AAB", "AABE", "F1", 3.0, 1.0),
+    (0, "B", "BA", "BAB", "BABB", "F1", 60.0, 30.0),
+    (0, "B", "BB", "BBB", "BBBB", "F1", 10.0, 2.0),
+    (1, "A", "AA", "AAA", "AAAA", "F1", 2.0, 1.0),
+    (1, "A", "AA", "AAA", "AAAA", "F1", 4.0, 1.0),
+    (1, "A", "AA", "AAB", "AABD", "F1", 8.0, 2.0),
+    (1, "A", "AA", "AAB", "AABE", "F1", 10.0, 2.0),
+    (1, "B", "BA", "BAB", "BABB", "F1", 90.0, 30.0),
+    (1, "B", "BB", "BBB", "BBBB", "F1", 80.0, 20.0),
+    (1, "A", "AA", "AAA", "AAAA", "F2", 4.0, 2.0),
+    (1, "A", "AA", "AAA", "AAAA", "F2", 10.0, 5.0),
+]
+
+# expected: (feature, level, timestamp) → {region_id: (ssum, smean_tsum,
+# ssum_tmean, smean_tmean, count)} — from the reference's golden CSVs
+_GOLDEN = {
+    ("F1", 0, 0): {"A": (25.0, 6.25, 12.0, 3.0, 4), "B": (70.0, 35.0, 32.0, 16.0, 2)},
+    ("F1", 0, 1): {"A": (24.0, 6.0, 6.0, 1.5, 4), "B": (170.0, 85.0, 50.0, 25.0, 2)},
+    ("F2", 0, 1): {"A": (14.0, 7.0, 7.0, 3.5, 2)},
+    ("F1", 1, 1): {
+        "A__AA": (24.0, 6.0, 6.0, 1.5, 4),
+        "B__BA": (90.0, 90.0, 30.0, 30.0, 1),
+        "B__BB": (80.0, 80.0, 20.0, 20.0, 1),
+    },
+    ("F1", 1, 0): {
+        "A__AA": (25.0, 6.25, 12.0, 3.0, 4),
+        "B__BA": (60.0, 60.0, 30.0, 30.0, 1),
+        "B__BB": (10.0, 10.0, 2.0, 2.0, 1),
+    },
+    ("F1", 2, 1): {
+        "A__AA__AAB": (18.0, 9.0, 4.0, 2.0, 2),
+        "B__BA__BAB": (90.0, 90.0, 30.0, 30.0, 1),
+        "A__AA__AAA": (6.0, 3.0, 2.0, 1.0, 2),
+        "B__BB__BBB": (80.0, 80.0, 20.0, 20.0, 1),
+    },
+    ("F1", 3, 0): {
+        "A__AA__AAB__AABD": (8.0, 8.0, 4.0, 4.0, 1),
+        "A__AA__AAA__AAAA": (14.0, 7.0, 7.0, 3.5, 2),
+        "B__BA__BAB__BABB": (60.0, 60.0, 30.0, 30.0, 1),
+        "A__AA__AAB__AABE": (3.0, 3.0, 1.0, 1.0, 1),
+        "B__BB__BBB__BBBB": (10.0, 10.0, 2.0, 2.0, 1),
+    },
+}
+
+
+def _regional_df(spark):
+    schema = ("timestamp long, country string, admin1 string, admin2 string, "
+              "admin3 string, feature string, t_sum double, t_mean double")
+    return spark.createDataFrame(_REGIONAL_ROWS, schema=schema)
+
+
+def _check(rows, feature, level, ts):
+    got = {
+        r["region_id"]: (r["s_sum_t_sum"], r["s_mean_t_sum"], r["s_sum_t_mean"],
+                         r["s_mean_t_mean"], r["s_count"])
+        for r in rows
+        if r["feature"] == feature and r["timestamp"] == ts
+    }
+    assert got == _GOLDEN[(feature, level, ts)], (feature, level, ts, got)
+
+
+def test_regional_aggregation_reference_golden_per_level(spark):
+    df = _regional_df(spark)
+    for (feature, level, ts) in _GOLDEN:
+        out = regional_aggregation(df, level=level).collect()
+        _check(out, feature, level, ts)
+
+
+def test_regional_rollup_reference_golden_one_pass(spark):
+    rolled = regional_aggregation_all_levels(_regional_df(spark)).collect()
+    for (feature, level, ts) in _GOLDEN:
+        _check([r for r in rolled if r["level"] == level], feature, level, ts)
