@@ -61,18 +61,36 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def _assign_cells(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """Add a ``cell`` column: id of the max-cosine centroid (broadcast
+    literals, one scan)."""
+    best = None
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(x) for x in cvec])
+        cos = cosine_col(F.col(vec_col).cast("array<double>"), c)
+        pair = F.struct(cos.alias("cos"), F.lit(cid).alias("cell"))
+        best = pair if best is None else F.when(pair["cos"] > best["cos"], pair).otherwise(best)
+    return df.withColumn("cell", best["cell"])
+
+
 def build_ivf_index(
     df: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Assign every vector to its nearest of ``n_cells`` centroids.
 
     Returns (indexed DataFrame with a ``cell`` column, centroid list).
-    Centroids are deterministic seeds: the first vector of every stride.
-    The assignment is one scan with a broadcast centroid array; persist
-    the result partitioned by ``cell`` for repeated queries.
+    Centroids start as deterministic seeds (the first vector of every
+    stride); ``kmeans_iters`` Lloyd iterations refine them — each
+    iteration is one assignment scan plus one (cell, dim) average
+    (posexplode + groupBy; the collected result is n_cells × dim values,
+    driver-tiny). Persist the result partitioned by ``cell`` for
+    repeated queries.
     """
     n = df.count()
     stride = max(n // n_cells, 1)
@@ -84,13 +102,25 @@ def build_ivf_index(
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
 
-    best = None
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(x) for x in cvec])
-        cos = cosine_col(F.col(vec_col).cast("array<double>"), c)
-        pair = F.struct(cos.alias("cos"), F.lit(cid).alias("cell"))
-        best = pair if best is None else F.when(pair["cos"] > best["cos"], pair).otherwise(best)
-    indexed = df.withColumn("cell", best["cell"])
+    for _ in range(kmeans_iters):
+        assigned = _assign_cells(df, centroids, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("v"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["v"]
+        centroids = [
+            (cid, [dims[i] for i in sorted(dims)])
+            for cid, dims in sorted(by_cell.items())
+        ]
+
+    indexed = _assign_cells(df, centroids, vec_col)
     return indexed, centroids
 
 

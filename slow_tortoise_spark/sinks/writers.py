@@ -119,6 +119,53 @@ def write_json(obj, rel_path: str, writer) -> None:
     writer.write(json.dumps(obj, default=str), rel_path)
 
 
+def write_tile_bundles(
+    tiles_df,
+    bundle_path_fn,
+    writer,
+    tiles_per_partition_hint: int = 4096,
+) -> int:
+    """Scale-path tile sink: pack each partition's tiles into ONE bundle
+    object plus a JSON index, instead of one object per tile.
+
+    The reference's per-tile layout was upload-bound at high precision
+    (~400k objects); bundling turns that into O(partitions) objects. A
+    serving layer reads `<bundle>.idx.json` ({tile_key: [offset, len]})
+    and range-reads the bundle. ``bundle_path_fn(partition_id) -> path``.
+    Repartition upstream to hit ``tiles_per_partition_hint``.
+    """
+    import json as _json
+
+    from slow_tortoise_spark.sinks.tile_proto import encode_tile
+
+    def emit(split_index, rows):
+        chunks = []
+        index = {}
+        offset = 0
+        for row in rows:
+            bins = {
+                b["bin"]: (b["s_sum_t_sum"], b["s_sum_t_mean"], float(b["weight"]))
+                for b in row["bins"]
+            }
+            tile = row["tile"]
+            buf = encode_tile(tile["z"], tile["x"], tile["y"],
+                              row["total_bins"], bins)
+            key = (f"{row['feature']}/{row['timestamp']}-{tile['z']}-"
+                   f"{tile['x']}-{tile['y']}")
+            index[key] = [offset, len(buf)]
+            chunks.append(buf)
+            offset += len(buf)
+        if not chunks:
+            return iter([(0,)])
+        base = bundle_path_fn(split_index)
+        writer.write(b"".join(chunks), base + ".bundle")
+        writer.write(_json.dumps(index), base + ".idx.json")
+        return iter([(len(chunks),)])
+
+    counts = tiles_df.rdd.mapPartitionsWithIndex(emit).collect()
+    return sum(c[0] for c in counts)
+
+
 def write_tiles(tiles_df, path_fn, writer) -> int:
     """S8: serialize + write one protobuf per tile row, executor-side.
 

@@ -144,6 +144,19 @@ def running_user_state(sdf: DataFrame, key_col: str = "user_id") -> DataFrame:
     )
 
 
+def streaming_dedup(
+    sdf: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 day",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; the
+    watermark bounds the dedup state (keys older than it are evicted, so
+    a duplicate arriving later than the watermark passes through — the
+    documented at-scale trade-off of streaming dedup)."""
+    return sdf.withWatermark(time_col, watermark).dropDuplicates(key_cols)
+
+
 def run_to_memory(sdf: DataFrame, table: str, spark: SparkSession,
                   output_mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with availableNow

@@ -75,3 +75,43 @@ def test_run_pipeline_artifacts(spark, cube_path, tmp_path):
     ts, z, x, y = os.path.basename(tiles[0])[: -len(".tile")].split("-")
     assert (t["z"], t["x"], t["y"]) == (int(z), int(x), int(y))
     assert t["total_bins"] == 4096 and t["stats"]
+
+
+def test_tile_bundle_sink(spark, cube_path, tmp_path):
+    """Bundled tile sink: one object per partition + index, tiles
+    byte-identical to the per-file sink."""
+    from slow_tortoise_spark.operators.temporal import temporal_aggregation
+    from slow_tortoise_spark.operators.tiles import (
+        subtile_aggregation,
+        tiles_for_level,
+    )
+    from slow_tortoise_spark.sinks.writers import FileWriter, write_tile_bundles
+
+    df = spark.read.parquet(cube_path)
+    sub = subtile_aggregation(temporal_aggregation(df, "month"))
+    tiles = tiles_for_level(sub, level=8)
+    out = str(tmp_path / "bundles")
+    n = write_tile_bundles(
+        tiles.repartition(2),
+        bundle_path_fn=lambda pid: f"tiles/part-{pid:05d}",
+        writer=FileWriter(out),
+    )
+    assert n == tiles.count() and n > 0
+
+    import glob
+    import json as _json
+
+    bundles = sorted(glob.glob(f"{out}/tiles/*.bundle"))
+    indexes = sorted(glob.glob(f"{out}/tiles/*.idx.json"))
+    assert bundles and len(bundles) == len(indexes)
+    total_indexed = 0
+    for bpath, ipath in zip(bundles, indexes):
+        blob = open(bpath, "rb").read()
+        index = _json.load(open(ipath))
+        total_indexed += len(index)
+        for key, (off, ln) in index.items():
+            tile = decode_tile(blob[off:off + ln])
+            z, x, y = key.rsplit("/", 1)[1].split("-")[1:]
+            assert (tile["z"], tile["x"], tile["y"]) == (int(z), int(x), int(y))
+            assert tile["stats"]
+    assert total_indexed == n

@@ -95,3 +95,22 @@ def test_running_user_state(spark, stream_dir):
     for r in batch.collect():
         assert got[r["user_id"]][0] == r["n"]
         assert got[r["user_id"]][1] == pytest.approx(r["total"])
+
+
+def test_streaming_dedup(spark, stream_dir, tmp_path):
+    from slow_tortoise_spark.streaming.pipeline import streaming_dedup
+
+    # duplicate the stream dir contents → every event arrives twice
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(stream_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+
+    sdf = stream_datacube(spark, dup_dir, schema=EVENTS_STREAM_SCHEMA)
+    out = run_to_memory(
+        streaming_dedup(sdf, ["event_id"]), "dedup_out", spark
+    )
+    n_unique = base.count()
+    assert spark.read.parquet(dup_dir).count() == 2 * n_unique
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique

@@ -158,3 +158,24 @@ def test_jaccard_prefix_matches_naive(spark):
     pref = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
             for r in jaccard_pairs_prefix(_docs(spark), threshold=0.4).collect()}
     assert naive == pref
+
+
+def test_ivf_kmeans_refinement_improves_or_holds_recall(spark, sf_dir):
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=10).collect()]
+
+    def recall(kmeans_iters):
+        indexed, cents = build_ivf_index(emb, n_cells=8,
+                                         kmeans_iters=kmeans_iters)
+        approx = [r["vec_id"] for r in
+                  ivf_topk(indexed, cents, query, k=10, nprobe=3).collect()]
+        return len(set(exact) & set(approx)) / 10
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= max(r0 - 0.2, 0.2)  # refinement must not collapse recall
+    assert 3 in [r["vec_id"] for r in
+                 ivf_topk(*build_ivf_index(emb, n_cells=8, kmeans_iters=2),
+                          query=query, k=10, nprobe=3).collect()]
