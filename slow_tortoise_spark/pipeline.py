@@ -183,16 +183,18 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             regional.unpersist()
 
         # Qualifier timeseries pivots (V1), one CSV per (feature, agg col).
+        # Derived from the cached full temporal aggregate so the s_* stats
+        # aggregate over the fine (all-column) temporal groups — the
+        # reference's semantics — and no extra scan of the raw cube runs.
+        from slow_tortoise_spark.operators.spatial import spatial_aggregation
+
         for q in qualifiers:
-            tq = temporal_aggregation(
-                df.select("timestamp", "feature", q, "value"),
-                time_res,
+            sq = spatial_aggregation(
+                t, keys=["feature", "timestamp", q], aggs=["sum", "mean"],
+                weight_column=weight,
             )
-            sq = tq.groupBy("feature", "timestamp", q).agg(
-                F.sum("t_sum").alias("s_sum_t_sum"),
-                F.avg("t_mean").alias("s_mean_t_mean"),
-            )
-            for agg_col in ("s_sum_t_sum", "s_mean_t_mean"):
+            for agg_col in [c for c in sq.columns
+                            if c.startswith("s_") and c != "s_count"] + ["s_count"]:
                 wide = qualifier_timeseries_pivot(sq, q, agg_col)
                 write_grouped_csv(
                     wide,

@@ -116,3 +116,50 @@ def test_regional_rollup_reference_golden_one_pass(spark):
     rolled = regional_aggregation_all_levels(_regional_df(spark)).collect()
     for (feature, level, ts) in _GOLDEN:
         _check([r for r in rolled if r["level"] == level], feature, level, ts)
+
+
+def test_qualifier_timeseries_reference_golden(spark):
+    """Qualifier pivot goldens from the reference
+    (test_compute_global_timeseries.py:80-147): spatial agg keyed
+    (feature, timestamp, qualifier) over the fine temporal groups, then
+    pivoted to one column per qualifier value."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.pivot import qualifier_timeseries_pivot
+    from slow_tortoise_spark.operators.spatial import spatial_aggregation
+
+    rows = [
+        (0, "Ethiopia", "feature1", "qa", "q1", 4.0, 2.0),
+        (0, "South Sudan", "feature1", "qa", "q2", 60.0, 30.0),
+        (0, "South Sudan", "feature1", "qb", "q2", 60.0, 30.0),
+        (1, "Ethiopia", "feature1", "qa", "q1", 6.0, 3.0),
+        (1, "South Sudan", "feature1", "qb", "q1", 80.0, 0.8),
+        (1, "Ethiopia", "feature2", "qa", "q1", 6.0, 3.0),
+        (1, "South Sudan", "feature2", "qa", "q2", 180.0, 1.8),
+        (1, "Ethiopia", "feature3", "qa", "q1", 6.0, 3.0),
+    ]
+    schema = ("timestamp long, country string, feature string, qual1 string, "
+              "qual2 string, t_sum double, t_mean double")
+    t = spark.createDataFrame(rows, schema=schema)
+
+    sq = spatial_aggregation(t, keys=["feature", "timestamp", "qual1"],
+                             aggs=["sum", "mean"])
+    f1 = sq.filter("feature = 'feature1'")
+
+    def wide(agg_col):
+        w = qualifier_timeseries_pivot(f1, "qual1", agg_col,
+                                       values=["qa", "qb"],
+                                       keys=["timestamp"])
+        return {r["timestamp"]: (r["qa"], r["qb"]) for r in w.collect()}
+
+    assert wide("s_count") == {0: (2, 1), 1: (1, 1)}
+    assert wide("s_mean_t_mean") == {0: (16.0, 30.0), 1: (3.0, 0.8)}
+    assert wide("s_sum_t_mean") == {0: (32.0, 30.0), 1: (3.0, 0.8)}
+
+    sq2 = spatial_aggregation(t.filter("feature = 'feature1'"),
+                              keys=["feature", "timestamp", "qual2"],
+                              aggs=["sum", "mean"])
+    w2 = qualifier_timeseries_pivot(sq2, "qual2", "s_mean_t_sum",
+                                    values=["q1", "q2"], keys=["timestamp"])
+    got2 = {r["timestamp"]: (r["q1"], r["q2"]) for r in w2.collect()}
+    assert got2 == {0: (4.0, 60.0), 1: (43.0, None)}
