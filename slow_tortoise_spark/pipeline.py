@@ -71,6 +71,10 @@ class PipelineParams:
     fill_timestamp: int = 0
     raw_count_threshold: int = 10_000
     qualifier_max_count: int = 10_000
+    # R2 gating: qualifiers join regional timeseries only up to this admin
+    # level and only when their cardinality fits the cap.
+    regional_timeseries_max_level: int = 1
+    regional_timeseries_count: int = 100
     time_resolutions: tuple[str, ...] = ("month", "year")
     compute_tiles: bool = True
     extra_writer_args: dict = field(default_factory=dict)
@@ -166,6 +170,46 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 ),
                 writer=writer,
             )
+            # R2: per-region timeseries — one CSV per (feature, level,
+            # region), rows over timestamps; qualifier breakdowns only for
+            # levels ≤ regional_timeseries_max_level and qualifiers whose
+            # cardinality fits regional_timeseries_count.
+            write_grouped_csv(
+                regional.withColumnRenamed("region_id", "id"),
+                group_cols=["feature", "level", "id"],
+                path_fn=lambda k, tr=time_res: (
+                    f"{prefix}/regional-timeseries/{tr}/{k['feature']}/"
+                    f"level-{k['level']}/{k['id']}.csv"
+                ),
+                writer=writer,
+            )
+            ts_qualifiers = [
+                q
+                for q in qualifiers
+                if results.get("qualifier_counts", {}).get(q, 0)
+                <= params.regional_timeseries_count
+            ]
+            for q in ts_qualifiers:
+                for level in range(
+                    min(params.regional_timeseries_max_level + 1, len(region_cols))
+                ):
+                    from slow_tortoise_spark.operators.regional import (
+                        regional_aggregation,
+                    )
+
+                    rq = regional_aggregation(
+                        t, level=level, qualifier=q, weight_column=weight
+                    )
+                    write_grouped_csv(
+                        rq.withColumnRenamed("region_id", "id"),
+                        group_cols=["feature", "id", q],
+                        path_fn=lambda k, tr=time_res, qq=q, lv=level: (
+                            f"{prefix}/regional-timeseries/{tr}/{k['feature']}/"
+                            f"level-{lv}/qualifiers/{qq}/{k[qq]}/{k['id']}.csv"
+                        ),
+                        writer=writer,
+                    )
+
             # Extrema across all levels' aggregates (R3).
             extrema = regional_extrema(regional, [c for c in agg_cols
                                                   if c in regional.columns])

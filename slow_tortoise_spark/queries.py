@@ -1871,3 +1871,37 @@ ORACLE_SQL.update(
         "string_funcs": _Q_STRING_FUNCS,
     }
 )
+
+
+def q_dedup_drop(spark, sf_dir):
+    """drop_exact_duplicates over a corpus with constructed duplicates:
+    survivors are the min-doc_id representative of each text group."""
+    from slow_tortoise_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    kept = drop_exact_duplicates(docs.unionByName(dup))
+    return kept.select("doc_id", F.length("text").alias("n_chars")).orderBy(
+        "doc_id"
+    )
+
+
+_Q_DEDUP_DROP = """
+  WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+  ),
+  ranked AS (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM corpus
+  )
+  SELECT doc_id, length(text) AS n_chars FROM ranked WHERE rn = 1
+  ORDER BY doc_id
+"""
+
+QUERIES["dedup_drop"] = q_dedup_drop
+ORACLE_SQL["dedup_drop"] = _Q_DEDUP_DROP

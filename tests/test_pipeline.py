@@ -115,3 +115,23 @@ def test_tile_bundle_sink(spark, cube_path, tmp_path):
             assert (tile["z"], tile["x"], tile["y"]) == (int(z), int(x), int(y))
             assert tile["stats"]
     assert total_indexed == n
+
+
+def test_regional_timeseries_artifacts(spark, cube_path, tmp_path):
+    out = str(tmp_path / "rts")
+    params = PipelineParams(
+        data_id="d2", run_id="r2", data_paths=[cube_path],
+        dest_root=out, time_resolutions=("month",), compute_tiles=False,
+    )
+    run_pipeline(spark, params)
+    root = os.path.join(out, "d2/r2")
+    # per-region timeseries at every level
+    assert glob.glob(f"{root}/regional-timeseries/month/*/level-0/*.csv")
+    assert glob.glob(f"{root}/regional-timeseries/month/*/level-3/*.csv")
+    # qualifier breakdown only for levels <= max_level (default 1)
+    quals = glob.glob(f"{root}/regional-timeseries/month/*/level-0/qualifiers/qual1/*/*.csv")
+    assert quals
+    assert not glob.glob(f"{root}/regional-timeseries/month/*/level-2/qualifiers/**")
+    # a per-region file holds a timestamp column plus agg columns
+    body = open(quals[0]).read()
+    assert body.startswith("timestamp,") or "timestamp" in body.splitlines()[0]
