@@ -135,3 +135,18 @@ def test_regional_timeseries_artifacts(spark, cube_path, tmp_path):
     # a per-region file holds a timestamp column plus agg columns
     body = open(quals[0]).read()
     assert body.startswith("timestamp,") or "timestamp" in body.splitlines()[0]
+
+
+def test_s3_writer_pickles_without_client():
+    """S3Writer must pickle with its lazy client dropped (executors build
+    their own); no boto3 needed until the first write."""
+    import pickle
+
+    from slow_tortoise_spark.sinks.writers import S3Writer
+
+    w = S3Writer("bucket-x", endpoint_url="http://minio:9000")
+    w._client = object()  # simulate a live client on the driver
+    clone = pickle.loads(pickle.dumps(w))
+    assert clone.bucket == "bucket-x"
+    assert clone.endpoint_url == "http://minio:9000"
+    assert clone._client is None

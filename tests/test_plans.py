@@ -59,3 +59,16 @@ def test_tile_math_has_no_python_udf(spark, sf_dir):
 
     plan = _plan(q_tile_rollup(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rollup_uses_expand_single_shuffle(spark, sf_dir):
+    """All-levels rollup must be one Expand + one aggregation exchange,
+    not one shuffle per admin level."""
+    from slow_tortoise_spark.queries import q_regional_rollup
+
+    plan = _plan(q_regional_rollup(spark, sf_dir))
+    assert "Expand" in plan
+    # exactly one hash-partitioned exchange feeds the aggregation
+    agg_exchanges = [ln for ln in plan.splitlines()
+                     if "Exchange hashpartitioning" in ln]
+    assert len(agg_exchanges) == 1, agg_exchanges
