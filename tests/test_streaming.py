@@ -114,3 +114,74 @@ def test_streaming_dedup(spark, stream_dir, tmp_path):
     assert spark.read.parquet(dup_dir).count() == 2 * n_unique
     assert out.count() == n_unique
     assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_watermark_advances_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the watermark advances
+    from batch 1's max event time, and every closed window is emitted
+    exactly once in append mode. (Dropping sub-watermark late rows is
+    best-effort in Spark — observed: a late row whose window is already
+    past the watermark is admitted and its window emitted immediately —
+    so this pins the advancement + exactly-once contract instead.)"""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name, ts_list, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "event_time": pd.to_datetime(ts_list),
+                "user_id": [1] * len(ts_list),
+                "feature": ["f"] * len(ts_list),
+                "value": [1.0] * len(ts_list),
+            }
+        )
+        path = os.path.join(src, name)
+        # μs precision: ns parquet would surface as long under the
+        # session's nanosAsLong conf and clash with the stream schema
+        pdf.to_parquet(path, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (mtime, mtime))
+
+    now = _time.time()
+    # batch 1: events through 10:00 → watermark becomes 10:00 − 1h = 09:00
+    write_file("a.parquet", ["2024-01-01 08:30:00", "2024-01-01 10:00:00"], now - 100)
+    # batch 2: one on-time event (09:30) and one too-late event (07:00)
+    write_file("b.parquet", ["2024-01-01 09:30:00", "2024-01-01 07:00:00"], now - 50)
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, event_time timestamp, user_id long, "
+            "feature string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_temporal_agg(sdf, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    watermarks = [p["eventTime"].get("watermark") for p in q.recentProgress]
+    assert len(watermarks) >= 2  # maxFilesPerTrigger=1 → one batch per file
+    # batch 1 runs with the watermark derived from batch 0: 10:00 − 1h
+    assert watermarks[1] == "2024-01-01T09:00:00.000Z"
+
+    rows = spark.table("late_out").collect()
+    emitted = [r["window_start"].isoformat() for r in rows]
+    # every closed window emitted exactly once (no duplicates across
+    # batches), incl. the 08:00 window closed by the watermark advance
+    assert len(emitted) == len(set(emitted))
+    assert "2024-01-01T08:00:00" in emitted
+    # windows not yet below the watermark (09:00, 10:00) are withheld
+    assert "2024-01-01T10:00:00" not in emitted
