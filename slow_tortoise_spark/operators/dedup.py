@@ -117,11 +117,16 @@ def jaccard_pairs(
     Fastest when the shingle vocabulary is dense (many docs share most
     shingles, so prefix pruning can't discard much — true of this repo's
     synthetic corpus). For sparse real-world vocabularies use
-    ``jaccard_pairs_prefix``, which prunes the join to frequency-ordered
-    prefixes and scales to corpora where this variant's pair blow-up is
-    quadratic.
+    ``jaccard_pairs_prefix``, which prunes the join to per-doc prefixes
+    and scales to corpora where this variant's pair blow-up is quadratic;
+    ``jaccard_pairs_auto`` prices both plans and dispatches.
     """
-    sh = doc_shingles(df, text_col, n).cache()
+    return _jaccard_naive_from_shingles(
+        doc_shingles(df, text_col, n).cache(), threshold
+    )
+
+
+def _jaccard_naive_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.alias("a")
@@ -157,35 +162,38 @@ def jaccard_pairs_prefix(
 ) -> DataFrame:
     """Exact Jaccard pairs via PPJoin-style prefix filtering.
 
-    Two sets with Jaccard ≥ t must share an element within each other's
-    first ⌊(1−t)·|A|⌋+1 shingles when ordered by global document
-    frequency (rarest first): only those prefixes are self-joined to form
-    candidates, then the exact intersection is counted for candidates
-    only. Same results as ``jaccard_pairs``; wins when the vocabulary is
-    sparse enough that prefixes rarely collide (typical web corpora).
+    Prefix-filter theorem: two sets with Jaccard ≥ t must share an
+    element within each other's first ⌊(1−t)·|A|⌋+1 elements under ANY
+    common total order — so only those prefixes are self-joined to form
+    candidates, and the full shingle self-join (whose pair blow-up is
+    quadratic in per-shingle document frequency) never happens.
+
+    The canonical order used here is plain lexicographic shingle order:
+    it lets the whole operator run off per-doc sorted shingle ARRAYS —
+    one groupBy builds them, prefixes are ``slice``d out for the
+    candidate join, and the exact rescore is a JVM-side
+    ``array_intersect`` on the two doc arrays (no second pass over
+    exploded shingles).  Global rarest-first frequency ordering — the
+    classic PPJoin refinement — would shrink the candidate set further on
+    heavily skewed vocabularies at the price of two extra shuffles; swap
+    the ``sort_array`` key for a frequency rank to get it.
+
+    Results are identical to ``jaccard_pairs`` (pytest asserts equality).
     """
-    from pyspark.sql import Window
+    return _jaccard_prefix_from_shingles(doc_shingles(df, text_col, n), threshold)
 
-    sh = doc_shingles(df, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
-    # Global frequency order (rarest first); ties broken by shingle text
-    # so both sides of the self-join see the same order.
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(freq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
-        )
+def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    docsets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("shset")
+    ).withColumn("n_shingles", F.size("shset"))
+
+    prefix_len = (F.floor(F.lit(1 - threshold) * F.col("n_shingles")) + 1).cast(
+        "int"
     )
-    prefix = ranked.filter(
-        F.col("rank") <= F.floor((1 - threshold) * F.col("n_shingles")) + 1
-    ).select("doc_id", "shingle")
-
+    prefix = docsets.select(
+        "doc_id", F.explode(F.slice("shset", 1, prefix_len)).alias("shingle")
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -199,39 +207,65 @@ def jaccard_pairs_prefix(
         .distinct()
     )
 
-    # Exact intersection counts for candidates only: fan the candidate
-    # pairs out over doc_a's shingles, then equi-join doc_b's — the full
-    # all-pairs shingle self-join never happens.
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(
-        F.col("doc_id").alias("_db"), F.col("shingle").alias("shingle_b")
+    # Exact rescore on candidates only.  No broadcast hint on the
+    # candidate set: it scales with corpus similarity, so AQE decides
+    # (broadcast when small, shuffled hash join when not).
+    da = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shset").alias("_sa"),
+        F.col("n_shingles").alias("_na"),
     )
-    inter = (
-        F.broadcast(cand)
-        .join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("_db"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    db = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shset").alias("_sb"),
+        F.col("n_shingles").alias("_nb"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_common")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common"))
-            ).alias("jaccard"),
+            (n_common / (F.col("_na") + F.col("_nb") - n_common)).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    naive_budget: int = 50_000_000,
+) -> DataFrame:
+    """Cost-based exact Jaccard: price both plans, run the winner.
+
+    The naive self-join materializes Σ_s df(s)² intermediate rows (df =
+    documents containing shingle s) — unbeatable on dense vocabularies
+    where the per-pair work is a cheap count, quadratic death on skewed
+    ones.  The PPJoin prefix plan caps the blow-up but pays an array
+    rescore per candidate.  One aggregate over the shared (doc, shingle)
+    pairs prices the naive plan exactly; if it exceeds ``naive_budget``
+    rows the prefix plan runs instead — the same decide-from-observed-
+    statistics move AQE makes for join strategies, applied one level up.
+    The gate is what makes the naive tier scale-SAFE rather than
+    scale-lucky: it can only run when its intermediate is provably
+    bounded.  Both plans return identical results (pytest asserts it).
+    """
+    sh = doc_shingles(df, text_col, n).cache()
+    pair_rows = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
+        .first()["pair_rows"]
+    )
+    if pair_rows is not None and pair_rows <= naive_budget:
+        return _jaccard_naive_from_shingles(sh, threshold)
+    return _jaccard_prefix_from_shingles(sh, threshold)
 
 
 # ---------------------------------------------------------------------------

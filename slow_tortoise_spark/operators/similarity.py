@@ -20,7 +20,7 @@ directly onto Spark partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -92,12 +92,16 @@ def build_ivf_index(
     driver-tiny). Persist the result partitioned by ``cell`` for
     repeated queries.
     """
-    n = df.count()
-    stride = max(n // n_cells, 1)
+    # Deterministic distributed seed pick: top-n_cells ids by md5(id).
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-K
+    # then a driver merge of n_cells rows) — no global sort, no
+    # unpartitioned window, and the same seeds on any cluster layout.
+    # md5 over the stringified id is a portable pseudo-random order that
+    # a SQL oracle can reproduce verbatim.
     seeds = (
-        df.withColumn("_rank", F.row_number().over(Window.orderBy(id_col)))
-        .filter(((F.col("_rank") - 1) % stride == 0) & (F.col("_rank") <= stride * n_cells))
-        .select(id_col, vec_col)
+        df.select(id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n_cells)
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
@@ -146,6 +150,93 @@ def ivf_topk(
     return brute_force_topk(
         indexed.filter(F.col("cell").isin(probe)), query, k, id_col, vec_col
     )
+
+
+def hyperplane_band_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows: sign-bit LSH bucket per band.
+
+    ``planes`` is split into ``bands`` contiguous groups; within a band,
+    bit r of the bucket is sign(v · plane[band*rows + r]).  All planes are
+    literal arrays, so every bucket is one codegen'd projection — no UDF,
+    no shuffle until the caller groups or joins on (band, bucket).
+    """
+    rows = len(planes) // bands
+    if rows * bands != len(planes):
+        raise ValueError("len(planes) must be divisible by bands")
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for r in range(rows):
+            p = F.array(*[F.lit(float(x)) for x in planes[b * rows + r]])
+            bucket = bucket + F.when(dot_col(v, p) > 0, F.lit(2**r)).otherwise(
+                F.lit(0)
+            )
+        entries.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_bb")
+    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
+def lsh_near_duplicates(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    threshold: float | None = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-then-rescore near-dup pairs — the 100 TB tier.
+
+    Candidate pairs are ids sharing any band's LSH bucket (an equi-join on
+    (band, bucket) — never an all-pairs comparison); candidates are then
+    rescored with the exact cosine, and only pairs ≥ ``threshold`` are
+    kept (pass ``threshold=None`` to get every scored candidate, e.g. for
+    a caller that filters on a rounded score).  Recall is the standard
+    banded-LSH tradeoff: P(candidate) = 1−(1−p^r)^b for per-plane
+    collision p = 1−θ/π; tune bands/rows to the threshold.  The exact
+    O(n²) ``embedding_near_duplicates`` below is the verifier tier.
+    """
+    bk = hyperplane_band_buckets(df, planes, bands, id_col, vec_col)
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_col(
+                F.col("_va").cast("array<double>"),
+                F.col("_vb").cast("array<double>"),
+            ).alias("cosine"),
+        )
+    )
+    if threshold is None:
+        return scored
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def embedding_near_duplicates(

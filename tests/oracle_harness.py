@@ -55,6 +55,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Local-only verifier tier (driver caps at 50 catalog queries).
+    from slow_tortoise_spark.queries import VERIFIER_ORACLE_SQL, VERIFIER_QUERIES
+
+    queries = {**queries, **VERIFIER_QUERIES}
+    oracles = {**oracles, **VERIFIER_ORACLE_SQL}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

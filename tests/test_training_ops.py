@@ -179,3 +179,79 @@ def test_ivf_kmeans_refinement_improves_or_holds_recall(spark, sf_dir):
     assert 3 in [r["vec_id"] for r in
                  ivf_topk(*build_ivf_index(emb, n_cells=8, kmeans_iters=2),
                           query=query, k=10, nprobe=3).collect()]
+
+
+def test_lsh_near_dups_no_all_pairs_and_high_recall(spark, sf_dir):
+    """The catalog near-dup query is the banded-LSH scale tier: its plan
+    must contain no nested-loop/all-pairs join, every emitted pair must be
+    a true pair (exact rescore ⇒ perfect precision), and recall vs the
+    exact O(n²) verifier tier must be high on the test corpus."""
+    from slow_tortoise_spark.queries import _hyperplanes, q_embedding_near_dups
+    from slow_tortoise_spark.sources.reader import read_table
+
+    df = q_embedding_near_dups(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_duplicates(emb, threshold=0.4).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    false_pos = {p for p in got - exact}
+    # rescore is exact → only rounding-boundary pairs may differ
+    assert len(false_pos) <= 1, false_pos
+    assert len(got & exact) / max(len(exact), 1) >= 0.85
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe = n_cells degrades IVF to exact search — results must equal
+    brute force (sanity for the deterministic md5-seeded index)."""
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    indexed, cents = build_ivf_index(emb, n_cells=8)
+    exact = [(r["vec_id"], round(r["cosine"], 6))
+             for r in brute_force_topk(emb, query, k=10).collect()]
+    full = [(r["vec_id"], round(r["cosine"], 6))
+            for r in ivf_topk(indexed, cents, query, k=10, nprobe=8).collect()]
+    assert full == exact
+
+
+def test_ivf_seeding_is_distributed_and_deterministic(spark, sf_dir):
+    """Seed pick must not funnel the table through an unpartitioned
+    window: same seeds regardless of input partitioning."""
+    import inspect
+
+    from slow_tortoise_spark.operators import similarity
+    from slow_tortoise_spark.sources.reader import read_table
+
+    assert "Window" not in inspect.getsource(similarity)
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    _, c1 = build_ivf_index(emb, n_cells=8)
+    _, c2 = build_ivf_index(emb.repartition(7), n_cells=8)
+    assert c1 == c2
+
+
+def test_jaccard_auto_dispatch_both_paths_match(spark):
+    """The cost gate must be invisible to results: a budget that admits
+    the naive plan and one that forces the prefix plan return identical
+    pairs (and both equal the two direct implementations)."""
+    from slow_tortoise_spark.operators.dedup import (
+        jaccard_pairs_auto,
+        jaccard_pairs_prefix,
+    )
+
+    def pairs(df):
+        return {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+                for r in df.collect()}
+
+    docs = _docs(spark)
+    naive_path = pairs(jaccard_pairs_auto(docs, threshold=0.4,
+                                          naive_budget=10**9))
+    prefix_path = pairs(jaccard_pairs_auto(docs, threshold=0.4,
+                                           naive_budget=0))
+    assert naive_path == prefix_path
+    assert naive_path == pairs(jaccard_pairs(docs, threshold=0.4))
+    assert naive_path == pairs(jaccard_pairs_prefix(docs, threshold=0.4))
