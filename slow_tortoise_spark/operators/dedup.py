@@ -253,17 +253,28 @@ def jaccard_pairs_auto(
     rows the prefix plan runs instead — the same decide-from-observed-
     statistics move AQE makes for join strategies, applied one level up.
     The gate is what makes the naive tier scale-SAFE rather than
-    scale-lucky: it can only run when its intermediate is provably
-    bounded.  Both plans return identical results (pytest asserts it).
+    scale-lucky: it can only run when its intermediate is bounded with
+    high confidence.  Both plans return identical results (pytest asserts
+    it).
+
+    The price is estimated from a deterministic 1-in-``sample_mod`` doc
+    sample (hash-stride, so it's reproducible and cluster-layout-free):
+    sampling docs at rate p scales each shingle's df by ~p, so
+    Σ df_sample² / p² estimates the full Σ df² — accurate enough for a
+    plan choice at a fraction of a full shingle pass.
     """
-    sh = doc_shingles(df, text_col, n).cache()
-    pair_rows = (
-        sh.groupBy("shingle")
+    sample_mod = 4
+    sample = df.filter(F.pmod(F.hash(F.col("doc_id")), sample_mod) == 0)
+    est = (
+        doc_shingles(sample, text_col, n)
+        .groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
         .first()["pair_rows"]
     )
-    if pair_rows is not None and pair_rows <= naive_budget:
+    pair_rows = (est or 0) * sample_mod * sample_mod
+    sh = doc_shingles(df, text_col, n).cache()
+    if pair_rows <= naive_budget:
         return _jaccard_naive_from_shingles(sh, threshold)
     return _jaccard_prefix_from_shingles(sh, threshold)
 

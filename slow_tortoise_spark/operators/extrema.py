@@ -21,16 +21,27 @@ def regional_extrema(
     df_regional: DataFrame,
     agg_columns: list[str],
     tie_cap: int = 20,
+    keys: list[str] = ("feature",),
 ) -> DataFrame:
-    """Return rows (feature, kind, agg_col, region_id, timestamp, value).
+    """Return rows (*keys, kind, agg_col, region_id, timestamp, value).
 
     ``kind`` ∈ {'min','max'}; at most ``tie_cap`` tied rows per
-    (feature, kind, agg_col), preferring the largest timestamps.
+    (*keys, kind, agg_col), preferring the largest timestamps.  ``keys``
+    defaults to per-feature extrema; pass ``["feature", "level"]`` to get
+    the reference's per-admin-level stats artifacts
+    (/root/reference/flows/common.py:500-541 computes one extrema set per
+    region level, not one across all levels).
+
+    A row that is simultaneously the min AND the max (every value in the
+    group equal — the degenerate case the reference's own comment calls
+    out) is emitted under BOTH kinds, matching the reference's
+    independent min/max row selections.
     """
+    keys = list(keys)
     # Melt the agg columns into (agg_col, value) rows so one window pass
     # covers every column — N columns cost one shuffle, not N.
     melted = df_regional.select(
-        "feature",
+        *keys,
         "region_id",
         "timestamp",
         F.explode(
@@ -39,24 +50,31 @@ def regional_extrema(
                 for c in agg_columns
             ])
         ).alias("m"),
-    ).select("feature", "region_id", "timestamp", "m.agg_col", "m.value")
+    ).select(*keys, "region_id", "timestamp", "m.agg_col", "m.value")
 
-    per_feature_col = Window.partitionBy("feature", "agg_col")
+    per_group_col = Window.partitionBy(*keys, "agg_col")
     flagged = melted.withColumn(
-        "_min", F.min("value").over(per_feature_col)
-    ).withColumn("_max", F.max("value").over(per_feature_col))
-    hits = flagged.filter(
-        (F.col("value") == F.col("_min")) | (F.col("value") == F.col("_max"))
-    ).withColumn(
-        "kind", F.when(F.col("value") == F.col("_min"), "min").otherwise("max")
-    ).drop("_min", "_max")
+        "_min", F.min("value").over(per_group_col)
+    ).withColumn("_max", F.max("value").over(per_group_col))
+    # Independent min- and max-hit streams (not a mutually-exclusive
+    # CASE): a value equal to both bounds explodes into both kinds.
+    kinds = F.array_compact(
+        F.array(
+            F.when(F.col("value") == F.col("_min"), F.lit("min")),
+            F.when(F.col("value") == F.col("_max"), F.lit("max")),
+        )
+    )
+    hits = (
+        flagged.withColumn("kind", F.explode(kinds))
+        .drop("_min", "_max")
+    )
 
-    cap_window = Window.partitionBy("feature", "kind", "agg_col").orderBy(
+    cap_window = Window.partitionBy(*keys, "kind", "agg_col").orderBy(
         F.col("timestamp").desc(), F.col("region_id")
     )
     return (
         hits.withColumn("_rn", F.row_number().over(cap_window))
         .filter(F.col("_rn") <= tie_cap)
         .drop("_rn")
-        .select("feature", "kind", "agg_col", "region_id", "timestamp", "value")
+        .select(*keys, "kind", "agg_col", "region_id", "timestamp", "value")
     )

@@ -72,13 +72,19 @@ def regional_aggregation_all_levels(
     aggs: list[str] = ("sum", "mean"),
     weight_column: str = "",
     max_level: int | None = None,
+    qualifier: str | None = None,
 ) -> DataFrame:
     """R1 one-pass variant: all admin levels in a single shuffle via ROLLUP.
 
-    Emits one row per (feature, timestamp, level, region_id): the ROLLUP
-    over (country, admin1, admin2, admin3) produces every prefix grouping;
-    we post-split by counting non-null grouping flags. The grand-total row
-    (no region at all) is dropped — the reference has no level "-1".
+    Emits one row per (feature, timestamp, level, region_id[, qualifier]):
+    the ROLLUP over (country, admin1, admin2, admin3) produces every
+    prefix grouping; we post-split by counting non-null grouping flags.
+    The grand-total row (no region at all) is dropped — the reference has
+    no level "-1".  With ``qualifier`` set, the qualifier column joins
+    feature/timestamp as an always-grouped key, so the per-qualifier
+    breakdown of every level still costs the same single shuffle
+    (reference loops levels × qualifiers as separate aggregations:
+    /root/reference/flows/data_pipeline.py:554-586).
     """
     present = extract_region_columns(df_temporal)
     if not present:
@@ -99,8 +105,9 @@ def regional_aggregation_all_levels(
             exprs.append((F.sum(F.col(t) * w) / F.sum(w)).alias(f"s_wavg_t{t[1:]}"))
     exprs.append(F.count("t_mean").alias("s_count"))
 
+    fixed_keys = ["feature", "timestamp"] + ([qualifier] if qualifier else [])
     rolled = (
-        df_temporal.rollup("feature", "timestamp", *levels)
+        df_temporal.rollup(*fixed_keys, *levels)
         .agg(*exprs, F.grouping_id().alias("_gid"))
         # keep rows where feature+timestamp are real groups and at least
         # country is grouped: grouping_id bit i set = column i NOT grouped.

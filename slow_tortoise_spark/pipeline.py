@@ -35,8 +35,6 @@ from slow_tortoise_spark.operators.summary import (
     apply_qualifier_count_limit,
     output_summary,
     qualifier_counts,
-    qualifier_values,
-    region_lists,
     rows_per_feature,
 )
 from slow_tortoise_spark.operators.temporal import temporal_aggregation
@@ -52,6 +50,7 @@ from slow_tortoise_spark.operators.validate import (
 from slow_tortoise_spark.sinks.writers import (
     WRITE_TYPES,
     write_grouped_csv,
+    write_grouped_json,
     write_json,
     write_tiles,
 )
@@ -123,22 +122,43 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
         )
     results["rows_per_feature"] = feature_rows
 
-    # Region + qualifier inventories (A7/A8) → JSON artifacts.
+    # Region + qualifier inventories (A7/A8) → JSON artifacts, written
+    # executor-side: a single feature's distinct region set can reach
+    # millions of ids at scale, so the lists are never collected to the
+    # driver — each feature's distinct rows land in one applyInPandas
+    # group whose task writes the JSON directly.
     region_cols = extract_region_columns(df)
+    from slow_tortoise_spark.operators.regional import join_region_columns
+
     for level in range(len(region_cols)):
-        for r in region_lists(df, level).collect():
-            write_json(
-                r["regions"],
-                f"{prefix}/info/regions-{level}-{r['feature']}.json",
-                writer,
-            )
+        distinct_regions = (
+            join_region_columns(df, level)
+            .select("feature", "region_id")
+            .distinct()
+        )
+        write_grouped_json(
+            distinct_regions,
+            group_cols=["feature"],
+            path_fn=lambda k, lv=level: (
+                f"{prefix}/info/regions-{lv}-{k['feature']}.json"
+            ),
+            writer=writer,
+            payload_fn=lambda pdf: sorted(pdf["region_id"].tolist()),
+        )
     for q in qualifiers:
-        for r in qualifier_values(df, q).collect():
-            write_json(
-                {"values": r["values"], "count": r["count"]},
-                f"{prefix}/info/qualifier-{q}-{r['feature']}.json",
-                writer,
-            )
+        distinct_vals = df.select("feature", q).distinct()
+        write_grouped_json(
+            distinct_vals,
+            group_cols=["feature"],
+            path_fn=lambda k, qq=q: (
+                f"{prefix}/info/qualifier-{qq}-{k['feature']}.json"
+            ),
+            writer=writer,
+            payload_fn=lambda pdf, qq=q: {
+                "values": sorted(v for v in pdf[qq].tolist() if v is not None),
+                "count": int(pdf[qq].notna().sum()),
+            },
+        )
 
     weight = stats.weight_column
     agg_cols = ["s_sum_t_sum", "s_mean_t_sum", "s_sum_t_mean", "s_mean_t_mean"]
@@ -170,6 +190,26 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 ),
                 writer=writer,
             )
+            # R1 per-qualifier breakdowns: one CSV per (feature, level,
+            # timestamp, qualifier column) with columns (id, qualifier,
+            # aggs) — reference data_pipeline.py:554-586 loops levels ×
+            # qualifiers as separate Dask aggregations; here each
+            # qualifier is one extra single-shuffle ROLLUP.
+            for q in qualifiers:
+                rolled_q = regional_aggregation_all_levels(
+                    t, weight_column=weight, qualifier=q
+                )
+                write_grouped_csv(
+                    rolled_q.withColumnRenamed("region_id", "id")
+                    .withColumnRenamed(q, "qualifier"),
+                    group_cols=["feature", "level", "timestamp"],
+                    path_fn=lambda k, tr=time_res, qq=q: (
+                        f"{prefix}/regional/{tr}/{k['feature']}/"
+                        f"level-{k['level']}/qualifiers/{qq}/"
+                        f"{k['timestamp']}.csv"
+                    ),
+                    writer=writer,
+                )
             # R2: per-region timeseries — one CSV per (feature, level,
             # region), rows over timestamps; qualifier breakdowns only for
             # levels ≤ regional_timeseries_max_level and qualifiers whose
@@ -210,20 +250,33 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                         writer=writer,
                     )
 
-            # Extrema across all levels' aggregates (R3).
-            extrema = regional_extrema(regional, [c for c in agg_cols
-                                                  if c in regional.columns])
-            # ≤ 20 ties × 2 kinds × 4 cols × features — safe to collect.
+            # Extrema per admin level (R3) — the reference emits one stats
+            # artifact per (feature, region level), not one across levels
+            # (flows/common.py:500-541); level-0 totals would otherwise
+            # dominate every max.
+            extrema = regional_extrema(
+                regional,
+                [c for c in agg_cols if c in regional.columns],
+                keys=["feature", "level"],
+            )
+            # ≤ 20 ties × 2 kinds × 4 cols × features × levels — safe to
+            # collect.
             ex = extrema.collect()
-            by_feature: dict[str, dict] = {}
+            by_feat_level: dict[tuple, dict] = {}
             for r in ex:
-                node = by_feature.setdefault(r["feature"], {"min": {}, "max": {}})
+                node = by_feat_level.setdefault(
+                    (r["feature"], r["level"]), {"min": {}, "max": {}}
+                )
                 node[r["kind"]].setdefault(r["agg_col"], []).append(
                     {"region_id": r["region_id"], "timestamp": r["timestamp"],
                      "value": r["value"]}
                 )
-            for feat, node in by_feature.items():
-                write_json(node, f"{prefix}/extrema/{time_res}/{feat}.json", writer)
+            for (feat, level), node in by_feat_level.items():
+                write_json(
+                    node,
+                    f"{prefix}/extrema/{time_res}/{feat}/level-{level}.json",
+                    writer,
+                )
             regional.unpersist()
 
         # Qualifier timeseries pivots (V1), one CSV per (feature, agg col).

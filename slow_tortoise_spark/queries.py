@@ -670,10 +670,13 @@ _Q_REGIONAL_EXTREMA = f"""
     FROM regional
   ),
   hits AS (
-    SELECT feature,
-           CASE WHEN value = _min THEN 'min' ELSE 'max' END AS kind,
-           region_id, timestamp, value
-    FROM flagged WHERE value = _min OR value = _max
+    -- independent min/max selections: a value equal to both bounds
+    -- (all-equal group) appears under BOTH kinds
+    SELECT feature, 'min' AS kind, region_id, timestamp, value
+    FROM flagged WHERE value = _min
+    UNION ALL
+    SELECT feature, 'max' AS kind, region_id, timestamp, value
+    FROM flagged WHERE value = _max
   ),
   capped AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY feature, kind

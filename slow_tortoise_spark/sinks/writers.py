@@ -119,6 +119,28 @@ def write_json(obj, rel_path: str, writer) -> None:
     writer.write(json.dumps(obj, default=str), rel_path)
 
 
+def write_grouped_json(df, group_cols: list[str], path_fn, writer,
+                       payload_fn) -> int:
+    """Executor-side JSON artifacts, one per distinct group.
+
+    The streaming analogue of ``write_json`` for payloads that scale with
+    the data (per-feature region inventories, qualifier value lists): the
+    group's rows arrive as one pandas frame inside ``applyInPandas``,
+    ``payload_fn(pdf) -> obj`` shapes the JSON body, and the write happens
+    on the executor — group contents never transit the driver, so driver
+    memory stays flat no matter how many distinct values a feature has.
+    Returns the number of artifacts written.
+    """
+    import pandas as pd
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = {c: pdf.iloc[0][c] for c in group_cols}
+        writer.write(json.dumps(payload_fn(pdf), default=str), path_fn(key))
+        return pd.DataFrame({"n": [1]})
+
+    return df.groupBy(*group_cols).applyInPandas(emit, schema="n long").count()
+
+
 def write_tile_bundles(
     tiles_df,
     bundle_path_fn,
@@ -136,34 +158,47 @@ def write_tile_bundles(
     """
     import json as _json
 
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     from slow_tortoise_spark.sinks.tile_proto import encode_tile
 
-    def emit(split_index, rows):
-        chunks = []
-        index = {}
+    # Arrow-batched executor-side sink: structs arrive as plain dicts, no
+    # JVM→Python Row deserialization; the partition id rides along as a
+    # column because mapInPandas doesn't expose one.
+    def emit(batches):
+        chunks: list[bytes] = []
+        index: dict[str, list[int]] = {}
         offset = 0
-        for row in rows:
-            bins = {
-                b["bin"]: (b["s_sum_t_sum"], b["s_sum_t_mean"], float(b["weight"]))
-                for b in row["bins"]
-            }
-            tile = row["tile"]
-            buf = encode_tile(tile["z"], tile["x"], tile["y"],
-                              row["total_bins"], bins)
-            key = (f"{row['feature']}/{row['timestamp']}-{tile['z']}-"
-                   f"{tile['x']}-{tile['y']}")
-            index[key] = [offset, len(buf)]
-            chunks.append(buf)
-            offset += len(buf)
-        if not chunks:
-            return iter([(0,)])
-        base = bundle_path_fn(split_index)
-        writer.write(b"".join(chunks), base + ".bundle")
-        writer.write(_json.dumps(index), base + ".idx.json")
-        return iter([(len(chunks),)])
+        pid = None
+        for pdf in batches:
+            if len(pdf) and pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            for row in pdf.itertuples(index=False):
+                bins = {
+                    b["bin"]: (
+                        b["s_sum_t_sum"], b["s_sum_t_mean"], float(b["weight"])
+                    )
+                    for b in row.bins
+                }
+                tile = row.tile
+                buf = encode_tile(tile["z"], tile["x"], tile["y"],
+                                  row.total_bins, bins)
+                key = (f"{row.feature}/{row.timestamp}-{tile['z']}-"
+                       f"{tile['x']}-{tile['y']}")
+                index[key] = [offset, len(buf)]
+                chunks.append(buf)
+                offset += len(buf)
+        if chunks:
+            base = bundle_path_fn(pid)
+            writer.write(b"".join(chunks), base + ".bundle")
+            writer.write(_json.dumps(index), base + ".idx.json")
+        yield pd.DataFrame({"n": [len(chunks)]})
 
-    counts = tiles_df.rdd.mapPartitionsWithIndex(emit).collect()
-    return sum(c[0] for c in counts)
+    out = tiles_df.withColumn("_pid", F.spark_partition_id()).mapInPandas(
+        emit, schema="n long"
+    )
+    return out.agg(F.sum("n")).first()[0] or 0
 
 
 def write_tiles(tiles_df, path_fn, writer) -> int:
@@ -172,21 +207,30 @@ def write_tiles(tiles_df, path_fn, writer) -> int:
     ``tiles_df`` is the output of operators.tiles.tiles_for_level /
     tiles_all_levels; ``path_fn(row_dict) -> rel_path``.
     """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
     from slow_tortoise_spark.sinks.tile_proto import encode_tile
 
-    def emit(rows: Iterable) -> Iterable:
-        n = 0
-        for row in rows:
-            bins = {
-                b["bin"]: (b["s_sum_t_sum"], b["s_sum_t_mean"], float(b["weight"]))
-                for b in row["bins"]
-            }
-            tile = row["tile"]
-            buf = encode_tile(tile["z"], tile["x"], tile["y"],
-                              row["total_bins"], bins)
-            writer.write(buf, path_fn(row.asDict(recursive=True)))
-            n += 1
-        yield (n,)
+    cols = tiles_df.columns
 
-    counts = tiles_df.rdd.mapPartitions(emit).collect()
-    return sum(c[0] for c in counts)
+    # Arrow-batched, executor-side; the only job output is one count per
+    # batch, aggregated below — tile bytes never reach the driver.
+    def emit(batches) -> Iterable:
+        for pdf in batches:
+            for i in range(len(pdf)):
+                row = {c: pdf[c].iloc[i] for c in cols}
+                bins = {
+                    b["bin"]: (
+                        b["s_sum_t_sum"], b["s_sum_t_mean"], float(b["weight"])
+                    )
+                    for b in row["bins"]
+                }
+                tile = row["tile"]
+                buf = encode_tile(tile["z"], tile["x"], tile["y"],
+                                  row["total_bins"], bins)
+                writer.write(buf, path_fn(row))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    out = tiles_df.mapInPandas(emit, schema="n long")
+    return out.agg(F.sum("n")).first()[0] or 0

@@ -150,11 +150,21 @@ def streaming_dedup(
     watermark: str = "1 day",
     time_col: str = "event_time",
 ) -> DataFrame:
-    """Streaming exact dedup: first occurrence per key wins; the
-    watermark bounds the dedup state (keys older than it are evicted, so
-    a duplicate arriving later than the watermark passes through — the
-    documented at-scale trade-off of streaming dedup)."""
-    return sdf.withWatermark(time_col, watermark).dropDuplicates(key_cols)
+    """Streaming exact dedup: first occurrence per key wins; state is
+    evicted once the watermark passes a key's event time, so a duplicate
+    arriving later than the watermark passes through — the documented
+    at-scale trade-off of streaming dedup.
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(keys)``
+    only evicts state when the event-time column is *itself* one of the
+    dedup keys, so with business keys alone its state grows without bound
+    and late duplicates are still suppressed; the WithinWatermark variant
+    ties eviction to the watermark for any key set, which is the behavior
+    documented here.
+    """
+    return sdf.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def run_to_memory(sdf: DataFrame, table: str, spark: SparkSession,

@@ -163,3 +163,50 @@ def test_qualifier_timeseries_reference_golden(spark):
                                     values=["q1", "q2"], keys=["timestamp"])
     got2 = {r["timestamp"]: (r["q1"], r["q2"]) for r in w2.collect()}
     assert got2 == {0: (4.0, 60.0), 1: (43.0, None)}
+
+
+def test_regional_qualifier_rollup_reference_golden(spark):
+    """Per-qualifier regional aggregation golden values reproduced from
+    /root/reference/tests/unit/test_compute_regional_aggregation.py:122-201
+    (test_compute_regional_aggregation_with_qualifiers)."""
+    rows = [
+        # (timestamp, country, admin1, qual1, qual2, feature, t_sum, t_mean)
+        (0, "A", "AA", "qa", "q1", "F1", 4.0, 2.0),
+        (0, "A", "AB", "qa", "q1", "F1", 10.0, 5.0),
+        (0, "A", "AA", "qa", "q2", "F1", 4.0, 2.0),
+        (0, "A", "AB", "qa", "q2", "F1", 10.0, 5.0),
+        (1, "A", "AA", "qa", "q1", "F1", 8.0, 2.0),
+        (1, "A", "AB", "qa", "q1", "F1", 20.0, 10.0),
+        (1, "A", "AA", "qa", "q2", "F1", 16.0, 4.0),
+        (1, "A", "AB", "qa", "q2", "F1", 30.0, 15.0),
+        (1, "A", "AB", "qa", "q2", "F2", 30.0, 15.0),
+    ]
+    df = spark.createDataFrame(
+        [Row(timestamp=t, country=c, admin1=a1, qual1=q1, qual2=q2,
+             feature=f, t_sum=ts, t_mean=tm)
+         for t, c, a1, q1, q2, f, ts, tm in rows]
+    )
+
+    def agg(qualifier):
+        out = regional_aggregation_all_levels(df, qualifier=qualifier)
+        return {
+            (r["feature"], r["level"], r["timestamp"], r["region_id"],
+             r[qualifier]): (
+                r["s_sum_t_sum"], r["s_mean_t_sum"], r["s_sum_t_mean"],
+                r["s_mean_t_mean"], r["s_count"],
+            )
+            for r in out.collect()
+        }
+
+    got1 = agg("qual1")
+    # country level by qual1 (expected CSVs qualifiers/qual1.csv)
+    assert got1[("F1", 0, 0, "A", "qa")] == (28.0, 7.0, 14.0, 3.5, 4)
+    assert got1[("F1", 0, 1, "A", "qa")] == (74.0, 18.5, 31.0, 7.75, 4)
+    # admin1 level by qual1
+    assert got1[("F1", 1, 0, "A__AA", "qa")] == (8.0, 4.0, 4.0, 2.0, 2)
+    assert got1[("F1", 1, 0, "A__AB", "qa")] == (20.0, 10.0, 10.0, 5.0, 2)
+
+    got2 = agg("qual2")
+    # country level by qual2
+    assert got2[("F1", 0, 0, "A", "q1")] == (14.0, 7.0, 7.0, 3.5, 2)
+    assert got2[("F1", 0, 0, "A", "q2")] == (14.0, 7.0, 7.0, 3.5, 2)

@@ -60,10 +60,25 @@ def test_run_pipeline_artifacts(spark, cube_path, tmp_path):
     assert glob.glob(f"{root}/timeseries/month/*/global.csv")
     assert glob.glob(f"{root}/regional/month/*/level-0/*.csv")
     assert glob.glob(f"{root}/qualifiers/month/*/qual1/s_sum_t_sum.csv")
-    assert glob.glob(f"{root}/extrema/month/*.json")
+    # one extrema artifact per (feature, admin level)
+    assert glob.glob(f"{root}/extrema/month/*/level-0.json")
+    assert glob.glob(f"{root}/extrema/month/*/level-1.json")
+    # per-qualifier regional rollup CSVs exist next to the defaults
+    assert glob.glob(
+        f"{root}/regional/month/*/level-0/qualifiers/qual1/*.csv"
+    )
     assert glob.glob(f"{root}/stats/month/*/*.csv")
     assert glob.glob(f"{root}/raw/*/raw.csv")
-    assert glob.glob(f"{root}/info/regions-0-*.json")
+    regions_json = glob.glob(f"{root}/info/regions-0-*.json")
+    assert regions_json
+    with open(regions_json[0]) as f:
+        regions = json.load(f)
+    assert regions == sorted(regions) and set(regions) <= {"Ethiopia", "Kenya"}
+    qual_json = glob.glob(f"{root}/info/qualifier-qual1-*.json")
+    assert qual_json
+    with open(qual_json[0]) as f:
+        qv = json.load(f)
+    assert qv["values"] == sorted(qv["values"]) and qv["count"] == len(qv["values"])
     tiles = glob.glob(f"{root}/tiles/month/*/*.tile")
     assert tiles
     with open(os.path.join(root, "results.json")) as f:
@@ -150,3 +165,73 @@ def test_s3_writer_pickles_without_client():
     assert clone.bucket == "bucket-x"
     assert clone.endpoint_url == "http://minio:9000"
     assert clone._client is None
+
+
+@pytest.fixture(scope="module")
+def weighted_cube_path(tmp_path_factory):
+    import pandas as pd
+
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "timestamp": _ms(2021, 1 + i % 3, 1 + i % 25),
+                "country": "Kenya" if i % 2 else "Ethiopia",
+                "admin1": f"adm{i % 2}",
+                "lat": 1.0 + i * 0.01,
+                "lng": 36.0 + i * 0.01,
+                "feature": "acled_count",
+                "value": float(i + 1),
+                # constant weight → every s_wavg_* must equal the plain
+                # mean, which gives golden values without re-deriving the
+                # weighted-average algebra in the test
+                "w": 2.0,
+            }
+        )
+    path = str(tmp_path_factory.mktemp("wcube") / "cube.parquet")
+    pd.DataFrame(rows).to_parquet(path)
+    return path
+
+
+def test_weighted_pipeline_end_to_end(spark, weighted_cube_path, tmp_path):
+    """Weighted run (weight_column set, mirroring the reference's
+    acled-style weighted param sets in flows/run_flow_local.py): every
+    timeseries/regional CSV must carry the s_wavg_t_* columns
+    (flows/common.py:118-158), and with constant weights their values
+    must equal the corresponding plain means."""
+    import csv as _csv
+
+    out = str(tmp_path / "weighted")
+    params = PipelineParams(
+        data_id="dw", run_id="rw", data_paths=[weighted_cube_path],
+        dest_root=out, weight_column="w", time_resolutions=("month",),
+        compute_tiles=False,
+    )
+    results = run_pipeline(spark, params)
+    assert results["validation"]["weight_column"] == "w"
+    root = os.path.join(out, "dw/rw")
+
+    def read_csv(path):
+        with open(path) as f:
+            return list(_csv.DictReader(f))
+
+    g = glob.glob(f"{root}/timeseries/month/*/global.csv")
+    assert g
+    grows = read_csv(g[0])
+    assert grows and "s_wavg_t_sum" in grows[0] and "s_wavg_t_wavg" in grows[0]
+    for r in grows:
+        assert float(r["s_wavg_t_sum"]) == pytest.approx(
+            float(r["s_mean_t_sum"]), rel=1e-9
+        )
+
+    reg = glob.glob(f"{root}/regional/month/*/level-0/*.csv")
+    assert reg
+    rrows = read_csv(reg[0])
+    assert rrows and "s_wavg_t_sum" in rrows[0]
+    for r in rrows:
+        assert float(r["s_wavg_t_sum"]) == pytest.approx(
+            float(r["s_mean_t_sum"]), rel=1e-9
+        )
+
+    rts = glob.glob(f"{root}/regional-timeseries/month/*/level-0/*.csv")
+    assert rts and "s_wavg_t_sum" in read_csv(rts[0])[0]

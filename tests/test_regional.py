@@ -5,6 +5,7 @@ reference's golden cases (FIXTURES.md F4/F6: region_id '__' concat with
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from slow_tortoise_spark.operators.extrema import regional_extrema
 from slow_tortoise_spark.operators.pivot import qualifier_timeseries_pivot
@@ -111,3 +112,48 @@ def test_summaries(spark):
     assert n["n_rows"] == 5
 
     assert apply_qualifier_count_limit({"q1": 3, "q2": 100}, 10) == ["q1"]
+
+
+def test_extrema_all_equal_emits_both_kinds(spark):
+    """min == max (all values equal) → every tied row appears under BOTH
+    kinds, matching the reference's independent min/max selections
+    (flows/common.py:519-537)."""
+    rows = [Row(feature="F1", region_id=f"r{i}", timestamp=i, s_sum_t_sum=5.0)
+            for i in range(3)]
+    out = regional_extrema(spark.createDataFrame(rows), ["s_sum_t_sum"])
+    got = {(r["kind"], r["region_id"]) for r in out.collect()}
+    assert got == {(k, f"r{i}") for k in ("min", "max") for i in range(3)}
+
+
+def test_extrema_per_level_keys(spark):
+    """keys=['feature','level'] partitions the extrema per admin level so
+    level-0 totals don't shadow admin1 extrema."""
+    rows = [
+        Row(feature="F1", level=0, region_id="A", timestamp=0, s_sum_t_sum=100.0),
+        Row(feature="F1", level=0, region_id="B", timestamp=0, s_sum_t_sum=50.0),
+        Row(feature="F1", level=1, region_id="A__x", timestamp=0, s_sum_t_sum=7.0),
+        Row(feature="F1", level=1, region_id="A__y", timestamp=0, s_sum_t_sum=3.0),
+    ]
+    out = regional_extrema(spark.createDataFrame(rows), ["s_sum_t_sum"],
+                           keys=["feature", "level"])
+    got = {(r["level"], r["kind"]): r["region_id"] for r in out.collect()}
+    assert got == {(0, "max"): "A", (0, "min"): "B",
+                   (1, "max"): "A__x", (1, "min"): "A__y"}
+
+
+def test_rollup_with_qualifier_matches_per_level(spark):
+    """The single-shuffle qualifier ROLLUP equals per-level qualifier
+    aggregation for every level."""
+    t = _temporal(spark).withColumn(
+        "qual1", F.when(F.col("t_sum") > 10, "hi").otherwise("lo")
+    )
+    rolled = regional_aggregation_all_levels(t, qualifier="qual1")
+    for level in range(4):
+        per = {(r["region_id"], r["timestamp"], r["qual1"]):
+               (r["s_sum_t_sum"], r["s_count"])
+               for r in regional_aggregation(t, level=level,
+                                             qualifier="qual1").collect()}
+        one = {(r["region_id"], r["timestamp"], r["qual1"]):
+               (r["s_sum_t_sum"], r["s_count"])
+               for r in rolled.filter(f"level = {level}").collect()}
+        assert per == one, f"level {level}"

@@ -185,3 +185,71 @@ def test_watermark_advances_across_batches(spark, tmp_path):
     assert "2024-01-01T08:00:00" in emitted
     # windows not yet below the watermark (09:00, 10:00) are withheld
     assert "2024-01-01T10:00:00" not in emitted
+
+
+def test_streaming_dedup_state_evicted_past_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned: a duplicate key
+    arriving within the watermark is suppressed, while a duplicate whose
+    original fell behind the advanced watermark passes through (its state
+    was evicted) — the documented at-scale trade-off."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from slow_tortoise_spark.streaming.pipeline import streaming_dedup
+
+    d = str(tmp_path / "evict")
+    os.makedirs(d)
+
+    def write(name, rows, mtime):
+        # μs precision: ns parquet would surface as long under the
+        # session's nanosAsLong conf and clash with the stream schema
+        path = os.path.join(d, name)
+        pd.DataFrame(rows).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(path, (mtime, mtime))  # order batches by mtime
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    hours = pd.Timedelta
+
+    # batch 1: key 1 at t0 (+ a dup within the same batch), plus a
+    # high-watermark row pushing the watermark past t0 + 1h.
+    now = _time.time()
+    # batch 1: key 1 at t0 (+ a same-batch dup, suppressed), plus a
+    # high-watermark row pushing the watermark to 09:00.
+    write("b1.parquet", [
+        {"event_id": 1, "event_time": t0, "user_id": 1,
+         "feature": "f", "value": 1.0},
+        {"event_id": 1, "event_time": t0 + hours("10 minutes"), "user_id": 1,
+         "feature": "f", "value": 2.0},
+        {"event_id": 9, "event_time": t0 + hours("10 hours"), "user_id": 9,
+         "feature": "f", "value": 9.0},
+    ], now - 100)
+    # batch 2: an unrelated key whose batch lets the 09:00 watermark take
+    # effect for state eviction (cleanup runs with the watermark set at
+    # the END of the previous batch — observed Spark behavior); key 9
+    # re-arrives within its watermark window → suppressed.
+    write("b2.parquet", [
+        {"event_id": 5, "event_time": t0 + hours("11 hours"), "user_id": 5,
+         "feature": "f", "value": 5.0},
+        {"event_id": 9, "event_time": t0 + hours("10 hours"), "user_id": 9,
+         "feature": "f", "value": 9.0},
+    ], now - 50)
+    # batch 3: key 1 again, far beyond the 1h watermark → its state was
+    # evicted → passes through as a fresh row.
+    write("b3.parquet", [
+        {"event_id": 1, "event_time": t0 + hours("20 hours"), "user_id": 1,
+         "feature": "f", "value": 3.0},
+    ], now - 10)
+
+    sdf = stream_datacube(spark, d, schema=EVENTS_STREAM_SCHEMA,
+                          max_files_per_trigger=1)
+    out = run_to_memory(
+        streaming_dedup(sdf, ["event_id"], watermark="1 hour"),
+        "dedup_evict", spark,
+    )
+    got = sorted((r["event_id"], r["value"]) for r in out.collect())
+    # key 1: original + past-watermark re-arrival; keys 5/9: once each.
+    assert got == [(1, 1.0), (1, 3.0), (5, 5.0), (9, 9.0)]
