@@ -76,6 +76,13 @@ class PipelineParams:
     regional_timeseries_count: int = 100
     time_resolutions: tuple[str, ...] = ("month", "year")
     compute_tiles: bool = True
+    # "files": one protobuf object per tile (reference layout).
+    # "bundles": one bundle object + JSON index per partition — the scale
+    # path for object stores (the reference's per-tile layout was
+    # upload-bound at ~400k objects/precision-15).
+    tile_sink: str = "files"
+    # reference save_tile(debug=True): human-readable .txt tiles.
+    tile_debug: bool = False
     extra_writer_args: dict = field(default_factory=dict)
 
 
@@ -95,18 +102,23 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
     results["rows"] = assert_non_empty(df)
     results["validation"] = stats.__dict__
 
-    qualifiers = [
+    all_qualifiers = [
         c
         for c in get_qualifier_columns(df, stats.weight_column)
         if c not in ("timestamp", "value", "lat", "lng")
         and c not in extract_region_columns(df)
     ]
-    # Qualifier cardinality gate (R4) — computed once, applied everywhere.
-    if qualifiers:
-        counts_row = qualifier_counts(df, qualifiers).agg(
-            *[F.max(f"{q}_count").alias(q) for q in qualifiers]
-        ).first()
-        counts = {q: int(counts_row[q] or 0) for q in qualifiers}
+    qualifiers = all_qualifiers
+    # Qualifier cardinality gate (R4) — one per-feature count pass feeds
+    # both the gate and the qualifier_counts.json artifacts below.
+    per_feature_qcounts = []
+    if all_qualifiers:
+        per_feature_qcounts = qualifier_counts(df, all_qualifiers).collect()
+        counts = {
+            q: max((int(r[f"{q}_count"] or 0) for r in per_feature_qcounts),
+                   default=0)
+            for q in all_qualifiers
+        }
         qualifiers = apply_qualifier_count_limit(counts, params.qualifier_max_count)
         results["qualifier_counts"] = counts
 
@@ -122,42 +134,67 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
         )
     results["rows_per_feature"] = feature_rows
 
-    # Region + qualifier inventories (A7/A8) → JSON artifacts, written
-    # executor-side: a single feature's distinct region set can reach
-    # millions of ids at scale, so the lists are never collected to the
-    # driver — each feature's distinct rows land in one applyInPandas
+    # Region + qualifier inventories (A7/A8) → the reference's raw-info
+    # artifact family (flows/data_pipeline.py:761-845:
+    # raw/{feature}/info/{region_lists,qualifiers/*,qualifier_counts}.json),
+    # written executor-side: a single feature's distinct region set can
+    # reach millions of ids at scale, so the lists are never collected to
+    # the driver — each feature's distinct rows land in one applyInPandas
     # group whose task writes the JSON directly.
     region_cols = extract_region_columns(df)
     from slow_tortoise_spark.operators.regional import join_region_columns
+    from slow_tortoise_spark.schema import REGION_LEVELS
 
-    for level in range(len(region_cols)):
-        distinct_regions = (
+    if region_cols:
+        parts = [
             join_region_columns(df, level)
-            .select("feature", "region_id")
+            .select("feature", F.lit(level).alias("level"), "region_id")
             .distinct()
-        )
+            for level in range(len(region_cols))
+        ]
+        all_regions = parts[0]
+        for p in parts[1:]:
+            all_regions = all_regions.unionByName(p)
+
+        def region_payload(pdf):
+            lists = {r: [] for r in REGION_LEVELS}
+            for lv, g in pdf.groupby("level"):
+                lists[REGION_LEVELS[int(lv)]] = sorted(g["region_id"].tolist())
+            return lists
+
         write_grouped_json(
-            distinct_regions,
+            all_regions,
             group_cols=["feature"],
-            path_fn=lambda k, lv=level: (
-                f"{prefix}/info/regions-{lv}-{k['feature']}.json"
-            ),
+            path_fn=lambda k: f"{prefix}/raw/{k['feature']}/info/region_lists.json",
             writer=writer,
-            payload_fn=lambda pdf: sorted(pdf["region_id"].tolist()),
+            payload_fn=region_payload,
         )
-    for q in qualifiers:
-        distinct_vals = df.select("feature", q).distinct()
+    # Value lists for EVERY detected qualifier (the cardinality cap gates
+    # only the aggregation breakouts, not the inventories — reference
+    # record_qualifier_lists writes all of them).
+    for q in all_qualifiers:
         write_grouped_json(
-            distinct_vals,
+            df.select("feature", q).distinct(),
             group_cols=["feature"],
             path_fn=lambda k, qq=q: (
-                f"{prefix}/info/qualifier-{qq}-{k['feature']}.json"
+                f"{prefix}/raw/{k['feature']}/info/qualifiers/{qq}.json"
             ),
             writer=writer,
-            payload_fn=lambda pdf, qq=q: {
-                "values": sorted(v for v in pdf[qq].tolist() if v is not None),
-                "count": int(pdf[qq].notna().sum()),
+            payload_fn=lambda pdf, qq=q: sorted(
+                v for v in pdf[qq].tolist() if v is not None
+            ),
+        )
+    for r in per_feature_qcounts:
+        write_json(
+            {
+                "thresholds": {
+                    "max_count": params.qualifier_max_count,
+                    "regional_timeseries_count": params.regional_timeseries_count,
+                },
+                "counts": {q: int(r[f"{q}_count"] or 0) for q in all_qualifiers},
             },
+            f"{prefix}/raw/{r['feature']}/info/qualifier_counts.json",
+            writer,
         )
 
     weight = stats.weight_column
@@ -307,15 +344,30 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             sub = subtile_aggregation(t).cache()
             if sub.limit(1).count() > 0:
                 tiles = tiles_all_levels(sub)
-                n_tiles = write_tiles(
-                    tiles,
-                    path_fn=lambda r, tr=time_res: (
-                        f"{prefix}/tiles/{tr}/{r['feature']}/"
-                        f"{r['timestamp']}-{r['tile']['z']}-{r['tile']['x']}-"
-                        f"{r['tile']['y']}.tile"
-                    ),
-                    writer=writer,
-                )
+                ext = ".txt" if params.tile_debug else ".tile"
+                if params.tile_sink == "bundles":
+                    from slow_tortoise_spark.sinks.writers import (
+                        write_tile_bundles,
+                    )
+
+                    n_tiles = write_tile_bundles(
+                        tiles,
+                        bundle_path_fn=lambda pid, tr=time_res: (
+                            f"{prefix}/tiles/{tr}/bundle-{pid:05d}"
+                        ),
+                        writer=writer,
+                    )
+                else:
+                    n_tiles = write_tiles(
+                        tiles,
+                        path_fn=lambda r, tr=time_res, ex=ext: (
+                            f"{prefix}/tiles/{tr}/{r['feature']}/"
+                            f"{r['timestamp']}-{r['tile']['z']}-{r['tile']['x']}-"
+                            f"{r['tile']['y']}{ex}"
+                        ),
+                        writer=writer,
+                        debug=params.tile_debug,
+                    )
                 results[f"tiles_{time_res}"] = n_tiles
                 gs = grid_stats(sub)
                 write_grouped_csv(

@@ -201,11 +201,15 @@ def write_tile_bundles(
     return out.agg(F.sum("n")).first()[0] or 0
 
 
-def write_tiles(tiles_df, path_fn, writer) -> int:
+def write_tiles(tiles_df, path_fn, writer, debug: bool = False) -> int:
     """S8: serialize + write one protobuf per tile row, executor-side.
 
     ``tiles_df`` is the output of operators.tiles.tiles_for_level /
-    tiles_all_levels; ``path_fn(row_dict) -> rel_path``.
+    tiles_all_levels; ``path_fn(row_dict) -> rel_path``.  ``debug=True``
+    writes the human-readable dict repr instead of protobuf bytes (the
+    reference's ``save_tile(debug=True)`` ``.txt`` variant,
+    /root/reference/flows/common.py:291-309) — pair it with a ``.txt``
+    path convention in ``path_fn``.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -227,9 +231,16 @@ def write_tiles(tiles_df, path_fn, writer) -> int:
                     for b in row["bins"]
                 }
                 tile = row["tile"]
-                buf = encode_tile(tile["z"], tile["x"], tile["y"],
-                                  row["total_bins"], bins)
-                writer.write(buf, path_fn(row))
+                if debug:
+                    body = str({
+                        "coord": {"z": tile["z"], "x": tile["x"], "y": tile["y"]},
+                        "total_bins": row["total_bins"],
+                        "bins": bins,
+                    })
+                else:
+                    body = encode_tile(tile["z"], tile["x"], tile["y"],
+                                       row["total_bins"], bins)
+                writer.write(body, path_fn(row))
             yield pd.DataFrame({"n": [len(pdf)]})
 
     out = tiles_df.mapInPandas(emit, schema="n long")

@@ -69,16 +69,27 @@ def test_run_pipeline_artifacts(spark, cube_path, tmp_path):
     )
     assert glob.glob(f"{root}/stats/month/*/*.csv")
     assert glob.glob(f"{root}/raw/*/raw.csv")
-    regions_json = glob.glob(f"{root}/info/regions-0-*.json")
+    # reference raw-info family: region_lists / qualifiers / counts
+    regions_json = glob.glob(f"{root}/raw/*/info/region_lists.json")
     assert regions_json
     with open(regions_json[0]) as f:
-        regions = json.load(f)
-    assert regions == sorted(regions) and set(regions) <= {"Ethiopia", "Kenya"}
-    qual_json = glob.glob(f"{root}/info/qualifier-qual1-*.json")
+        lists = json.load(f)
+    assert set(lists) == {"country", "admin1", "admin2", "admin3"}
+    assert set(lists["country"]) <= {"Ethiopia", "Kenya"}
+    assert lists["country"] == sorted(lists["country"])
+    # admin1 ids are full region paths (country__admin1)
+    assert all("__" in r for r in lists["admin1"])
+    qual_json = glob.glob(f"{root}/raw/*/info/qualifiers/qual1.json")
     assert qual_json
     with open(qual_json[0]) as f:
         qv = json.load(f)
-    assert qv["values"] == sorted(qv["values"]) and qv["count"] == len(qv["values"])
+    assert qv == sorted(qv) and set(qv) <= {"qa", "qb"}
+    counts_json = glob.glob(f"{root}/raw/*/info/qualifier_counts.json")
+    assert counts_json
+    with open(counts_json[0]) as f:
+        qc = json.load(f)
+    assert qc["counts"]["qual1"] == len(qv)
+    assert "max_count" in qc["thresholds"]
     tiles = glob.glob(f"{root}/tiles/month/*/*.tile")
     assert tiles
     with open(os.path.join(root, "results.json")) as f:
@@ -235,3 +246,32 @@ def test_weighted_pipeline_end_to_end(spark, weighted_cube_path, tmp_path):
 
     rts = glob.glob(f"{root}/regional-timeseries/month/*/level-0/*.csv")
     assert rts and "s_wavg_t_sum" in read_csv(rts[0])[0]
+
+
+def test_pipeline_bundled_and_debug_tile_sinks(spark, cube_path, tmp_path):
+    """tile_sink='bundles' emits bundle+index objects holding every tile;
+    tile_debug=True emits human-readable .txt tiles."""
+    out = str(tmp_path / "bundled")
+    params = PipelineParams(
+        data_id="d3", run_id="r3", data_paths=[cube_path],
+        dest_root=out, time_resolutions=("month",), tile_sink="bundles",
+    )
+    results = run_pipeline(spark, params)
+    root = os.path.join(out, "d3/r3")
+    bundles = glob.glob(f"{root}/tiles/month/bundle-*.bundle")
+    indexes = glob.glob(f"{root}/tiles/month/bundle-*.idx.json")
+    assert bundles and len(bundles) == len(indexes)
+    assert not glob.glob(f"{root}/tiles/month/*/*.tile")
+    total = sum(len(json.load(open(i))) for i in indexes)
+    assert total == results["tiles_month"] > 0
+
+    out2 = str(tmp_path / "debugtiles")
+    params2 = PipelineParams(
+        data_id="d4", run_id="r4", data_paths=[cube_path],
+        dest_root=out2, time_resolutions=("month",), tile_debug=True,
+    )
+    run_pipeline(spark, params2)
+    txts = glob.glob(f"{out2}/d4/r4/tiles/month/*/*.txt")
+    assert txts
+    body = open(txts[0]).read()
+    assert body.startswith("{'coord':") and "total_bins" in body

@@ -253,3 +253,61 @@ def test_streaming_dedup_state_evicted_past_watermark(spark, tmp_path):
     got = sorted((r["event_id"], r["value"]) for r in out.collect())
     # key 1: original + past-watermark re-arrival; keys 5/9: once each.
     assert got == [(1, 1.0), (1, 3.0), (5, 5.0), (9, 9.0)]
+
+
+def test_checkpoint_recovery_preserves_dedup_state(spark, tmp_path):
+    """Stop/restart against the same checkpoint: run 2 must recover run
+    1's dedup state (duplicate of an already-seen key stays suppressed)
+    and process only the newly-arrived file."""
+    import os
+
+    import pandas as pd
+
+    from slow_tortoise_spark.streaming.pipeline import streaming_dedup
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(src, name), coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    def run_once():
+        sdf = stream_datacube(spark, src, schema=EVENTS_STREAM_SCHEMA)
+        q = (
+            streaming_dedup(sdf, ["event_id"], watermark="1 day")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write("a.parquet", [
+        {"event_id": 1, "event_time": t0, "user_id": 1, "feature": "f",
+         "value": 1.0},
+        {"event_id": 2, "event_time": t0, "user_id": 2, "feature": "f",
+         "value": 2.0},
+    ])
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+
+    # new file after the stream stopped: one dup (suppressed via recovered
+    # state) + one genuinely new key
+    write("b.parquet", [
+        {"event_id": 1, "event_time": t0, "user_id": 1, "feature": "f",
+         "value": 1.0},
+        {"event_id": 3, "event_time": t0, "user_id": 3, "feature": "f",
+         "value": 3.0},
+    ])
+    run_once()
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]
