@@ -87,6 +87,131 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_ms", T.LongType(), False),
+        T.StructField("energy", T.FloatType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def plan_resize(df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize planning — pure column math, no Python.
+
+    Adds ``target_width``/``target_height``: the aspect-preserving fit of
+    (width, height) into a ``max_dim`` box, never upscaling. Keeping the
+    geometry JVM-side means the expensive Python stage below touches only
+    rows that actually change size (``needs_resize``)."""
+    w = F.coalesce(F.col("width"), F.lit(0))
+    h = F.coalesce(F.col("height"), F.lit(0))
+    scale = F.least(
+        F.lit(float(max_dim)) / F.greatest(w, F.lit(1)),
+        F.lit(float(max_dim)) / F.greatest(h, F.lit(1)),
+        F.lit(1.0),
+    )
+    return (
+        df.withColumn("target_width", F.greatest((w * scale).cast("int"), F.lit(1)))
+        .withColumn("target_height", F.greatest((h * scale).cast("int"), F.lit(1)))
+        .withColumn("needs_resize", scale < 1.0)
+    )
+
+
+def apply_resize(df_planned: DataFrame) -> DataFrame:
+    """Arrow-batched resize executor — decode/resample STUBBED.
+
+    Real implementation swaps the marked line for a PIL resize; the fake
+    keeps bytes deterministic (sha-tagged) so downstream dedup/tests can
+    pin values. Rows with ``needs_resize = false`` pass through untouched
+    (and, because the filter is a plain Column, Catalyst prunes them from
+    the Python stage entirely when the caller splits the union)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_content = []
+            for c, nr, tw, th in zip(pdf["content"], pdf["needs_resize"],
+                                     pdf["target_width"], pdf["target_height"]):
+                if not nr or c is None:
+                    out_content.append(c)
+                    continue
+                # STUB: real code = PIL Image.open(...).resize((tw, th))
+                tag = hashlib.sha256(c).digest()[:4]
+                out_content.append(bytes(tag) + b"%dx%d" % (tw, th))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_content,
+                    "width": pdf["target_width"],
+                    "height": pdf["target_height"],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+    return df_planned.select(
+        "media_id", "content", "needs_resize", "target_width", "target_height"
+    ).mapInPandas(run, schema=schema)
+
+
+def extract_audio_features(df: DataFrame, window_ms: int = 1000) -> DataFrame:
+    """Windowed audio features: offsets JVM-side, decode stubbed.
+
+    Window offsets explode from native ``sequence`` column math (exactly
+    like video frame sampling); only the per-window feature extraction
+    runs in Python over Arrow batches. The stub derives deterministic
+    pseudo-features from (bytes, offset) so the full shape — explode →
+    batched UDF → fixed-size float arrays — is testable end-to-end."""
+    windows = df.withColumn(
+        "window_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(window_ms),
+            )
+        ),
+    ).select("media_id", "window_ms", "content")
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            energies, feats = [], []
+            for c, off in zip(pdf["content"], pdf["window_ms"]):
+                if c is None:
+                    energies.append(None)
+                    feats.append(None)
+                    continue
+                # STUB: real code decodes PCM for [off, off+window) and
+                # computes RMS/mel features.
+                digest = hashlib.sha256(c + b"%d" % off).digest()
+                energies.append(digest[0] / 255.0)
+                feats.append([b / 255.0 for b in digest[:8]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "window_ms": pdf["window_ms"],
+                    "energy": energies,
+                    "features": feats,
+                }
+            )
+
+    return windows.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -2075,11 +2075,67 @@ def q_jaccard_pairs_naive(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_quality_score(spark, sf_dir):
+    """Composite document-quality scoring via the library operator
+    (length/punctuation/stopword factors)."""
+    from slow_tortoise_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs)
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def _quality_score_sql() -> str:
+    from slow_tortoise_spark.operators.text import LANG_STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+  WITH t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS toks,
+           length(text) AS n_chars
+    FROM documents
+  ),
+  m AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           CASE WHEN len(toks) > 0
+                THEN (n_chars - len(toks) + 1)::DOUBLE / len(toks) END
+             AS avg_token_len,
+           (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / greatest(n_chars, 1) AS punct_ratio,
+           len(list_filter(toks, x -> list_contains([{en}], lower(x))))::DOUBLE
+             / greatest(len(toks), 1) AS stopword_ratio
+    FROM t
+  )
+  SELECT doc_id, n_tokens, n_bpe_tokens,
+         round(avg_token_len, 6) AS avg_token_len,
+         round(punct_ratio, 6) AS punct_ratio,
+         round(stopword_ratio, 6) AS stopword_ratio,
+         round(least(n_tokens / 100.0, 1.0)
+               * (1.0 - least(punct_ratio * 2, 1.0))
+               * (0.5 + least(stopword_ratio * 2, 0.5)), 6) AS quality_score
+  FROM m ORDER BY doc_id
+"""
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "minhash_signatures": q_minhash_signatures,
     "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
     "jaccard_pairs_naive": q_jaccard_pairs_naive,
+    "quality_score": q_quality_score,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2087,4 +2143,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": _Q_MINHASH_SIGNATURES,
     "hyperplane_lsh_buckets": _hyperplane_sql(),
     "jaccard_pairs_naive": _Q_JACCARD_PAIRS,
+    "quality_score": _quality_score_sql(),
 }

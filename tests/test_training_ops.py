@@ -255,3 +255,63 @@ def test_jaccard_auto_dispatch_both_paths_match(spark):
     assert naive_path == prefix_path
     assert naive_path == pairs(jaccard_pairs(docs, threshold=0.4))
     assert naive_path == pairs(jaccard_pairs_prefix(docs, threshold=0.4))
+
+
+def test_resize_plumbing_plan_and_values(spark):
+    """Resize geometry is pure column math (no Python stage in the plan);
+    the Arrow-batched apply stage is deterministic and aspect-preserving."""
+    from slow_tortoise_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        apply_resize,
+        plan_resize,
+    )
+
+    rows = [
+        Row(media_id=1, kind="image", content=bytearray(b"big-image-bytes"),
+            mime="image/png", width=1024, height=512, duration_ms=None),
+        Row(media_id=2, kind="image", content=bytearray(b"small"),
+            mime="image/png", width=100, height=50, duration_ms=None),
+    ]
+    planned = plan_resize(spark.createDataFrame(rows, schema=MEDIA_SCHEMA),
+                          max_dim=256)
+    plan = planned._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # geometry stays JVM-side
+
+    got = {r["media_id"]: r for r in planned.collect()}
+    assert (got[1]["target_width"], got[1]["target_height"]) == (256, 128)
+    assert got[1]["needs_resize"] is True
+    assert (got[2]["target_width"], got[2]["target_height"]) == (100, 50)
+    assert got[2]["needs_resize"] is False
+
+    out = {r["media_id"]: r for r in apply_resize(planned).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (256, 128)
+    assert bytes(out[1]["content"]).endswith(b"256x128")
+    # pass-through rows keep their original bytes
+    assert bytes(out[2]["content"]) == b"small"
+    # deterministic: same input → same resized bytes
+    again = {r["media_id"]: r for r in apply_resize(planned).collect()}
+    assert bytes(again[1]["content"]) == bytes(out[1]["content"])
+
+
+def test_audio_window_features(spark):
+    """Audio windows explode from JVM column math; per-window stub
+    features are deterministic and fixed-size."""
+    from slow_tortoise_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    rows = [
+        Row(media_id=7, kind="audio", content=bytearray(b"fakewav"),
+            mime="audio/wav", width=None, height=None, duration_ms=2500),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = extract_audio_features(df, window_ms=1000).collect()
+    assert [r["window_ms"] for r in out] == [0, 1000, 2000]
+    assert all(len(r["features"]) == 8 for r in out)
+    assert all(0.0 <= r["energy"] <= 1.0 for r in out)
+    # distinct windows of the same blob get distinct features
+    assert out[0]["features"] != out[1]["features"]
+    # deterministic across runs
+    out2 = extract_audio_features(df, window_ms=1000).collect()
+    assert [r["features"] for r in out2] == [r["features"] for r in out]
