@@ -64,15 +64,35 @@ def brute_force_topk(
 def _assign_cells(
     df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
 ) -> DataFrame:
-    """Add a ``cell`` column: id of the max-cosine centroid (broadcast
-    literals, one scan)."""
-    best = None
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(x) for x in cvec])
-        cos = cosine_col(F.col(vec_col).cast("array<double>"), c)
-        pair = F.struct(cos.alias("cos"), F.lit(cid).alias("cell"))
-        best = pair if best is None else F.when(pair["cos"] > best["cos"], pair).otherwise(best)
-    return df.withColumn("cell", best["cell"])
+    """Add a ``cell`` column: index of the max-cosine centroid.
+
+    The centroid matrix (and each centroid's norm — a Python-side
+    constant) is one literal array of structs; a single ``transform``
+    computes all C cosines sharing ONE vector-norm subexpression, and
+    ``array_position(·, array_max(·))`` picks the argmax with first-wins
+    (= lowest cell id) tie-breaking — the same order a SQL
+    ``row_number() OVER (ORDER BY cos DESC, cell)`` oracle produces.
+    Compared to a C-deep nested CASE chain this keeps the generated code
+    linear in C instead of quadratic, which is what makes assignment
+    scan-speed when C grows.
+    """
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = norm_col(v)
+    mat = F.array(*[
+        F.struct(
+            F.array(*[F.lit(float(x)) for x in cvec]).alias("c"),
+            F.lit(math.sqrt(sum(x * x for x in cvec)) or 1.0).alias("n"),
+        )
+        for _, cvec in centroids
+    ])
+    cosines = F.transform(mat, lambda s: dot_col(v, s["c"]) / (vnorm * s["n"]))
+    cell = (F.array_position(cosines, F.array_max(cosines)) - 1).cast("int")
+    # map positional index back to the caller's centroid ids (they are
+    # 0..C-1 in practice, but stay faithful to the contract)
+    ids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    return df.withColumn("cell", F.element_at(ids, cell + 1))
 
 
 def build_ivf_index(
@@ -170,18 +190,25 @@ def hyperplane_band_buckets(
     if rows * bands != len(planes):
         raise ValueError("len(planes) must be divisible by bands")
     v = F.col(vec_col).cast("array<double>")
-    entries = []
-    for b in range(bands):
-        bucket = F.lit(0)
-        for r in range(rows):
-            p = F.array(*[F.lit(float(x)) for x in planes[b * rows + r]])
-            bucket = bucket + F.when(dot_col(v, p) > 0, F.lit(2**r)).otherwise(
-                F.lit(0)
-            )
-        entries.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+    # One transform over the literal plane matrix computes every sign bit
+    # in a single pass (materialized via withColumn so the band packing
+    # below reads the bit array instead of re-running the dot products).
+    mat = F.array(*[
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes
+    ])
+    bits = F.transform(mat, lambda p: F.when(dot_col(v, p) > 0, 1).otherwise(0))
+    with_bits = df.select(F.col(id_col), bits.alias("_bits"))
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                F.element_at("_bits", b * rows + r + 1) * F.lit(2**r)
+                for r in range(rows)
+            ).alias("bucket"),
         )
-    return df.select(
+        for b in range(bands)
+    ]
+    return with_bits.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("_bb")
     ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
@@ -202,8 +229,14 @@ def lsh_near_duplicates(
     kept (pass ``threshold=None`` to get every scored candidate, e.g. for
     a caller that filters on a rounded score).  Recall is the standard
     banded-LSH tradeoff: P(candidate) = 1−(1−p^r)^b for per-plane
-    collision p = 1−θ/π; tune bands/rows to the threshold.  The exact
-    O(n²) ``embedding_near_duplicates`` below is the verifier tier.
+    collision p = 1−θ/π.  Tune (rows, bands) to the threshold: high
+    thresholds (0.9+, the realistic near-dup regime) support long bands
+    (r=4–8) that prune candidates aggressively; low thresholds near the
+    random-pair expectation need short bands (r=2) and more of them, and
+    candidate volume stays a large fraction of all pairs — no LSH scheme
+    can prune hard when the threshold barely separates signal from noise.
+    The exact O(n²) ``embedding_near_duplicates`` below is the verifier
+    tier.
     """
     bk = hyperplane_band_buckets(df, planes, bands, id_col, vec_col)
     a, b = bk.alias("a"), bk.alias("b")
