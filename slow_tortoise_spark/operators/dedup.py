@@ -55,13 +55,21 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs."""
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs, de-duplicated per doc by default.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregate is multiset-invariant (MinHash: min over duplicates equals
+    min over the set) — set semantics (Jaccard sizes/intersections) must
+    keep the default.
+    """
     df = _fan_out(df.select("doc_id", text_col))
-    return (
-        df.select("doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+    out = df.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -261,9 +269,10 @@ def jaccard_pairs_auto(
     sample (hash-stride, so it's reproducible and cluster-layout-free):
     sampling docs at rate p scales each shingle's df by ~p, so
     Σ df_sample² / p² estimates the full Σ df² — accurate enough for a
-    plan choice at a fraction of a full shingle pass.
+    plan choice at a fraction of a full shingle pass.  An empty sample
+    (tiny corpus) prices to zero, which correctly picks the naive plan.
     """
-    sample_mod = 4
+    sample_mod = 8
     sample = df.filter(F.pmod(F.hash(F.col("doc_id")), sample_mod) == 0)
     est = (
         doc_shingles(sample, text_col, n)
@@ -291,9 +300,11 @@ def minhash_signature(
 
     Hash family i = md5(i || ':' || shingle); the signature element is the
     lexicographic minimum hex digest. One explode + one groupBy with k
-    aggregates — a single shuffle regardless of k.
+    aggregates — a single shuffle regardless of k (the per-doc shingle
+    dedup shuffle is skipped: min over a multiset equals min over its
+    set).
     """
-    sh = doc_shingles(df, text_col, n)
+    sh = doc_shingles(df, text_col, n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
