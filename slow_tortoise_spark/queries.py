@@ -2130,12 +2130,79 @@ def _quality_score_sql() -> str:
 """
 
 
+def q_window_lag_lead(spark, sf_dir):
+    """lag/lead window surface: per-user previous/next event deltas."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (t - F.lag(t).over(w)).alias("us_since_prev"),
+            (F.lead(t).over(w) - t).alias("us_until_next"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_Q_WINDOW_LAG_LEAD = """
+  SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS us_until_next,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ORDER BY event_id
+"""
+
+
+def q_unpivot_melt(spark, sf_dir):
+    """unpivot/melt surface: wide per-flag quantity sums melted to
+    (measure, value) rows via the native unpivot operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "n_rows"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+_Q_UNPIVOT_MELT = f"""
+  WITH wide AS (
+    SELECT l_returnflag,
+           {_DSUM.format(x='l_quantity')} AS sum_qty,
+           {_DSUM.format(x='l_extendedprice')} AS sum_price,
+           CAST(COUNT(*) AS DOUBLE) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+  )
+  SELECT l_returnflag, measure, value
+  FROM wide
+  UNPIVOT (value FOR measure IN (sum_qty, sum_price, n_rows))
+  ORDER BY l_returnflag, measure
+"""
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "minhash_signatures": q_minhash_signatures,
     "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
     "jaccard_pairs_naive": q_jaccard_pairs_naive,
     "quality_score": q_quality_score,
+    "window_lag_lead": q_window_lag_lead,
+    "unpivot_melt": q_unpivot_melt,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2144,4 +2211,6 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "hyperplane_lsh_buckets": _hyperplane_sql(),
     "jaccard_pairs_naive": _Q_JACCARD_PAIRS,
     "quality_score": _quality_score_sql(),
+    "window_lag_lead": _Q_WINDOW_LAG_LEAD,
+    "unpivot_melt": _Q_UNPIVOT_MELT,
 }

@@ -94,3 +94,21 @@ def test_rollup_uses_expand_single_shuffle(spark, sf_dir):
     agg_exchanges = [ln for ln in plan.splitlines()
                      if "Exchange hashpartitioning" in ln]
     assert len(agg_exchanges) == 1, agg_exchanges
+
+
+def test_jaccard_prefix_plan_uses_array_rescore(spark, sf_dir):
+    """With the naive tier priced out (budget 0), the dispatched plan is
+    the PPJoin prefix form: slice'd prefixes feed the candidate join and
+    the rescore is a JVM-side array_intersect — the full shingle
+    self-join never appears a second time."""
+    from slow_tortoise_spark.operators.dedup import jaccard_pairs_auto
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = jaccard_pairs_auto(docs, threshold=0.7, naive_budget=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" in plan
+    assert "slice" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -311,3 +311,36 @@ def test_checkpoint_recovery_preserves_dedup_state(spark, tmp_path):
     run_once()
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3]
+
+
+def test_write_stream_artifacts_bridge(spark, stream_dir, tmp_path):
+    """foreachBatch bridge: a streaming run emits the same artifact family
+    (per-feature CSVs via write_grouped_csv) as a batch run."""
+    import glob
+    import os
+
+    from slow_tortoise_spark.sinks.writers import FileWriter, write_grouped_csv
+    from slow_tortoise_spark.streaming.pipeline import write_stream_artifacts
+
+    out = str(tmp_path / "stream_artifacts")
+    ckpt = str(tmp_path / "ckpt")
+    writer = FileWriter(out)
+
+    def batch_fn(df, batch_id):
+        write_grouped_csv(
+            df.groupBy("feature").count(),
+            group_cols=["feature"],
+            path_fn=lambda k, b=batch_id: f"counts/{b}/{k['feature']}.csv",
+            writer=writer,
+        )
+
+    sdf = stream_datacube(spark, stream_dir, schema=EVENTS_STREAM_SCHEMA)
+    q = write_stream_artifacts(sdf, batch_fn, ckpt)
+    q.awaitTermination()
+
+    files = glob.glob(f"{out}/counts/*/*.csv")
+    assert files
+    feats = {os.path.basename(f)[:-4] for f in files}
+    want = {r["feature"] for r in
+            spark.read.parquet(stream_dir).select("feature").distinct().collect()}
+    assert feats == want
