@@ -33,13 +33,19 @@ from slow_tortoise_spark.operators.text import fingerprint, tokens_col
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of whitespace-normalized, lowercased text."""
+    """Word n-gram shingles of whitespace-normalized, lowercased text.
+
+    Docs with fewer than ``n`` tokens yield an empty array.  NB: the
+    guard must be a ``when``, not ``greatest(count, 0)`` — Spark's
+    ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``, not empty, which
+    would feed ``slice`` a zero start and throw on short docs.
+    """
     toks = tokens_col(F.lower(text))
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    count = F.size(toks) - F.lit(n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
     )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def _fan_out(df: DataFrame) -> DataFrame:

@@ -143,3 +143,56 @@ import pytest
 @pytest.fixture(scope="session")
 def spark_session(spark):
     return spark
+
+
+_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=1, max_size=12,
+)
+
+
+@given(texts=_texts)
+@settings(max_examples=8, deadline=None)
+def test_jaccard_dispatch_paths_agree_property(spark_session, texts):
+    """Naive and prefix Jaccard plans agree on arbitrary corpora
+    (including empty docs, whitespace-only docs, repeated shingles)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import jaccard_pairs_auto
+
+    docs = spark_session.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+    def pairs(budget):
+        return sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs_auto(docs, threshold=0.3,
+                                        naive_budget=budget).collect()
+        )
+
+    assert pairs(10**12) == pairs(0)
+
+
+@given(values=st.lists(st.floats(min_value=-100, max_value=100, width=32),
+                       min_size=1, max_size=15))
+@settings(max_examples=8, deadline=None)
+def test_extrema_kind_invariants_property(spark_session, values):
+    """Every min-kind row carries the global min value, every max-kind row
+    the global max; both kinds are always present (all-equal groups emit
+    rows under both)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.extrema import regional_extrema
+
+    df = spark_session.createDataFrame(
+        [Row(feature="F", region_id=f"r{i}", timestamp=i, s_sum_t_sum=float(v))
+         for i, v in enumerate(values)]
+    )
+    out = regional_extrema(df, ["s_sum_t_sum"]).collect()
+    lo, hi = min(values), max(values)
+    kinds = {r["kind"] for r in out}
+    assert kinds == {"min", "max"}
+    for r in out:
+        assert r["value"] == (lo if r["kind"] == "min" else hi)
