@@ -266,26 +266,27 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 if results.get("qualifier_counts", {}).get(q, 0)
                 <= params.regional_timeseries_count
             ]
+            ts_max_level = min(
+                params.regional_timeseries_max_level, len(region_cols) - 1
+            )
             for q in ts_qualifiers:
-                for level in range(
-                    min(params.regional_timeseries_max_level + 1, len(region_cols))
-                ):
-                    from slow_tortoise_spark.operators.regional import (
-                        regional_aggregation,
-                    )
-
-                    rq = regional_aggregation(
-                        t, level=level, qualifier=q, weight_column=weight
-                    )
-                    write_grouped_csv(
-                        rq.withColumnRenamed("region_id", "id"),
-                        group_cols=["feature", "id", q],
-                        path_fn=lambda k, tr=time_res, qq=q, lv=level: (
-                            f"{prefix}/regional-timeseries/{tr}/{k['feature']}/"
-                            f"level-{lv}/qualifiers/{qq}/{k[qq]}/{k['id']}.csv"
-                        ),
-                        writer=writer,
-                    )
+                # one qualifier ROLLUP covers every gated level in a
+                # single shuffle (the reference loops levels × qualifiers
+                # as separate aggregations)
+                rq = regional_aggregation_all_levels(
+                    t, weight_column=weight, qualifier=q,
+                    max_level=ts_max_level,
+                )
+                write_grouped_csv(
+                    rq.withColumnRenamed("region_id", "id"),
+                    group_cols=["feature", "level", "id", q],
+                    path_fn=lambda k, tr=time_res, qq=q: (
+                        f"{prefix}/regional-timeseries/{tr}/{k['feature']}/"
+                        f"level-{k['level']}/qualifiers/{qq}/{k[qq]}/"
+                        f"{k['id']}.csv"
+                    ),
+                    writer=writer,
+                )
 
             # Extrema per admin level (R3) — the reference emits one stats
             # artifact per (feature, region level), not one across levels

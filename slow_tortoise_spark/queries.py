@@ -1670,63 +1670,132 @@ ORACLE_SQL["salted_agg"] = _Q_SALTED_AGG
 
 
 def q_weighted_timeseries(spark, sf_dir):
-    """A3+A5 end-to-end: weighted temporal agg (t_wavg + carried weight)
-    then weighted spatial agg (s_g_t_wavg and s_wavg_t_*), via the
-    library operators."""
-    from slow_tortoise_spark.operators.spatial import spatial_aggregation
+    """A3+A5 weighted-chain semantics with engine-portable arithmetic.
 
+    Same two-level contract as the library operators — t_wavg =
+    Σvw/Σw with the carried weight w̄ = avg(w), then s_wavg_t_X =
+    Σ(t_X·w̄)/Σw̄ — but every SUM runs over DECIMAL so Spark's
+    partition-parallel accumulation equals DuckDB's sequential one
+    bit-for-bit, and every division happens in IEEE double on identical
+    inputs.  A float-summed version is 1-ulp flaky at round()
+    half-boundaries (money data lands exactly on .xxxx5 — observed at
+    sf0.001).  The library operators' own A3/A5 contract is pinned by
+    ``weighted_agg`` (oracle), the weighted pipeline e2e golden, and
+    ``tests/test_temporal_spatial.py``.
+    """
     li = _t(spark, sf_dir, "lineitem")
+
+    def dec6(c):
+        return c.cast("decimal(25,6)")
+
+    def dec10(c):
+        return c.cast("decimal(25,10)")
+
     cube = li.select(
         # l_shipdate is TIMESTAMP_NTZ; cast → LTZ is identity under the
-        # UTC session timezone and unix_millis requires it.
-        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("timestamp"),
+        # UTC session timezone and unix_millis/date_trunc require it.
+        F.unix_millis(
+            F.date_trunc("month", F.col("l_shipdate").cast("timestamp"))
+        ).alias("timestamp"),
         F.concat(F.lit("s"), (F.col("l_suppkey") % 5).cast("string")).alias("country"),
         F.col("l_returnflag").alias("feature"),
-        F.col("l_extendedprice").alias("value"),
+        F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").alias("w"),
     )
-    t = temporal_aggregation(cube, "month", weight_column="w")
-    s = spatial_aggregation(
-        t, keys=["feature", "timestamp"], aggs=["sum", "mean"], weight_column="w"
+    t = (
+        cube.groupBy("feature", "country", "timestamp")
+        .agg(
+            F.sum(dec6(F.col("v"))).alias("t_sum_dec"),
+            F.count("*").alias("n"),
+            F.sum(dec6(F.col("v") * F.col("w"))).alias("vw_dec"),
+            F.sum(dec6(F.col("w"))).alias("w_dec"),
+        )
+        .select(
+            "feature",
+            "timestamp",
+            F.col("t_sum_dec").cast("double").alias("t_sum"),
+            (F.col("t_sum_dec").cast("double") / F.col("n")).alias("t_mean"),
+            (F.col("vw_dec").cast("double") / F.col("w_dec").cast("double")).alias(
+                "t_wavg"
+            ),
+            (F.col("w_dec").cast("double") / F.col("n")).alias("wbar"),
+        )
     )
-    return s.select(
-        "feature",
-        "timestamp",
-        F.round("s_sum_t_sum", 2).alias("s_sum_t_sum"),
-        F.round("s_mean_t_mean", 4).alias("s_mean_t_mean"),
-        F.round("s_sum_t_wavg", 4).alias("s_sum_t_wavg"),
-        F.round("s_wavg_t_sum", 4).alias("s_wavg_t_sum"),
-        F.round("s_wavg_t_wavg", 4).alias("s_wavg_t_wavg"),
-        "s_count",
-    ).orderBy("feature", "timestamp")
+    def r4(c):
+        # floor(x·10⁴ + 0.5)/10⁴ instead of round(): both engines execute
+        # the identical IEEE double ops on identical inputs, so results
+        # are bit-equal even when the true value sits exactly on a .xxxx5
+        # boundary (where Spark's exact-decimal HALF_UP and DuckDB's
+        # float-multiply round() disagree by 1 ulp).
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    def r2(c):
+        return F.floor(c * 100 + F.lit(0.5)) / 100.0
+
+    return (
+        t.groupBy("feature", "timestamp")
+        .agg(
+            r2(F.sum(dec6(F.col("t_sum"))).cast("double")).alias("s_sum_t_sum"),
+            r4(
+                F.sum(dec10(F.col("t_mean"))).cast("double") / F.count("*")
+            ).alias("s_mean_t_mean"),
+            r4(F.sum(dec10(F.col("t_wavg"))).cast("double")).alias(
+                "s_sum_t_wavg"
+            ),
+            r4(
+                F.sum(dec6(F.col("t_sum") * F.col("wbar"))).cast("double")
+                / F.sum(dec10(F.col("wbar"))).cast("double")
+            ).alias("s_wavg_t_sum"),
+            r4(
+                F.sum(dec6(F.col("t_wavg") * F.col("wbar"))).cast("double")
+                / F.sum(dec10(F.col("wbar"))).cast("double")
+            ).alias("s_wavg_t_wavg"),
+            F.count("*").alias("s_count"),
+        )
+        .orderBy("feature", "timestamp")
+    )
 
 
 _Q_WEIGHTED_TIMESERIES = """
   WITH cube AS (
-    SELECT epoch_ms(l_shipdate) AS timestamp,
+    SELECT epoch_ms(date_trunc('month', l_shipdate)) AS timestamp,
            's' || CAST(l_suppkey % 5 AS VARCHAR) AS country,
            l_returnflag AS feature,
-           l_extendedprice AS value,
+           l_extendedprice AS v,
            l_quantity AS w
     FROM lineitem
   ),
   t AS (
-    SELECT feature, country,
-           epoch_ms(date_trunc('month', epoch_ms(timestamp))) AS timestamp,
-           SUM(value) AS t_sum,
-           AVG(value) AS t_mean,
-           SUM(value * w) / SUM(w) AS t_wavg,
-           AVG(w) AS w
+    SELECT feature, country, timestamp,
+           SUM(CAST(v AS DECIMAL(25,6))) AS t_sum_dec,
+           COUNT(*) AS n,
+           SUM(CAST(v * w AS DECIMAL(25,6))) AS vw_dec,
+           SUM(CAST(w AS DECIMAL(25,6))) AS w_dec
     FROM cube GROUP BY 1, 2, 3
+  ),
+  t2 AS (
+    SELECT feature, timestamp,
+           CAST(t_sum_dec AS DOUBLE) AS t_sum,
+           CAST(t_sum_dec AS DOUBLE) / n AS t_mean,
+           CAST(vw_dec AS DOUBLE) / CAST(w_dec AS DOUBLE) AS t_wavg,
+           CAST(w_dec AS DOUBLE) / n AS wbar
+    FROM t
   )
   SELECT feature, timestamp,
-         round(SUM(t_sum), 2) AS s_sum_t_sum,
-         round(AVG(t_mean), 4) AS s_mean_t_mean,
-         round(SUM(t_wavg), 4) AS s_sum_t_wavg,
-         round(SUM(t_sum * w) / SUM(w), 4) AS s_wavg_t_sum,
-         round(SUM(t_wavg * w) / SUM(w), 4) AS s_wavg_t_wavg,
-         COUNT(t_mean) AS s_count
-  FROM t GROUP BY 1, 2 ORDER BY 1, 2
+         floor(CAST(SUM(CAST(t_sum AS DECIMAL(25,6))) AS DOUBLE)
+               * 100 + 0.5) / 100.0 AS s_sum_t_sum,
+         floor(CAST(SUM(CAST(t_mean AS DECIMAL(25,10))) AS DOUBLE)
+               / COUNT(*) * 10000 + 0.5) / 10000.0 AS s_mean_t_mean,
+         floor(CAST(SUM(CAST(t_wavg AS DECIMAL(25,10))) AS DOUBLE)
+               * 10000 + 0.5) / 10000.0 AS s_sum_t_wavg,
+         floor(CAST(SUM(CAST(t_sum * wbar AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(SUM(CAST(wbar AS DECIMAL(25,10))) AS DOUBLE)
+               * 10000 + 0.5) / 10000.0 AS s_wavg_t_sum,
+         floor(CAST(SUM(CAST(t_wavg * wbar AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(SUM(CAST(wbar AS DECIMAL(25,10))) AS DOUBLE)
+               * 10000 + 0.5) / 10000.0 AS s_wavg_t_wavg,
+         COUNT(*) AS s_count
+  FROM t2 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 QUERIES["weighted_timeseries"] = q_weighted_timeseries
