@@ -324,10 +324,12 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
         from slow_tortoise_spark.operators.spatial import spatial_aggregation
 
         for q in qualifiers:
+            # cached: the per-agg-column pivot loop below would otherwise
+            # recompute this spatial aggregation once per column
             sq = spatial_aggregation(
                 t, keys=["feature", "timestamp", q], aggs=["sum", "mean"],
                 weight_column=weight,
-            )
+            ).cache()
             for agg_col in [c for c in sq.columns
                             if c.startswith("s_") and c != "s_count"] + ["s_count"]:
                 wide = qualifier_timeseries_pivot(sq, q, agg_col)
@@ -339,6 +341,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                     ),
                     writer=writer,
                 )
+            sq.unpersist()
 
         # Tiling family (G5–G8) — only when coordinates exist.
         if params.compute_tiles and "lat" in df.columns and "lng" in df.columns:
