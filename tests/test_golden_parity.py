@@ -210,3 +210,60 @@ def test_regional_qualifier_rollup_reference_golden(spark):
     # country level by qual2
     assert got2[("F1", 0, 0, "A", "q1")] == (14.0, 7.0, 7.0, 3.5, 2)
     assert got2[("F1", 0, 0, "A", "q2")] == (14.0, 7.0, 7.0, 3.5, 2)
+
+
+def test_regional_extrema_per_level_reference_golden(spark):
+    """Per-level extrema goldens reproduced from
+    /root/reference/tests/unit/test_compute_regional_stats.py:28-90:
+    one extrema set per admin level (country + admin1 checked), all tied
+    rows kept, computed over the 4 spatial agg columns."""
+    rows = [
+        (0, "A", "AA", "AAA", "AAAA", "F1", 4.0, 2.0),
+        (0, "A", "AA", "AAA", "AAAA", "F1", 10.0, 5.0),
+        (0, "A", "AA", "AAB", "AABD", "F1", 8.0, 4.0),
+        (0, "A", "AA", "AAB", "AABE", "F1", 3.0, 1.0),
+        (0, "B", "BA", "BAB", "BABB", "F1", 60.0, 30.0),
+        (0, "B", "BB", "BBB", "BBBB", "F1", 10.0, 2.0),
+        (1, "A", "AA", "AAA", "AAAA", "F1", 2.0, 1.0),
+        (1, "A", "AA", "AAA", "AAAA", "F1", 4.0, 1.0),
+        (1, "A", "AA", "AAB", "AABD", "F1", 8.0, 2.0),
+        (1, "A", "AA", "AAB", "AABE", "F1", 10.0, 2.0),
+        (1, "B", "BA", "BAB", "BABB", "F1", 90.0, 30.0),
+        (1, "B", "BB", "BBB", "BBBB", "F1", 80.0, 20.0),
+        (2, "A", "AA", "AAA", "AAAA", "F1", 20.0, 10.0),
+        (2, "A", "AA", "AAA", "AAAA", "F1", 40.0, 20.0),
+        (2, "A", "AA", "AAB", "AABD", "F1", 4.0, 2.0),
+        (2, "A", "AA", "AAB", "AABE", "F1", 6.0, 2.0),
+        (2, "B", "BA", "BAB", "BABB", "F1", 40.0, 10.0),
+        (2, "B", "BB", "BBB", "BBBB", "F1", 300.0, 10.0),
+    ]
+    from slow_tortoise_spark.operators.extrema import regional_extrema
+
+    df = spark.createDataFrame(
+        [Row(timestamp=t, country=c, admin1=a1, admin2=a2, admin3=a3,
+             feature=f, t_sum=ts, t_mean=tm)
+         for t, c, a1, a2, a3, f, ts, tm in rows]
+    )
+    rolled = regional_aggregation_all_levels(df)
+    agg_cols = ["s_sum_t_sum", "s_mean_t_sum", "s_sum_t_mean", "s_mean_t_mean"]
+    ex = regional_extrema(rolled, agg_cols, keys=["feature", "level"])
+    got = {}
+    for r in ex.collect():
+        got.setdefault((r["level"], r["kind"], r["agg_col"]), set()).add(
+            (r["region_id"], r["timestamp"], r["value"])
+        )
+
+    # country level (reference .../regional/country/stats/default/extrema.json)
+    assert got[(0, "min", "s_sum_t_sum")] == {("A", 1, 24.0)}
+    assert got[(0, "min", "s_mean_t_mean")] == {("A", 1, 1.5)}
+    assert got[(0, "max", "s_sum_t_sum")] == {("B", 2, 340.0)}
+    assert got[(0, "max", "s_sum_t_mean")] == {("B", 1, 50.0)}
+    assert got[(0, "max", "s_mean_t_mean")] == {("B", 1, 25.0)}
+
+    # admin1 level — incl. the two-way tie the reference keeps
+    assert got[(1, "min", "s_sum_t_sum")] == {("B__BB", 0, 10.0)}
+    assert got[(1, "max", "s_sum_t_sum")] == {("B__BB", 2, 300.0)}
+    assert got[(1, "max", "s_mean_t_mean")] == {
+        ("B__BA", 1, 30.0), ("B__BA", 0, 30.0)
+    }
+    assert got[(1, "min", "s_mean_t_mean")] == {("A__AA", 1, 1.5)}
