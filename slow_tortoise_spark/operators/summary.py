@@ -72,5 +72,31 @@ def rows_per_feature(df: DataFrame) -> DataFrame:
 def apply_qualifier_count_limit(
     counts: dict[str, int], max_count: int
 ) -> list[str]:
-    """R4: qualifiers whose distinct-value count is within the cap."""
+    """R4 (global form): qualifiers whose distinct-value count is within
+    the cap."""
     return [q for q, n in counts.items() if n <= max_count]
+
+
+def apply_qualifier_thresholds(
+    qualifier_map: dict[str, list[str]],
+    counts: dict[str, dict[str, int]],
+    max_count: int,
+) -> tuple[dict[str, list[str]], list[str]]:
+    """R4 (per-feature form, the reference's semantics): a qualifier stays
+    active for a feature iff that feature's distinct-value count fits the
+    cap — so the same qualifier can be broken out for one feature and
+    suppressed for another (/root/reference/flows/common.py:218-236,
+    pinned by tests/unit/test_apply_qualifier_thresholds.py).
+
+    Returns (per-feature map, list of qualifiers active for ≥1 feature).
+    Features absent from ``counts`` are dropped from the map.
+    """
+    new_map: dict[str, list[str]] = {}
+    active: set[str] = set()
+    for feature, quals in qualifier_map.items():
+        if feature not in counts:
+            continue
+        cf = counts[feature]
+        new_map[feature] = [q for q in quals if q in cf and cf[q] <= max_count]
+        active.update(new_map[feature])
+    return new_map, sorted(active)

@@ -32,7 +32,7 @@ from slow_tortoise_spark.operators.regional import (
 )
 from slow_tortoise_spark.operators.spatial import global_timeseries
 from slow_tortoise_spark.operators.summary import (
-    apply_qualifier_count_limit,
+    apply_qualifier_thresholds,
     output_summary,
     qualifier_counts,
     rows_per_feature,
@@ -108,19 +108,37 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
         if c not in ("timestamp", "value", "lat", "lng")
         and c not in extract_region_columns(df)
     ]
-    qualifiers = all_qualifiers
-    # Qualifier cardinality gate (R4) — one per-feature count pass feeds
-    # both the gate and the qualifier_counts.json artifacts below.
+    qualifiers: list[str] = []
+    # Qualifier cardinality gate (R4) — PER FEATURE, matching the
+    # reference: a qualifier can stay broken out for one feature while
+    # suppressed for another whose cardinality blows the cap. One count
+    # pass feeds the gate and the qualifier_counts.json artifacts below.
     per_feature_qcounts = []
+    qualifier_map: dict[str, list[str]] = {}
+    feature_counts: dict[str, dict[str, int]] = {}
     if all_qualifiers:
         per_feature_qcounts = qualifier_counts(df, all_qualifiers).collect()
-        counts = {
-            q: max((int(r[f"{q}_count"] or 0) for r in per_feature_qcounts),
-                   default=0)
-            for q in all_qualifiers
+        feature_counts = {
+            r["feature"]: {
+                q: int(r[f"{q}_count"] or 0) for q in all_qualifiers
+            }
+            for r in per_feature_qcounts
         }
-        qualifiers = apply_qualifier_count_limit(counts, params.qualifier_max_count)
-        results["qualifier_counts"] = counts
+        qualifier_map, qualifiers = apply_qualifier_thresholds(
+            {f: list(all_qualifiers) for f in feature_counts},
+            feature_counts,
+            params.qualifier_max_count,
+        )
+        results["qualifier_counts"] = feature_counts
+
+    def _active_features(q: str, extra_cap: int | None = None) -> list[str]:
+        """Features for which qualifier ``q`` passed the R4 gate (and,
+        when ``extra_cap`` is given, whose count also fits that cap —
+        the R2 timeseries gating)."""
+        feats = [f for f, qs in qualifier_map.items() if q in qs]
+        if extra_cap is not None:
+            feats = [f for f in feats if feature_counts[f][q] <= extra_cap]
+        return feats
 
     # Raw passthrough for small features (S7).
     feature_rows = {r["feature"]: r["n_rows"] for r in rows_per_feature(df).collect()}
@@ -233,8 +251,13 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             # qualifiers as separate Dask aggregations; here each
             # qualifier is one extra single-shuffle ROLLUP.
             for q in qualifiers:
+                feats = _active_features(q)
+                if not feats:
+                    continue
                 rolled_q = regional_aggregation_all_levels(
-                    t, weight_column=weight, qualifier=q
+                    t.filter(F.col("feature").isin(feats)),
+                    weight_column=weight,
+                    qualifier=q,
                 )
                 write_grouped_csv(
                     rolled_q.withColumnRenamed("region_id", "id")
@@ -260,21 +283,22 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 ),
                 writer=writer,
             )
-            ts_qualifiers = [
-                q
-                for q in qualifiers
-                if results.get("qualifier_counts", {}).get(q, 0)
-                <= params.regional_timeseries_count
-            ]
             ts_max_level = min(
                 params.regional_timeseries_max_level, len(region_cols) - 1
             )
-            for q in ts_qualifiers:
+            for q in qualifiers:
+                ts_feats = _active_features(
+                    q, extra_cap=params.regional_timeseries_count
+                )
+                if not ts_feats:
+                    continue
                 # one qualifier ROLLUP covers every gated level in a
                 # single shuffle (the reference loops levels × qualifiers
                 # as separate aggregations)
                 rq = regional_aggregation_all_levels(
-                    t, weight_column=weight, qualifier=q,
+                    t.filter(F.col("feature").isin(ts_feats)),
+                    weight_column=weight,
+                    qualifier=q,
                     max_level=ts_max_level,
                 )
                 write_grouped_csv(
@@ -324,10 +348,14 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
         from slow_tortoise_spark.operators.spatial import spatial_aggregation
 
         for q in qualifiers:
+            feats = _active_features(q)
+            if not feats:
+                continue
             # cached: the per-agg-column pivot loop below would otherwise
             # recompute this spatial aggregation once per column
             sq = spatial_aggregation(
-                t, keys=["feature", "timestamp", q], aggs=["sum", "mean"],
+                t.filter(F.col("feature").isin(feats)),
+                keys=["feature", "timestamp", q], aggs=["sum", "mean"],
                 weight_column=weight,
             ).cache()
             for agg_col in [c for c in sq.columns

@@ -275,3 +275,47 @@ def test_pipeline_bundled_and_debug_tile_sinks(spark, cube_path, tmp_path):
     assert txts
     body = open(txts[0]).read()
     assert body.startswith("{'coord':") and "total_bins" in body
+
+
+def test_per_feature_qualifier_gating(spark, tmp_path):
+    """The R4 gate is per-feature: the same qualifier stays broken out
+    for a low-cardinality feature while suppressed for one whose
+    cardinality blows the cap (reference apply_qualifier_thresholds)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(60):
+        feature = "smallq" if i % 2 else "bigq"
+        rows.append(
+            {
+                "timestamp": _ms(2022, 1 + i % 2, 1 + i % 25),
+                "country": "Kenya",
+                "admin1": f"adm{i % 2}",
+                "feature": feature,
+                "value": float(i),
+                # smallq sees 2 distinct values; bigq sees ~30
+                "qual1": "qa" if feature == "smallq" and i % 4 == 1
+                else ("qb" if feature == "smallq" else f"v{i}"),
+            }
+        )
+    path = str(tmp_path / "gate_cube.parquet")
+    pd.DataFrame(rows).to_parquet(path)
+
+    out = str(tmp_path / "gated")
+    params = PipelineParams(
+        data_id="dg", run_id="rg", data_paths=[path], dest_root=out,
+        time_resolutions=("month",), compute_tiles=False,
+        qualifier_max_count=10,
+    )
+    results = run_pipeline(spark, params)
+    root = os.path.join(out, "dg/rg")
+    # per-feature counts recorded
+    assert results["qualifier_counts"]["smallq"]["qual1"] <= 10
+    assert results["qualifier_counts"]["bigq"]["qual1"] > 10
+    # qualifier artifacts exist for the small feature only
+    assert glob.glob(f"{root}/regional/month/smallq/level-0/qualifiers/qual1/*.csv")
+    assert not glob.glob(f"{root}/regional/month/bigq/level-0/qualifiers/**/*.csv")
+    assert glob.glob(f"{root}/qualifiers/month/smallq/qual1/*.csv")
+    assert not glob.glob(f"{root}/qualifiers/month/bigq/**/*.csv")
+    # inventories still cover every detected qualifier for every feature
+    assert glob.glob(f"{root}/raw/bigq/info/qualifiers/qual1.json")

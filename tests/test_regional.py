@@ -157,3 +157,24 @@ def test_rollup_with_qualifier_matches_per_level(spark):
                (r["s_sum_t_sum"], r["s_count"])
                for r in rolled.filter(f"level = {level}").collect()}
         assert per == one, f"level {level}"
+
+
+def test_apply_qualifier_thresholds_reference_golden():
+    """Per-feature qualifier gate golden reproduced from
+    /root/reference/tests/unit/test_apply_qualifier_thresholds.py."""
+    from slow_tortoise_spark.operators.summary import apply_qualifier_thresholds
+
+    q_map = {
+        "f1": ["qual1", "qual2", "qual3"],
+        "f2": ["qual1"],
+        "f3": ["qual1"],
+        "f_invalid": ["qual1"],
+    }
+    counts = {
+        "f1": {"qual1": 10, "qual2": 8, "qual3": 10},
+        "f2": {"qual1": 15, "qual2": 10},
+        "f3": {"qual1": 5, "qual2": 10},
+    }
+    new_map, cols = apply_qualifier_thresholds(q_map, counts, max_count=9)
+    assert new_map == {"f1": ["qual2"], "f2": [], "f3": ["qual1"]}
+    assert cols == ["qual1", "qual2"]
