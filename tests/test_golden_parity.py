@@ -267,3 +267,68 @@ def test_regional_extrema_per_level_reference_golden(spark):
         ("B__BA", 1, 30.0), ("B__BA", 0, 30.0)
     }
     assert got[(1, "min", "s_mean_t_mean")] == {("A__AA", 1, 1.5)}
+
+
+def test_grid_stats_reference_golden(spark):
+    """Grid-stats goldens reproduced from
+    /root/reference/tests/unit/test_compute_stats.py:17-50: min/max of the
+    four grid aggregates per zoom for F1/timestamp 0, constant across
+    zooms 6–14 for its two-subtile fixture."""
+    from slow_tortoise_spark.operators.tiles import grid_stats
+
+    rows = [
+        ("F1", 0, (14, 10041, 7726), 96.0, 48.0, 3),
+        ("F1", 0, (14, 9632, 7755), 120.0, 60.0, 2),
+        ("F1", 1, (14, 10041, 7726), 80.0, 40.0, 3),
+        ("F1", 1, (14, 9632, 7755), 90.0, 1.8, 2),
+        ("F2", 0, (14, 10041, 7726), 96.0, 48.0, 3),
+        ("F2", 0, (14, 9632, 7755), 120.0, 60.0, 2),
+    ]
+    df = spark.createDataFrame(
+        [Row(feature=f, timestamp=t,
+             subtile=Row(z=s[0], x=s[1], y=s[2]),
+             s_sum_t_sum=ss, s_sum_t_mean=sm, s_count=n)
+         for f, t, s, ss, sm, n in rows]
+    )
+    out = grid_stats(df, min_level=6, max_level=14)
+    got = {
+        (r["feature"], r["timestamp"], r["zoom"]): (
+            r["min_s_sum_t_sum"], r["max_s_sum_t_sum"],
+            r["min_s_sum_t_mean"], r["max_s_sum_t_mean"],
+            r["min_s_mean_t_sum"], r["max_s_mean_t_sum"],
+            r["min_s_mean_t_mean"], r["max_s_mean_t_mean"],
+        )
+        for r in out.collect()
+    }
+    # the two subtiles never merge down to zoom 6 (different high bits),
+    # so every zoom row carries the reference's constant extrema
+    for zoom in range(6, 15):
+        assert got[("F1", 0, zoom)] == (
+            96.0, 120.0, 48.0, 60.0, 32.0, 60.0, 16.0, 30.0
+        ), zoom
+    # t=1 row from the same fixture (means: 80/3, 90/2, 40/3, 1.8/2)
+    assert got[("F1", 1, 14)] == (80.0, 90.0, 1.8, 40.0,
+                                  26.666666666666668, 45.0,
+                                  0.9, 13.333333333333334)
+
+
+def test_regional_timeseries_reference_golden(spark):
+    """Per-region timeseries goldens reproduced from
+    /root/reference/tests/unit/test_compute_regional_timeseries.py:31-80:
+    the country-level default CSVs for regions A and B."""
+    df = spark.createDataFrame(
+        [Row(timestamp=t, country=c, admin1=a1, admin2=a2, admin3=a3,
+             feature=f, t_sum=ts, t_mean=tm)
+         for t, c, a1, a2, a3, f, ts, tm in _REGIONAL_ROWS]
+    )
+    rolled = regional_aggregation_all_levels(df)
+    by_region = {}
+    for r in rolled.filter("level = 0 AND feature = 'F1'").collect():
+        by_region.setdefault(r["region_id"], {})[r["timestamp"]] = (
+            r["s_sum_t_sum"], r["s_mean_t_sum"], r["s_sum_t_mean"],
+            r["s_mean_t_mean"], r["s_count"],
+        )
+    assert by_region["A"][0] == (25.0, 6.25, 12.0, 3.0, 4)
+    assert by_region["A"][1] == (24.0, 6.0, 6.0, 1.5, 4)
+    assert by_region["B"][0] == (70.0, 35.0, 32.0, 16.0, 2)
+    assert by_region["B"][1] == (170.0, 85.0, 50.0, 25.0, 2)
