@@ -76,6 +76,13 @@ class PipelineParams:
     regional_timeseries_count: int = 100
     time_resolutions: tuple[str, ...] = ("month", "year")
     compute_tiles: bool = True
+    # Reference OutputTasks selection (data_pipeline.py:138-143): None →
+    # run every family; otherwise only the named ones run. Valid names:
+    # compute_global_timeseries, compute_regional_stats,
+    # compute_regional_timeseries, compute_regional_aggregation,
+    # compute_tiles. results.json is recorded only on full runs, like the
+    # reference's record_results gating (data_pipeline.py:264-276).
+    selected_output_tasks: tuple[str, ...] | None = None
     # "files": one protobuf object per tile (reference layout).
     # "bundles": one bundle object + JSON index per partition — the scale
     # path for object stores (the reference's per-tile layout was
@@ -93,6 +100,22 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
     )
     prefix = f"{params.data_id}/{params.run_id}"
     results: dict[str, Any] = {"data_id": params.data_id, "run_id": params.run_id}
+
+    all_tasks = (
+        "compute_global_timeseries",
+        "compute_regional_stats",
+        "compute_regional_timeseries",
+        "compute_regional_aggregation",
+        "compute_tiles",
+    )
+    selected = set(params.selected_output_tasks or all_tasks)
+    unknown = selected - set(all_tasks)
+    if unknown:
+        raise ValueError(f"unknown output tasks: {sorted(unknown)}")
+    full_run = selected == set(all_tasks)
+
+    def task_on(name: str) -> bool:
+        return name in selected
 
     raw = read_datacube(spark, params.data_paths)
     df, stats = validate_and_fix(
@@ -222,20 +245,27 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
         t = temporal_aggregation(df, time_res, weight_column=weight).cache()
 
         # Global timeseries CSV per feature.
-        ts = global_timeseries(t, weight_column=weight)
-        write_grouped_csv(
-            ts,
-            group_cols=["feature"],
-            path_fn=lambda k, tr=time_res: f"{prefix}/timeseries/{tr}/{k['feature']}/global.csv",
-            writer=writer,
-        )
+        if task_on("compute_global_timeseries"):
+            ts = global_timeseries(t, weight_column=weight)
+            write_grouped_csv(
+                ts,
+                group_cols=["feature"],
+                path_fn=lambda k, tr=time_res: f"{prefix}/timeseries/{tr}/{k['feature']}/global.csv",
+                writer=writer,
+            )
 
-        # Regional rollups: all levels in one shuffle, one CSV per
-        # (feature, level, timestamp).
-        if region_cols:
+        # Regional families share the cached all-levels rollup.
+        need_regional = region_cols and (
+            task_on("compute_regional_aggregation")
+            or task_on("compute_regional_timeseries")
+            or task_on("compute_regional_stats")
+        )
+        if need_regional:
             regional = regional_aggregation_all_levels(
                 t, weight_column=weight
             ).cache()
+        if need_regional and task_on("compute_regional_aggregation"):
+            # one CSV per (feature, level, timestamp)
             write_grouped_csv(
                 regional.withColumnRenamed("region_id", "id"),
                 group_cols=["feature", "level", "timestamp"],
@@ -270,6 +300,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                     ),
                     writer=writer,
                 )
+        if need_regional and task_on("compute_regional_timeseries"):
             # R2: per-region timeseries — one CSV per (feature, level,
             # region), rows over timestamps; qualifier breakdowns only for
             # levels ≤ regional_timeseries_max_level and qualifiers whose
@@ -312,6 +343,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                     writer=writer,
                 )
 
+        if need_regional and task_on("compute_regional_stats"):
             # Extrema per admin level (R3) — the reference emits one stats
             # artifact per (feature, region level), not one across levels
             # (flows/common.py:500-541); level-0 totals would otherwise
@@ -339,15 +371,18 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                     f"{prefix}/extrema/{time_res}/{feat}/level-{level}.json",
                     writer,
                 )
+        if need_regional:
             regional.unpersist()
 
         # Qualifier timeseries pivots (V1), one CSV per (feature, agg col).
         # Derived from the cached full temporal aggregate so the s_* stats
         # aggregate over the fine (all-column) temporal groups — the
         # reference's semantics — and no extra scan of the raw cube runs.
+        # Family-gated with the global timeseries (the reference emits its
+        # qualifier timeseries from compute_global_timeseries).
         from slow_tortoise_spark.operators.spatial import spatial_aggregation
 
-        for q in qualifiers:
+        for q in (qualifiers if task_on("compute_global_timeseries") else []):
             feats = _active_features(q)
             if not feats:
                 continue
@@ -372,7 +407,8 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             sq.unpersist()
 
         # Tiling family (G5–G8) — only when coordinates exist.
-        if params.compute_tiles and "lat" in df.columns and "lng" in df.columns:
+        if (task_on("compute_tiles") and params.compute_tiles
+                and "lat" in df.columns and "lng" in df.columns):
             sub = subtile_aggregation(t).cache()
             if sub.limit(1).count() > 0:
                 tiles = tiles_all_levels(sub)
@@ -417,6 +453,10 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
     t_all = temporal_aggregation(df, "all", weight_column=weight)
     summary = output_summary(t_all)
     results["output_agg_values"] = [r.asDict() for r in summary.collect()]
-    write_json(results, f"{prefix}/results.json", writer)
+    # results.json only on full runs — partial (selected-task) runs must
+    # not clobber a complete run's record (reference record_results
+    # gating, data_pipeline.py:264-276, 1140-1141).
+    if full_run:
+        write_json(results, f"{prefix}/results.json", writer)
     df.unpersist()
     return results

@@ -1,0 +1,118 @@
+"""Local pipeline runner — the Spark equivalent of the reference's
+``flows/run_flow_local.py`` (parameter sets executed against local data
+instead of a Prefect server).
+
+Usage::
+
+    python -m slow_tortoise_spark.run_local [param_set_index] [dest_root]
+
+Parameter sets mirror the reference's shapes: a full tiling run, a
+selected-tasks run, a weighted run, and a qualifier-threshold run — all
+against the driver-generated testdata (events table mapped onto the
+datacube contract), so a reference user's ``run_flow_local`` workflow has
+a direct counterpart here.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from slow_tortoise_spark.pipeline import PipelineParams, run_pipeline
+from slow_tortoise_spark.session import get_spark
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+def _datacube_from_events(spark, sf_dir: str, out_path: str) -> str:
+    """Map the events table onto the datacube column contract and stage
+    it as parquet (the reference's param sets point at prepared datacube
+    parquet; this builds one from the synthetic testdata)."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.sources.reader import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    cube = ev.select(
+        F.unix_millis(F.col("ts")).alias("timestamp"),
+        F.concat(F.lit("c"), (F.col("user_id") % 5).cast("string")).alias(
+            "country"
+        ),
+        F.concat(F.lit("a"), (F.col("user_id") % 25).cast("string")).alias(
+            "admin1"
+        ),
+        ((F.col("user_id") % 180) - 90 + 0.5).cast("double").alias("lat"),
+        ((F.col("user_id") % 360) - 180 + 0.5).cast("double").alias("lng"),
+        F.col("event_type").alias("feature"),
+        F.col("value"),
+        F.col("event_type").alias("qual1"),
+        (F.col("value") * 0 + 1.0).alias("w"),
+    )
+    cube.write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
+def parameter_sets(data_path: str, dest_root: str) -> list[PipelineParams]:
+    """Mirrors the reference's run_flow_local.py parameter-set shapes."""
+    return [
+        # 0: full run incl. tiling (reference set 0: geo-test-data)
+        PipelineParams(
+            data_id="geo-test-data",
+            run_id="test-run-1",
+            data_paths=[data_path],
+            dest_root=dest_root,
+            time_resolutions=("month",),
+        ),
+        # 1: selected output tasks only
+        PipelineParams(
+            data_id="geo-test-data",
+            run_id="selected-tasks",
+            data_paths=[data_path],
+            dest_root=dest_root,
+            time_resolutions=("month",),
+            selected_output_tasks=(
+                "compute_global_timeseries",
+                "compute_regional_stats",
+                "compute_regional_timeseries",
+                "compute_regional_aggregation",
+                "compute_tiles",
+            ),
+        ),
+        # 2: weighted run (reference's acled-style weight_column sets)
+        PipelineParams(
+            data_id="weighted-test",
+            run_id="weighted-run-1",
+            data_paths=[data_path],
+            dest_root=dest_root,
+            weight_column="w",
+            time_resolutions=("month",),
+            compute_tiles=False,
+        ),
+        # 3: qualifier thresholds (reference set 3: qualifier_thresholds)
+        PipelineParams(
+            data_id="qualifier-test",
+            run_id="threshold-run-1",
+            data_paths=[data_path],
+            dest_root=dest_root,
+            qualifier_max_count=3,
+            regional_timeseries_count=2,
+            time_resolutions=("month",),
+            compute_tiles=False,
+        ),
+    ]
+
+
+def main() -> int:
+    idx = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    dest_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/slow_tortoise_local"
+    spark = get_spark(app_name="run_flow_local")
+    data_path = _datacube_from_events(
+        spark, TESTDATA, f"{dest_root}/_staged_cube.parquet"
+    )
+    params = parameter_sets(data_path, dest_root)[idx]
+    results = run_pipeline(spark, params)
+    print({k: v for k, v in results.items() if k != "output_agg_values"})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -332,3 +332,36 @@ def test_regional_timeseries_reference_golden(spark):
     assert by_region["A"][1] == (24.0, 6.0, 6.0, 1.5, 4)
     assert by_region["B"][0] == (70.0, 35.0, 32.0, 16.0, 2)
     assert by_region["B"][1] == (170.0, 85.0, 50.0, 25.0, 2)
+
+
+def test_output_summary_reference_golden(spark):
+    """Output-summary goldens reproduced from
+    /root/reference/tests/unit/test_compute_output_summary.py."""
+    from slow_tortoise_spark.operators.summary import output_summary
+
+    rows = [
+        (0, "A", "Feature1", 6.3, 2.1),
+        (0, "B", "Feature1", 12.0, 4.0),
+        (0, "A", "Feature1", 3.3, 1.1),
+        (0, "B", "Feature1", 10.2, 3.4),
+        (0, "A", "Feature2", 8.3, 4.1),
+        (0, "B", "Feature2", 14.0, 3.0),
+        (0, "A", "Feature2", 6.3, 2.1),
+        (0, "B", "Feature2", 20.2, 5.4),
+    ]
+    df = spark.createDataFrame(
+        [Row(timestamp=t, country=c, feature=f, t_sum=ts, t_mean=tm)
+         for t, c, f, ts, tm in rows]
+    )
+    got = {r["feature"]: r.asDict() for r in output_summary(df).collect()}
+    f1 = got["Feature1"]
+    assert (f1["s_min_t_sum"], f1["s_max_t_sum"]) == (3.3, 12.0)
+    assert round(f1["s_sum_t_sum"], 6) == 31.8
+    assert round(f1["s_mean_t_sum"], 6) == 7.95
+    assert (f1["s_min_t_mean"], f1["s_max_t_mean"]) == (1.1, 4.0)
+    assert round(f1["s_sum_t_mean"], 6) == 10.6
+    assert round(f1["s_mean_t_mean"], 6) == 2.65
+    f2 = got["Feature2"]
+    assert (f2["s_min_t_sum"], f2["s_max_t_sum"]) == (6.3, 20.2)
+    assert round(f2["s_sum_t_sum"], 6) == 48.8
+    assert round(f2["s_mean_t_mean"], 6) == 3.65

@@ -319,3 +319,34 @@ def test_per_feature_qualifier_gating(spark, tmp_path):
     assert not glob.glob(f"{root}/qualifiers/month/bigq/**/*.csv")
     # inventories still cover every detected qualifier for every feature
     assert glob.glob(f"{root}/raw/bigq/info/qualifiers/qual1.json")
+
+
+def test_selected_output_tasks(spark, cube_path, tmp_path):
+    """Reference OutputTasks selection: only the named families run, and
+    partial runs do not record results.json."""
+    out = str(tmp_path / "selected")
+    params = PipelineParams(
+        data_id="d5", run_id="r5", data_paths=[cube_path], dest_root=out,
+        time_resolutions=("month",),
+        selected_output_tasks=("compute_global_timeseries",
+                               "compute_regional_stats"),
+    )
+    results = run_pipeline(spark, params)
+    root = os.path.join(out, "d5/r5")
+    assert glob.glob(f"{root}/timeseries/month/*/global.csv")
+    assert glob.glob(f"{root}/extrema/month/*/level-0.json")
+    # unselected families absent
+    assert not glob.glob(f"{root}/regional/month/**/*.csv")
+    assert not glob.glob(f"{root}/regional-timeseries/**")
+    assert not glob.glob(f"{root}/tiles/**")
+    # partial run → no results.json, but the return value is intact
+    assert not os.path.exists(os.path.join(root, "results.json"))
+    assert results["output_agg_values"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown output tasks"):
+        run_pipeline(spark, PipelineParams(
+            data_id="d6", run_id="r6", data_paths=[cube_path], dest_root=out,
+            selected_output_tasks=("compute_bogus",),
+        ))
