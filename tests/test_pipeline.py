@@ -350,3 +350,55 @@ def test_selected_output_tasks(spark, cube_path, tmp_path):
             data_id="d6", run_id="r6", data_paths=[cube_path], dest_root=out,
             selected_output_tasks=("compute_bogus",),
         ))
+
+
+def test_pipeline_on_reference_e2e_fixture(spark, tmp_path):
+    """Run the full pipeline on the REFERENCE's own e2e fixture
+    (/root/reference/tests/data/geo-test-data.parquet — the input of
+    tests/test_data_pipeline.py::test_model) and assert the same artifact
+    the reference smoke asserts exists (the Ethiopia country timeseries),
+    plus cross-check its monthly values against DuckDB on the raw file."""
+    import csv as _csv
+
+    import duckdb
+
+    src = "/root/reference/tests/data/geo-test-data.parquet"
+    out = str(tmp_path / "ref_fixture")
+    params = PipelineParams(
+        data_id="geo-test-data", run_id="test-run", data_paths=[src],
+        dest_root=out, time_resolutions=("month",),
+    )
+    results = run_pipeline(spark, params)
+    assert results["rows"] == 40
+    root = os.path.join(out, "geo-test-data/test-run")
+
+    # reference smoke asserts .../regional/country/timeseries/default/
+    # Ethiopia.csv exists; our layout: regional-timeseries/month/<feature>/
+    # level-0/Ethiopia.csv
+    eth = glob.glob(f"{root}/regional-timeseries/month/feature1/level-0/Ethiopia.csv")
+    assert eth
+
+    # value cross-check: monthly s_sum_t_sum for Ethiopia == DuckDB on the
+    # raw fixture (temporal mean per (month, regions, coords) summed)
+    with open(eth[0]) as f:
+        got = {int(r["timestamp"]): float(r["s_sum_t_sum"])
+               for r in _csv.DictReader(f)}
+    con = duckdb.connect()
+    want = {
+        int(ts): float(v)
+        for ts, v in con.execute(f"""
+            WITH t AS (
+              SELECT feature, country, admin1, admin2, admin3, lat, lng,
+                     epoch_ms(date_trunc('month', epoch_ms(timestamp))) AS ts,
+                     SUM(value) AS t_sum
+              FROM '{src}'
+              WHERE feature = 'feature1'
+              GROUP BY ALL
+            )
+            SELECT ts, SUM(t_sum) FROM t
+            WHERE country = 'Ethiopia' GROUP BY ts
+        """).fetchall()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k]), k
