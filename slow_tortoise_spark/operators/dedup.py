@@ -413,3 +413,79 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("bucket_size") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test splits and cross-corpus contamination
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — a pure projection.
+
+    The split key is md5(salt ':' id); assignment compares the hex digest
+    against precomputed hex boundary literals (cumulative weights scaled
+    to the first 4 nibbles), so it is stable under any partitioning or
+    cluster layout, needs NO shuffle, and reproduces verbatim in any
+    engine with md5 + string comparison.  Change ``salt`` to draw an
+    independent split.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    prefix = F.substring(h, 1, 4)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = format(min(int(acc * 65536), 65535), "04x")
+        cond = prefix < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    min_common: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Test documents sharing ≥ ``min_common`` n-gram shingles with the
+    training corpus (benchmark-contamination scan à la GPT-3 appendix C).
+
+    Shape: the train side collapses to its DISTINCT shingle vocabulary
+    (one shuffle, no doc ids kept), the test side equi-joins against it —
+    cost is linear in both corpora plus the hit count; no doc×doc pair
+    term anywhere. Long shingles (n=8 by default) make collisions
+    meaningful.  Returns (doc_id, n_hits, n_shingles, hit_ratio).
+    """
+    train_vocab = doc_shingles(train, text_col, n).select("shingle").distinct()
+    test_sh = doc_shingles(test, text_col, n)
+    sizes = test_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        test_sh.join(train_vocab, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_shingles",
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.greatest("n_shingles", F.lit(1))
+            ).alias("hit_ratio"),
+        )
+        .filter(F.col("n_hits") >= min_common)
+    )

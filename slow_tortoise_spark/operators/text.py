@@ -136,3 +136,23 @@ def fingerprint(
     """
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(normalized))
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Intra-document repetition: fraction of n-gram shingles that are
+    repeats of an earlier shingle in the same doc (the Gopher/Rae-style
+    repetitiveness quality signal).
+
+    Pure per-row column math — ``size(shingles) - size(array_distinct)``
+    over the in-row array — so the whole metric runs at scan throughput
+    with NO shuffle at all.
+    """
+    from slow_tortoise_spark.operators.dedup import shingles_col
+
+    sh = shingles_col(F.col(text_col), n)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return df.withColumn("n_shingles", total).withColumn(
+        "rep_ratio",
+        ((total - distinct).cast("double") / F.greatest(total, F.lit(1))),
+    )

@@ -2264,6 +2264,113 @@ _Q_UNPIVOT_MELT = f"""
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test hash split + per-split counts."""
+    from slow_tortoise_spark.operators.dedup import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count("*").alias("n")).orderBy("split")
+
+
+_Q_HASH_SPLIT = """
+  WITH assigned AS (
+    SELECT doc_id,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < 'cccc' THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+  )
+  SELECT split, COUNT(*) AS n FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+# Non-distinct shingle stream (repetition analysis needs multiplicity).
+_SHINGLES_ALL_SQL = """
+  toks_all AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  shingles_all AS (
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+    FROM toks_all WHERE len(t) >= 3
+  )
+"""
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Intra-doc n-gram repetition ratio (Gopher-style quality signal)."""
+    from slow_tortoise_spark.operators.text import repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repetition_ratio(docs, n=3)
+        .select("doc_id", "n_shingles", F.round("rep_ratio", 6).alias("rep_ratio"))
+        .orderBy("doc_id")
+    )
+
+
+_Q_REPETITION_RATIO = f"""
+  WITH {_SHINGLES_ALL_SQL}
+  SELECT doc_id,
+         COUNT(*) AS n_shingles,
+         round((COUNT(*) - COUNT(DISTINCT shingle))::DOUBLE
+               / greatest(COUNT(*), 1), 6) AS rep_ratio
+  FROM shingles_all GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Cross-corpus contamination: even-id docs are 'train', odd-id docs
+    'test'; flag test docs sharing any 5-gram with the train vocabulary."""
+    from slow_tortoise_spark.operators.dedup import cross_corpus_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    out = cross_corpus_contamination(train, test, n=5)
+    return out.select(
+        "doc_id", "n_hits", "n_shingles", F.round("hit_ratio", 6).alias("hit_ratio")
+    ).orderBy("doc_id")
+
+
+_Q_CONTAMINATION = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 4, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingle
+    FROM toks WHERE len(t) >= 5
+  ),
+  train_vocab AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0
+  ),
+  test_sh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+  hits AS (
+    SELECT t.doc_id, COUNT(*) AS n_hits
+    FROM test_sh t JOIN train_vocab v ON t.shingle = v.shingle
+    GROUP BY t.doc_id
+  )
+  SELECT s.doc_id, h.n_hits, s.n_shingles,
+         round(h.n_hits::DOUBLE / greatest(s.n_shingles, 1), 6) AS hit_ratio
+  FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+  WHERE h.n_hits >= 1
+  ORDER BY s.doc_id
+"""
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "minhash_signatures": q_minhash_signatures,
@@ -2272,6 +2379,9 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "window_lag_lead": q_window_lag_lead,
     "unpivot_melt": q_unpivot_melt,
+    "hash_split": q_hash_split,
+    "repetition_ratio": q_repetition_ratio,
+    "contamination": q_contamination,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2282,4 +2392,7 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "quality_score": _quality_score_sql(),
     "window_lag_lead": _Q_WINDOW_LAG_LEAD,
     "unpivot_melt": _Q_UNPIVOT_MELT,
+    "hash_split": _Q_HASH_SPLIT,
+    "repetition_ratio": _Q_REPETITION_RATIO,
+    "contamination": _Q_CONTAMINATION,
 }

@@ -315,3 +315,56 @@ def test_audio_window_features(spark):
     # deterministic across runs
     out2 = extract_audio_features(df, window_ms=1000).collect()
     assert [r["features"] for r in out2] == [r["features"] for r in out]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Splits are a pure projection: identical under any partitioning,
+    disjoint, complete, and near the requested proportions."""
+    from slow_tortoise_spark.operators.dedup import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(13)).collect()}
+    assert a == b and len(a) == 5000
+    frac_train = sum(1 for v in a.values() if v == "train") / 5000
+    assert 0.87 <= frac_train <= 0.93  # 0.9 requested
+    # a different salt draws an independent split
+    c = {r["doc_id"]: r["split"]
+         for r in hash_split(df, salt="other").collect()}
+    assert c != a
+    # no shuffle: plan is scan + project only
+    plan = hash_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_repetition_ratio_known_cases(spark):
+    from slow_tortoise_spark.operators.text import repetition_ratio
+
+    rows = [
+        Row(doc_id=1, text="a b c a b c a b c"),   # 7 shingles, 3 distinct
+        Row(doc_id=2, text="w x y z"),             # 2 shingles, no repeats
+        Row(doc_id=3, text="hi"),                  # too short → 0 shingles
+    ]
+    out = {r["doc_id"]: (r["n_shingles"], round(r["rep_ratio"], 6))
+           for r in repetition_ratio(spark.createDataFrame(rows)).collect()}
+    assert out[1] == (7, round(4 / 7, 6))
+    assert out[2] == (2, 0.0)
+    assert out[3] == (0, 0.0)
+
+
+def test_cross_corpus_contamination_known_case(spark):
+    from slow_tortoise_spark.operators.dedup import cross_corpus_contamination
+
+    train = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+    ])
+    test = spark.createDataFrame([
+        # contains the train 5-gram "quick brown fox jumps over"
+        Row(doc_id=1, text="a quick brown fox jumps over here now"),
+        Row(doc_id=2, text="completely different text with no overlap at all"),
+    ])
+    out = {r["doc_id"]: r["n_hits"]
+           for r in cross_corpus_contamination(train, test, n=5).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
