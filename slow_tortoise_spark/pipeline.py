@@ -90,6 +90,13 @@ class PipelineParams:
     tile_sink: str = "files"
     # reference save_tile(debug=True): human-readable .txt tiles.
     tile_debug: bool = False
+    # When set, the reused intermediates (validated cube, per-resolution
+    # temporal aggregates, regional rollup) are CHECKPOINTED to this
+    # directory instead of cache()d: lineage truncates and the working
+    # set lives on (fast) storage rather than executor memory — the
+    # 100 TB knob SCALE.md describes for when the cube outgrows the
+    # cluster's cache capacity. Empty string → plain cache().
+    checkpoint_dir: str = ""
     extra_writer_args: dict = field(default_factory=dict)
 
 
@@ -117,11 +124,25 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
     def task_on(name: str) -> bool:
         return name in selected
 
+    if params.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(params.checkpoint_dir)
+
+    def persist(frame):
+        """cache() or checkpoint() per params; checkpointed frames need
+        no unpersist (nothing pinned in executor memory)."""
+        if params.checkpoint_dir:
+            return frame.checkpoint(eager=True)
+        return frame.cache()
+
+    def release(frame) -> None:
+        if not params.checkpoint_dir:
+            frame.unpersist()
+
     raw = read_datacube(spark, params.data_paths)
     df, stats = validate_and_fix(
         raw, weight_column=params.weight_column, fill_timestamp=params.fill_timestamp
     )
-    df = df.cache()
+    df = persist(df)
     results["rows"] = assert_non_empty(df)
     results["validation"] = stats.__dict__
 
@@ -172,6 +193,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             group_cols=["feature"],
             path_fn=lambda k: f"{prefix}/raw/{k['feature']}/raw.csv",
             writer=writer,
+            sort_cols=["timestamp"],
         )
     results["rows_per_feature"] = feature_rows
 
@@ -242,7 +264,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
     agg_cols = ["s_sum_t_sum", "s_mean_t_sum", "s_sum_t_mean", "s_mean_t_mean"]
 
     for time_res in params.time_resolutions:
-        t = temporal_aggregation(df, time_res, weight_column=weight).cache()
+        t = persist(temporal_aggregation(df, time_res, weight_column=weight))
 
         # Global timeseries CSV per feature.
         if task_on("compute_global_timeseries"):
@@ -252,6 +274,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 group_cols=["feature"],
                 path_fn=lambda k, tr=time_res: f"{prefix}/timeseries/{tr}/{k['feature']}/global.csv",
                 writer=writer,
+                sort_cols=["timestamp"],
             )
 
         # Regional families share the cached all-levels rollup.
@@ -261,9 +284,9 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             or task_on("compute_regional_stats")
         )
         if need_regional:
-            regional = regional_aggregation_all_levels(
+            regional = persist(regional_aggregation_all_levels(
                 t, weight_column=weight
-            ).cache()
+            ))
         if need_regional and task_on("compute_regional_aggregation"):
             # one CSV per (feature, level, timestamp)
             write_grouped_csv(
@@ -274,6 +297,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                     f"{k['timestamp']}.csv"
                 ),
                 writer=writer,
+                sort_cols=["id"],
             )
             # R1 per-qualifier breakdowns: one CSV per (feature, level,
             # timestamp, qualifier column) with columns (id, qualifier,
@@ -299,6 +323,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                         f"{k['timestamp']}.csv"
                     ),
                     writer=writer,
+                    sort_cols=["id", "qualifier"],
                 )
         if need_regional and task_on("compute_regional_timeseries"):
             # R2: per-region timeseries — one CSV per (feature, level,
@@ -313,6 +338,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                     f"level-{k['level']}/{k['id']}.csv"
                 ),
                 writer=writer,
+                sort_cols=["timestamp"],
             )
             ts_max_level = min(
                 params.regional_timeseries_max_level, len(region_cols) - 1
@@ -341,6 +367,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                         f"{k['id']}.csv"
                     ),
                     writer=writer,
+                    sort_cols=["timestamp"],
                 )
 
         if need_regional and task_on("compute_regional_stats"):
@@ -372,7 +399,7 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                     writer,
                 )
         if need_regional:
-            regional.unpersist()
+            release(regional)
 
         # Qualifier timeseries pivots (V1), one CSV per (feature, agg col).
         # Derived from the cached full temporal aggregate so the s_* stats
@@ -388,11 +415,11 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 continue
             # cached: the per-agg-column pivot loop below would otherwise
             # recompute this spatial aggregation once per column
-            sq = spatial_aggregation(
+            sq = persist(spatial_aggregation(
                 t.filter(F.col("feature").isin(feats)),
                 keys=["feature", "timestamp", q], aggs=["sum", "mean"],
                 weight_column=weight,
-            ).cache()
+            ))
             for agg_col in [c for c in sq.columns
                             if c.startswith("s_") and c != "s_count"] + ["s_count"]:
                 wide = qualifier_timeseries_pivot(sq, q, agg_col)
@@ -403,13 +430,14 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                         f"{prefix}/qualifiers/{tr}/{k['feature']}/{qq}/{ac}.csv"
                     ),
                     writer=writer,
+                    sort_cols=["timestamp"],
                 )
-            sq.unpersist()
+            release(sq)
 
         # Tiling family (G5–G8) — only when coordinates exist.
         if (task_on("compute_tiles") and params.compute_tiles
                 and "lat" in df.columns and "lng" in df.columns):
-            sub = subtile_aggregation(t).cache()
+            sub = persist(subtile_aggregation(t))
             if sub.limit(1).count() > 0:
                 tiles = tiles_all_levels(sub)
                 ext = ".txt" if params.tile_debug else ".tile"
@@ -439,15 +467,16 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 results[f"tiles_{time_res}"] = n_tiles
                 gs = grid_stats(sub)
                 write_grouped_csv(
-                    gs.orderBy("zoom"),
+                    gs,
                     group_cols=["feature", "timestamp"],
                     path_fn=lambda k, tr=time_res: (
                         f"{prefix}/stats/{tr}/{k['feature']}/{k['timestamp']}.csv"
                     ),
                     writer=writer,
+                    sort_cols=["zoom"],
                 )
-            sub.unpersist()
-        t.unpersist()
+            release(sub)
+        release(t)
 
     # All-time summary (A6).
     t_all = temporal_aggregation(df, "all", weight_column=weight)
@@ -458,5 +487,5 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
     # gating, data_pipeline.py:264-276, 1140-1141).
     if full_run:
         write_json(results, f"{prefix}/results.json", writer)
-    df.unpersist()
+    release(df)
     return results

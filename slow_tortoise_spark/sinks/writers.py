@@ -93,12 +93,16 @@ def write_grouped_csv(
     path_fn,
     writer,
     drop_group_cols: bool = True,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """S7-style sink: one CSV artifact per distinct group.
 
     ``path_fn(group_key_dict) -> rel_path``. Executes as ``applyInPandas``
     over a hash-repartition on the group columns, so each group is
     serialized exactly once, executor-side. Returns number of files.
+    ``sort_cols`` orders rows inside each artifact (group row order
+    otherwise follows shuffle partitioning, which varies with cluster
+    layout — sorted artifacts are byte-stable across runs).
     """
     import pandas as pd
 
@@ -106,6 +110,8 @@ def write_grouped_csv(
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = {c: pdf.iloc[0][c] for c in group_cols}
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
         body = pdf[value_cols].to_csv(index=False) if drop_group_cols else pdf.to_csv(index=False)
         writer.write(body, path_fn(key))
         return pd.DataFrame({"n": [len(pdf)]})

@@ -402,3 +402,37 @@ def test_pipeline_on_reference_e2e_fixture(spark, tmp_path):
     assert got.keys() == want.keys()
     for k in want:
         assert got[k] == pytest.approx(want[k]), k
+
+
+def test_pipeline_checkpoint_mode(spark, cube_path, tmp_path):
+    """checkpoint_dir swaps cache() for reliable checkpoints: artifacts
+    identical to a cached run, checkpoint files actually written."""
+    import filecmp
+
+    out_a = str(tmp_path / "cached")
+    out_b = str(tmp_path / "ckpt_run")
+    ckpt = str(tmp_path / "ckpt_store")
+    common = dict(data_paths=[cube_path], time_resolutions=("month",),
+                  compute_tiles=False)
+    run_pipeline(spark, PipelineParams(
+        data_id="dc", run_id="rc", dest_root=out_a, **common))
+    run_pipeline(spark, PipelineParams(
+        data_id="dc", run_id="rc", dest_root=out_b, checkpoint_dir=ckpt,
+        **common))
+    # checkpoint store was used
+    assert glob.glob(f"{ckpt}/**/rdd-*", recursive=True)
+    # identical artifact trees, byte-for-byte
+    a_files = sorted(
+        os.path.relpath(p, out_a)
+        for p in glob.glob(f"{out_a}/**/*", recursive=True)
+        if os.path.isfile(p)
+    )
+    b_files = sorted(
+        os.path.relpath(p, out_b)
+        for p in glob.glob(f"{out_b}/**/*", recursive=True)
+        if os.path.isfile(p)
+    )
+    assert a_files == b_files and a_files
+    for rel in a_files:
+        assert filecmp.cmp(os.path.join(out_a, rel),
+                           os.path.join(out_b, rel), shallow=False), rel
