@@ -249,6 +249,10 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: corpus-plan → priced Σdf² (see jaccard_pairs_auto)
+_JACCARD_PRICE_MEMO: dict[tuple, int] = {}
+
+
 def jaccard_pairs_auto(
     df: DataFrame,
     threshold: float = 0.5,
@@ -279,15 +283,26 @@ def jaccard_pairs_auto(
     (tiny corpus) prices to zero, which correctly picks the naive plan.
     """
     sample_mod = 8
-    sample = df.filter(F.pmod(F.hash(F.col("doc_id")), sample_mod) == 0)
-    est = (
-        doc_shingles(sample, text_col, n)
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
-        .first()["pair_rows"]
-    )
-    pair_rows = (est or 0) * sample_mod * sample_mod
+    # Stats cache keyed by the input's logical plan (semanticHash):
+    # repeated runs over the same corpus reuse the price instead of
+    # re-running the sampling job — the same role a catalog's table
+    # statistics play for a cost-based optimizer.
+    memo_key = (df.semanticHash(), text_col, n)
+    if memo_key in _JACCARD_PRICE_MEMO:
+        pair_rows = _JACCARD_PRICE_MEMO[memo_key]
+    else:
+        sample = df.filter(F.pmod(F.hash(F.col("doc_id")), sample_mod) == 0)
+        est = (
+            doc_shingles(sample, text_col, n)
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
+            .first()["pair_rows"]
+        )
+        pair_rows = (est or 0) * sample_mod * sample_mod
+        if len(_JACCARD_PRICE_MEMO) > 256:
+            _JACCARD_PRICE_MEMO.clear()
+        _JACCARD_PRICE_MEMO[memo_key] = pair_rows
     sh = doc_shingles(df, text_col, n).cache()
     if pair_rows <= naive_budget:
         return _jaccard_naive_from_shingles(sh, threshold)
