@@ -436,3 +436,49 @@ def test_pipeline_checkpoint_mode(spark, cube_path, tmp_path):
     for rel in a_files:
         assert filecmp.cmp(os.path.join(out_a, rel),
                            os.path.join(out_b, rel), shallow=False), rel
+
+
+def test_pipeline_on_reference_indicator_fixture(spark, tmp_path):
+    """Mirror the reference's indicator e2e smoke
+    (tests/test_data_pipeline.py::test_indicator): run on its
+    acled-test.bin fixture (real parquet under a .bin name) and assert
+    the artifact it asserts — the admin1 'Ethiopia__Gambela Region'
+    yearly timeseries — with a DuckDB value cross-check."""
+    import csv as _csv
+
+    import duckdb
+
+    src = "/root/reference/tests/data/acled-test.bin"
+    out = str(tmp_path / "acled")
+    params = PipelineParams(
+        data_id="ACLED", run_id="indicator", data_paths=[src],
+        dest_root=out, time_resolutions=("year",), compute_tiles=False,
+    )
+    results = run_pipeline(spark, params)
+    assert results["rows"] == 5606
+    root = os.path.join(out, "ACLED/indicator")
+    target = (f"{root}/regional-timeseries/year/fatalities/level-1/"
+              "Ethiopia__Gambela Region.csv")
+    assert os.path.exists(target)
+    with open(target) as f:
+        got = {int(r["timestamp"]): float(r["s_sum_t_sum"])
+               for r in _csv.DictReader(f)}
+    con = duckdb.connect()
+    want = {
+        int(ts): float(v)
+        for ts, v in con.execute(f"""
+            WITH t AS (
+              SELECT country, admin1, admin2, admin3, lat, lng,
+                     epoch_ms(date_trunc('year', epoch_ms(timestamp))) AS ts,
+                     SUM(value) AS t_sum
+              FROM read_parquet('{src}')
+              GROUP BY ALL
+            )
+            SELECT ts, SUM(t_sum) FROM t
+            WHERE country = 'Ethiopia' AND admin1 = 'Gambela Region'
+            GROUP BY ts
+        """).fetchall()
+    }
+    assert got.keys() == want.keys() and got
+    for k in want:
+        assert got[k] == pytest.approx(want[k]), k
