@@ -90,6 +90,11 @@ class PipelineParams:
     tile_sink: str = "files"
     # reference save_tile(debug=True): human-readable .txt tiles.
     tile_debug: bool = False
+    # "files": one CSV object per group (reference layout). "bundles":
+    # pack the per-REGION timeseries family (the many-small-files hot
+    # spot: one CSV per (feature, level, region)) into one bundle +
+    # JSON index per partition — O(partitions) store objects.
+    csv_sink: str = "files"
     # When set, the reused intermediates (validated cube, per-resolution
     # temporal aggregates, regional rollup) are CHECKPOINTED to this
     # directory instead of cache()d: lineage truncates and the working
@@ -330,16 +335,35 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             # region), rows over timestamps; qualifier breakdowns only for
             # levels ≤ regional_timeseries_max_level and qualifiers whose
             # cardinality fits regional_timeseries_count.
-            write_grouped_csv(
-                regional.withColumnRenamed("region_id", "id"),
-                group_cols=["feature", "level", "id"],
-                path_fn=lambda k, tr=time_res: (
-                    f"{prefix}/regional-timeseries/{tr}/{k['feature']}/"
-                    f"level-{k['level']}/{k['id']}.csv"
-                ),
-                writer=writer,
-                sort_cols=["timestamp"],
-            )
+            if params.csv_sink == "bundles":
+                from slow_tortoise_spark.sinks.writers import (
+                    write_grouped_csv_bundles,
+                )
+
+                write_grouped_csv_bundles(
+                    regional.withColumnRenamed("region_id", "id"),
+                    group_cols=["feature", "level", "id"],
+                    key_fn=lambda k, tr=time_res: (
+                        f"{prefix}/regional-timeseries/{tr}/{k['feature']}/"
+                        f"level-{k['level']}/{k['id']}.csv"
+                    ),
+                    bundle_path_fn=lambda pid, tr=time_res: (
+                        f"{prefix}/regional-timeseries/{tr}/bundle-{pid:05d}"
+                    ),
+                    writer=writer,
+                    sort_cols=["timestamp"],
+                )
+            else:
+                write_grouped_csv(
+                    regional.withColumnRenamed("region_id", "id"),
+                    group_cols=["feature", "level", "id"],
+                    path_fn=lambda k, tr=time_res: (
+                        f"{prefix}/regional-timeseries/{tr}/{k['feature']}/"
+                        f"level-{k['level']}/{k['id']}.csv"
+                    ),
+                    writer=writer,
+                    sort_cols=["timestamp"],
+                )
             ts_max_level = min(
                 params.regional_timeseries_max_level, len(region_cols) - 1
             )

@@ -120,6 +120,70 @@ def write_grouped_csv(
     return out.count()
 
 
+def write_grouped_csv_bundles(
+    df,
+    group_cols: list[str],
+    key_fn,
+    bundle_path_fn,
+    writer,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Scale-path grouped-CSV sink: pack each partition's groups into ONE
+    bundle object plus a JSON index instead of one object per group.
+
+    The per-group CSV layout (the reference's many-small-files problem —
+    tens of thousands of regional-timeseries CSVs) becomes O(partitions)
+    store objects; a serving layer reads ``<bundle>.idx.json``
+    ({key: [offset, len]}) and range-reads the bundle.  ``key_fn(group
+    key dict) -> index key``; ``bundle_path_fn(partition_id) -> path``.
+    A repartition on the group columns guarantees each group lands whole
+    in exactly one partition; rows are buffered per partition (size that
+    with AQE/shuffle-partition settings).  Returns number of groups.
+    """
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    value_cols = [c for c in df.columns if c not in group_cols]
+
+    def emit(batches):
+        frames: list[pd.DataFrame] = []
+        pid = None
+        for pdf in batches:
+            if len(pdf) and pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            frames.append(pdf)
+        if not frames or pid is None:
+            yield pd.DataFrame({"n": [0]})
+            return
+        whole = pd.concat(frames, ignore_index=True)
+        chunks: list[bytes] = []
+        index: dict[str, list[int]] = {}
+        offset = 0
+        for key_vals, g in whole.groupby(group_cols, sort=True, dropna=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            key = key_fn(dict(zip(group_cols, key_vals)))
+            if sort_cols:
+                g = g.sort_values(sort_cols, kind="mergesort")
+            body = g[value_cols].to_csv(index=False).encode()
+            index[key] = [offset, len(body)]
+            chunks.append(body)
+            offset += len(body)
+        base = bundle_path_fn(pid)
+        writer.write(b"".join(chunks), base + ".bundle")
+        writer.write(_json.dumps(index), base + ".idx.json")
+        yield pd.DataFrame({"n": [len(index)]})
+
+    out = (
+        df.repartition(*[F.col(c) for c in group_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .mapInPandas(emit, schema="n long")
+    )
+    return out.agg(F.sum("n")).first()[0] or 0
+
+
 def write_json(obj, rel_path: str, writer) -> None:
     """S9: driver-side JSON artifact (small data: run metadata, lists)."""
     writer.write(json.dumps(obj, default=str), rel_path)

@@ -482,3 +482,74 @@ def test_pipeline_on_reference_indicator_fixture(spark, tmp_path):
     assert got.keys() == want.keys() and got
     for k in want:
         assert got[k] == pytest.approx(want[k]), k
+
+
+def test_grouped_csv_bundles_match_per_file_sink(spark, cube_path, tmp_path):
+    """Bundle+index grouped-CSV sink: every indexed entry is byte-equal
+    to the per-file sink's artifact for the same group."""
+    import json as _json
+
+    from slow_tortoise_spark.operators.regional import (
+        regional_aggregation_all_levels,
+    )
+    from slow_tortoise_spark.operators.temporal import temporal_aggregation
+    from slow_tortoise_spark.sinks.writers import (
+        FileWriter,
+        write_grouped_csv,
+        write_grouped_csv_bundles,
+    )
+
+    from slow_tortoise_spark.operators.validate import validate_and_fix
+    from slow_tortoise_spark.sources.reader import read_datacube
+
+    df, _ = validate_and_fix(read_datacube(spark, [cube_path]))
+    regional = regional_aggregation_all_levels(
+        temporal_aggregation(df, "month")
+    ).withColumnRenamed("region_id", "id")
+
+    out_files = str(tmp_path / "files")
+    n_files = write_grouped_csv(
+        regional, ["feature", "level", "id"],
+        path_fn=lambda k: f"rt/{k['feature']}/L{k['level']}/{k['id']}.csv",
+        writer=FileWriter(out_files), sort_cols=["timestamp"],
+    )
+
+    out_bundles = str(tmp_path / "bundles")
+    n_groups = write_grouped_csv_bundles(
+        regional, ["feature", "level", "id"],
+        key_fn=lambda k: f"rt/{k['feature']}/L{k['level']}/{k['id']}.csv",
+        bundle_path_fn=lambda pid: f"rt-bundles/part-{pid:05d}",
+        writer=FileWriter(out_bundles), sort_cols=["timestamp"],
+    )
+    assert n_groups == n_files > 0
+
+    seen = 0
+    for ipath in glob.glob(f"{out_bundles}/rt-bundles/*.idx.json"):
+        blob = open(ipath[: -len(".idx.json")] + ".bundle", "rb").read()
+        for key, (off, ln) in _json.load(open(ipath)).items():
+            body = blob[off:off + ln]
+            assert body == open(os.path.join(out_files, key), "rb").read(), key
+            seen += 1
+    assert seen == n_files
+
+
+def test_pipeline_csv_bundle_sink(spark, cube_path, tmp_path):
+    """csv_sink='bundles' replaces the per-region timeseries files with
+    bundle+index objects covering the same groups."""
+    import json as _json
+
+    out = str(tmp_path / "csvbundles")
+    params = PipelineParams(
+        data_id="d7", run_id="r7", data_paths=[cube_path], dest_root=out,
+        time_resolutions=("month",), compute_tiles=False, csv_sink="bundles",
+    )
+    run_pipeline(spark, params)
+    root = os.path.join(out, "d7/r7")
+    idxs = glob.glob(f"{root}/regional-timeseries/month/bundle-*.idx.json")
+    assert idxs
+    assert not glob.glob(f"{root}/regional-timeseries/month/*/level-0/*.csv")
+    keys = set()
+    for i in idxs:
+        keys.update(_json.load(open(i)))
+    # qualifier-gated per-region breakdowns still write per-file
+    assert any("/level-0/" in k and k.endswith(".csv") for k in keys)
