@@ -430,6 +430,55 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def simhash_near_duplicates(
+    df: DataFrame, max_hamming: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Doc pairs whose 16-bit simhashes differ in ≤ ``max_hamming`` bits.
+
+    Pigeonhole banding (Manku et al.'s web-dedup trick): split the hash
+    into ``max_hamming + 1`` bands — any pair within the hamming budget
+    must agree EXACTLY on at least one band, so candidates come from
+    equi-joins on band values (never an all-pairs comparison) and are
+    verified with ``bit_count(xor) ≤ k``.  Cost: (k+1) band buckets per
+    doc, join traffic proportional to band collisions.
+    """
+    n_bits, n_bands = 16, max_hamming + 1
+    widths = [n_bits // n_bands + (1 if i < n_bits % n_bands else 0)
+              for i in range(n_bands)]
+    sh = simhash16(df, text_col)
+    bands = []
+    off = 0
+    for i, w in enumerate(widths):
+        bands.append(
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.shiftright("simhash", off).bitwiseAND((1 << w) - 1).cast("string"),
+            ).alias(f"b{i}")
+        )
+        off += w
+    stacked = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("_ha"),
+            F.col("b.simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Train/val/test splits and cross-corpus contamination
 # ---------------------------------------------------------------------------

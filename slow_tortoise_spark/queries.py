@@ -2371,6 +2371,31 @@ _Q_CONTAMINATION = """
 """
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash hamming-≤2 near-dup pairs via pigeonhole banding (the
+    banded plan is exact — verified against brute force in pytest); the
+    oracle computes the same pairs with a direct quadratic join, which is
+    fine at oracle scale."""
+    from slow_tortoise_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_duplicates(docs, max_hamming=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _simhash_near_dups_sql() -> str:
+    inner = _simhash_sql()
+    return f"""
+  WITH sim AS ({inner})
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+  ORDER BY doc_a, doc_b
+"""
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "minhash_signatures": q_minhash_signatures,
@@ -2382,6 +2407,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "repetition_ratio": q_repetition_ratio,
     "contamination": q_contamination,
+    "simhash_near_dups": q_simhash_near_dups,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2395,4 +2421,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "hash_split": _Q_HASH_SPLIT,
     "repetition_ratio": _Q_REPETITION_RATIO,
     "contamination": _Q_CONTAMINATION,
+    "simhash_near_dups": _simhash_near_dups_sql(),
 }

@@ -368,3 +368,30 @@ def test_cross_corpus_contamination_known_case(spark):
            for r in cross_corpus_contamination(train, test, n=5).collect()}
     assert 1 in out and out[1] >= 1
     assert 2 not in out
+
+
+def test_simhash_near_dups_banding_is_lossless(spark, sf_dir):
+    """Pigeonhole banding must find EXACTLY the hamming-≤k pairs the
+    brute-force O(n²) scan finds (k+1 bands ⇒ any pair within budget
+    agrees on some band — no recall loss, and the xor verify kills every
+    false candidate)."""
+    import itertools
+
+    from slow_tortoise_spark.operators.dedup import (
+        simhash16,
+        simhash_near_duplicates,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_duplicates(docs, max_hamming=2).collect()}
+    hs = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        h = bin(hs[a] ^ hs[b]).count("1")
+        if h <= 2:
+            want[(a, b)] = h
+    assert got == want and want
