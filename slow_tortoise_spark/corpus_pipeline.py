@@ -1,0 +1,142 @@
+"""Corpus pipeline — the training-data counterpart of ``pipeline.py``.
+
+Where ``run_pipeline`` turns a geotemporal datacube into serving
+artifacts, ``run_corpus_pipeline`` turns a raw document corpus into a
+training-ready dataset: quality/language gating → exact dedup → MinHash
+near-dedup → deterministic splits → partitioned parquet + a manifest of
+what was dropped at every gate.  Every stage is one of the library
+operators (operators/text.py, operators/dedup.py), so the plan is pure
+DataFrame/Catalyst work: the gates are a single projection+filter pass,
+each dedup tier is the documented one-shuffle/banded shape, and the
+split is a shuffle-free projection.
+
+Scale notes (the 100 TB shape):
+* gates run in ONE scan (quality_features + repetition_ratio +
+  language_id compose as column expressions over the same pass);
+* near-dedup drops the HIGHER doc_id of every candidate pair whose
+  exact-rescored Jaccard clears the threshold — the standard greedy
+  min-id-representative policy (a full connected-components pass costs
+  iterative joins and changes results only for chains A~B~C where
+  A~C fails the threshold);
+* the final write partitions by split so downstream training jobs read
+  only their slice (partition pruning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.dedup import (
+    drop_exact_duplicates,
+    hash_split,
+    jaccard_pairs_auto,
+    minhash_lsh_candidates,
+)
+from slow_tortoise_spark.operators.text import (
+    language_id,
+    quality_features,
+    repetition_ratio,
+)
+
+
+@dataclass
+class CorpusParams:
+    """Gates and knobs of the corpus pipeline."""
+
+    out_dir: str
+    min_tokens: int = 5
+    max_rep_ratio: float = 0.9
+    min_quality: float = 0.0
+    #: keep docs whose predicted language is in this set; empty = keep all
+    langs: tuple[str, ...] = ()
+    #: "none" | "exact" | "minhash" (minhash implies exact first)
+    dedup: str = "minhash"
+    #: exact-Jaccard threshold for near-dup verification of LSH candidates
+    near_dup_threshold: float = 0.8
+    split_weights: dict = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    split_salt: str = "split"
+
+
+def _near_dup_drops(docs: DataFrame, threshold: float) -> DataFrame:
+    """doc_ids to drop: higher id of every verified near-dup pair.
+
+    LSH bands produce candidates; the exact cost-gated Jaccard verifies
+    them.  Verification reuses ``jaccard_pairs_auto`` restricted to
+    candidate docs, so the pair blow-up stays bounded by the candidate
+    neighborhood, never the corpus.
+    """
+    cand = minhash_lsh_candidates(docs)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, "doc_id")
+    verified = jaccard_pairs_auto(cand_docs, threshold=threshold)
+    return verified.select(F.col("doc_b").alias("doc_id")).distinct()
+
+
+def run_corpus_pipeline(
+    spark: SparkSession, docs: DataFrame, params: CorpusParams
+) -> dict[str, Any]:
+    """Run the gates over ``docs`` (doc_id, text, …); returns the stage
+    manifest and writes the split corpus to ``out_dir``."""
+    manifest: dict[str, Any] = {}
+    manifest["input_docs"] = docs.count()
+
+    # --- one-pass quality / repetition / language gates ----------------
+    scored = repetition_ratio(quality_features(docs))
+    scored = language_id(scored)
+    keep = (
+        (F.col("n_tokens") >= params.min_tokens)
+        & (F.col("rep_ratio") <= params.max_rep_ratio)
+        & (F.col("quality_score") >= params.min_quality)
+    )
+    if params.langs:
+        keep = keep & F.col("lang_pred").isin(*params.langs)
+    gated = scored.filter(keep).select(
+        *docs.columns, "n_tokens", "quality_score", "rep_ratio", "lang_pred"
+    )
+    gated = gated.cache()
+    manifest["after_gates"] = gated.count()
+
+    # --- dedup tiers ---------------------------------------------------
+    deduped = gated
+    if params.dedup in ("exact", "minhash"):
+        deduped = drop_exact_duplicates(deduped)
+        manifest["after_exact_dedup"] = deduped.count()
+    if params.dedup == "minhash":
+        drops = _near_dup_drops(
+            deduped.select("doc_id", "text"), params.near_dup_threshold
+        )
+        deduped = deduped.join(drops, "doc_id", "left_anti")
+        manifest["after_near_dedup"] = deduped.count()
+
+    # --- deterministic splits + partitioned write ----------------------
+    split = hash_split(
+        deduped, params.split_weights, salt=params.split_salt
+    )
+    split.write.mode("overwrite").partitionBy("split").parquet(
+        f"{params.out_dir}/corpus"
+    )
+    out = spark.read.parquet(f"{params.out_dir}/corpus")
+    counts = {r["split"]: r["n"]
+              for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    manifest["splits"] = counts
+    manifest["output_docs"] = sum(counts.values())
+
+    import json
+
+    from slow_tortoise_spark.sinks.writers import FileWriter
+
+    FileWriter(params.out_dir).write(
+        json.dumps(manifest, default=str), "manifest.json"
+    )
+    gated.unpersist()
+    return manifest

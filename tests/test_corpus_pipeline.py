@@ -1,0 +1,79 @@
+"""Corpus pipeline e2e: gates, dedup tiers, splits, manifest."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import Row
+
+from slow_tortoise_spark.corpus_pipeline import CorpusParams, run_corpus_pipeline
+from slow_tortoise_spark.sources.reader import read_table
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant exact + near duplicates and junk that the gates must drop
+    extra = spark.createDataFrame([
+        Row(doc_id=9_000_001,
+            text=docs.filter("doc_id = 0").first()["text"]),   # exact dup
+        Row(doc_id=9_000_002, text="tiny"),                    # < min_tokens
+        Row(doc_id=9_000_003, text=("spam spam " * 40).strip()),  # repetitive
+    ])
+    corpus = docs.unionByName(extra)
+    out = str(tmp_path / "corpus_out")
+    manifest = run_corpus_pipeline(
+        spark, corpus,
+        CorpusParams(out_dir=out, min_tokens=5, max_rep_ratio=0.8,
+                     dedup="minhash", near_dup_threshold=0.9),
+    )
+
+    n_in = corpus.count()
+    assert manifest["input_docs"] == n_in
+    # short + repetitive docs gone at the gates
+    assert manifest["after_gates"] <= n_in - 2
+    # the planted exact dup gone at the exact tier
+    assert manifest["after_exact_dedup"] < manifest["after_gates"]
+    assert manifest["after_near_dedup"] <= manifest["after_exact_dedup"]
+    assert manifest["output_docs"] == manifest["after_near_dedup"]
+    assert set(manifest["splits"]) <= {"train", "val", "test"}
+    assert manifest["splits"]["train"] > manifest["splits"].get("val", 0)
+
+    # written corpus is readable, partition-pruned by split, and contains
+    # no surviving exact duplicates
+    outdf = spark.read.parquet(f"{out}/corpus")
+    assert outdf.count() == manifest["output_docs"]
+    from pyspark.sql import functions as F
+
+    dup_groups = (
+        outdf.groupBy(F.md5(F.lower(F.trim("text"))).alias("f"))
+        .count().filter("count > 1").count()
+    )
+    assert dup_groups == 0
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    m2 = json.load(open(os.path.join(out, "manifest.json")))
+    assert m2["output_docs"] == manifest["output_docs"]
+    # split dirs exist for partition pruning
+    assert glob.glob(f"{out}/corpus/split=train")
+
+
+def test_corpus_pipeline_deterministic(spark, sf_dir, tmp_path):
+    """Same input + params → identical manifest and split assignment."""
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    outs = []
+    for i in range(2):
+        out = str(tmp_path / f"det{i}")
+        m = run_corpus_pipeline(
+            spark, docs, CorpusParams(out_dir=out, dedup="exact"))
+        rows = {
+            (r["doc_id"], r["split"])
+            for r in spark.read.parquet(f"{out}/corpus")
+            .select("doc_id", "split").collect()
+        }
+        outs.append((m["output_docs"], m["splits"], rows))
+    assert outs[0] == outs[1]
