@@ -2396,6 +2396,46 @@ def _simhash_near_dups_sql() -> str:
 """
 
 
+def q_window_rank_surface(spark, sf_dir):
+    """Ranking-window surface: ntile/percent_rank/cume_dist/dense_rank
+    over order totals per customer segment."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .filter(F.col("drank") <= 50)
+        .orderBy("o_orderpriority", "drank", "o_orderkey")
+    )
+
+
+_Q_WINDOW_RANK_SURFACE = """
+  SELECT o_orderkey, o_orderpriority, quartile, pct_rank, cume, drank
+  FROM (
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           dense_rank() OVER w AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+  )
+  WHERE drank <= 50
+  ORDER BY o_orderpriority, drank, o_orderkey
+"""
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "minhash_signatures": q_minhash_signatures,
@@ -2408,6 +2448,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_ratio": q_repetition_ratio,
     "contamination": q_contamination,
     "simhash_near_dups": q_simhash_near_dups,
+    "window_rank_surface": q_window_rank_surface,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2422,4 +2463,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "repetition_ratio": _Q_REPETITION_RATIO,
     "contamination": _Q_CONTAMINATION,
     "simhash_near_dups": _simhash_near_dups_sql(),
+    "window_rank_surface": _Q_WINDOW_RANK_SURFACE,
 }
