@@ -105,6 +105,22 @@ def main() -> int:
     idx = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     dest_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/slow_tortoise_local"
     spark = get_spark(app_name="run_flow_local")
+    if idx == 4:
+        # training-data corpus pipeline over the documents table
+        from slow_tortoise_spark.corpus_pipeline import (
+            CorpusParams,
+            run_corpus_pipeline,
+        )
+        from slow_tortoise_spark.sources.reader import read_table
+
+        docs = read_table(spark, f"{TESTDATA}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        manifest = run_corpus_pipeline(
+            spark, docs, CorpusParams(out_dir=f"{dest_root}/corpus-run")
+        )
+        print(manifest)
+        return 0
     data_path = _datacube_from_events(
         spark, TESTDATA, f"{dest_root}/_staged_cube.parquet"
     )
