@@ -33,8 +33,8 @@ from pyspark.sql import functions as F
 from slow_tortoise_spark.operators.dedup import (
     drop_exact_duplicates,
     hash_split,
-    jaccard_pairs_auto,
     minhash_lsh_candidates,
+    verify_candidate_pairs,
 )
 from slow_tortoise_spark.operators.text import (
     language_id,
@@ -66,19 +66,13 @@ class CorpusParams:
 def _near_dup_drops(docs: DataFrame, threshold: float) -> DataFrame:
     """doc_ids to drop: higher id of every verified near-dup pair.
 
-    LSH bands produce candidates; the exact cost-gated Jaccard verifies
-    them.  Verification reuses ``jaccard_pairs_auto`` restricted to
-    candidate docs, so the pair blow-up stays bounded by the candidate
-    neighborhood, never the corpus.
+    LSH bands produce candidate PAIRS; ``verify_candidate_pairs`` scores
+    exactly those pairs (shingle arrays built only for paired docs), so
+    verification cost is linear in the candidate count — it never
+    re-pairs the candidate docs among themselves.
     """
     cand = minhash_lsh_candidates(docs)
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    cand_docs = docs.join(cand_ids, "doc_id")
-    verified = jaccard_pairs_auto(cand_docs, threshold=threshold)
+    verified = verify_candidate_pairs(docs, cand, threshold=threshold)
     return verified.select(F.col("doc_b").alias("doc_id")).distinct()
 
 

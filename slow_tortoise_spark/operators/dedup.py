@@ -197,33 +197,23 @@ def jaccard_pairs_prefix(
     return _jaccard_prefix_from_shingles(doc_shingles(df, text_col, n), threshold)
 
 
-def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
-    docsets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("shset")
-    ).withColumn("n_shingles", F.size("shset"))
-
-    prefix_len = (F.floor(F.lit(1 - threshold) * F.col("n_shingles")) + 1).cast(
-        "int"
-    )
-    prefix = docsets.select(
-        "doc_id", F.explode(F.slice("shset", 1, prefix_len)).alias("shingle")
-    )
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+def _doc_shingle_sets(sh: DataFrame) -> DataFrame:
+    """Per-doc sorted distinct shingle arrays + sizes."""
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
+        .withColumn("n_shingles", F.size("shset"))
     )
 
-    # Exact rescore on candidates only.  No broadcast hint on the
-    # candidate set: it scales with corpus similarity, so AQE decides
-    # (broadcast when small, shuffled hash join when not).
+
+def _rescore_pairs(
+    cand: DataFrame, docsets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for the given (doc_a, doc_b) pairs via a JVM-side
+    ``array_intersect`` on the per-doc shingle arrays — cost linear in
+    the pair count, never all-pairs.  No broadcast hint on the candidate
+    set: it scales with corpus similarity, so AQE decides (broadcast
+    when small, shuffled hash join when not)."""
     da = docsets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shset").alias("_sa"),
@@ -247,6 +237,51 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    docsets = _doc_shingle_sets(sh)
+
+    prefix_len = (F.floor(F.lit(1 - threshold) * F.col("n_shingles")) + 1).cast(
+        "int"
+    )
+    prefix = docsets.select(
+        "doc_id", F.explode(F.slice("shset", 1, prefix_len)).alias("shingle")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _rescore_pairs(cand, docsets, threshold)
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-Jaccard verification of an explicit (doc_a, doc_b) candidate
+    list (e.g. MinHash-LSH output): shingle arrays are built only for
+    docs appearing in a pair, and only the listed pairs are scored —
+    cost is linear in |pairs|, independent of how similar the candidate
+    docs are to EACH OTHER beyond the listed pairs."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = doc_shingles(df.join(ids, "doc_id"), text_col, n)
+    return _rescore_pairs(pairs, _doc_shingle_sets(sh), threshold)
 
 
 #: corpus-plan → priced Σdf² (see jaccard_pairs_auto)
