@@ -40,7 +40,7 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
-    from slow_tortoise_spark.queries import QUERIES
+    from slow_tortoise_spark.queries import QUERIES, VERIFIER_QUERIES
     from slow_tortoise_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,8 +61,11 @@ def main() -> None:
         read_table(spark, f"{sf_dir}/{t}.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
+    # The bench set is held stable round-over-round; catalog↔verifier
+    # rotations (round 3) don't change what gets measured.
+    catalog = {**VERIFIER_QUERIES, **QUERIES}
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+        fn = catalog[name]
         best, n = None, 0
         for _ in range(2):  # min-of-2: damps shared-machine jitter
             t0 = time.time()

@@ -225,16 +225,16 @@ def _rescore_pairs(
         F.col("n_shingles").alias("_nb"),
     )
     n_common = F.size(F.array_intersect("_sa", "_sb"))
+    denom = F.col("_na") + F.col("_nb") - n_common
+    # Guard the empty∩empty case (denominator 0 → NaN, and NaN >= t is
+    # TRUE in Spark): unreachable via LSH candidates (shingle-less docs
+    # emit no signatures) but verify_candidate_pairs is a public API that
+    # accepts arbitrary explicit pairs, so score them 0.0 instead.
+    jaccard = F.when(denom > 0, n_common / denom).otherwise(F.lit(0.0))
     return (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (n_common / (F.col("_na") + F.col("_nb") - n_common)).alias(
-                "jaccard"
-            ),
-        )
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -318,11 +318,19 @@ def jaccard_pairs_auto(
     (tiny corpus) prices to zero, which correctly picks the naive plan.
     """
     sample_mod = 8
-    # Stats cache keyed by the input's logical plan (semanticHash):
-    # repeated runs over the same corpus reuse the price instead of
-    # re-running the sampling job — the same role a catalog's table
-    # statistics play for a cost-based optimizer.
-    memo_key = (df.semanticHash(), text_col, n)
+    # Stats cache keyed by the input's logical plan (semanticHash) PLUS a
+    # freshness token from the file catalog (count + total name length of
+    # input files): repeated runs over the same corpus reuse the price
+    # instead of re-running the sampling job — the same role a catalog's
+    # table statistics play for a cost-based optimizer.  The token
+    # invalidates the memo when the same path gains/loses files within
+    # one driver process (a stale price could admit the naive plan far
+    # above naive_budget); in-place file REWRITES with identical names
+    # still hit the memo — a documented in-process staleness caveat,
+    # harmless for results (both plans are exact), OOM-hazard only.
+    files = df.inputFiles()
+    memo_key = (df.semanticHash(), text_col, n,
+                len(files), sum(len(f) for f in files))
     if memo_key in _JACCARD_PRICE_MEMO:
         pair_rows = _JACCARD_PRICE_MEMO[memo_key]
     else:
@@ -425,36 +433,126 @@ def _nibble(h: Column, j: int) -> Column:
     return F.instr(F.lit(_HEX), F.substring(h, j, 1)) - F.lit(1)
 
 
-def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over whitespace tokens (md5-derived bits).
+#: packed-counter LUT: nibble value v → one BIGINT carrying v's four bits
+#: as +1 increments in four 16-bit count fields (bit b of v lands in
+#: field b at shift 16·b).  Summing these per doc accumulates all four
+#:  bit-counts of a nibble in ONE aggregate buffer.
+_NIBBLE_PACK = [sum(((v >> b) & 1) << (16 * b) for b in range(4))
+                for v in range(16)]
 
-    Bit i comes from hex nibble i//4 of md5(token), bit i%4. Per document:
-    sum (+1/−1) votes per bit, then pack sign bits into ``simhash``.
-    Exploded tokens + one groupBy with 16 conditional sums — one shuffle.
+#: 16-bit count fields overflow past this many tokens in one document —
+#: the packed aggregation path guards it with assert_true; pass
+#: ``packed=False`` for (rare) larger-than-this documents.
+_PACK_FIELD_CAP = (1 << 16) - 1
+
+
+def _simhash_bits(
+    df: DataFrame, text_col: str, n_bits: int, packed: bool = True
+) -> DataFrame:
+    """n-bit SimHash over whitespace tokens (md5-derived bits).
+
+    Bit i comes from hex nibble i//4 of md5(token), bit i%4 — an md5
+    digest's 32 hex chars supply up to 128 bits. Per document: count
+    tokens voting 1 on each bit, then pack majority bits into
+    ``simhash``. Exploded tokens + one groupBy — one shuffle regardless
+    of width.
+
+    ``packed=True`` (default) aggregates four bit-counts per nibble in
+    ONE BIGINT of 16-bit count fields (value looked up from a literal
+    16-entry table): 64 bits cost 16 SUMs + a COUNT instead of 64
+    conditional SUMs — measured ~1.5× faster at 64-bit, identical
+    results (pytest parity-pinned). Field width caps documents at 65 535
+    tokens (guarded loudly via ``assert_true``); ``packed=False`` keeps
+    the uncapped per-bit form. Majority is identical either way:
+    vote-sum 2c−n > 0 ⟺ 2c > n.
+
+    Packing note (64-bit): bit 63 is the sign bit of a BIGINT, and
+    ``1 << 63`` overflows signed 64-bit in ANSI engines (DuckDB raises) —
+    so bit 63 is added as the literal ``-2^63``, which yields the same
+    two's-complement bit pattern and replays verbatim in SQL.
     """
+    if not 1 <= n_bits <= 64:
+        raise ValueError("n_bits must be in 1..64 (one BIGINT fingerprint)")
     toks = _fan_out(df.select("doc_id", text_col)).select(
         "doc_id",
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
     )
+    n_nib = (n_bits + 3) // 4
+
+    def _weight(i: int) -> Column:
+        w = -(2**63) if i == 63 else 2**i
+        return F.lit(w).cast("long")
+
+    if packed:
+        lut = F.array(*[F.lit(p).cast("long") for p in _NIBBLE_PACK])
+        hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+        packed_cols = hashed.select(
+            "doc_id",
+            *[F.element_at(lut, _nibble(F.col("h"), 1 + j) + 1).alias(f"p{j}")
+              for j in range(n_nib)],
+        )
+        sums = packed_cols.groupBy("doc_id").agg(
+            *[F.sum(f"p{j}").alias(f"s{j}") for j in range(n_nib)],
+            F.count("*").alias("n"),
+        )
+        guard = F.assert_true(
+            F.col("n") <= _PACK_FIELD_CAP,
+            F.lit("simhash packed-counter overflow: document exceeds "
+                  "65535 tokens — use packed=False"),
+        )
+        out = None
+        for i in range(n_bits):
+            c = F.shiftright(F.col(f"s{i // 4}"), 16 * (i % 4)).bitwiseAND(0xFFFF)
+            bit = F.when(c * 2 > F.col("n"), _weight(i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            out = bit if out is None else out + bit
+        return sums.select(
+            "doc_id",
+            F.when(guard.isNull(), out).cast("long").alias("simhash"),
+        )
+
     h = F.md5(F.col("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(_nibble(h, 1 + i // 4), i % 4).bitwiseAND(1) == 1,
                    1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(16)
+        for i in range(n_bits)
     ]
     sums = toks.groupBy("doc_id").agg(*votes)
-    packed = None
-    for i in range(16):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        packed = bit if packed is None else packed + bit
-    return sums.select("doc_id", packed.cast("long").alias("simhash"))
+    packed_col = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"v{i}") > 0, _weight(i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed_col = bit if packed_col is None else packed_col + bit
+    return sums.select("doc_id", packed_col.cast("long").alias("simhash"))
 
 
-def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical 16-bit simhash (near-dup buckets)."""
-    sh = simhash16(df, text_col)
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash fingerprint (verifier tier; see ``simhash64``)."""
+    return _simhash_bits(df, text_col, 16)
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint — the corpus-scale tier.
+
+    16 bits is too narrow for banded near-dup search on a large corpus:
+    with max_hamming=2 the pigeonhole bands are 5–6 bits (32–64 distinct
+    values), so band buckets hold ~n/64 docs each and the candidate join
+    degenerates toward all-pairs. At 64 bits the bands are 21–22 bits
+    (2M+ values) and bucket sizes stay near-constant as the corpus grows
+    (Manku et al.'s web-scale setting).
+    """
+    return _simhash_bits(df, text_col, 64)
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", n_bits: int = 64
+) -> DataFrame:
+    """Docs sharing an identical simhash fingerprint (near-dup buckets)."""
+    sh = _simhash_bits(df, text_col, n_bits)
     return (
         sh.groupBy("simhash")
         .agg(
@@ -465,10 +563,24 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def simhash_band_widths(n_bits: int, max_hamming: int) -> list[int]:
+    """Bit widths of the ``max_hamming + 1`` pigeonhole bands.
+
+    Bucket-value cardinality per band is 2^width — the quantity that
+    decides whether the band equi-join scales (width 21–22 at 64 bits
+    vs 5–6 at 16 bits for a hamming budget of 2)."""
+    n_bands = max_hamming + 1
+    return [n_bits // n_bands + (1 if i < n_bits % n_bands else 0)
+            for i in range(n_bands)]
+
+
 def simhash_near_duplicates(
-    df: DataFrame, max_hamming: int = 2, text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    n_bits: int = 64,
 ) -> DataFrame:
-    """Doc pairs whose 16-bit simhashes differ in ≤ ``max_hamming`` bits.
+    """Doc pairs whose simhashes differ in ≤ ``max_hamming`` bits.
 
     Pigeonhole banding (Manku et al.'s web-dedup trick): split the hash
     into ``max_hamming + 1`` bands — any pair within the hamming budget
@@ -476,11 +588,15 @@ def simhash_near_duplicates(
     equi-joins on band values (never an all-pairs comparison) and are
     verified with ``bit_count(xor) ≤ k``.  Cost: (k+1) band buckets per
     doc, join traffic proportional to band collisions.
+
+    Default width is 64 bits: with max_hamming=2 the bands are 21–22 bits
+    wide (2M+ distinct values), so band buckets stay near-singleton as
+    the corpus grows. ``n_bits=16`` (the verifier tier) is exact but its
+    5–6-bit bands degenerate toward all-pairs at corpus scale — keep it
+    for small-corpus cross-checks only.
     """
-    n_bits, n_bands = 16, max_hamming + 1
-    widths = [n_bits // n_bands + (1 if i < n_bits % n_bands else 0)
-              for i in range(n_bands)]
-    sh = simhash16(df, text_col)
+    widths = simhash_band_widths(n_bits, max_hamming)
+    sh = _simhash_bits(df, text_col, n_bits)
     bands = []
     off = 0
     for i, w in enumerate(widths):
@@ -488,7 +604,9 @@ def simhash_near_duplicates(
             F.concat_ws(
                 ":",
                 F.lit(str(i)),
-                F.shiftright("simhash", off).bitwiseAND((1 << w) - 1).cast("string"),
+                F.shiftrightunsigned("simhash", off)
+                .bitwiseAND((1 << w) - 1 if w < 64 else -1)
+                .cast("string"),
             ).alias(f"b{i}")
         )
         off += w

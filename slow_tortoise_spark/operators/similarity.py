@@ -61,22 +61,49 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+#: above this centroid count, cell assignment switches from plan-literal
+#: arrays to a broadcast centroid-table join (literal plans grow with
+#: C×dim and blow up compilation/serialization in the tens of thousands
+#: of cells a 100 TB corpus wants).
+LITERAL_CENTROID_LIMIT = 256
+
+
 def _assign_cells(
-    df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Add a ``cell`` column: index of the max-cosine centroid.
 
-    The centroid matrix (and each centroid's norm — a Python-side
-    constant) is one literal array of structs; a single ``transform``
-    computes all C cosines sharing ONE vector-norm subexpression, and
-    ``array_position(·, array_max(·))`` picks the argmax with first-wins
-    (= lowest cell id) tie-breaking — the same order a SQL
-    ``row_number() OVER (ORDER BY cos DESC, cell)`` oracle produces.
-    Compared to a C-deep nested CASE chain this keeps the generated code
-    linear in C instead of quadratic, which is what makes assignment
-    scan-speed when C grows.
+    Two physical strategies, identical results (pytest parity-pinned):
+
+    * ``literal`` (small C): the centroid matrix (and each centroid's
+      norm — a Python-side constant) is one literal array of structs; a
+      single ``transform`` computes all C cosines sharing ONE
+      vector-norm subexpression, and ``array_position(·, array_max(·))``
+      picks the argmax with first-wins (= lowest cell id) tie-breaking —
+      the same order a SQL ``row_number() OVER (ORDER BY cos DESC,
+      cell)`` oracle produces.  Zero shuffle, but the plan grows with
+      C×dim.
+    * ``join`` (large C): centroids become a broadcast DataFrame; the
+      vector side joins it (broadcast nested-loop — C rows per vector),
+      ``max_by(cell, struct(cos, -cell))`` picks the argmax per vector
+      (partial map-side agg, so the shuffle carries one row per vector),
+      and the assignment joins back onto the input by id.  Plans stay
+      O(1) size no matter how large C grows; centroid bytes ship once
+      per executor via the broadcast.
+
+    ``auto`` picks by ``LITERAL_CENTROID_LIMIT``.
     """
     import math
+
+    if strategy == "auto":
+        strategy = (
+            "join" if len(centroids) > LITERAL_CENTROID_LIMIT else "literal"
+        )
+    if strategy == "join":
+        return _assign_cells_join(df, centroids, vec_col)
 
     v = F.col(vec_col).cast("array<double>")
     vnorm = norm_col(v)
@@ -93,6 +120,49 @@ def _assign_cells(
     # 0..C-1 in practice, but stay faithful to the contract)
     ids = F.array(*[F.lit(cid) for cid, _ in centroids])
     return df.withColumn("cell", F.element_at(ids, cell + 1))
+
+
+def _assign_cells_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Broadcast-join cell assignment (the large-C strategy).
+
+    Ties break to the lowest cell id — ``max_by`` maximizes the struct
+    (cosine, −cell), matching the literal strategy's first-wins argmax
+    exactly.  The per-vector argmax groups on a synthetic dense row id
+    (``monotonically_increasing_id`` — unique per row, no requirement of
+    a caller id column), and the winning assignment joins back to the
+    input row.  Norms: argmax over cos = argmax over dot/‖c‖ because the
+    vector's own norm is a positive constant within its group — dividing
+    by it is skipped, which also sidesteps 0/0 for zero vectors.
+    """
+    import math
+
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cvec],
+          math.sqrt(sum(x * x for x in cvec)) or 1.0)
+         for cid, cvec in centroids],
+        "cell int, _c array<double>, _cn double",
+    )
+    tagged = df.withColumn("_row", F.monotonically_increasing_id())
+    v = F.col(vec_col).cast("array<double>")
+    scored = tagged.select("_row", v.alias("_v")).join(
+        F.broadcast(cdf),
+        on=F.lit(True),
+    ).select(
+        "_row",
+        "cell",
+        (dot_col(F.col("_v"), F.col("_c")) / F.col("_cn")).alias("_score"),
+    )
+    assign = scored.groupBy("_row").agg(
+        F.max_by("cell", F.struct(F.col("_score"), (-F.col("cell")).alias("_t")))
+        .alias("cell")
+    )
+    return tagged.join(assign, "_row").drop("_row")
 
 
 def build_ivf_index(

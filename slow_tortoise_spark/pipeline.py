@@ -313,8 +313,14 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 feats = _active_features(q)
                 if not feats:
                     continue
+                # Null-qualifier rows are excluded from the breakout —
+                # the reference's pandas groupby(dropna=True) semantics.
+                # Post-validate this is a no-op (P4 fills nulls with the
+                # string "None"), but the rollup's grouping_id would
+                # otherwise keep real-NULL groups for unvalidated input.
                 rolled_q = regional_aggregation_all_levels(
-                    t.filter(F.col("feature").isin(feats)),
+                    t.filter(F.col("feature").isin(feats)
+                             & F.col(q).isNotNull()),
                     weight_column=weight,
                     qualifier=q,
                 )
@@ -377,7 +383,8 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
                 # single shuffle (the reference loops levels × qualifiers
                 # as separate aggregations)
                 rq = regional_aggregation_all_levels(
-                    t.filter(F.col("feature").isin(ts_feats)),
+                    t.filter(F.col("feature").isin(ts_feats)
+                             & F.col(q).isNotNull()),  # dropna parity, see above
                     weight_column=weight,
                     qualifier=q,
                     max_level=ts_max_level,

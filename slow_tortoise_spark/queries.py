@@ -1097,20 +1097,30 @@ _Q_JACCARD_PAIRS = f"""
 
 
 def q_simhash(spark, sf_dir):
-    """16-bit SimHash fingerprints (md5 nibble bits, portable)."""
+    """64-bit SimHash fingerprints (md5 nibble bits, portable) — the
+    corpus-scale width whose hamming bands stay selective (operators/
+    dedup.py simhash64 docstring; 16-bit is the verifier tier)."""
+    from slow_tortoise_spark.operators.dedup import simhash64
+
     docs = _t(spark, sf_dir, "documents")
-    return simhash16(docs).orderBy("doc_id")
+    return simhash64(docs).orderBy("doc_id")
 
 
-def _simhash_sql():
+def _simhash_sql(n_bits: int = 64):
+    """DuckDB replay of the n-bit SimHash. Bit 63 is the BIGINT sign
+    bit: ``1 << 63`` overflows ANSI engines, so it is added as the
+    literal −2^63 (same two's-complement pattern — mirrored in the
+    Spark packing, operators/dedup.py:_simhash_bits)."""
     votes = []
-    for i in range(16):
+    for i in range(n_bits):
         nib = f"(strpos('0123456789abcdef', substr(h, {1 + i // 4}, 1)) - 1)"
         votes.append(
             f"SUM(CASE WHEN ({nib} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
         )
     packed = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(16)
+        f"(CASE WHEN v{i} > 0 THEN CAST({-(2**63) if i == 63 else 2**i} AS BIGINT)"
+        f" ELSE 0 END)"
+        for i in range(n_bits)
     )
     return f"""
       WITH t AS (
@@ -1334,10 +1344,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "set_ops": q_set_ops,
     "window_topn": q_window_topn,
-    "window_running": q_window_running,
     "harmonized_union": q_harmonized_union,
     "temporal_agg_month": q_temporal_agg_month,
-    "temporal_agg_year": q_temporal_agg_year,
     "global_timeseries": q_global_timeseries,
     "weighted_agg": q_weighted_agg,
     "output_summary": q_output_summary,
@@ -1353,7 +1361,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_binning": q_tile_binning,
     "tile_rollup": q_tile_rollup,
     "grid_stats": q_grid_stats,
-    "doc_fingerprints": q_doc_fingerprints,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1372,10 +1379,8 @@ ORACLE_SQL: dict[str, str] = {
     "anti_join": _Q_ANTI_JOIN,
     "set_ops": _Q_SET_OPS,
     "window_topn": _Q_WINDOW_TOPN,
-    "window_running": _Q_WINDOW_RUNNING,
     "harmonized_union": _Q_HARMONIZED_UNION,
     "temporal_agg_month": _Q_TEMPORAL_AGG_MONTH,
-    "temporal_agg_year": _Q_TEMPORAL_AGG_YEAR,
     "global_timeseries": _Q_GLOBAL_TIMESERIES,
     "weighted_agg": _Q_WEIGHTED_AGG,
     "output_summary": _Q_OUTPUT_SUMMARY,
@@ -1391,7 +1396,6 @@ ORACLE_SQL: dict[str, str] = {
     "tile_binning": _Q_TILE_BINNING,
     "tile_rollup": _Q_TILE_ROLLUP,
     "grid_stats": _Q_GRID_STATS,
-    "doc_fingerprints": _Q_DOC_FINGERPRINTS,
     "token_stats": _Q_TOKEN_STATS,
     "lang_id": _lang_id_sql(),
     "minhash_lsh_pairs": _Q_MINHASH_LSH_PAIRS,
@@ -2077,14 +2081,12 @@ _Q_STRING_FUNCS = """
 QUERIES.update(
     {
         "json_extract": q_json_extract,
-        "date_parts": q_date_parts,
         "string_funcs": q_string_funcs,
     }
 )
 ORACLE_SQL.update(
     {
         "json_extract": _Q_JSON_EXTRACT,
-        "date_parts": _Q_DATE_PARTS,
         "string_funcs": _Q_STRING_FUNCS,
     }
 )
@@ -2120,18 +2122,22 @@ _Q_DEDUP_DROP = """
   ORDER BY doc_id
 """
 
-QUERIES["dedup_drop"] = q_dedup_drop
-ORACLE_SQL["dedup_drop"] = _Q_DEDUP_DROP
 
 
 # ---------------------------------------------------------------------------
 # Verifier tier — oracle-checked locally (tests/oracle_harness.py) but NOT
 # part of the driver catalog: the driver checks at most 50 queries per
 # round, so the catalog above is held at exactly 50 entries.  These are
-# either subsumed by a catalog entry (temporal_agg_all ⊂ month/year;
-# minhash_signatures ⊂ minhash_lsh_pairs; hyperplane_lsh_buckets ⊂ the
-# banded embedding_near_dups) or the deliberately-naive baseline tiers the
-# scale-path catalog entries are verified against in pytest.
+# either subsumed by a catalog entry (temporal_agg_all/_year ⊂ the month
+# pattern; minhash_signatures ⊂ minhash_lsh_pairs; hyperplane_lsh_buckets
+# ⊂ the banded embedding_near_dups; dedup_drop/doc_fingerprints ⊂
+# dedup_exact_docs; window_running ⊂ rolling_window; date_parts ⊂ the
+# temporal family; simhash16 ⊂ the 64-bit simhash) or the deliberately-
+# naive baseline tiers the scale-path catalog entries are verified against
+# in pytest.  Round 3 rotated quality_score, hash_split, contamination,
+# simhash_near_dups (64-bit) and window_lag_lead INTO the catalog
+# (displacing the subsumed entries above) so every first-class operator
+# earns a driver-checked CORRECTNESS row.
 # ---------------------------------------------------------------------------
 
 
@@ -2316,13 +2322,24 @@ def q_repetition_ratio(spark, sf_dir):
     )
 
 
+# LEFT JOIN back to all doc_ids: the operator emits n_shingles=0 /
+# rep_ratio=0.0 for docs shorter than n tokens, and the shingle CTE
+# drops them (len(t) >= 3 filter) — without the join the row sets would
+# diverge the moment the fixture gains a sub-3-token doc (ADVICE r2).
 _Q_REPETITION_RATIO = f"""
-  WITH {_SHINGLES_ALL_SQL}
-  SELECT doc_id,
-         COUNT(*) AS n_shingles,
-         round((COUNT(*) - COUNT(DISTINCT shingle))::DOUBLE
-               / greatest(COUNT(*), 1), 6) AS rep_ratio
-  FROM shingles_all GROUP BY doc_id ORDER BY doc_id
+  WITH {_SHINGLES_ALL_SQL},
+  agg AS (
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           round((COUNT(*) - COUNT(DISTINCT shingle))::DOUBLE
+                 / greatest(COUNT(*), 1), 6) AS rep_ratio
+    FROM shingles_all GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         COALESCE(a.n_shingles, 0) AS n_shingles,
+         COALESCE(a.rep_ratio, 0.0) AS rep_ratio
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+  ORDER BY d.doc_id
 """
 
 
@@ -2372,22 +2389,32 @@ _Q_CONTAMINATION = """
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash hamming-≤2 near-dup pairs via pigeonhole banding (the
-    banded plan is exact — verified against brute force in pytest); the
-    oracle computes the same pairs with a direct quadratic join, which is
-    fine at oracle scale."""
+    """64-bit SimHash hamming-≤2 near-dup pairs via pigeonhole banding
+    over a corpus with CONSTRUCTED duplicates (each doc unioned with an
+    identical-text copy: 64-bit fingerprints rarely collide organically
+    at this corpus size, and a guaranteed-nonempty result keeps the
+    correctness row meaningful). The banded plan is exact (pytest
+    verifies against brute force); the oracle computes the same pairs
+    with a direct quadratic join, fine at oracle scale."""
     from slow_tortoise_spark.operators.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_near_duplicates(docs, max_hamming=2).orderBy(
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.unionByName(copies)
+    return simhash_near_duplicates(corpus, max_hamming=2, n_bits=64).orderBy(
         "doc_a", "doc_b"
     )
 
 
 def _simhash_near_dups_sql() -> str:
-    inner = _simhash_sql()
+    inner = _simhash_sql(64).replace("FROM documents", "FROM corpus")
     return f"""
-  WITH sim AS ({inner})
+  WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  ),
+  sim AS ({inner})
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
   FROM sim a JOIN sim b ON a.doc_id < b.doc_id
@@ -2436,32 +2463,63 @@ _Q_WINDOW_RANK_SURFACE = """
 """
 
 
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash fingerprints — the demoted verifier width (its
+    5–6-bit hamming bands degenerate toward all-pairs at corpus scale;
+    the catalog `simhash` is the 64-bit tier)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash16(docs).orderBy("doc_id")
+
+
+# Round-3 rotation: first-class training-data operators move into the
+# 50-entry driver catalog (each now earns a CORRECTNESS row).
+QUERIES.update(
+    {
+        "quality_score": q_quality_score,
+        "window_lag_lead": q_window_lag_lead,
+        "hash_split": q_hash_split,
+        "contamination": q_contamination,
+        "simhash_near_dups": q_simhash_near_dups,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "quality_score": _quality_score_sql(),
+        "window_lag_lead": _Q_WINDOW_LAG_LEAD,
+        "hash_split": _Q_HASH_SPLIT,
+        "contamination": _Q_CONTAMINATION,
+        "simhash_near_dups": _simhash_near_dups_sql(),
+    }
+)
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
+    "temporal_agg_year": q_temporal_agg_year,
     "minhash_signatures": q_minhash_signatures,
     "hyperplane_lsh_buckets": q_hyperplane_lsh_buckets,
     "jaccard_pairs_naive": q_jaccard_pairs_naive,
-    "quality_score": q_quality_score,
-    "window_lag_lead": q_window_lag_lead,
     "unpivot_melt": q_unpivot_melt,
-    "hash_split": q_hash_split,
     "repetition_ratio": q_repetition_ratio,
-    "contamination": q_contamination,
-    "simhash_near_dups": q_simhash_near_dups,
     "window_rank_surface": q_window_rank_surface,
+    "window_running": q_window_running,
+    "date_parts": q_date_parts,
+    "dedup_drop": q_dedup_drop,
+    "doc_fingerprints": q_doc_fingerprints,
+    "simhash16": q_simhash16,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
     "temporal_agg_all": _Q_TEMPORAL_AGG_ALL,
+    "temporal_agg_year": _Q_TEMPORAL_AGG_YEAR,
     "minhash_signatures": _Q_MINHASH_SIGNATURES,
     "hyperplane_lsh_buckets": _hyperplane_sql(),
     "jaccard_pairs_naive": _Q_JACCARD_PAIRS,
-    "quality_score": _quality_score_sql(),
-    "window_lag_lead": _Q_WINDOW_LAG_LEAD,
     "unpivot_melt": _Q_UNPIVOT_MELT,
-    "hash_split": _Q_HASH_SPLIT,
     "repetition_ratio": _Q_REPETITION_RATIO,
-    "contamination": _Q_CONTAMINATION,
-    "simhash_near_dups": _simhash_near_dups_sql(),
     "window_rank_surface": _Q_WINDOW_RANK_SURFACE,
+    "window_running": _Q_WINDOW_RUNNING,
+    "date_parts": _Q_DATE_PARTS,
+    "dedup_drop": _Q_DEDUP_DROP,
+    "doc_fingerprints": _Q_DOC_FINGERPRINTS,
+    "simhash16": _simhash_sql(16),
 }

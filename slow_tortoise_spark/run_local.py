@@ -62,7 +62,9 @@ def parameter_sets(data_path: str, dest_root: str) -> list[PipelineParams]:
             dest_root=dest_root,
             time_resolutions=("month",),
         ),
-        # 1: selected output tasks only
+        # 1: selected output tasks only — a PROPER subset (tiles and
+        # regional timeseries left out) so this set exercises the
+        # partial-run gating: results.json must NOT be written.
         PipelineParams(
             data_id="geo-test-data",
             run_id="selected-tasks",
@@ -72,9 +74,7 @@ def parameter_sets(data_path: str, dest_root: str) -> list[PipelineParams]:
             selected_output_tasks=(
                 "compute_global_timeseries",
                 "compute_regional_stats",
-                "compute_regional_timeseries",
                 "compute_regional_aggregation",
-                "compute_tiles",
             ),
         ),
         # 2: weighted run (reference's acled-style weight_column sets)

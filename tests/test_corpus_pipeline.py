@@ -60,6 +60,36 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert glob.glob(f"{out}/corpus/split=train")
 
 
+def test_corpus_pipeline_caches_exact_dedup(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The exact-dedup window must execute ONCE: its three consumers
+    (manifest count, MinHash candidates, anti-join) all read the cached
+    frame — downstream plans scan an InMemoryRelation, not a re-derived
+    window over the corpus (VERDICT r2 #2)."""
+    import slow_tortoise_spark.corpus_pipeline as cp
+
+    plans = []
+    orig = cp._near_dup_drops
+
+    def spy(docs, threshold):
+        plans.append(docs._jdf.queryExecution().optimizedPlan().toString())
+        return orig(docs, threshold)
+
+    monkeypatch.setattr(cp, "_near_dup_drops", spy)
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    manifest = run_corpus_pipeline(
+        spark, docs, CorpusParams(out_dir=str(tmp_path / "cache_out")))
+    assert manifest["output_docs"] > 0
+    assert len(plans) == 1
+    # the candidate generator reads the cache, not a fresh window pass
+    # (the dedup window still APPEARS in the plan string — inside the
+    # InMemoryRelation's cached-plan description — but execution reads
+    # the cached data)
+    assert "InMemoryRelation" in plans[0]
+
+
 def test_corpus_pipeline_deterministic(spark, sf_dir, tmp_path):
     """Same input + params → identical manifest and split assignment."""
     docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
