@@ -52,12 +52,21 @@ class S3Writer:
 
     The boto3 client is created lazily per process (executors each build
     their own after unpickling) and cached — the reference does the same
-    per Dask worker.
+    per Dask worker.  ``client_kwargs`` pass through to
+    ``boto3.client('s3', ...)`` (credentials, region) so executors need
+    no ambient AWS config — the whole writer state must survive pickling
+    into Python workers.
     """
 
-    def __init__(self, bucket: str, endpoint_url: str | None = None):
+    def __init__(
+        self,
+        bucket: str,
+        endpoint_url: str | None = None,
+        client_kwargs: dict | None = None,
+    ):
         self.bucket = bucket
         self.endpoint_url = endpoint_url
+        self.client_kwargs = client_kwargs or {}
         self._client = None
 
     def __getstate__(self):
@@ -70,7 +79,9 @@ class S3Writer:
         if self._client is None:
             import boto3  # optional dependency, only needed for S3 runs
 
-            self._client = boto3.client("s3", endpoint_url=self.endpoint_url)
+            self._client = boto3.client(
+                "s3", endpoint_url=self.endpoint_url, **self.client_kwargs
+            )
         return self._client
 
     def write(self, body: bytes | str, rel_path: str) -> None:

@@ -21,3 +21,37 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def cube_path(tmp_path_factory):
+    """Small synthetic datacube parquet shared by the pipeline e2e tests
+    (regions, coords, one qualifier, two features)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def _ms(y, m, d):
+        return int(
+            dt.datetime(y, m, d, tzinfo=dt.timezone.utc).timestamp() * 1000
+        )
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "timestamp": _ms(2020, 1 + i % 4, 1 + i % 25),
+                "country": "Ethiopia" if i % 2 else "Kenya",
+                "admin1": f"adm{i % 3}",
+                "admin2": None,
+                "admin3": None,
+                "lat": 10.0 + (i % 7) * 0.01,
+                "lng": 40.0 + (i % 5) * 0.01,
+                "feature": "rainfall" if i % 3 else "temp",
+                "value": float(i + 1),
+                "qual1": "qa" if i % 2 else "qb",
+            }
+        )
+    path = str(tmp_path_factory.mktemp("cube") / "cube.parquet")
+    pd.DataFrame(rows).to_parquet(path)
+    return path

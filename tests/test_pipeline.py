@@ -19,29 +19,7 @@ def _ms(y, m, d):
     return int(dt.datetime(y, m, d, tzinfo=dt.timezone.utc).timestamp() * 1000)
 
 
-@pytest.fixture(scope="module")
-def cube_path(tmp_path_factory):
-    import pandas as pd
-
-    rows = []
-    for i in range(40):
-        rows.append(
-            {
-                "timestamp": _ms(2020, 1 + i % 4, 1 + i % 25),
-                "country": "Ethiopia" if i % 2 else "Kenya",
-                "admin1": f"adm{i % 3}",
-                "admin2": None,
-                "admin3": None,
-                "lat": 10.0 + (i % 7) * 0.01,
-                "lng": 40.0 + (i % 5) * 0.01,
-                "feature": "rainfall" if i % 3 else "temp",
-                "value": float(i + 1),
-                "qual1": "qa" if i % 2 else "qb",
-            }
-        )
-    path = str(tmp_path_factory.mktemp("cube") / "cube.parquet")
-    pd.DataFrame(rows).to_parquet(path)
-    return path
+# cube_path fixture: shared from conftest.py (session scope).
 
 
 def test_run_pipeline_artifacts(spark, cube_path, tmp_path):
