@@ -87,14 +87,25 @@ class PipelineParams:
     # "bundles": one bundle object + JSON index per partition — the scale
     # path for object stores (the reference's per-tile layout was
     # upload-bound at ~400k objects/precision-15).
-    tile_sink: str = "files"
+    # "auto" (default): bundles when the tile-count estimate exceeds
+    # sink_bundle_threshold, reference layout otherwise — small runs keep
+    # byte-for-byte reference parity, large runs never hit the
+    # object-store upload wall.
+    tile_sink: str = "auto"
     # reference save_tile(debug=True): human-readable .txt tiles.
     tile_debug: bool = False
     # "files": one CSV object per group (reference layout). "bundles":
     # pack the per-REGION timeseries family (the many-small-files hot
     # spot: one CSV per (feature, level, region)) into one bundle +
     # JSON index per partition — O(partitions) store objects.
-    csv_sink: str = "files"
+    # "auto" (default): decided per run from an approx distinct-group
+    # count against sink_bundle_threshold, like tile_sink.
+    csv_sink: str = "auto"
+    # group/tile count above which "auto" sinks switch to bundles. The
+    # default keeps every reference-scale fixture on the per-file layout
+    # while a production-scale run (the reference's ~400k-object tiling
+    # anecdote) bundles.
+    sink_bundle_threshold: int = 10_000
     # When set, the reused intermediates (validated cube, per-resolution
     # temporal aggregates, regional rollup) are CHECKPOINTED to this
     # directory instead of cache()d: lineage truncates and the working
@@ -341,7 +352,19 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
             # region), rows over timestamps; qualifier breakdowns only for
             # levels ≤ regional_timeseries_max_level and qualifiers whose
             # cardinality fits regional_timeseries_count.
-            if params.csv_sink == "bundles":
+            csv_mode = params.csv_sink
+            if csv_mode == "auto":
+                # one cheap pass over the CACHED rollup: HLL distinct of
+                # the group key ≈ number of per-region CSV objects the
+                # files layout would create
+                n_groups = regional.agg(
+                    F.approx_count_distinct(
+                        F.concat_ws("|", "feature", "level", "region_id")
+                    ).alias("n")
+                ).first()["n"]
+                csv_mode = ("bundles" if n_groups > params.sink_bundle_threshold
+                            else "files")
+            if csv_mode == "bundles":
                 from slow_tortoise_spark.sinks.writers import (
                     write_grouped_csv_bundles,
                 )
@@ -469,10 +492,19 @@ def run_pipeline(spark: SparkSession, params: PipelineParams) -> dict[str, Any]:
         if (task_on("compute_tiles") and params.compute_tiles
                 and "lat" in df.columns and "lng" in df.columns):
             sub = persist(subtile_aggregation(t))
-            if sub.limit(1).count() > 0:
+            n_subtiles = sub.count()
+            tile_mode = params.tile_sink
+            if tile_mode == "auto":
+                # max-precision subtile rows upper-bound the finest
+                # level's tile count — the dominant share of the tile
+                # tree (each coarser zoom has ~1/4 as many)
+                tile_mode = ("bundles"
+                             if n_subtiles > params.sink_bundle_threshold
+                             else "files")
+            if n_subtiles > 0:
                 tiles = tiles_all_levels(sub)
                 ext = ".txt" if params.tile_debug else ".tile"
-                if params.tile_sink == "bundles":
+                if tile_mode == "bundles":
                     from slow_tortoise_spark.sinks.writers import (
                         write_tile_bundles,
                     )

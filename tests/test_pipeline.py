@@ -255,6 +255,32 @@ def test_pipeline_bundled_and_debug_tile_sinks(spark, cube_path, tmp_path):
     assert body.startswith("{'coord':") and "total_bins" in body
 
 
+def test_auto_sink_selection(spark, cube_path, tmp_path):
+    """tile_sink/csv_sink='auto' (the default) picks the per-file
+    reference layout under the threshold — every other test in this file
+    relies on that — and flips BOTH families to bundles when the
+    group-count estimate exceeds it, without touching the parameters."""
+    out = str(tmp_path / "auto_small")
+    params = PipelineParams(
+        data_id="da", run_id="ra", data_paths=[cube_path], dest_root=out,
+        time_resolutions=("month",), sink_bundle_threshold=0,
+    )
+    results = run_pipeline(spark, params)
+    root = os.path.join(out, "da/ra")
+    # tiles bundled
+    assert glob.glob(f"{root}/tiles/month/bundle-*.bundle")
+    assert not glob.glob(f"{root}/tiles/month/*/*.tile")
+    idx = glob.glob(f"{root}/tiles/month/bundle-*.idx.json")
+    assert sum(len(json.load(open(i))) for i in idx) == results["tiles_month"]
+    # regional timeseries bundled
+    assert glob.glob(f"{root}/regional-timeseries/month/bundle-*.bundle")
+    assert not glob.glob(
+        f"{root}/regional-timeseries/month/*/level-0/*.csv"
+    )
+    # default threshold on the same cube keeps reference layout
+    # (test_run_pipeline_artifacts pins that), so nothing more to assert.
+
+
 def test_per_feature_qualifier_gating(spark, tmp_path):
     """The R4 gate is per-feature: the same qualifier stays broken out
     for a low-cardinality feature while suppressed for one whose

@@ -313,6 +313,114 @@ def test_checkpoint_recovery_preserves_dedup_state(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_kill_mid_batch_recovery_exactly_once(spark, tmp_path):
+    """Hard failure MID-batch — after some artifact writes of that batch
+    already hit the store — then restart from the same checkpoint: the
+    failed batch replays under the SAME batch id, the partial artifacts
+    are overwritten, and the final artifact set is exactly-once (every
+    input row exactly one artifact, no orphans, no duplicates).
+
+    This is the crash-recovery contract of the foreachBatch bridge: the
+    source offsets for a batch are committed to the checkpoint WAL before
+    processing, so a replay sees identical data, and deterministic
+    artifact paths make the rewrite idempotent."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from slow_tortoise_spark.sinks.writers import FileWriter
+
+    src = str(tmp_path / "src")
+    art = str(tmp_path / "artifacts")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    poison = str(tmp_path / "poison.marker")
+    batch_log = str(tmp_path / "batches.jsonl")
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows):
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(src, name), coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    write("a.parquet", [
+        {"event_id": 1, "event_time": t0, "user_id": 1, "feature": "f",
+         "value": 1.0},
+        {"event_id": 2, "event_time": t0, "user_id": 2, "feature": "f",
+         "value": 2.0},
+    ])
+    write("b.parquet", [
+        {"event_id": 3, "event_time": t0, "user_id": 3, "feature": "f",
+         "value": 3.0},
+        {"event_id": 4, "event_time": t0, "user_id": 4, "feature": "f",
+         "value": 4.0},
+    ])
+    open(poison, "w").write("arm")
+
+    writer = FileWriter(art)
+
+    def batch_fn(df, batch_id):
+        # driver-side foreachBatch: one artifact per input row,
+        # deterministic path — the idempotence the replay relies on
+        rows = sorted(df.collect(), key=lambda r: r["event_id"])
+        with open(batch_log, "a") as f:
+            f.write(json.dumps({"batch": batch_id,
+                                "ids": [r["event_id"] for r in rows]}) + "\n")
+        for i, r in enumerate(rows):
+            writer.write(f"{r['event_id']},{r['value']},batch={batch_id}\n",
+                         f"events/{r['event_id']}.csv")
+            if os.path.exists(poison) and batch_id > 0 and i == 0:
+                os.remove(poison)  # fail once, succeed on replay
+                raise RuntimeError("simulated mid-batch crash")
+
+    def run():
+        sdf = stream_datacube(spark, src, schema=EVENTS_STREAM_SCHEMA,
+                              max_files_per_trigger=1)
+        q = (
+            sdf.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="mid-batch crash"):
+        run()
+
+    # the crash left a PARTIAL batch on disk: the poisoned batch wrote
+    # its first artifact before dying
+    n_after_crash = len(os.listdir(os.path.join(art, "events")))
+    assert 2 < n_after_crash < 6
+
+    run()  # restart from the same checkpoint
+
+    # exactly-once: every input row has exactly one artifact
+    files = sorted(os.listdir(os.path.join(art, "events")))
+    assert files == ["1.csv", "2.csv", "3.csv", "4.csv"]
+    log = [json.loads(line) for line in open(batch_log)]
+    attempts = {}
+    for e in log:
+        attempts.setdefault(e["batch"], []).append(e["ids"])
+    # the failed batch replayed under the SAME id with IDENTICAL rows
+    replayed = [b for b, runs in attempts.items() if len(runs) > 1]
+    assert replayed, f"no batch replayed: {attempts}"
+    for b in replayed:
+        assert len(set(map(tuple, attempts[b]))) == 1
+    # and each artifact's content records the batch that owns it —
+    # replay overwrote the partial write with the same bytes
+    for f in files:
+        body = open(os.path.join(art, "events", f)).read()
+        eid = int(f.split(".")[0])
+        owner = next(b for b, runs in sorted(attempts.items())
+                     if eid in runs[0])
+        assert body.endswith(f"batch={owner}\n")
+
+
 def test_write_stream_artifacts_bridge(spark, stream_dir, tmp_path):
     """foreachBatch bridge: a streaming run emits the same artifact family
     (per-feature CSVs via write_grouped_csv) as a batch run."""
