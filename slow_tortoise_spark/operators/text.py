@@ -138,6 +138,68 @@ def fingerprint(
     return df.withColumn(out_col, F.md5(normalized))
 
 
+#: PII patterns chosen for regex-dialect portability (Java regex on the
+#: Spark side, RE2 in DuckDB oracles — no lookbehind, no possessive
+#: quantifiers).  Order matters: emails before the generic digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII patterns (emails, dashed/dotted phone numbers,
+    IPv4 addresses) from a text column — the standard pre-training
+    privacy pass.
+
+    Adds ``redacted`` (text with each match replaced by a typed
+    placeholder) and one ``n_<kind>`` count per pattern.  Pure per-row
+    regexp column expressions: scan throughput, zero shuffle, and the
+    counts come from ``regexp_count`` BEFORE replacement so overlapping
+    kinds (an IPv4 inside an email never occurs, but phone-like digit
+    runs inside emails can) are counted on the original text.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(text_col, F.lit(pat)))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("redacted", redacted)
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", round_to: int | None = None
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style fluency/quality signal (docs of rare or
+    garbled vocabulary score low; boilerplate scores high).
+
+    Shape for 100 TB: ONE aggregation builds the (token → count) vocab
+    plus the total token count (a grouped count and a windowless scalar
+    — both map-side-combined), the token stream equi-joins the vocab
+    (AQE broadcasts it while it fits — unigram vocabularies grow
+    sublinearly in the corpus), and a final per-doc aggregate averages
+    ``ln(count/total)``.  Smoothing is unnecessary by construction:
+    every token of every doc is part of the vocab it is scored against.
+
+    ``round_to`` rounds the mean (engine-portable float parity for
+    oracles); None keeps full precision.
+    """
+    toks = df.select("doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.count()
+    scored = toks.join(vocab, "tok").select(
+        "doc_id", (F.log(F.col("cnt") / F.lit(float(total)))).alias("lp")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.avg("lp").alias("mean_logprob"), F.count("*").alias("n_tokens")
+    )
+    if round_to is not None:
+        agg = agg.withColumn("mean_logprob", F.round("mean_logprob", round_to))
+    return agg
+
+
 def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Intra-document repetition: fraction of n-gram shingles that are
     repeats of an earlier shingle in the same doc (the Gopher/Rae-style

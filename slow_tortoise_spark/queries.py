@@ -2463,6 +2463,88 @@ _Q_WINDOW_RANK_SURFACE = """
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over documents SALTED with constructed PII (the
+    synthetic corpus contains none, so the fixture plants an email /
+    phone / IPv4 on interleaved doc_id strides; counts and the redacted
+    text — compared via md5 — replay exactly in SQL)."""
+    from slow_tortoise_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" mail bob@example.com now")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" call 555-867-5309 today")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" host 10.0.0.1 down")).otherwise(F.lit("")),
+        ),
+    )
+    out = redact_pii(salted)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _pii_redact_sql() -> str:
+    from slow_tortoise_spark.operators.text import PII_PATTERNS
+
+    pats = {k: (p, t) for k, p, t in PII_PATTERNS}
+    em, ph, ip = pats["email"], pats["phone"], pats["ipv4"]
+    return f"""
+  WITH salted AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' mail bob@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309 today'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.0.1 down'
+                   ELSE '' END AS text
+    FROM documents
+  )
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{em[0]}')) AS n_email,
+         len(regexp_extract_all(text, '{ph[0]}')) AS n_phone,
+         len(regexp_extract_all(text, '{ip[0]}')) AS n_ipv4,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{em[0]}', '{em[1]}', 'g'),
+               '{ph[0]}', '{ph[1]}', 'g'),
+               '{ip[0]}', '{ip[1]}', 'g')) AS redacted_md5
+  FROM salted ORDER BY doc_id
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style mean unigram log-probability per document under the
+    corpus's own unigram LM (fluency/quality gate)."""
+    from slow_tortoise_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs, round_to=6).orderBy("doc_id")
+
+
+_Q_UNIGRAM_LOGPROB = """
+  WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ),
+  vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+  tot AS (SELECT COUNT(*)::DOUBLE AS n FROM toks)
+  SELECT doc_id,
+         round(avg(ln(cnt / tot.n)), 6) AS mean_logprob,
+         COUNT(*) AS n_tokens
+  FROM toks JOIN vocab USING (tok), tot
+  GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_simhash16(spark, sf_dir):
     """16-bit SimHash fingerprints — the demoted verifier width (its
     5–6-bit hamming bands degenerate toward all-pairs at corpus scale;
@@ -2506,6 +2588,8 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_drop": q_dedup_drop,
     "doc_fingerprints": q_doc_fingerprints,
     "simhash16": q_simhash16,
+    "pii_redact": q_pii_redact,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2522,4 +2606,6 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "dedup_drop": _Q_DEDUP_DROP,
     "doc_fingerprints": _Q_DOC_FINGERPRINTS,
     "simhash16": _simhash_sql(16),
+    "pii_redact": _pii_redact_sql(),
+    "unigram_logprob": _Q_UNIGRAM_LOGPROB,
 }

@@ -486,6 +486,49 @@ def test_simhash_packed_overflow_guard(spark):
     assert len(out) == 1
 
 
+def test_redact_pii_known_cases(spark):
+    from slow_tortoise_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="reach me at jane.doe+x@corp.io or 555-123-4567"),
+            Row(doc_id=2, text="server 192.168.1.10 and 10.0.0.1 are down"),
+            Row(doc_id=3, text="nothing sensitive here"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["redacted"] == "reach me at <EMAIL> or <PHONE>"
+    assert got[2]["n_ipv4"] == 2 and got[2]["redacted"].count("<IP>") == 2
+    assert got[3]["redacted"] == got[3]["text"]
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+
+
+def test_unigram_logprob_ranks_rare_vocab_lower(spark):
+    """A doc of corpus-common tokens must outscore a doc of hapaxes, and
+    each mean must equal the hand-computed ln(count/total) average."""
+    import math
+
+    from slow_tortoise_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat"),
+            Row(doc_id=2, text="the the the"),
+            Row(doc_id=3, text="zyx qwv"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    total = 8  # 3 + 3 + 2 tokens
+    counts = {"the": 4, "cat": 1, "sat": 1, "zyx": 1, "qwv": 1}
+    for doc, toks in {1: ["the", "cat", "sat"], 2: ["the"] * 3,
+                      3: ["zyx", "qwv"]}.items():
+        want = sum(math.log(counts[t] / total) for t in toks) / len(toks)
+        assert got[doc]["mean_logprob"] == pytest.approx(want, abs=1e-12)
+        assert got[doc]["n_tokens"] == len(toks)
+    assert got[2]["mean_logprob"] > got[1]["mean_logprob"] > got[3]["mean_logprob"]
+
+
 def test_simhash_band_cardinality_scales():
     """The 64-bit default must band into ≥2^16-value buckets (the scale
     property 16-bit banding lacks — VERDICT r2 'what's wrong' #1)."""
