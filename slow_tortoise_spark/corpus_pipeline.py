@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slow_tortoise_spark.operators.dedup import (
+    connected_components,
     drop_exact_duplicates,
     hash_split,
     minhash_lsh_candidates,
@@ -53,7 +54,10 @@ class CorpusParams:
     min_quality: float = 0.0
     #: keep docs whose predicted language is in this set; empty = keep all
     langs: tuple[str, ...] = ()
-    #: "none" | "exact" | "minhash" (minhash implies exact first)
+    #: "none" | "exact" | "minhash" | "minhash_cc" (both minhash modes
+    #: imply exact first; _cc clusters verified pairs via connected
+    #: components and keeps the component-min representative — closes
+    #: the greedy policy's star-shape hole, see _near_dup_drops)
     dedup: str = "minhash"
     #: exact-Jaccard threshold for near-dup verification of LSH candidates
     near_dup_threshold: float = 0.8
@@ -63,16 +67,30 @@ class CorpusParams:
     split_salt: str = "split"
 
 
-def _near_dup_drops(docs: DataFrame, threshold: float) -> DataFrame:
-    """doc_ids to drop: higher id of every verified near-dup pair.
+def _near_dup_drops(
+    docs: DataFrame, threshold: float, policy: str = "greedy"
+) -> DataFrame:
+    """doc_ids to drop among verified near-dup pairs.
 
     LSH bands produce candidate PAIRS; ``verify_candidate_pairs`` scores
     exactly those pairs (shingle arrays built only for paired docs), so
     verification cost is linear in the candidate count — it never
     re-pairs the candidate docs among themselves.
+
+    ``policy="greedy"`` drops the higher id of every pair — one
+    projection, but a star (1,3),(2,3) keeps both 1 and 2.
+    ``policy="components"`` clusters pairs transitively (min-label
+    propagation over the PAIR graph only — iterations never touch the
+    corpus) and keeps the component-min doc: exactly one survivor per
+    connected near-dup cluster.
     """
     cand = minhash_lsh_candidates(docs)
     verified = verify_candidate_pairs(docs, cand, threshold=threshold)
+    if policy == "components":
+        comp = connected_components(verified)
+        return comp.filter(F.col("doc_id") != F.col("component")).select(
+            "doc_id"
+        )
     return verified.select(F.col("doc_b").alias("doc_id")).distinct()
 
 
@@ -103,7 +121,7 @@ def run_corpus_pipeline(
     # --- dedup tiers ---------------------------------------------------
     deduped = gated
     cached_exact = None
-    if params.dedup in ("exact", "minhash"):
+    if params.dedup in ("exact", "minhash", "minhash_cc"):
         # Cache BEFORE the manifest count: the exact-dedup window feeds
         # three consumers (manifest count, MinHash candidate generation,
         # the anti-join left side) — uncached, each re-executes the
@@ -111,9 +129,11 @@ def run_corpus_pipeline(
         # The count doubles as the materialization action.
         deduped = cached_exact = drop_exact_duplicates(deduped).cache()
         manifest["after_exact_dedup"] = deduped.count()
-    if params.dedup == "minhash":
+    if params.dedup in ("minhash", "minhash_cc"):
         drops = _near_dup_drops(
-            deduped.select("doc_id", "text"), params.near_dup_threshold
+            deduped.select("doc_id", "text"),
+            params.near_dup_threshold,
+            policy="components" if params.dedup == "minhash_cc" else "greedy",
         )
         deduped = deduped.join(drops, "doc_id", "left_anti")
         manifest["after_near_dedup"] = deduped.count()

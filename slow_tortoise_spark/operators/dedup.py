@@ -633,6 +633,96 @@ def simhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (cluster formation)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, component) for every node of the pair graph; component =
+    the smallest doc_id reachable through the pairs (transitive).
+
+    The greedy per-pair drop policy misses star shapes: with verified
+    pairs (1,3) and (2,3) it drops only 3 — docs 1 and 2 both survive
+    although they transitively share a near-duplicate.  Clustering first
+    and keeping one representative per component closes that hole.
+
+    Algorithm: min-label propagation — labels start as own id; each
+    iteration every node takes the min of its own and its neighbors'
+    labels, until a fixpoint (converges in O(graph diameter) iterations;
+    near-dup graphs are shallow — stars and short chains — so this
+    terminates in 2–4 rounds in practice; a large-star/small-star scheme
+    would cut worst-case rounds to O(log n) at the cost of edge
+    rewriting).  Each iteration is two shuffles (neighbor-min groupBy +
+    label join) over FRAMES THE SIZE OF THE PAIR GRAPH — the corpus
+    itself is never touched — and ``localCheckpoint`` truncates lineage
+    so plans stay O(1) across iterations.  The fixpoint check is an
+    exact count of changed labels (one action per iteration — the
+    nature of iterative algorithms on Spark).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+def drop_by_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep one representative (the component-min doc_id) per near-dup
+    cluster; docs not in any pair pass through untouched."""
+    comp = connected_components(pairs)
+    drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(drops, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Train/val/test splits and cross-corpus contamination
 # ---------------------------------------------------------------------------
 

@@ -2545,6 +2545,36 @@ _Q_UNIGRAM_LOGPROB = """
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the banded-LSH candidate pairs — the
+    cluster-formation step of near-dedup (one survivor per transitive
+    cluster beats the greedy per-pair policy on star shapes). The Spark
+    side is iterative min-label propagation; the oracle replays the SAME
+    pair set (the minhash_lsh_pairs SQL) and closes it with a recursive
+    CTE — full value parity for an iterative algorithm."""
+    from slow_tortoise_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, k=8, bands=4)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+_Q_DEDUP_COMPONENTS = f"""
+  WITH RECURSIVE pairs AS ({_Q_MINHASH_LSH_PAIRS}),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+  ),
+  reach AS (
+      SELECT src, src AS dst FROM edges
+    UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  )
+  SELECT src AS doc_id, MIN(dst) AS component
+  FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 def q_simhash16(spark, sf_dir):
     """16-bit SimHash fingerprints — the demoted verifier width (its
     5–6-bit hamming bands degenerate toward all-pairs at corpus scale;
@@ -2590,6 +2620,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash16": q_simhash16,
     "pii_redact": q_pii_redact,
     "unigram_logprob": q_unigram_logprob,
+    "dedup_components": q_dedup_components,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2608,4 +2639,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "simhash16": _simhash_sql(16),
     "pii_redact": _pii_redact_sql(),
     "unigram_logprob": _Q_UNIGRAM_LOGPROB,
+    "dedup_components": _Q_DEDUP_COMPONENTS,
 }

@@ -486,6 +486,61 @@ def test_simhash_packed_overflow_guard(spark):
     assert len(out) == 1
 
 
+def test_connected_components_chains_and_stars(spark):
+    """Transitive closure: chains collapse to one component regardless of
+    pair direction/order, isolated pairs stay separate, and the star
+    shape (1,3),(2,3) — where greedy per-pair dropping keeps both 1 and
+    2 — forms ONE component with min-id representative."""
+    from slow_tortoise_spark.operators.dedup import (
+        connected_components,
+        drop_by_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 30), (20, 30)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 30: 10, 20: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 5, 6, 10, 20, 30, 99)],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in drop_by_components(docs, pairs).collect()}
+    # one survivor per cluster + the untouched doc; greedy on the star
+    # would have kept {10, 20} both
+    assert kept == {1, 5, 10, 99}
+
+
+def test_corpus_pipeline_cc_policy(spark, sf_dir, tmp_path):
+    """dedup='minhash_cc': at most one survivor per transitive near-dup
+    cluster; on this corpus (pair clusters of size 2) it must agree with
+    greedy, and the manifest shape is unchanged."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    m_greedy = run_corpus_pipeline(
+        spark, docs, CorpusParams(out_dir=str(tmp_path / "g"),
+                                  dedup="minhash"))
+    m_cc = run_corpus_pipeline(
+        spark, docs, CorpusParams(out_dir=str(tmp_path / "cc"),
+                                  dedup="minhash_cc"))
+    assert m_cc["after_near_dedup"] <= m_greedy["after_near_dedup"]
+    g = {r["doc_id"] for r in
+         spark.read.parquet(f"{tmp_path}/g/corpus").collect()}
+    c = {r["doc_id"] for r in
+         spark.read.parquet(f"{tmp_path}/cc/corpus").collect()}
+    assert c <= g  # cc can only drop MORE (star shapes), never fewer
+
+
 def test_redact_pii_known_cases(spark):
     from slow_tortoise_spark.operators.text import redact_pii
 
