@@ -2545,6 +2545,81 @@ _Q_UNIGRAM_LOGPROB = """
 """
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream funnel join: purchases within 1 hour
+    after a click by the same user, both sides streamed (availableNow
+    drain over the complete input ≡ the batch time-range join the
+    DuckDB oracle runs)."""
+    from pyspark.sql import types as T
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_stream_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"st_stream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
+    def side(ev_type):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stream_dir)
+            .filter(F.col("event_type") == ev_type)
+            .select(
+                "event_id",
+                F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+                "user_id",
+            )
+        )
+
+    joined = stream_stream_join(
+        side("click"), side("purchase"), within="1 hour"
+    )
+    out = run_to_memory(
+        joined, f"ssj_{abs(hash(sf_dir)) % 10**6}", spark
+    )
+    return out.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_micros("r_event_time") - F.unix_micros("l_event_time"))
+        .alias("us_to_purchase"),
+    ).orderBy("click_id", "purchase_id")
+
+
+_Q_STREAM_STREAM_JOIN = """
+  SELECT c.event_id AS click_id,
+         p.event_id AS purchase_id,
+         c.user_id AS user_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS us_to_purchase
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL 1 HOUR
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  ORDER BY click_id, purchase_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the banded-LSH candidate pairs — the
     cluster-formation step of near-dedup (one survivor per transitive
@@ -2621,6 +2696,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "unigram_logprob": q_unigram_logprob,
     "dedup_components": q_dedup_components,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2640,4 +2716,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "pii_redact": _pii_redact_sql(),
     "unigram_logprob": _Q_UNIGRAM_LOGPROB,
     "dedup_components": _Q_DEDUP_COMPONENTS,
+    "stream_stream_join": _Q_STREAM_STREAM_JOIN,
 }

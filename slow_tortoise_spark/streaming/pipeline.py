@@ -167,6 +167,40 @@ def streaming_dedup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "event_time",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right-side events within
+    ``within`` AFTER the matching left event (the funnel/attribution
+    shape — click → purchase).
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times relative to each other, which is what lets Spark evict
+    buffered state: a left row can be dropped once the right watermark
+    passes its time + ``within``.  Without the time bound the state
+    grows without limit — Spark would accept the query but never clean
+    up.  Output columns are prefixed l_/r_ to stay unambiguous.
+    """
+    lw = left.withWatermark(time_col, watermark)
+    rw = right.withWatermark(time_col, watermark)
+    lsel = lw.select([F.col(c).alias(f"l_{c}") for c in lw.columns])
+    rsel = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
+    cond = (
+        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{time_col}") >= F.col(f"l_{time_col}"))
+        & (
+            F.col(f"r_{time_col}")
+            <= F.col(f"l_{time_col}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lsel.join(rsel, cond)
+
+
 def run_to_memory(sdf: DataFrame, table: str, spark: SparkSession,
                   output_mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with availableNow

@@ -96,6 +96,43 @@ def test_rollup_uses_expand_single_shuffle(spark, sf_dir):
     assert len(agg_exchanges) == 1, agg_exchanges
 
 
+def test_simhash_near_dup_candidates_are_equi_joined(spark, sf_dir):
+    """The 64-bit banded near-dup plan must form candidates via a hash
+    equi-join on band values — never a nested-loop/cartesian pairing —
+    and stay entirely JVM-side."""
+    from slow_tortoise_spark.operators.dedup import simhash_near_duplicates
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        simhash_near_duplicates(docs, max_hamming=2, n_bits=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_logprob_vocab_join_no_nested_loop(spark, sf_dir):
+    """The unigram-LM scoring joins the token stream to the vocab on an
+    equi-key (hash or broadcast-hash under AQE) — a nested loop here
+    would be quadratic in the corpus."""
+    from slow_tortoise_spark.operators.text import unigram_logprob
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_jaccard_prefix_plan_uses_array_rescore(spark, sf_dir):
     """With the naive tier priced out (budget 0), the dispatched plan is
     the PPJoin prefix form: slice'd prefixes feed the candidate join and

@@ -313,6 +313,55 @@ def test_checkpoint_recovery_preserves_dedup_state(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_stream_stream_join_funnel(spark, tmp_path):
+    """Watermarked stream-stream inner join: only right events within
+    the window AFTER a left event match; same-user-out-of-window and
+    other-user events don't."""
+    import os
+
+    import pandas as pd
+
+    from slow_tortoise_spark.streaming.pipeline import stream_stream_join
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def mk(name, rows):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(d, "part.parquet"), coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        return stream_datacube(spark, d, schema=EVENTS_STREAM_SCHEMA)
+
+    clicks = mk("clicks", [
+        {"event_id": 1, "event_time": t0, "user_id": 1, "feature": "c",
+         "value": 0.0},
+        {"event_id": 2, "event_time": t0, "user_id": 2, "feature": "c",
+         "value": 0.0},
+    ])
+    purchases = mk("purchases", [
+        # in-window, same user → match
+        {"event_id": 10, "event_time": t0 + pd.Timedelta("30 min"),
+         "user_id": 1, "feature": "p", "value": 9.99},
+        # BEFORE the click → no match
+        {"event_id": 11, "event_time": t0 - pd.Timedelta("5 min"),
+         "user_id": 1, "feature": "p", "value": 1.0},
+        # past the 1h window → no match
+        {"event_id": 12, "event_time": t0 + pd.Timedelta("2 hours"),
+         "user_id": 2, "feature": "p", "value": 2.0},
+        # other user → no match
+        {"event_id": 13, "event_time": t0 + pd.Timedelta("10 min"),
+         "user_id": 9, "feature": "p", "value": 3.0},
+    ])
+    out = run_to_memory(
+        stream_stream_join(clicks, purchases, within="1 hour"),
+        "ssj_unit", spark,
+    )
+    got = [(r["l_event_id"], r["r_event_id"]) for r in out.collect()]
+    assert got == [(1, 10)]
+
+
 def test_kill_mid_batch_recovery_exactly_once(spark, tmp_path):
     """Hard failure MID-batch — after some artifact writes of that batch
     already hit the store — then restart from the same checkpoint: the
