@@ -71,9 +71,9 @@ def test_corpus_pipeline_caches_exact_dedup(spark, sf_dir, tmp_path,
     plans = []
     orig = cp._near_dup_drops
 
-    def spy(docs, threshold):
+    def spy(docs, threshold, **kw):
         plans.append(docs._jdf.queryExecution().optimizedPlan().toString())
-        return orig(docs, threshold)
+        return orig(docs, threshold, **kw)
 
     monkeypatch.setattr(cp, "_near_dup_drops", spy)
     docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
