@@ -128,6 +128,40 @@ def range_join(
     return joined.filter(cond_lo & cond_hi).drop("__lb", "__rb")
 
 
+def batch_sessionize(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    gap_us: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based session assignment over a BATCH table (the streaming
+    ``sessionize``'s offline counterpart — same semantics on complete
+    input, but as two plain window passes instead of state).
+
+    A new session starts whenever the gap to the previous event of the
+    same key exceeds ``gap_us`` microseconds; the session id is the
+    running count of session starts (classic lag + cumulative sum —
+    both windows share ONE partitioning on the key, so Catalyst plans a
+    single sort+exchange, not two).  ``order_tiebreak`` column breaks
+    equal-timestamp ordering deterministically (required for an exact
+    SQL oracle).  Output adds ``session_id`` (1-based per key).
+    """
+    order = [F.unix_micros(F.col(time_col))]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(key).orderBy(*order)
+    t = F.unix_micros(F.col(time_col))
+    gap = t - F.lag(t).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def rolling_time_agg(
     df: DataFrame,
     key: str,

@@ -2620,6 +2620,54 @@ _Q_STREAM_STREAM_JOIN = """
 """
 
 
+def q_sessionize_batch(spark, sf_dir):
+    """Batch gap-based sessionization of the events stream (30-minute
+    inactivity gap) + per-session rollup — the offline counterpart of
+    the streaming session_window operator."""
+    from slow_tortoise_spark.operators.timejoin import batch_sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = batch_sessionize(ev, key="user_id", time_col="ts",
+                         gap_us=30 * 60 * 1_000_000,
+                         order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_Q_SESSIONIZE_BATCH = """
+  WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+  ),
+  marked AS (
+    SELECT user_id, event_id, ts, value,
+           SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+  )
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         MIN(epoch_us(ts)) AS session_start_us,
+         MAX(epoch_us(ts)) AS session_end_us,
+         round(SUM(value), 4) AS session_value
+  FROM marked
+  GROUP BY user_id, session_id
+  ORDER BY user_id, session_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the banded-LSH candidate pairs — the
     cluster-formation step of near-dedup (one survivor per transitive
@@ -2697,6 +2745,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "dedup_components": q_dedup_components,
     "stream_stream_join": q_stream_stream_join,
+    "sessionize_batch": q_sessionize_batch,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2717,4 +2766,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "unigram_logprob": _Q_UNIGRAM_LOGPROB,
     "dedup_components": _Q_DEDUP_COMPONENTS,
     "stream_stream_join": _Q_STREAM_STREAM_JOIN,
+    "sessionize_batch": _Q_SESSIONIZE_BATCH,
 }

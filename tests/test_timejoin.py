@@ -54,6 +54,44 @@ def test_range_join_bucketed_equals_plain(spark):
     assert len(plain.collect()) > 0
 
 
+def test_batch_sessionize_gap_semantics(spark):
+    """Sessions split exactly where the inactivity gap EXCEEDS the
+    threshold (ties stay in-session); ids are 1-based per key; both
+    window passes share one sort+exchange."""
+    import datetime as dt
+
+    from slow_tortoise_spark.operators.timejoin import batch_sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    rows = [
+        (1, 1, at(0)), (2, 1, at(10)),       # session 1 (gap 10m)
+        (3, 1, at(40)),                      # exactly 30m gap → SAME session
+        (4, 1, at(75)),                      # 35m gap → session 2
+        (5, 2, at(0)),                       # other user → own session 1
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t) for e, u, t in rows],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = batch_sessionize(df, key="user_id", time_col="ts",
+                           gap_us=30 * 60 * 1_000_000,
+                           order_tiebreak="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+    # sparkPlan (pre-AQE) — the adaptive final-plan string prints
+    # materialized stages twice, double-counting exchanges. Both window
+    # passes must share the key partitioning: at most ONE exchange ever
+    # (zero when the input is already a single partition, as here), and
+    # the two Window operators appear over a single sort lineage.
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Window") == 2
+
+
 def test_rolling_time_agg(spark):
     df = spark.createDataFrame(
         [Row(k="u", t=0, v=1.0), Row(k="u", t=500, v=2.0),
