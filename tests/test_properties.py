@@ -196,3 +196,43 @@ def test_extrema_kind_invariants_property(spark_session, values):
     assert kinds == {"min", "max"}
     for r in out:
         assert r["value"] == (lo if r["kind"] == "min" else hi)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=14),
+              st.integers(min_value=0, max_value=14)),
+    min_size=1, max_size=25,
+)
+
+
+@given(edges=_edges)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_match_union_find(spark_session, edges):
+    """Min-label propagation over arbitrary pair graphs (self-loops,
+    duplicate edges, reversed duplicates, chains, stars) must produce
+    exactly the partition a reference union-find produces, with the
+    minimum node id as every component's label."""
+    from slow_tortoise_spark.operators.dedup import connected_components
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    if not pairs:
+        return
+    df = spark_session.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
