@@ -200,6 +200,50 @@ def unigram_logprob(
     return agg
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-window
+    packing prep): chunk i covers tokens [1 + i·stride, … + chunk_tokens)
+    with stride = chunk_tokens − overlap; the final chunk may be short.
+    Docs shorter than one stride yield a single chunk; empty docs yield
+    none.
+
+    Pure per-row column math — tokenize once, generate start offsets
+    with ``sequence`` (step = stride), ``posexplode`` into (chunk_id,
+    chunk_text) — so chunking runs at scan throughput with zero
+    shuffle; at 100 TB this is the map side of a repack job.  Output:
+    (doc_id, chunk_id 0-based, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # last start s satisfies s ≤ n − overlap (so every chunk adds ≥1 new
+    # token); clamp to ≥1 so short non-empty docs produce one chunk
+    starts = F.when(
+        n >= 1,
+        F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)),
+                   F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice("_toks", F.col("_start"), chunk_tokens)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Intra-document repetition: fraction of n-gram shingles that are
     repeats of an earlier shingle in the same doc (the Gopher/Rae-style

@@ -2668,6 +2668,44 @@ _Q_SESSIONIZE_BATCH = """
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (context-window prep): 128-token
+    chunks, 16-token overlap; chunk text compared via md5."""
+    from slow_tortoise_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, chunk_tokens=128, overlap=16)
+    return out.select(
+        "doc_id", "chunk_id", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_Q_DOC_CHUNKS = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  starts AS (
+    SELECT doc_id, t,
+           range(1, greatest(len(t) - 16, 1) + 1, 112) AS ss
+    FROM toks WHERE len(t) >= 1
+  ),
+  chunks AS (
+    SELECT doc_id,
+           generate_subscripts(ss, 1) - 1 AS chunk_id,
+           list_slice(t, unnest(ss), unnest(ss) + 127) AS piece
+    FROM starts
+  )
+  SELECT doc_id, chunk_id,
+         len(piece) AS n_chunk_tokens,
+         md5(array_to_string(piece, ' ')) AS chunk_md5
+  FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the banded-LSH candidate pairs — the
     cluster-formation step of near-dedup (one survivor per transitive
@@ -2746,6 +2784,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "stream_stream_join": q_stream_stream_join,
     "sessionize_batch": q_sessionize_batch,
+    "doc_chunks": q_doc_chunks,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2767,4 +2806,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "dedup_components": _Q_DEDUP_COMPONENTS,
     "stream_stream_join": _Q_STREAM_STREAM_JOIN,
     "sessionize_batch": _Q_SESSIONIZE_BATCH,
+    "doc_chunks": _Q_DOC_CHUNKS,
 }

@@ -541,6 +541,40 @@ def test_corpus_pipeline_cc_policy(spark, sf_dir, tmp_path):
     assert c <= g  # cc can only drop MORE (star shapes), never fewer
 
 
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: exact-fit doc → one chunk; one token past the
+    stride+overlap → a short tail chunk carrying ≥1 new token; short
+    docs → single chunk; empty/whitespace docs → none."""
+    from slow_tortoise_spark.operators.text import chunk_documents
+
+    def words(n, prefix="w"):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [
+            (1, words(10)),   # one chunk of 10
+            (2, words(12)),   # chunk 10 + tail (start 9: tokens 9..12)
+            (3, words(3)),    # single short chunk
+            (4, "   "),       # no tokens → no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=2)
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    assert got[(1, 0)][0] == 10 and (1, 1) not in got
+    assert got[(2, 0)][0] == 10
+    assert got[(2, 1)] == (4, "w8 w9 w10 w11")  # overlap 2 + 2 new
+    assert got[(3, 0)] == (3, "w0 w1 w2")
+    assert not any(d == 4 for d, _ in got)
+    # every token of doc 2 appears in some chunk (coverage invariant)
+    covered = set()
+    for (d, _), (_, txt) in got.items():
+        if d == 2:
+            covered |= set(txt.split())
+    assert covered == set(words(12).split())
+
+
 def test_redact_pii_known_cases(spark):
     from slow_tortoise_spark.operators.text import redact_pii
 
