@@ -632,6 +632,47 @@ def simhash_near_duplicates(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where shingle-containment
+    |A∩B| / |A| ≥ threshold — catches a SHORT doc embedded in a longer
+    one, which symmetric Jaccard misses (the quote/excerpt/boilerplate
+    case: J = |∩|/|∪| shrinks as the long side grows, containment
+    doesn't).
+
+    Returns (doc_a, doc_b, containment) where doc_a is the CONTAINED
+    side (both directions are scored; a ⊂ b and b ⊂ a emit separate
+    rows).  Same plan skeleton as the naive Jaccard tier — shingle
+    equi-join, per-pair intersection count, size join — so the same
+    Σ df² blow-up caveat applies; gate with LSH candidates
+    (``verify_candidate_pairs``-style) at corpus scale.
+    """
+    sh = doc_shingles(df, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("_na"))
+    return (
+        inter.join(sa, "doc_a")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_common") / F.col("_na")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs (cluster formation)
 # ---------------------------------------------------------------------------

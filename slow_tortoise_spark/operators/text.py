@@ -200,6 +200,45 @@ def unigram_logprob(
     return agg
 
 
+def top_tfidf_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (keyword extraction / topic fingerprinting for corpus triage).
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (the smoothed
+    scikit-style form — never zero, portable math).  Shape: one grouped
+    count builds (doc, term, tf) — map-side combined; term document
+    frequencies aggregate from THAT frame (never a second corpus scan);
+    N is a driver scalar; the per-doc top-k is a ranking window
+    partitioned by doc. Ties break lexicographically for engine-portable
+    determinism.
+    """
+    import math
+
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select("doc_id").distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if round_to is not None:
+        out = out.withColumn("tfidf", F.round("tfidf", round_to))
+    return out.select("doc_id", "rank", "term", "tfidf")
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -2706,6 +2706,95 @@ _Q_DOC_CHUNKS = """
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 characteristic terms per doc by smoothed TF-IDF (keyword
+    extraction; ranking ties break lexicographically)."""
+    from slow_tortoise_spark.operators.text import top_tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_tfidf_terms(docs, k=5, round_to=6).orderBy("doc_id", "rank")
+
+
+_Q_TFIDF_TERMS = """
+  WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+  dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+  n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+  scored AS (
+    SELECT doc_id, term,
+           tf * (ln((n.n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+  ),
+  ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+  )
+  SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+  FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dups over a corpus salted with
+    EXCERPTS (the first 8 tokens of every 10th doc as a new doc):
+    excerpt ⊂ original scores 1.0 where symmetric Jaccard stays low."""
+    from slow_tortoise_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    out = containment_pairs(corpus, threshold=0.9)
+    return out.select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    ).orderBy("doc_a", "doc_b")
+
+
+_Q_CONTAINMENT_PAIRS = """
+  WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                      1, 8), ' ') AS text
+    FROM documents WHERE doc_id % 10 = 0
+  ),
+  toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM corpus
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+    FROM toks WHERE len(t) >= 3
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b, round(n_common / sa.n, 6) AS containment
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+  WHERE n_common / sa.n >= 0.9
+  ORDER BY doc_a, doc_b
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the banded-LSH candidate pairs — the
     cluster-formation step of near-dedup (one survivor per transitive
@@ -2785,6 +2874,8 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_join": q_stream_stream_join,
     "sessionize_batch": q_sessionize_batch,
     "doc_chunks": q_doc_chunks,
+    "tfidf_terms": q_tfidf_terms,
+    "containment_pairs": q_containment_pairs,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2807,4 +2898,6 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "stream_stream_join": _Q_STREAM_STREAM_JOIN,
     "sessionize_batch": _Q_SESSIONIZE_BATCH,
     "doc_chunks": _Q_DOC_CHUNKS,
+    "tfidf_terms": _Q_TFIDF_TERMS,
+    "containment_pairs": _Q_CONTAINMENT_PAIRS,
 }

@@ -541,6 +541,52 @@ def test_corpus_pipeline_cc_policy(spark, sf_dir, tmp_path):
     assert c <= g  # cc can only drop MORE (star shapes), never fewer
 
 
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    """A short excerpt inside a long doc: containment ≈ 1.0 for the
+    excerpt side while symmetric Jaccard stays below threshold."""
+    from slow_tortoise_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    excerpt = " ".join(f"tok{i}" for i in range(10))  # strict prefix
+    df = spark.createDataFrame(
+        [(1, long_text), (2, excerpt), (3, "completely different words x y z")],
+        "doc_id long, text string",
+    )
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.9).collect()}
+    assert cont[(2, 1)] == pytest.approx(1.0)  # excerpt contained
+    assert (1, 2) not in cont                  # long side not contained
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_top_tfidf_terms_rank_semantics(spark):
+    """A term unique to one doc outranks corpus-wide terms; k caps the
+    output; ranking ties break lexicographically."""
+    from slow_tortoise_spark.operators.text import top_tfidf_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared zebra"),
+            (2, "shared shared shared"),
+            (3, "shared aardvark"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_tfidf_terms(df, k=2)
+    got = {(r["doc_id"], r["rank"]): r["term"] for r in out.collect()}
+    # equal tf → the doc-unique term's higher idf wins over 'shared'
+    # (df 3 of 3 docs → idf exactly 1)
+    assert got[(1, 1)] == "zebra"
+    assert got[(3, 1)] == "aardvark"
+    assert got[(2, 1)] == "shared" and (2, 2) not in got  # only 1 term
+    assert max(r for _, r in got) <= 2
+
+
 def test_chunk_documents_windows(spark):
     """Chunk boundaries: exact-fit doc → one chunk; one token past the
     stride+overlap → a short tail chunk carrying ≥1 new token; short
