@@ -283,6 +283,75 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    df: DataFrame,
+    context_len: int,
+    len_col: str = "n_chunk_tokens",
+    sort_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks to context-window bins so
+    each bin's token total stays ≤ ``context_len`` (training-batch
+    utilization — padding waste shrinks as bins fill).
+
+    Distributed approximation: chunks are hash-repartitioned on the
+    first sort column, and each PARTITION packs its own chunks with
+    first-fit-decreasing (11/9·OPT + 1 per partition — the classic FFD
+    bound; global optimality is not attempted, exactly how large-scale
+    packing jobs shard).  Per-partition packing is an imperative
+    algorithm with data-dependent state — precisely the case for
+    ``mapInPandas``; everything around it (repartition, ordering,
+    bin-fill audit) stays declarative.  Bin ids are globally unique
+    (partition id × 2^40 + local index) and the assignment is
+    deterministic for a fixed partition count: rows sort by
+    (−length, *sort_cols) before packing.
+
+    Chunks LONGER than ``context_len`` get a bin of their own (callers
+    detect them via a bin-fill audit and decide to truncate/split —
+    this operator never silently drops tokens).  Output: input columns
+    + ``bin_id``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("bin_id", T.LongType())]
+    )
+
+    def pack(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        whole = pd.concat(frames, ignore_index=True)
+        pid = int(whole["_pid"].iloc[0])
+        whole = whole.sort_values(
+            ["_neg_len", *sort_cols], kind="mergesort"
+        )
+        fills: list[int] = []
+        ids: list[int] = []
+        base = pid << 40
+        for ln in (-whole["_neg_len"]).astype(int):
+            placed = None
+            for i, f in enumerate(fills):
+                if f + ln <= context_len:
+                    placed = i
+                    break
+            if placed is None:
+                fills.append(ln)
+                placed = len(fills) - 1
+            else:
+                fills[placed] += ln
+            ids.append(base + placed)
+        whole = whole.assign(bin_id=ids).drop(columns=["_pid", "_neg_len"])
+        yield whole
+
+    prepared = (
+        df.repartition(F.col(sort_cols[0]))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_neg_len", -F.col(len_col).cast("long"))
+    )
+    return prepared.mapInPandas(pack, schema=out_schema)
+
+
 def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Intra-document repetition: fraction of n-gram shingles that are
     repeats of an earlier shingle in the same doc (the Gopher/Rae-style

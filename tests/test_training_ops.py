@@ -541,6 +541,55 @@ def test_corpus_pipeline_cc_policy(spark, sf_dir, tmp_path):
     assert c <= g  # cc can only drop MORE (star shapes), never fewer
 
 
+def test_pack_chunks_invariants(spark, sf_dir):
+    """Packing invariants on real chunked docs: every chunk assigned
+    exactly once; no bin (without an oversized chunk) exceeds the
+    context; oversized chunks sit alone; utilization beats the
+    one-chunk-per-bin strawman; same partitioning → same assignment."""
+    from slow_tortoise_spark.operators.text import chunk_documents, pack_chunks
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8).cache()
+    n_chunks = chunks.count()
+    ctx = 256
+    packed = pack_chunks(chunks, context_len=ctx).cache()
+    assert packed.count() == n_chunks
+    assert packed.select("doc_id", "chunk_id").distinct().count() == n_chunks
+
+    fills = packed.groupBy("bin_id").agg(
+        F.sum("n_chunk_tokens").alias("fill"), F.count("*").alias("n")
+    )
+    bad = fills.filter((F.col("fill") > ctx) & (F.col("n") > 1)).count()
+    assert bad == 0  # over-full bins only ever hold a single giant chunk
+    n_bins = fills.count()
+    assert n_bins < n_chunks  # actually packs, not 1 chunk per bin
+    total = packed.agg(F.sum("n_chunk_tokens")).first()[0]
+    assert n_bins * ctx >= total  # sanity: capacity covers the tokens
+
+    again = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+             for r in pack_chunks(chunks, context_len=ctx).collect()}
+    first = {(r["doc_id"], r["chunk_id"]): r["bin_id"]
+             for r in packed.collect()}
+    assert again == first  # deterministic for a fixed partition count
+
+    # an oversized chunk gets its own bin
+    import pandas as pd  # noqa: F401
+
+    over = spark.createDataFrame(
+        [(1, 0, 999), (1, 1, 10), (2, 0, 20)],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    p = pack_chunks(over, context_len=100)
+    by_bin = {}
+    for r in p.collect():
+        by_bin.setdefault(r["bin_id"], []).append(r["n_chunk_tokens"])
+    giant_bin = [v for v in by_bin.values() if 999 in v]
+    assert giant_bin == [[999]]
+
+
 def test_containment_catches_excerpts_jaccard_misses(spark):
     """A short excerpt inside a long doc: containment ≈ 1.0 for the
     excerpt side while symmetric Jaccard stays below threshold."""
