@@ -61,9 +61,11 @@ def main() -> int:
     queries = {**queries, **VERIFIER_QUERIES}
     oracles = {**oracles, **VERIFIER_ORACLE_SQL}
     failures = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -103,7 +105,7 @@ def main() -> int:
             print(f"ok   {name}: {len(srows)} rows match "
                   f"({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} queries pass")
+    print(f"\n{n_run - len(failures)}/{n_run} queries pass")
     return 1 if failures else 0
 
 
