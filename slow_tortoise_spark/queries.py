@@ -1027,8 +1027,12 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signature(docs, k=8).orderBy("doc_id")
 
 
+# Family member i = 64-bit half i%2 of md5((i//2) || ':' || shingle)
+# — mirrors operators/dedup.py::minhash_signature exactly.
 _MH_COLS = ", ".join(
-    f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(8)
+    f"MIN(substr(md5('{i // 2}:' || shingle), {1 + 16 * (i % 2)}, 16))"
+    f" AS mh{i}"
+    for i in range(8)
 )
 _Q_MINHASH_SIGNATURES = f"""
   WITH {_SHINGLES_SQL}

@@ -73,6 +73,27 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (0, 4) not in cands
 
 
+def test_minhash_family_members_nondegenerate(spark, sf_dir):
+    """Every signature member must be a full 64-bit slice with real
+    spread across docs. Guards the failure class an oracle CANNOT catch
+    (a degenerate family — e.g. an out-of-range substring yielding ''
+    for half the members — replays identically in SQL and turns LSH
+    into all-pairs while still 'matching')."""
+    from slow_tortoise_spark.operators.dedup import minhash_signature
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sig = minhash_signature(docs, k=8).cache()
+    n = sig.count()
+    for i in range(8):
+        lens = sig.select(F.length(f"mh{i}").alias("l")).distinct().collect()
+        assert [r["l"] for r in lens] == [16], f"mh{i} not a 16-char slice"
+        distinct = sig.select(f"mh{i}").distinct().count()
+        assert distinct > max(2, n // 10), f"mh{i} degenerate ({distinct})"
+
+
 def test_simhash(spark):
     sh = {r["doc_id"]: r["simhash"] for r in simhash16(_docs(spark)).collect()}
     assert sh[0] == sh[1]  # identical token multisets
