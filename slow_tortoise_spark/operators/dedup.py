@@ -813,6 +813,44 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (corpus mixing: e.g. keep 100%
+    of books, 10% of web) — a pure projection+filter, NO shuffle, NO
+    RNG.
+
+    A row survives iff the first 8 hex chars of md5(salt:id) fall below
+    the stratum's fraction of the 32-bit space — the same
+    keyed-hash-threshold trick as ``hash_split``, so the decision is
+    reproducible on any engine and INDEPENDENT of the split assignment
+    (different salt).  Strata not listed in ``fractions`` keep
+    ``default_fraction``.  Unlike ``df.sampleBy`` this is stable across
+    runs, partitionings, and engines.
+    """
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+    )
+    space = 1 << 32
+
+    def bound(frac: float) -> str:
+        return format(min(int(frac * space), space - 1), "08x")
+
+    cond = None
+    for value, frac in fractions.items():
+        this = (F.col(strata_col) == value) & (h < F.lit(bound(frac)))
+        cond = this if cond is None else cond | this
+    listed = F.col(strata_col).isin(*fractions.keys())
+    rest = (~listed) & (h < F.lit(bound(default_fraction)))
+    cond = rest if cond is None else cond | rest
+    return df.filter(cond)
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     test: DataFrame,

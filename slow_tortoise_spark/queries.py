@@ -2799,6 +2799,34 @@ _Q_CONTAINMENT_PAIRS = """
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus-mixing sample: 100% of src0, 50% of src1,
+    10% of everything else, decided by a keyed md5 threshold — stable
+    across engines and partitionings (no RNG)."""
+    from slow_tortoise_spark.operators.dedup import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5}, default_fraction=0.1
+    )
+    return out.orderBy("doc_id")
+
+
+_Q_STRATIFIED_SAMPLE = """
+  WITH h AS (
+    SELECT doc_id, source,
+           substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+    FROM documents
+  )
+  SELECT doc_id, source
+  FROM h
+  WHERE (source = 'src0' AND hx < 'ffffffff')
+     OR (source = 'src1' AND hx < '80000000')
+     OR (source NOT IN ('src0', 'src1') AND hx < '19999999')
+  ORDER BY doc_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the banded-LSH candidate pairs — the
     cluster-formation step of near-dedup (one survivor per transitive
@@ -2880,6 +2908,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "tfidf_terms": q_tfidf_terms,
     "containment_pairs": q_containment_pairs,
+    "stratified_sample": q_stratified_sample,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2904,4 +2933,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "doc_chunks": _Q_DOC_CHUNKS,
     "tfidf_terms": _Q_TFIDF_TERMS,
     "containment_pairs": _Q_CONTAINMENT_PAIRS,
+    "stratified_sample": _Q_STRATIFIED_SAMPLE,
 }

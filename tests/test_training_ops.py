@@ -418,6 +418,37 @@ def test_repetition_ratio_known_cases(spark):
     assert out[3] == (0, 0.0)
 
 
+def test_stratified_sample_deterministic_proportions(spark, sf_dir):
+    """Per-stratum keep rates land near their fractions, the decision is
+    identical across partitionings, fraction 1.0 keeps (essentially)
+    everything, and unlisted strata get the default."""
+    from slow_tortoise_spark.operators.dedup import stratified_sample
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    fractions = {"src0": 1.0, "src1": 0.5}
+    out = stratified_sample(docs, "source", fractions, default_fraction=0.1)
+    kept = {r["doc_id"]: r["source"] for r in out.collect()}
+    by_src: dict[str, int] = {}
+    for s in kept.values():
+        by_src[s] = by_src.get(s, 0) + 1
+    totals = {r["source"]: r["n"]
+              for r in docs.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert by_src.get("src0", 0) == totals["src0"]  # fraction 1.0
+    assert 0 < by_src.get("src1", 0) < totals["src1"]
+    others_kept = sum(n for s, n in by_src.items()
+                     if s not in ("src0", "src1"))
+    others_total = sum(n for s, n in totals.items()
+                      if s not in ("src0", "src1"))
+    assert 0 <= others_kept < others_total * 0.35  # ~10% default
+    again = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(13), "source", fractions, 0.1).collect()}
+    assert again == set(kept)
+
+
 def test_cross_corpus_contamination_known_case(spark):
     from slow_tortoise_spark.operators.dedup import cross_corpus_contamination
 
