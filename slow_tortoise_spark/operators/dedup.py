@@ -447,16 +447,21 @@ def _nibble(h: Column, j: int) -> Column:
 
 
 #: packed-counter LUT: nibble value v → one BIGINT carrying v's four bits
-#: as +1 increments in four 16-bit count fields (bit b of v lands in
-#: field b at shift 16·b).  Summing these per doc accumulates all four
-#:  bit-counts of a nibble in ONE aggregate buffer.
-_NIBBLE_PACK = [sum(((v >> b) & 1) << (16 * b) for b in range(4))
+#: as +1 increments in four 15-bit count fields (bit b of v lands in
+#: field b at shift 15·b).  Summing these per doc accumulates all four
+#: bit-counts of a nibble in ONE aggregate buffer.  Field width 15 (not
+#: 16) keeps the SUM itself inside signed-64 range well past the cap:
+#: worst case n·(2^45+2^30+2^15+1) stays < 2^63 until n ≈ 262 000, so a
+#: doc over the 32 767 cap reaches the friendly assert_true instead of
+#: an opaque ANSI ARITHMETIC_OVERFLOW mid-aggregation (with 16-bit
+#: fields the sum overflowed at 32 768 votes — BELOW the old cap).
+_NIBBLE_PACK = [sum(((v >> b) & 1) << (15 * b) for b in range(4))
                 for v in range(16)]
 
-#: 16-bit count fields overflow past this many tokens in one document —
+#: 15-bit count fields overflow past this many tokens in one document —
 #: the packed aggregation path guards it with assert_true; pass
 #: ``packed=False`` for (rare) larger-than-this documents.
-_PACK_FIELD_CAP = (1 << 16) - 1
+_PACK_FIELD_CAP = (1 << 15) - 1
 
 
 def _simhash_bits(
@@ -471,13 +476,15 @@ def _simhash_bits(
     of width.
 
     ``packed=True`` (default) aggregates four bit-counts per nibble in
-    ONE BIGINT of 16-bit count fields (value looked up from a literal
+    ONE BIGINT of 15-bit count fields (value looked up from a literal
     16-entry table): 64 bits cost 16 SUMs + a COUNT instead of 64
     conditional SUMs — measured ~1.5× faster at 64-bit, identical
-    results (pytest parity-pinned). Field width caps documents at 65 535
-    tokens (guarded loudly via ``assert_true``); ``packed=False`` keeps
-    the uncapped per-bit form. Majority is identical either way:
-    vote-sum 2c−n > 0 ⟺ 2c > n.
+    results (pytest parity-pinned). Field width caps documents at
+    32 767 tokens, guarded loudly via ``assert_true`` (the 15-bit width
+    is what keeps the SUM itself in signed-64 range up to ~262 k tokens
+    so the guard is actually reachable); ``packed=False`` keeps the
+    uncapped per-bit form for giant documents. Majority is identical
+    either way: vote-sum 2c−n > 0 ⟺ 2c > n.
 
     Packing note (64-bit): bit 63 is the sign bit of a BIGINT, and
     ``1 << 63`` overflows signed 64-bit in ANSI engines (DuckDB raises) —
@@ -511,11 +518,11 @@ def _simhash_bits(
         guard = F.assert_true(
             F.col("n") <= _PACK_FIELD_CAP,
             F.lit("simhash packed-counter overflow: document exceeds "
-                  "65535 tokens — use packed=False"),
+                  f"{_PACK_FIELD_CAP} tokens — use packed=False"),
         )
         out = None
         for i in range(n_bits):
-            c = F.shiftright(F.col(f"s{i // 4}"), 16 * (i % 4)).bitwiseAND(0xFFFF)
+            c = F.shiftright(F.col(f"s{i // 4}"), 15 * (i % 4)).bitwiseAND(0x7FFF)
             bit = F.when(c * 2 > F.col("n"), _weight(i)).otherwise(
                 F.lit(0).cast("long")
             )
@@ -662,7 +669,11 @@ def containment_pairs(
     rows).  Same plan skeleton as the naive Jaccard tier — shingle
     equi-join, per-pair intersection count, size join — so the same
     Σ df² blow-up caveat applies; gate with LSH candidates
-    (``verify_candidate_pairs``-style) at corpus scale.
+    (``verify_candidate_pairs``-style) at corpus scale.  Like
+    ``jaccard_pairs``, the shingle frame is cache()d because the plan
+    references it three times within one action; the cached partitions
+    stay resident for the session (``spark.catalog.clearCache()``
+    reclaims them).
     """
     sh = doc_shingles(df, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -732,6 +743,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -761,8 +773,20 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Silently returning a partial closure would hand dedup several
+        # "representatives" from one transitive cluster — exactly the
+        # hole this operator exists to close. Diameter > max_iters means
+        # pathologically chained near-dups; fail loudly, let the caller
+        # raise the budget (or switch to a large-star/small-star scheme).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations (graph diameter exceeds the budget); raise "
+            f"max_iters"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component")
     )
@@ -838,15 +862,23 @@ def stratified_sample(
     )
     space = 1 << 32
 
-    def bound(frac: float) -> str:
-        return format(min(int(frac * space), space - 1), "08x")
+    def keep(frac: float) -> Column:
+        # fraction ≥ 1.0 means KEEP ALL — the clamped strict-< threshold
+        # would otherwise drop the (p = 2^-32 per doc) rows whose hash
+        # prefix is exactly 'ffffffff', which a billions-of-docs corpus
+        # does contain; likewise ≤ 0.0 is an unconditional drop.
+        if frac >= 1.0:
+            return F.lit(True)
+        if frac <= 0.0:
+            return F.lit(False)
+        return h < F.lit(format(int(frac * space), "08x"))
 
     cond = None
     for value, frac in fractions.items():
-        this = (F.col(strata_col) == value) & (h < F.lit(bound(frac)))
+        this = (F.col(strata_col) == value) & keep(frac)
         cond = this if cond is None else cond | this
     listed = F.col(strata_col).isin(*fractions.keys())
-    rest = (~listed) & (h < F.lit(bound(default_fraction)))
+    rest = (~listed) & keep(default_fraction)
     cond = rest if cond is None else cond | rest
     return df.filter(cond)
 

@@ -126,16 +126,21 @@ def _assign_cells_join(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str,
-    id_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Broadcast-join cell assignment (the large-C strategy).
 
     Ties break to the lowest cell id — ``max_by`` maximizes the struct
     (cosine, −cell), matching the literal strategy's first-wins argmax
     exactly.  The per-vector argmax groups on a synthetic dense row id
-    (``monotonically_increasing_id`` — unique per row, no requirement of
-    a caller id column), and the winning assignment joins back to the
-    input row.  Norms: argmax over cos = argmax over dot/‖c‖ because the
+    (``monotonically_increasing_id``); the id-bearing subtree is
+    evaluated exactly ONCE — the group carries the full row payload via
+    ``first()`` instead of joining the tagged frame back to itself,
+    because a self-join would re-evaluate the nondeterministic ids on
+    each side and could silently mis-assign or drop rows whenever the
+    input's row order isn't stable across re-evaluation (post-shuffle
+    frames, cache eviction).  Cost: the shuffle carries each row's
+    payload once (map-side combine collapses the C candidate copies per
+    mapper).  Norms: argmax over cos = argmax over dot/‖c‖ because the
     vector's own norm is a positive constant within its group — dividing
     by it is skipped, which also sidesteps 0/0 for zero vectors.
     """
@@ -150,19 +155,15 @@ def _assign_cells_join(
     )
     tagged = df.withColumn("_row", F.monotonically_increasing_id())
     v = F.col(vec_col).cast("array<double>")
-    scored = tagged.select("_row", v.alias("_v")).join(
-        F.broadcast(cdf),
-        on=F.lit(True),
-    ).select(
-        "_row",
-        "cell",
-        (dot_col(F.col("_v"), F.col("_c")) / F.col("_cn")).alias("_score"),
+    exploded = tagged.join(F.broadcast(cdf), on=F.lit(True))
+    score = dot_col(v, F.col("_c")) / F.col("_cn")
+    assign = exploded.groupBy("_row").agg(
+        *[F.first(c).alias(c) for c in df.columns],
+        F.max_by("cell", F.struct(score.alias("_s"),
+                                  (-F.col("cell")).alias("_t")))
+        .alias("cell"),
     )
-    assign = scored.groupBy("_row").agg(
-        F.max_by("cell", F.struct(F.col("_score"), (-F.col("cell")).alias("_t")))
-        .alias("cell")
-    )
-    return tagged.join(assign, "_row").drop("_row")
+    return assign.drop("_row")
 
 
 def build_ivf_index(

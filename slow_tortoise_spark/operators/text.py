@@ -175,20 +175,21 @@ def unigram_logprob(
     unigram LM — the CCNet-style fluency/quality signal (docs of rare or
     garbled vocabulary score low; boilerplate scores high).
 
-    Shape for 100 TB: ONE aggregation builds the (token → count) vocab
-    plus the total token count (a grouped count and a windowless scalar
-    — both map-side-combined), the token stream equi-joins the vocab
-    (AQE broadcasts it while it fits — unigram vocabularies grow
-    sublinearly in the corpus), and a final per-doc aggregate averages
-    ``ln(count/total)``.  Smoothing is unnecessary by construction:
-    every token of every doc is part of the vocab it is scored against.
+    Shape for 100 TB: TWO corpus passes total — one vocab aggregation
+    whose Σcnt doubles as the total-token scalar (summing the
+    vocab-sized aggregate, NOT re-scanning the token stream), then the
+    scoring pass equi-joins the vocab (AQE broadcasts it while it fits
+    — unigram vocabularies grow sublinearly in the corpus) and a final
+    per-doc aggregate averages ``ln(count/total)``.  Smoothing is
+    unnecessary by construction: every token of every doc is part of
+    the vocab it is scored against.
 
     ``round_to`` rounds the mean (engine-portable float parity for
     oracles); None keeps full precision.
     """
     toks = df.select("doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.count()
+    total = vocab.agg(F.sum("cnt")).first()[0]
     scored = toks.join(vocab, "tok").select(
         "doc_id", (F.log(F.col("cnt") / F.lit(float(total)))).alias("lp")
     )

@@ -2610,6 +2610,11 @@ def q_stream_stream_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+# Bounds compare at MICROsecond precision on both sides: the Spark side
+# joins on timestamp_micros(ts DIV 1000) values (nanos truncated), so an
+# oracle comparing raw nano timestamps would diverge on pairs whose nano
+# gap falls in (1h, 1h+999ns] — a latent boundary mismatch as fixtures
+# change.
 _Q_STREAM_STREAM_JOIN = """
   SELECT c.event_id AS click_id,
          p.event_id AS purchase_id,
@@ -2617,8 +2622,8 @@ _Q_STREAM_STREAM_JOIN = """
          epoch_us(p.ts) - epoch_us(c.ts) AS us_to_purchase
   FROM events c JOIN events p
     ON c.user_id = p.user_id
-   AND p.ts >= c.ts
-   AND p.ts <= c.ts + INTERVAL 1 HOUR
+   AND epoch_us(p.ts) >= epoch_us(c.ts)
+   AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
   WHERE c.event_type = 'click' AND p.event_type = 'purchase'
   ORDER BY click_id, purchase_id
 """
@@ -2820,7 +2825,7 @@ _Q_STRATIFIED_SAMPLE = """
   )
   SELECT doc_id, source
   FROM h
-  WHERE (source = 'src0' AND hx < 'ffffffff')
+  WHERE (source = 'src0')  -- fraction 1.0 = keep ALL, no hash threshold
      OR (source = 'src1' AND hx < '80000000')
      OR (source NOT IN ('src0', 'src1') AND hx < '19999999')
   ORDER BY doc_id

@@ -521,18 +521,22 @@ def test_simhash_packed_counters_match_per_bit_sums(spark, sf_dir):
         assert fast == slow and fast
 
 
-def test_simhash_packed_overflow_guard(spark):
-    """A >65535-token doc must fail LOUDLY on the packed path (silent
-    field carry-over would corrupt neighboring bit counts) and succeed
-    with packed=False."""
+@pytest.mark.parametrize("n_tokens", [40_000, 70_000])
+def test_simhash_packed_overflow_guard(spark, n_tokens):
+    """An over-cap doc must fail LOUDLY on the packed path with the
+    FRIENDLY assert (silent field carry-over would corrupt neighboring
+    bit counts) and succeed with packed=False. 40 000 identical tokens
+    is the review-confirmed case where 16-bit fields overflowed the
+    aggregation itself (ANSI ARITHMETIC_OVERFLOW before the guard) —
+    15-bit fields keep the sum in range so the guard is reachable."""
     from pyspark.sql import Row
 
     from slow_tortoise_spark.operators.dedup import _simhash_bits
 
     big = spark.createDataFrame(
-        [Row(doc_id=1, text="tok " * 70000)], "doc_id long, text string"
+        [Row(doc_id=1, text="tok " * n_tokens)], "doc_id long, text string"
     )
-    with pytest.raises(Exception, match="overflow|ASSERT|assert"):
+    with pytest.raises(Exception, match="packed-counter overflow"):
         _simhash_bits(big, "text", 16, packed=True).collect()
     out = _simhash_bits(big, "text", 16, packed=False).collect()
     assert len(out) == 1
