@@ -310,14 +310,15 @@ def jaccard_pairs_auto(
     high confidence.  Both plans return identical results (pytest asserts
     it).
 
-    The price is estimated from a deterministic 1-in-``sample_mod`` doc
-    sample (hash-stride, so it's reproducible and cluster-layout-free):
-    sampling docs at rate p scales each shingle's df by ~p, so
-    Σ df_sample² / p² estimates the full Σ df² — accurate enough for a
-    plan choice at a fraction of a full shingle pass.  An empty sample
-    (tiny corpus) prices to zero, which correctly picks the naive plan.
+    The price is computed EXACTLY from the same cached (doc, shingle)
+    frame the winning plan consumes: both tiers need the full shingle
+    set anyway, so pricing is one groupBy+sum over data that is
+    materialized regardless — no separate sampling scan of the raw
+    corpus, and no estimation error in the gate.  (An earlier version
+    priced from a 1-in-8 hash-stride doc sample; that spent an extra
+    corpus scan to avoid a shingle pass we were about to pay for
+    anyway.)
     """
-    sample_mod = 8
     # Stats cache keyed by the input's logical plan (semanticHash) PLUS a
     # freshness token from the file catalog (count + total name length of
     # input files): repeated runs over the same corpus reuse the price
@@ -331,22 +332,20 @@ def jaccard_pairs_auto(
     files = df.inputFiles()
     memo_key = (df.semanticHash(), text_col, n,
                 len(files), sum(len(f) for f in files))
+    sh = doc_shingles(df, text_col, n).cache()
     if memo_key in _JACCARD_PRICE_MEMO:
         pair_rows = _JACCARD_PRICE_MEMO[memo_key]
     else:
-        sample = df.filter(F.pmod(F.hash(F.col("doc_id")), sample_mod) == 0)
         est = (
-            doc_shingles(sample, text_col, n)
-            .groupBy("shingle")
+            sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
             .first()["pair_rows"]
         )
-        pair_rows = (est or 0) * sample_mod * sample_mod
+        pair_rows = est or 0
         if len(_JACCARD_PRICE_MEMO) > 256:
             _JACCARD_PRICE_MEMO.clear()
         _JACCARD_PRICE_MEMO[memo_key] = pair_rows
-    sh = doc_shingles(df, text_col, n).cache()
     if pair_rows <= naive_budget:
         return _jaccard_naive_from_shingles(sh, threshold)
     return _jaccard_prefix_from_shingles(sh, threshold)
@@ -520,13 +519,45 @@ def _simhash_bits(
             F.lit("simhash packed-counter overflow: document exceeds "
                   f"{_PACK_FIELD_CAP} tokens — use packed=False"),
         )
+        # Majority per field via a SWAR carry-bit compare instead of 64
+        # per-bit ``when`` terms: for a 15-bit count c and threshold
+        # t = n DIV 2, ``2c > n  ⟺  c > t  ⟺`` bit 15 of
+        # ``c + (2^15 − 1 − t)`` is set.  Even fields (0, 2) and odd
+        # fields (1, 3) are masked apart so each sum has a free carry
+        # bit (worst case c + 32767 − t ≤ 2^16 − 2 spans 16 bits; the
+        # neighbour field's 15 bits are masked to zero, so spans never
+        # collide).  This form exists for the DRIVER, not the executors:
+        # the 64-term chain cost ~1.8 s of Catalyst analysis/optimization
+        # per query (measured; executors saw only ~0.7 s of real work) —
+        # the SWAR tree is ~4× smaller and plans in ~0.4 s.  Values are
+        # bit-identical (pytest parity + the unchanged per-bit SQL
+        # oracle); bit 63 lands via shiftleft into the sign bit, the
+        # same two's-complement pattern as the −2^63 literal.
+        mask_even = 0x7FFF | (0x7FFF << 30)
+        mask_odd = (0x7FFF << 15) | (0x7FFF << 45)
+        thresh = F.shiftright(F.col("n"), 1)  # floor(n/2)
+        add_even = (F.lit(32767).cast("long") - thresh) * F.lit(
+            1 + (1 << 30)
+        ).cast("long")
+        add_odd = (F.lit(32767).cast("long") - thresh) * F.lit(
+            (1 << 15) + (1 << 45)
+        ).cast("long")
         out = None
-        for i in range(n_bits):
-            c = F.shiftright(F.col(f"s{i // 4}"), 15 * (i % 4)).bitwiseAND(0x7FFF)
-            bit = F.when(c * 2 > F.col("n"), _weight(i)).otherwise(
-                F.lit(0).cast("long")
+        for j in range(n_nib):
+            s = F.col(f"s{j}")
+            y_even = s.bitwiseAND(F.lit(mask_even).cast("long")) + add_even
+            y_odd = s.bitwiseAND(F.lit(mask_odd).cast("long")) + add_odd
+            nib = (
+                F.shiftright(y_even, 15).bitwiseAND(1)          # field 0
+                + F.shiftright(y_odd, 30).bitwiseAND(1) * 2     # field 1
+                + F.shiftright(y_even, 45).bitwiseAND(1) * 4    # field 2
+                + F.shiftright(y_odd, 60).bitwiseAND(1) * 8     # field 3
             )
-            out = bit if out is None else out + bit
+            group_bits = min(4, n_bits - 4 * j)
+            if group_bits < 4:  # partial top group (n_bits % 4 != 0)
+                nib = nib.bitwiseAND((1 << group_bits) - 1)
+            g = F.shiftleft(nib.cast("long"), 4 * j)
+            out = g if out is None else out.bitwiseOR(g)
         return sums.select(
             "doc_id",
             F.when(guard.isNull(), out).cast("long").alias("simhash"),
