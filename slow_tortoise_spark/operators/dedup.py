@@ -914,6 +914,87 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def temperature_mix_plan(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    budget: float = 1_000_000,
+    weight_col: str | None = None,
+) -> dict[str, tuple[int, float]]:
+    """Per-stratum (mass, keep_fraction) for temperature-``alpha`` corpus
+    mixing: stratum i's share of ``budget`` is ``m_i^alpha / Σ m_j^alpha``
+    (alpha = 1 preserves natural proportions, alpha → 0 approaches
+    uniform — the standard upweight-the-tails move for multi-source
+    training mixes).  ``weight_col`` measures mass (e.g. token or char
+    counts); None counts rows.
+
+    One aggregate over the corpus, collected to the driver — bounded by
+    the number of strata, never by rows.  Fractions are single-pass
+    (no redistribution of the shortfall clipped strata leave unused).
+
+    Cross-engine determinism: the share numerators are quantized to
+    integers (``round(m^alpha · 10^6)``) so the normalizing sum is EXACT
+    integer arithmetic — double summation order across strata can never
+    perturb a keep fraction, and a SQL engine replays the plan
+    bit-for-bit.  The ≤1e-6 relative share error is noise for mixing.
+    ``alpha = 0.5`` uses ``sqrt`` (IEEE-correctly-rounded everywhere)
+    rather than ``pow`` (libm-dependent); other alphas share the host
+    libm's ``pow`` rounding, which SQL replay on another machine may
+    not reproduce on boundary-straddling rows.
+    """
+    import math
+
+    mass_expr = (
+        F.count("*") if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
+    rows = df.groupBy(strata_col).agg(mass_expr.alias("mass")).collect()
+
+    def share_num(mass: int) -> int:
+        if alpha == 0.5:
+            return round(math.sqrt(mass) * 1_000_000)
+        if alpha == 1.0:
+            return mass * 1_000_000
+        return round(mass ** alpha * 1_000_000)
+
+    masses = {r[strata_col]: int(r["mass"]) for r in rows}
+    nums = {s: share_num(m) for s, m in masses.items()}
+    total = sum(nums.values())  # exact int
+    plan = {}
+    for s, m in masses.items():
+        frac = min(1.0, budget * nums[s] / total / m) if m > 0 else 0.0
+        plan[s] = (m, frac)
+    return plan
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    budget: float = 1_000_000,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-``alpha`` mixture sampling across sources: compute the
+    per-stratum keep fractions via :func:`temperature_mix_plan` (one
+    bounded aggregate), then apply them with the deterministic keyed-hash
+    threshold of :func:`stratified_sample` — so the realized mix is
+    reproducible on any engine, independent of partitioning, and a pure
+    scan+filter over the corpus (no shuffle of the data itself).
+
+    Realized mass per stratum ≈ fraction × mass in expectation; strata
+    whose natural mass falls below their temperature share keep
+    everything (fraction clips at 1).
+    """
+    plan = temperature_mix_plan(df, strata_col, alpha, budget, weight_col)
+    fractions = {s: frac for s, (_, frac) in plan.items()}
+    return stratified_sample(
+        df, strata_col, fractions, default_fraction=0.0,
+        id_col=id_col, salt=salt,
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     test: DataFrame,

@@ -343,6 +343,85 @@ def lsh_near_duplicates(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float | None = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Cluster-bucketed semantic near-dup pairs (SemDeDup-style, public
+    method: Abbas et al. 2023, arXiv:2303.09540 — cluster embeddings,
+    compare only within a cluster).
+
+    Vectors are assigned to their nearest of ``n_cells`` centroids (the
+    deterministic IVF build — broadcastable centroids, one scan), then
+    candidate pairs are an EQUI-join on the cell id with an exact cosine
+    rescore: cost is Σ|cell|² instead of n², and the join never
+    degenerates to all-pairs as long as cells stay balanced
+    (``kmeans_iters`` Lloyd rounds rebalance; a pathological mega-cell
+    is the documented failure mode of every clustering bucketer —
+    :func:`lsh_near_duplicates` is the alternative bucketing with the
+    complementary tradeoff).  Cross-cell near-dups are missed by
+    construction — that recall loss vs the exact tier is the method's
+    published tradeoff, bounded in pytest on clustered fixtures.
+
+    Returns (id_a, id_b, cell, cosine) with ``id_a < id_b``;
+    ``threshold=None`` returns every within-cell scored pair (for
+    callers filtering on a rounded score, e.g. the SQL-parity query).
+    ``n_cells=1`` degenerates to the exact all-pairs tier (pytest pins
+    equality with :func:`embedding_near_duplicates`).
+    """
+    indexed, _ = build_ivf_index(
+        df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        kmeans_iters=kmeans_iters,
+    )
+    side = indexed.select(id_col, "cell", vec_col)
+    a, b = side.alias("a"), side.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.cell").alias("cell"),
+        cosine_col(
+            F.col(f"a.{vec_col}").cast("array<double>"),
+            F.col(f"b.{vec_col}").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    if threshold is None:
+        return pairs
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup_drop(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """Rows surviving semantic dedup: drop a vector iff a LOWER-id
+    vector in its cell is cosine-similar above ``threshold``.
+
+    Same single-pass drop policy (and the same star-shape caveat) as the
+    MinHash greedy tier: a chain a~b~c with a≁c drops both b and c even
+    though c's only similar survivor was itself dropped.  For the
+    transitive-closure-correct variant, feed :func:`semantic_dedup_pairs`
+    into ``operators.dedup.connected_components`` /
+    ``drop_by_components`` — the pair frame is policy-agnostic.
+    """
+    pairs = semantic_dedup_pairs(
+        df, n_cells, threshold, id_col, vec_col, kmeans_iters
+    )
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

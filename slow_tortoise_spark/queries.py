@@ -2891,6 +2891,118 @@ ORACLE_SQL.update(
     }
 )
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-0.5 corpus mixing over the 20 sources, weighted by
+    n_chars, at a 60k-char budget: per-source keep fractions come from
+    quantized-sqrt shares (exact integer normalization — see
+    operators/dedup.py:temperature_mix_plan for why that makes the plan
+    bit-reproducible in SQL), applied via the keyed md5 threshold."""
+    from slow_tortoise_spark.operators.dedup import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = temperature_mix(
+        docs, strata_col="source", alpha=0.5, budget=60_000.0,
+        weight_col="n_chars",
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+_Q_TEMPERATURE_MIX = """
+  WITH mass AS (
+    SELECT source, SUM(n_chars) AS m FROM documents GROUP BY source
+  ),
+  nums AS (
+    SELECT source, m,
+           CAST(round(sqrt(CAST(m AS DOUBLE)) * 1000000) AS BIGINT) AS s
+    FROM mass
+  ),
+  tot AS (SELECT SUM(s) AS st FROM nums),
+  frac AS (
+    SELECT source, LEAST(1.0, 60000.0 * s / st / m) AS f FROM nums, tot
+  )
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN frac USING (source)
+  WHERE f >= 1.0
+     OR substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT))
+  ORDER BY doc_id
+"""
+
+
+def q_semdedup_pairs(spark, sf_dir):
+    """SemDeDup-style cluster-bucketed near-dup pairs: the deterministic
+    8-cell IVF build assigns every vector, candidates are the within-cell
+    equi-join, and the exact cosine rescore keeps round(cos, 6) ≥ 0.35.
+    The oracle replays the identical seeded build (same CTEs as the
+    ivf_topk oracle), so assignment, bucketing, and scores are all
+    value-checked."""
+    from slow_tortoise_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = semantic_dedup_pairs(emb, n_cells=8, threshold=None)
+    return (
+        scored.select(
+            "id_a", "id_b", "cell", F.round("cosine", 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q_SEMDEDUP_PAIRS = """
+  WITH v AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ),
+  norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM v GROUP BY vec_id),
+  seeds AS (
+    SELECT vec_id AS seed_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cell
+    FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT 8
+  ),
+  sv AS (SELECT s.cell, v.i, v.x FROM seeds s JOIN v ON v.vec_id = s.seed_id),
+  snorm AS (SELECT cell, sqrt(SUM(x * x)) AS n FROM sv GROUP BY cell),
+  vc AS (
+    SELECT v.vec_id, sv.cell, SUM(v.x * sv.x) AS dot
+    FROM v JOIN sv ON v.i = sv.i
+    GROUP BY 1, 2
+  ),
+  assign AS (
+    SELECT vec_id, cell FROM (
+      SELECT vc.vec_id, vc.cell,
+             row_number() OVER (
+               PARTITION BY vc.vec_id
+               ORDER BY vc.dot / (nv.n * sn.n) DESC, vc.cell) AS rn
+      FROM vc
+      JOIN norms nv ON vc.vec_id = nv.vec_id
+      JOIN snorm sn ON vc.cell = sn.cell
+    ) WHERE rn = 1
+  ),
+  cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  ),
+  dots AS (
+    SELECT c.id_a, c.id_b, c.cell, SUM(va.x * vb.x) AS dot
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b AND va.i = vb.i
+    GROUP BY 1, 2, 3
+  )
+  SELECT d.id_a, d.id_b, d.cell, round(d.dot / (na.n * nb.n), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.id_a = na.vec_id
+  JOIN norms nb ON d.id_b = nb.vec_id
+  WHERE round(d.dot / (na.n * nb.n), 6) >= 0.35
+  ORDER BY id_a, id_b
+"""
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "temporal_agg_year": q_temporal_agg_year,
@@ -2914,6 +3026,8 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,
     "containment_pairs": q_containment_pairs,
     "stratified_sample": q_stratified_sample,
+    "temperature_mix": q_temperature_mix,
+    "semdedup_pairs": q_semdedup_pairs,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -2939,4 +3053,6 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "tfidf_terms": _Q_TFIDF_TERMS,
     "containment_pairs": _Q_CONTAINMENT_PAIRS,
     "stratified_sample": _Q_STRATIFIED_SAMPLE,
+    "temperature_mix": _Q_TEMPERATURE_MIX,
+    "semdedup_pairs": _Q_SEMDEDUP_PAIRS,
 }

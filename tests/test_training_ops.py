@@ -778,3 +778,113 @@ def test_simhash_band_cardinality_scales():
     assert all(w >= 16 for w in simhash_band_widths(64, 3))
     # the verifier width really is too narrow — documents the demotion
     assert all(w <= 6 for w in simhash_band_widths(16, 2))
+
+
+def test_temperature_mix_plan_and_sampling(spark, sf_dir):
+    """alpha=1 reproduces natural proportions; alpha=0.5 flattens the mix
+    toward uniform; an over-budget run keeps everything; sampling is
+    deterministic across partitionings."""
+    from slow_tortoise_spark.operators.dedup import (
+        temperature_mix,
+        temperature_mix_plan,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    total = docs.agg(F.sum("n_chars")).first()[0]
+
+    # budget >= total mass: every fraction clips to 1.0, all rows kept
+    plan_all = temperature_mix_plan(
+        docs, "source", alpha=0.5, budget=float(total * 2),
+        weight_col="n_chars",
+    )
+    assert all(frac == 1.0 for _, frac in plan_all.values())
+    assert temperature_mix(
+        docs, "source", alpha=0.5, budget=float(total * 2),
+        weight_col="n_chars",
+    ).count() == docs.count()
+
+    # alpha=1: share_i = m_i / total, so fraction = budget/total for all
+    plan_nat = temperature_mix_plan(
+        docs, "source", alpha=1.0, budget=total / 2, weight_col="n_chars"
+    )
+    fracs = [frac for _, frac in plan_nat.values()]
+    assert all(abs(f - 0.5) < 1e-6 for f in fracs)
+
+    # alpha=0.5 upweights light strata: fraction decreases with mass
+    plan_sqrt = temperature_mix_plan(
+        docs, "source", alpha=0.5, budget=total / 2, weight_col="n_chars"
+    )
+    by_mass = sorted(plan_sqrt.values())
+    assert by_mass[0][1] > by_mass[-1][1]  # lightest keeps a larger share
+
+    # deterministic under repartitioning
+    out = {r["doc_id"] for r in temperature_mix(
+        docs, "source", 0.5, total / 2, "n_chars").collect()}
+    again = {r["doc_id"] for r in temperature_mix(
+        docs.repartition(13), "source", 0.5, total / 2, "n_chars").collect()}
+    assert out == again and 0 < len(out) < docs.count()
+
+
+def test_semantic_dedup_single_cell_equals_exact(spark, sf_dir):
+    """n_cells=1 buckets everything together, so the cluster tier must
+    equal the exact all-pairs tier; with more cells its pairs are a
+    subset (cross-cell pairs are the documented recall loss)."""
+    from slow_tortoise_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_duplicates(emb, threshold=0.3).collect()}
+    one_cell = {(r["id_a"], r["id_b"]) for r in
+                semantic_dedup_pairs(emb, n_cells=1, threshold=0.3).collect()}
+    assert one_cell == exact and len(exact) > 0
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                semantic_dedup_pairs(emb, n_cells=4, threshold=0.3).collect()}
+    assert bucketed <= exact
+
+
+def test_semantic_dedup_drop_removes_planted_dups(spark, sf_dir):
+    """Planted near-copies land in their original's cell and are dropped;
+    originals (the lower ids) survive."""
+    from slow_tortoise_spark.operators.similarity import (
+        semantic_dedup_drop,
+        semantic_dedup_pairs,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet").limit(100)
+    base = max(r["vec_id"] for r in emb.select("vec_id").collect()) + 1
+    planted = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + base).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    kept = {r["vec_id"] for r in
+            semantic_dedup_drop(corpus, n_cells=4, threshold=0.999).collect()}
+    assert {0, 1, 2, 3, 4} <= kept
+    assert kept.isdisjoint({base + i for i in range(5)})
+    pairs = semantic_dedup_pairs(corpus, n_cells=4, threshold=0.999).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (i, base + i) for i in range(5)
+    }
+
+
+def test_semantic_dedup_join_is_equi_not_all_pairs(spark, sf_dir):
+    """The candidate join must be a hash/merge equi-join on the cell id —
+    never a nested-loop over all vector pairs."""
+    from slow_tortoise_spark.operators.similarity import semantic_dedup_pairs
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    plan = semantic_dedup_pairs(emb, n_cells=4, threshold=0.3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
