@@ -995,6 +995,52 @@ def temperature_mix(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame, n: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-corpus duplication fraction: the share of a
+    doc's distinct ``n``-gram shingles that also occur in at least one
+    OTHER document (the span-level duplication signal behind
+    deduplicate-training-data curation — long n-grams make collisions
+    meaningful, so a high ``dup_frac`` flags boilerplate or copies that
+    whole-doc dedup misses).
+
+    Shape: one shingle pass; corpus-wide document frequency is a
+    groupBy on the shingle (distinct (doc, shingle) input, so in-doc
+    repeats don't inflate df); docs join that vocabulary and aggregate —
+    cost linear in corpus + hits, no doc×doc term.  Docs shorter than
+    ``n`` tokens surface with zero counts (LEFT join back to the corpus
+    — the row-count parity lesson from repetition_ratio's oracle).
+
+    Returns (doc_id, n_shingles, n_dup, dup_frac).
+    """
+    sh = doc_shingles(df, text_col, n)
+    vocab_df = sh.groupBy("shingle").agg(
+        F.count("*").alias("df")
+    )
+    per_doc = (
+        sh.join(vocab_df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            (
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     test: DataFrame,

@@ -371,3 +371,35 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
         "rep_ratio",
         ((total - distinct).cast("double") / F.greatest(total, F.lit(1))),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies within tokens —
+    the counting step of byte-pair-encoding tokenizer training (each BPE
+    merge round picks the most frequent adjacent pair; this computes that
+    table in one distributed pass instead of the textbook single-machine
+    loop).
+
+    Pure column math per row (explode tokens, slide a 2-char window via
+    ``substr`` over a ``sequence`` of offsets), one groupBy on the pair.
+    Pair counts are weighted by token OCCURRENCES (standard BPE counts
+    corpus frequency, not vocabulary frequency).  Deterministic top-k:
+    count desc, then pair asc.
+
+    Returns (pair, cnt) — ``top_k`` rows.
+    """
+    toks = df.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
+    offs = F.when(
+        F.length("tok") >= 2, F.sequence(F.lit(1), F.length("tok") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = toks.select(
+        F.explode(
+            F.transform(offs, lambda i: F.col("tok").substr(i, F.lit(2)))
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), "pair").limit(top_k)

@@ -180,3 +180,48 @@ def rolling_time_agg(
     return df.withColumn("rolling_n", F.count(value_col).over(w)).withColumn(
         "rolling_sum", F.sum(value_col).over(w)
     )
+
+
+def assemble_sequences(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    value_col: str = "event_type",
+    max_len: int = 50,
+) -> DataFrame:
+    """Per-key time-ordered event sequences — the assembly step that
+    turns a behavioral event log into training examples (one row per
+    key: the first ``max_len`` event values in time order, plus the
+    true length).
+
+    One shuffle (groupBy key).  Ordering happens INSIDE the row:
+    ``collect_list`` of (ts, tiebreak, value) structs is unordered and
+    partitioning-dependent, so the array is ``sort_array``-ed by the
+    struct's (ts, tiebreak) prefix before truncation — making the
+    result deterministic on any cluster layout, with no window sort of
+    the full log.  Per-key state is bounded by that key's event count;
+    truncation to ``max_len`` caps the OUTPUT, not the aggregation —
+    for keys with millions of events, pre-filter by time range first.
+
+    Returns (key, seq_len, seq) with ``seq`` a comma-joined string of
+    values (string form keeps cross-engine comparison trivial).
+    """
+    packed = df.groupBy(key_col).agg(
+        F.count("*").alias("seq_len"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("_t"),
+                    F.col(order_tiebreak).alias("_i"),
+                    F.col(value_col).cast("string").alias("_v"),
+                )
+            )
+        ).alias("_events"),
+    )
+    seq = F.array_join(
+        F.transform(F.slice("_events", 1, max_len), lambda s: s["_v"]), ","
+    )
+    return packed.select(
+        key_col, "seq_len", seq.alias("seq")
+    )

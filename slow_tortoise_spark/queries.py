@@ -3003,6 +3003,100 @@ _Q_SEMDEDUP_PAIRS = """
 """
 
 
+def q_dup_ngram_stats(spark, sf_dir):
+    """Per-doc cross-corpus duplicated-10-gram fraction (span-level
+    duplication signal; docs shorter than n surface with zeros — the
+    row-parity lesson from repetition_ratio)."""
+    from slow_tortoise_spark.operators.dedup import dup_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dup_ngram_stats(docs, n=10)
+    return out.select(
+        "doc_id", "n_shingles", "n_dup", F.round("dup_frac", 6).alias("dup_frac")
+    ).orderBy("doc_id")
+
+
+_Q_DUP_NGRAM_STATS = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 9, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + 9), ' '))) AS shingle
+    FROM toks WHERE len(t) >= 10
+  ),
+  v AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+  per AS (
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN v.df > 1 THEN 1 ELSE 0 END) AS n_dup
+    FROM sh s JOIN v USING (shingle) GROUP BY 1
+  )
+  SELECT d.doc_id,
+         COALESCE(p.n_shingles, 0) AS n_shingles,
+         COALESCE(p.n_dup, 0) AS n_dup,
+         round(COALESCE(p.n_dup, 0)::DOUBLE
+               / greatest(COALESCE(p.n_shingles, 0), 1), 6) AS dup_frac
+  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+  ORDER BY d.doc_id
+"""
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """Top-50 adjacent character pairs within tokens (the BPE merge-
+    candidate table), deterministically ordered (count desc, pair)."""
+    from slow_tortoise_spark.operators.text import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_k=50)
+
+
+_Q_BPE_PAIRS = """
+  WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ),
+  pairs AS (
+    SELECT substr(tok, CAST(i AS INT), 2) AS pair
+    FROM toks, LATERAL unnest(range(1, len(tok))) AS g(i)
+    WHERE len(tok) >= 2
+  )
+  SELECT pair, COUNT(*) AS cnt
+  FROM pairs GROUP BY 1
+  ORDER BY cnt DESC, pair
+  LIMIT 50
+"""
+
+
+def q_event_sequences(spark, sf_dir):
+    """Per-user time-ordered event-type sequences truncated to 50 —
+    behavioral-log → training-example assembly.  The oracle orders by
+    the micro-truncated timestamp (the parquet stores nanos; Spark reads
+    micros — ordering on raw nanos could legally disagree on sub-µs
+    neighbors, the nano-vs-micro lesson from the stream-join oracle)."""
+    from slow_tortoise_spark.operators.timejoin import assemble_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    return assemble_sequences(ev, max_len=50).orderBy("user_id")
+
+
+_Q_EVENT_SEQUENCES = """
+  SELECT user_id, COUNT(*) AS seq_len,
+         array_to_string(
+           list_slice(
+             list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id),
+             1, 50),
+           ',') AS seq
+  FROM events
+  GROUP BY user_id
+  ORDER BY user_id
+"""
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "temporal_agg_year": q_temporal_agg_year,
@@ -3028,6 +3122,9 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "temperature_mix": q_temperature_mix,
     "semdedup_pairs": q_semdedup_pairs,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "bpe_pairs": q_bpe_pairs,
+    "event_sequences": q_event_sequences,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3055,4 +3152,7 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "stratified_sample": _Q_STRATIFIED_SAMPLE,
     "temperature_mix": _Q_TEMPERATURE_MIX,
     "semdedup_pairs": _Q_SEMDEDUP_PAIRS,
+    "dup_ngram_stats": _Q_DUP_NGRAM_STATS,
+    "bpe_pairs": _Q_BPE_PAIRS,
+    "event_sequences": _Q_EVENT_SEQUENCES,
 }

@@ -888,3 +888,64 @@ def test_semantic_dedup_join_is_equi_not_all_pairs(spark, sf_dir):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_ngram_stats_known_case(spark):
+    """Shared trigrams count as duplicated; unique docs score 0; docs
+    shorter than n still surface with zero counts."""
+    from slow_tortoise_spark.operators.dedup import dup_ngram_stats
+
+    rows = [
+        Row(doc_id=0, text="a b c d e"),
+        Row(doc_id=1, text="a b c d e"),        # exact copy: all dup
+        Row(doc_id=2, text="x y z w q"),        # unique: none dup
+        Row(doc_id=3, text="a b"),              # shorter than n: zeros
+    ]
+    out = {r["doc_id"]: r for r in
+           dup_ngram_stats(spark.createDataFrame(rows), n=3).collect()}
+    assert len(out) == 4
+    assert out[0]["n_shingles"] == 3 and out[0]["n_dup"] == 3
+    assert out[1]["dup_frac"] == 1.0
+    assert out[2]["n_shingles"] == 3 and out[2]["n_dup"] == 0
+    assert out[3]["n_shingles"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_bpe_pair_counts_known_case(spark):
+    """Counts weight token occurrences; window slides within tokens only
+    (no cross-token pairs); deterministic tie order."""
+    from slow_tortoise_spark.operators.text import bpe_pair_counts
+
+    rows = [
+        Row(doc_id=0, text="aaa bb"),
+        Row(doc_id=1, text="aaa"),
+        Row(doc_id=2, text="x"),  # single char: no pair
+    ]
+    out = [(r["pair"], r["cnt"]) for r in
+           bpe_pair_counts(spark.createDataFrame(rows), top_k=10).collect()]
+    # 'aaa' twice -> 'aa' 4x; 'bb' once -> 'bb' 1x; no 'ab' across tokens
+    assert out == [("aa", 4), ("bb", 1)]
+
+
+def test_assemble_sequences_order_truncation_determinism(spark):
+    """Sequences come out in (ts, tiebreak) order regardless of input or
+    partition order; max_len truncates the output but seq_len keeps the
+    true count."""
+    from datetime import datetime
+    from slow_tortoise_spark.operators.timejoin import assemble_sequences
+
+    rows = [
+        Row(event_id=2, ts=datetime(2024, 1, 1, 0, 0, 2), user_id=1,
+            event_type="c"),
+        Row(event_id=0, ts=datetime(2024, 1, 1, 0, 0, 0), user_id=1,
+            event_type="a"),
+        Row(event_id=1, ts=datetime(2024, 1, 1, 0, 0, 0), user_id=1,
+            event_type="b"),  # same ts as event 0: event_id breaks tie
+        Row(event_id=3, ts=datetime(2024, 1, 1), user_id=2, event_type="z"),
+    ]
+    ev = spark.createDataFrame(rows)
+    out = {r["user_id"]: r for r in assemble_sequences(ev, max_len=2).collect()}
+    assert out[1]["seq"] == "a,b" and out[1]["seq_len"] == 3
+    assert out[2]["seq"] == "z" and out[2]["seq_len"] == 1
+    again = {r["user_id"]: r["seq"] for r in
+             assemble_sequences(ev.repartition(7), max_len=2).collect()}
+    assert again == {u: r["seq"] for u, r in out.items()}
