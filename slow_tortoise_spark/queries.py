@@ -1344,9 +1344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "region_revenue": q_region_revenue,
-    "semi_join": q_semi_join,
     "anti_join": q_anti_join,
-    "set_ops": q_set_ops,
     "window_topn": q_window_topn,
     "harmonized_union": q_harmonized_union,
     "temporal_agg_month": q_temporal_agg_month,
@@ -1359,8 +1357,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_extrema": q_regional_extrema,
     "qualifier_pivot": q_qualifier_pivot,
     "qualifier_counts": q_qualifier_counts,
-    "region_lists": q_region_lists,
-    "rows_per_feature": q_rows_per_feature,
     "validate_coercion": q_validate_coercion,
     "tile_binning": q_tile_binning,
     "tile_rollup": q_tile_rollup,
@@ -1379,9 +1375,7 @@ ORACLE_SQL: dict[str, str] = {
     "pricing_summary": _Q_PRICING_SUMMARY,
     "top_orders": _Q_TOP_ORDERS,
     "region_revenue": _Q_REGION_REVENUE,
-    "semi_join": _Q_SEMI_JOIN,
     "anti_join": _Q_ANTI_JOIN,
-    "set_ops": _Q_SET_OPS,
     "window_topn": _Q_WINDOW_TOPN,
     "harmonized_union": _Q_HARMONIZED_UNION,
     "temporal_agg_month": _Q_TEMPORAL_AGG_MONTH,
@@ -1394,8 +1388,6 @@ ORACLE_SQL: dict[str, str] = {
     "regional_extrema": _Q_REGIONAL_EXTREMA,
     "qualifier_pivot": _Q_QUALIFIER_PIVOT,
     "qualifier_counts": _Q_QUALIFIER_COUNTS,
-    "region_lists": _Q_REGION_LISTS,
-    "rows_per_feature": _Q_ROWS_PER_FEATURE,
     "validate_coercion": _Q_VALIDATE_COERCION,
     "tile_binning": _Q_TILE_BINNING,
     "tile_rollup": _Q_TILE_ROLLUP,
@@ -2085,13 +2077,11 @@ _Q_STRING_FUNCS = """
 QUERIES.update(
     {
         "json_extract": q_json_extract,
-        "string_funcs": q_string_funcs,
     }
 )
 ORACLE_SQL.update(
     {
         "json_extract": _Q_JSON_EXTRACT,
-        "string_funcs": _Q_STRING_FUNCS,
     }
 )
 
@@ -3097,6 +3087,29 @@ _Q_EVENT_SEQUENCES = """
 """
 
 
+# Round-3 rotation: the training/mixing ops earn driver CORRECTNESS rows;
+# the displaced demo/subsumed entries stay oracle-checked in the verifier
+# tier below (rotation mechanism endorsed by the round-2 review).
+QUERIES.update(
+    {
+        "pii_redact": q_pii_redact,
+        "temperature_mix": q_temperature_mix,
+        "semdedup_pairs": q_semdedup_pairs,
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "event_sequences": q_event_sequences,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "pii_redact": _pii_redact_sql(),
+        "temperature_mix": _Q_TEMPERATURE_MIX,
+        "semdedup_pairs": _Q_SEMDEDUP_PAIRS,
+        "dup_ngram_stats": _Q_DUP_NGRAM_STATS,
+        "event_sequences": _Q_EVENT_SEQUENCES,
+    }
+)
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_agg_all": q_temporal_agg_all,
     "temporal_agg_year": q_temporal_agg_year,
@@ -3111,7 +3124,6 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_drop": q_dedup_drop,
     "doc_fingerprints": q_doc_fingerprints,
     "simhash16": q_simhash16,
-    "pii_redact": q_pii_redact,
     "unigram_logprob": q_unigram_logprob,
     "dedup_components": q_dedup_components,
     "stream_stream_join": q_stream_stream_join,
@@ -3120,11 +3132,12 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,
     "containment_pairs": q_containment_pairs,
     "stratified_sample": q_stratified_sample,
-    "temperature_mix": q_temperature_mix,
-    "semdedup_pairs": q_semdedup_pairs,
-    "dup_ngram_stats": q_dup_ngram_stats,
     "bpe_pairs": q_bpe_pairs,
-    "event_sequences": q_event_sequences,
+    "semi_join": q_semi_join,
+    "set_ops": q_set_ops,
+    "region_lists": q_region_lists,
+    "rows_per_feature": q_rows_per_feature,
+    "string_funcs": q_string_funcs,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3141,7 +3154,6 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "dedup_drop": _Q_DEDUP_DROP,
     "doc_fingerprints": _Q_DOC_FINGERPRINTS,
     "simhash16": _simhash_sql(16),
-    "pii_redact": _pii_redact_sql(),
     "unigram_logprob": _Q_UNIGRAM_LOGPROB,
     "dedup_components": _Q_DEDUP_COMPONENTS,
     "stream_stream_join": _Q_STREAM_STREAM_JOIN,
@@ -3150,9 +3162,10 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "tfidf_terms": _Q_TFIDF_TERMS,
     "containment_pairs": _Q_CONTAINMENT_PAIRS,
     "stratified_sample": _Q_STRATIFIED_SAMPLE,
-    "temperature_mix": _Q_TEMPERATURE_MIX,
-    "semdedup_pairs": _Q_SEMDEDUP_PAIRS,
-    "dup_ngram_stats": _Q_DUP_NGRAM_STATS,
     "bpe_pairs": _Q_BPE_PAIRS,
-    "event_sequences": _Q_EVENT_SEQUENCES,
+    "semi_join": _Q_SEMI_JOIN,
+    "set_ops": _Q_SET_OPS,
+    "region_lists": _Q_REGION_LISTS,
+    "rows_per_feature": _Q_ROWS_PER_FEATURE,
+    "string_funcs": _Q_STRING_FUNCS,
 }
