@@ -581,6 +581,123 @@ def _simhash_bits(
     return sums.select("doc_id", packed_col.cast("long").alias("simhash"))
 
 
+def minhash_band_keys(sig: DataFrame, k: int, bands: int) -> Column:
+    """Array of banded bucket keys ("b:md5(mh..|mh..)") from a signature
+    frame's ``mh0..mh{k-1}`` columns."""
+    rows = k // bands
+    return F.array(*[
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+            )),
+        )
+        for b in range(bands)
+    ])
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Compact dedup index of an existing corpus: one row per document
+    with its exact-text fingerprint, k-element MinHash signature, and
+    banded LSH bucket keys — everything :func:`incremental_dedup` needs
+    to admit NEW documents without re-reading the corpus text.
+
+    One shingle pass + one groupBy (the signature aggregate); the
+    fingerprint joins in from a plain projection.  Persist the result
+    (e.g. parquet bucketed by doc_id, or the exploded (bucket, doc_id)
+    form pre-partitioned by bucket) and APPEND admitted batches to it —
+    index maintenance is the same computation over the new batch.
+
+    Returns (doc_id, fp, mh0..mh{k-1}, buckets array<string>).
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    sig = minhash_signature(corpus, k, n, text_col)
+    fp = fingerprint(
+        corpus.select("doc_id", text_col), text_col, "fp"
+    ).select("doc_id", "fp")
+    # Docs shorter than the shingle width have no signature row: their
+    # bucket list must be EMPTY, not md5('')-constant — concat_ws skips
+    # nulls, so without the guard every shingle-less doc lands in one
+    # shared bucket and the incremental probe becomes a skew bomb.
+    return fp.join(sig, "doc_id", "left").select(
+        "doc_id", "fp",
+        *[f"mh{i}" for i in range(k)],
+        F.when(
+            F.col("mh0").isNotNull(), minhash_band_keys(sig, k, bands)
+        ).otherwise(F.array().cast("array<string>")).alias("buckets"),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Admit only new documents that are neither exact nor near
+    duplicates of an ALREADY-INDEXED corpus — the ingest-time dedup an
+    append-only 100 TB pipeline runs per batch, with cost proportional
+    to the BATCH (plus equi-join probes of the index), never to the
+    corpus.
+
+    Tiers, mirroring the batch dedup family:
+
+    * **exact** — fingerprint equi-join against the index (one probe).
+    * **near** — banded-LSH bucket equi-join proposes (new, old)
+      candidates; similarity is then ESTIMATED as the fraction of
+      agreeing MinHash components (an unbiased estimator of Jaccard —
+      the standard trick that lets the index answer similarity without
+      storing text; with k components the estimate is exact-in-
+      expectation and the variance argues for k ≥ 8 at tight
+      thresholds).  New docs whose best candidate agreement ≥
+      ``threshold`` are dropped.
+
+    Both probes are equi-joins on keys the index already carries, so a
+    bucket/fp-partitioned index makes them shuffle-free on the index
+    side.  Returns the surviving rows of ``new_docs``.
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    new_idx = build_dedup_index(new_docs, k, bands, n, text_col)
+    exact_hit = new_idx.join(
+        index.select(F.col("fp").alias("fp")).distinct(), "fp", "inner"
+    ).select("doc_id")
+
+    nb = new_idx.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+        F.explode("buckets").alias("bucket"),
+    )
+    ob = index.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+        F.explode("buckets").alias("bucket"),
+    )
+    agree = None
+    for i in range(k):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    near_hit = (
+        nb.join(ob, "bucket")
+        .select("new_id", (agree / F.lit(float(k))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+    )
+    doomed = exact_hit.unionByName(near_hit).distinct()
+    return new_docs.join(doomed, "doc_id", "left_anti")
+
+
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash fingerprint (verifier tier; see ``simhash64``)."""
     return _simhash_bits(df, text_col, 16)

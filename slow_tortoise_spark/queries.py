@@ -3087,6 +3087,117 @@ _Q_EVENT_SEQUENCES = """
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Ingest-time dedup of a new batch against a pre-built corpus index:
+    docs with doc_id % 5 == 0 arrive as the batch, augmented with
+    constructed exact copies (+100000) and one-token-appended near
+    copies (+200000) of indexed docs so both drop tiers fire.  Exact
+    drops match on the fingerprint; near drops on MinHash-signature
+    agreement ≥ 0.5 among banded-LSH bucket candidates — the oracle
+    replays fingerprints, signatures, buckets, and the agreement
+    estimate verbatim."""
+    from slow_tortoise_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 5 != 0")
+    new = (
+        docs.filter("doc_id % 5 = 0")
+        .unionByName(
+            corpus.filter("doc_id % 7 = 1").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            corpus.filter("doc_id % 7 = 2").select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" zzz")).alias("text"),
+            )
+        )
+    )
+    index = build_dedup_index(corpus, k=8, bands=4)
+    kept = incremental_dedup(new, index, threshold=0.5, k=8, bands=4)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+_Q_INCREMENTAL_DEDUP = f"""
+  WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents
+    WHERE doc_id % 5 != 0 AND doc_id % 7 = 1
+    UNION ALL
+    SELECT doc_id + 200000, text || ' zzz' FROM documents
+    WHERE doc_id % 5 != 0 AND doc_id % 7 = 2
+  ),
+  toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS l
+    FROM all_docs
+  ),
+  flat AS (
+    SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM toks
+  ),
+  grams AS (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' '
+               || lead(tok, 2) OVER w AS shingle
+    FROM flat
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(tok, 2) OVER w IS NOT NULL
+  ),
+  shingles AS (SELECT DISTINCT doc_id, shingle FROM grams),
+  sig AS (SELECT doc_id, {_MH_COLS} FROM shingles GROUP BY doc_id),
+  fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM all_docs
+  ),
+  new_ids AS (
+    SELECT doc_id FROM all_docs WHERE doc_id % 5 = 0 OR doc_id >= 100000
+  ),
+  old_ids AS (
+    SELECT doc_id FROM all_docs
+    WHERE NOT (doc_id % 5 = 0 OR doc_id >= 100000)
+  ),
+  bands AS (
+    SELECT doc_id, '0:' || md5(mh0 || '|' || mh1) AS bucket FROM sig
+    UNION ALL SELECT doc_id, '1:' || md5(mh2 || '|' || mh3) FROM sig
+    UNION ALL SELECT doc_id, '2:' || md5(mh4 || '|' || mh5) FROM sig
+    UNION ALL SELECT doc_id, '3:' || md5(mh6 || '|' || mh7) FROM sig
+  ),
+  exact_hit AS (
+    SELECT f.doc_id FROM fp f
+    JOIN new_ids n ON f.doc_id = n.doc_id
+    WHERE f.fp IN (SELECT f2.fp FROM fp f2
+                   JOIN old_ids o ON f2.doc_id = o.doc_id)
+  ),
+  near_hit AS (
+    SELECT DISTINCT a.doc_id
+    FROM bands a
+    JOIN new_ids n ON a.doc_id = n.doc_id
+    JOIN bands b ON a.bucket = b.bucket
+    JOIN old_ids o ON b.doc_id = o.doc_id
+    JOIN sig sa ON sa.doc_id = a.doc_id
+    JOIN sig sb ON sb.doc_id = b.doc_id
+    WHERE ({_AGREE_SQL}) / 8.0 >= 0.5
+  )
+  SELECT d.doc_id
+  FROM all_docs d
+  JOIN new_ids n ON d.doc_id = n.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_hit)
+    AND d.doc_id NOT IN (SELECT doc_id FROM near_hit)
+  ORDER BY d.doc_id
+"""
+
+
 # Round-3 rotation: the training/mixing ops earn driver CORRECTNESS rows;
 # the displaced demo/subsumed entries stay oracle-checked in the verifier
 # tier below (rotation mechanism endorsed by the round-2 review).
@@ -3138,6 +3249,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_lists": q_region_lists,
     "rows_per_feature": q_rows_per_feature,
     "string_funcs": q_string_funcs,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3168,4 +3280,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "region_lists": _Q_REGION_LISTS,
     "rows_per_feature": _Q_ROWS_PER_FEATURE,
     "string_funcs": _Q_STRING_FUNCS,
+    "incremental_dedup": _Q_INCREMENTAL_DEDUP,
 }

@@ -949,3 +949,100 @@ def test_assemble_sequences_order_truncation_determinism(spark):
     again = {r["user_id"]: r["seq"] for r in
              assemble_sequences(ev.repartition(7), max_len=2).collect()}
     assert again == {u: r["seq"] for u, r in out.items()}
+
+
+def test_incremental_dedup_tiers(spark):
+    """Exact copies drop on the fingerprint, near copies on signature
+    agreement, fresh docs survive; cost never touches corpus text at
+    probe time (the index alone answers)."""
+    from slow_tortoise_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="pack my box with five dozen liquor jugs now"),
+        Row(doc_id=2, text="sphinx of black quartz judge my vow today ok"),
+    ])
+    index = build_dedup_index(corpus, k=8, bands=4)
+    new = spark.createDataFrame([
+        # exact copy of 0 (formatting-only edit: fingerprint normalizes)
+        Row(doc_id=10, text="  The quick  brown fox jumps over the lazy dog"),
+        # near copy of 1 (one appended token)
+        Row(doc_id=11, text="pack my box with five dozen liquor jugs now zz"),
+        # fresh
+        Row(doc_id=12, text="completely novel content with no prior match"),
+        # short doc (no shingles): must pass through, not skew-bucket
+        Row(doc_id=13, text="tiny doc"),
+    ])
+    kept = {r["doc_id"] for r in
+            incremental_dedup(new, index, threshold=0.5, k=8, bands=4)
+            .collect()}
+    assert kept == {12, 13}
+
+
+def test_build_dedup_index_short_doc_empty_buckets(spark):
+    """Docs below the shingle width get an EMPTY bucket list (a shared
+    md5('') bucket would turn the probe join into a skew bomb)."""
+    from slow_tortoise_spark.operators.dedup import build_dedup_index
+
+    idx = {r["doc_id"]: r for r in build_dedup_index(spark.createDataFrame([
+        Row(doc_id=0, text="one two"),
+        Row(doc_id=1, text="one two three four five six seven"),
+    ]), k=8, bands=4).collect()}
+    assert idx[0]["buckets"] == [] and idx[0]["mh0"] is None
+    assert len(idx[1]["buckets"]) == 4
+
+
+def test_webdataset_shards_roundtrip_and_determinism(spark, sf_dir, tmp_path):
+    """Every sample survives the tar round-trip with its text and
+    metadata; shard membership is key DIV shard_size; bytes are
+    identical across runs and partitionings."""
+    import io
+    import json
+    import tarfile
+
+    from slow_tortoise_spark.sinks.writers import (
+        FileWriter,
+        write_webdataset_shards,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    root = tmp_path / "wds"
+    n = write_webdataset_shards(
+        docs, lambda s: f"webdataset/shard-{s:06d}.tar", FileWriter(str(root)),
+        meta_cols=["lang", "source"], shard_size=16,
+    )
+    assert n == docs.count()
+    manifest = json.loads((root / "webdataset" / "manifest.json").read_text())
+    assert sum(manifest.values()) == n
+    expect = {r["doc_id"]: r for r in docs.collect()}
+    seen = {}
+    for rel in manifest:
+        with tarfile.open(root / rel) as tar:
+            members = tar.getnames()
+            texts = [m for m in members if m.endswith(".txt")]
+            for name in texts:
+                key = int(name[:-4])
+                assert key // 16 == int(rel.split("-")[1].split(".")[0])
+                seen[key] = (
+                    tar.extractfile(name).read().decode(),
+                    json.loads(tar.extractfile(name[:-4] + ".json").read()),
+                )
+    assert set(seen) == set(expect)
+    for k, (text, meta) in seen.items():
+        assert text == expect[k]["text"]
+        assert meta == {"lang": expect[k]["lang"],
+                        "source": expect[k]["source"]}
+    # byte determinism across a different input partitioning
+    root2 = tmp_path / "wds2"
+    write_webdataset_shards(
+        docs.repartition(7), lambda s: f"webdataset/shard-{s:06d}.tar",
+        FileWriter(str(root2)), meta_cols=["lang", "source"], shard_size=16,
+    )
+    for rel in manifest:
+        assert (root / rel).read_bytes() == (root2 / rel).read_bytes()
