@@ -35,6 +35,7 @@ from slow_tortoise_spark.operators.dedup import (
     drop_exact_duplicates,
     hash_split,
     minhash_lsh_candidates,
+    temperature_mix,
     verify_candidate_pairs,
 )
 from slow_tortoise_spark.operators.text import (
@@ -65,6 +66,12 @@ class CorpusParams:
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
     split_salt: str = "split"
+    #: optional temperature-α source mixing AFTER dedup (None = keep all):
+    #: budget in rows (or ``mix_weight_col`` units), shares ∝ mass^α
+    mix_budget: float | None = None
+    mix_alpha: float = 0.5
+    mix_strata_col: str = "source"
+    mix_weight_col: str | None = None
 
 
 def _near_dup_drops(
@@ -137,6 +144,18 @@ def run_corpus_pipeline(
         )
         deduped = deduped.join(drops, "doc_id", "left_anti")
         manifest["after_near_dedup"] = deduped.count()
+
+    # --- optional temperature mixing (post-dedup, pre-split: mixing a
+    # corpus that still contains duplicates double-counts their mass) ---
+    if params.mix_budget is not None:
+        deduped = temperature_mix(
+            deduped,
+            strata_col=params.mix_strata_col,
+            alpha=params.mix_alpha,
+            budget=params.mix_budget,
+            weight_col=params.mix_weight_col,
+        )
+        manifest["after_mix"] = deduped.count()
 
     # --- deterministic splits + partitioned write ----------------------
     split = hash_split(

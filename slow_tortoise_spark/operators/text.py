@@ -403,3 +403,67 @@ def bpe_pair_counts(
     )
     counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
     return counts.orderBy(F.desc("cnt"), "pair").limit(top_k)
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", round_to: int | None = None
+) -> DataFrame:
+    """Per-document mean conditional bigram log-probability under the
+    corpus's own bigram LM — one model order up from
+    :func:`unigram_logprob` (CCNet-style LM filtering uses higher-order
+    models; bigrams already separate locally-coherent text from
+    bag-of-frequent-words boilerplate, which the unigram score ranks
+    HIGH).
+
+    ``p(cur|prev) = c(prev,cur) / Σ_w c(prev,w)`` — a proper MLE
+    conditional; smoothing is unnecessary by construction since every
+    scored bigram contributes to the counts it is scored against.
+
+    Shape: bigram extraction is IN-ROW (a ``transform`` over the token
+    array — zero shuffle until the count aggregates); then one bigram
+    groupBy, a prev-marginal aggregate OF THAT RESULT (vocab-sized, not
+    corpus-sized), an equi-join back, and a per-doc average.  Docs with
+    fewer than 2 tokens surface with n_bigrams=0 and mean 0.0 (row
+    parity with the LEFT join, per the repetition_ratio lesson).
+    """
+    t = tokens_col(F.lower(F.col(text_col)))
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
+    ).otherwise(F.array().cast("array<int>"))  # sequence(2,1) DESCENDS
+    big = df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(t, i - 1).alias("prev"),
+                    F.element_at(t, i).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    c2 = big.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    scored = (
+        big.join(c2, ["prev", "cur"]).join(c1, "prev")
+        .select(
+            "doc_id",
+            F.log(F.col("c2") / F.col("c1")).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.avg("lp").alias("mean_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+    out = (
+        df.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("mean_logprob", F.round("mean_logprob", round_to))
+    return out

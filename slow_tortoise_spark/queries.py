@@ -3198,6 +3198,52 @@ _Q_INCREMENTAL_DEDUP = f"""
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Mean conditional bigram log-prob per doc under the corpus's own
+    bigram LM (MLE conditional; no smoothing needed by construction)."""
+    from slow_tortoise_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, round_to=6).orderBy("doc_id")
+
+
+_Q_BIGRAM_LOGPROB = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS l
+    FROM documents
+  ),
+  flat AS (
+    SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM toks
+  ),
+  big AS (
+    SELECT doc_id,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           tok AS cur
+    FROM flat
+    QUALIFY prev IS NOT NULL
+  ),
+  c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+  c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+  scored AS (
+    SELECT b.doc_id, ln(c2.c2 / c1.c1) AS lp
+    FROM big b
+    JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+    JOIN c1 ON b.prev = c1.prev
+  ),
+  agg AS (
+    SELECT doc_id, AVG(lp) AS mean_logprob, COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         round(COALESCE(a.mean_logprob, 0.0), 6) AS mean_logprob,
+         COALESCE(a.n_bigrams, 0) AS n_bigrams
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+  ORDER BY d.doc_id
+"""
+
+
 # Round-3 rotation: the training/mixing ops earn driver CORRECTNESS rows;
 # the displaced demo/subsumed entries stay oracle-checked in the verifier
 # tier below (rotation mechanism endorsed by the round-2 review).
@@ -3250,6 +3296,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rows_per_feature": q_rows_per_feature,
     "string_funcs": q_string_funcs,
     "incremental_dedup": q_incremental_dedup,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3281,4 +3328,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "rows_per_feature": _Q_ROWS_PER_FEATURE,
     "string_funcs": _Q_STRING_FUNCS,
     "incremental_dedup": _Q_INCREMENTAL_DEDUP,
+    "bigram_logprob": _Q_BIGRAM_LOGPROB,
 }

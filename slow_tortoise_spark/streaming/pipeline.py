@@ -201,6 +201,41 @@ def stream_stream_join(
     return lsel.join(rsel, cond)
 
 
+def streaming_index_dedup(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming ingest-time EXACT dedup against a static corpus index:
+    admit only stream documents whose normalized-text fingerprint is
+    absent from the index — a stream-static LEFT ANTI join, the join
+    mode Spark allows precisely because the static side needs no
+    streaming state (each micro-batch probes the index as a plain batch
+    join; the index can be a bucketed table so probes are shuffle-free
+    on the static side).
+
+    This is :func:`operators.dedup.incremental_dedup`'s exact tier in
+    streaming form.  The NEAR tier (LSH bucket probe + signature
+    agreement) is the same stream-static inner-join shape; it is kept
+    out of the default path because candidate explosion makes
+    per-micro-batch latency data-dependent.  Dedup WITHIN the stream is
+    :func:`streaming_dedup`'s job (compose: within-stream first, then
+    this probe).
+
+    ``index`` needs only a ``fp`` column (:func:`operators.dedup.
+    build_dedup_index` output works as-is).
+    """
+    from slow_tortoise_spark.operators.text import fingerprint
+
+    fp = fingerprint(stream_docs, text_col, "_fp")
+    # No broadcast hint: at corpus scale the index dwarfs a micro-batch
+    # (the BATCH side is the small one) — the static plan re-resolves
+    # per micro-batch, so cache the index's fp projection for repeated
+    # probes and let the optimizer pick the join strategy.
+    probe = index.select(F.col("fp").alias("_fp")).distinct()
+    return fp.join(probe, "_fp", "left_anti").drop("_fp")
+
+
 def run_to_memory(sdf: DataFrame, table: str, spark: SparkSession,
                   output_mode: str = "append") -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with availableNow

@@ -107,3 +107,31 @@ def test_corpus_pipeline_deterministic(spark, sf_dir, tmp_path):
         }
         outs.append((m["output_docs"], m["splits"], rows))
     assert outs[0] == outs[1]
+
+
+def test_corpus_pipeline_temperature_mix_stage(spark, sf_dir, tmp_path):
+    """With a mix budget, the post-dedup corpus is downsampled toward
+    temperature shares; the manifest records the stage; without it the
+    stage is skipped entirely."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    base = run_corpus_pipeline(
+        spark, docs, CorpusParams(out_dir=str(tmp_path / "plain"))
+    )
+    assert "after_mix" not in base
+    kept_before = base["after_near_dedup"]
+
+    mixed = run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(
+            out_dir=str(tmp_path / "mixed"),
+            mix_budget=kept_before / 2,
+        ),
+    )
+    assert 0 < mixed["after_mix"] < kept_before
+    assert mixed["output_docs"] == mixed["after_mix"]

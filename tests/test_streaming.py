@@ -501,3 +501,41 @@ def test_write_stream_artifacts_bridge(spark, stream_dir, tmp_path):
     want = {r["feature"] for r in
             spark.read.parquet(stream_dir).select("feature").distinct().collect()}
     assert feats == want
+
+
+def test_streaming_index_dedup_stream_static_anti(spark, tmp_path):
+    """Streamed docs already present in the static corpus index (by
+    normalized-text fingerprint) are suppressed; fresh docs pass.  The
+    streaming result equals the batch incremental-dedup exact tier over
+    the same inputs."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from slow_tortoise_spark.operators.dedup import build_dedup_index
+    from slow_tortoise_spark.streaming.pipeline import streaming_index_dedup
+
+    corpus = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs now"),
+    ], "doc_id long, text string")
+    index = build_dedup_index(corpus, k=8, bands=4)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch = [
+        {"doc_id": 10, "text": "  THE quick brown fox jumps over the lazy dog"},
+        {"doc_id": 11, "text": "entirely new material for the stream"},
+        {"doc_id": 12, "text": "pack my box with five dozen liquor jugs now"},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in batch))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    sdf = spark.readStream.schema(schema).json(str(src))
+    out = run_to_memory(
+        streaming_index_dedup(sdf, index), "index_dedup", spark
+    )
+    assert {r["doc_id"] for r in out.collect()} == {11}

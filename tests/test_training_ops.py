@@ -1046,3 +1046,26 @@ def test_webdataset_shards_roundtrip_and_determinism(spark, sf_dir, tmp_path):
     )
     for rel in manifest:
         assert (root / rel).read_bytes() == (root2 / rel).read_bytes()
+
+
+def test_bigram_logprob_known_case(spark):
+    """MLE conditionals: c(a,b)=2, c(a,c)=1 -> p(b|a)=2/3, p(c|a)=1/3;
+    sub-2-token docs surface with zeros."""
+    import math
+
+    from slow_tortoise_spark.operators.text import bigram_logprob
+
+    rows = [
+        Row(doc_id=0, text="a b"),
+        Row(doc_id=1, text="a b"),
+        Row(doc_id=2, text="a c"),
+        Row(doc_id=3, text="solo"),
+    ]
+    out = {r["doc_id"]: r for r in
+           bigram_logprob(spark.createDataFrame(rows)).collect()}
+    assert abs(out[0]["mean_logprob"] - math.log(2 / 3)) < 1e-12
+    assert abs(out[2]["mean_logprob"] - math.log(1 / 3)) < 1e-12
+    assert out[3]["mean_logprob"] == 0.0 and out[3]["n_bigrams"] == 0
+    # bigram ranking separates coherent text from shuffled boilerplate:
+    # doc 0's path is the majority continuation, doc 2's the minority
+    assert out[0]["mean_logprob"] > out[2]["mean_logprob"]
