@@ -148,6 +148,10 @@ def run_corpus_pipeline(
     # --- optional temperature mixing (post-dedup, pre-split: mixing a
     # corpus that still contains duplicates double-counts their mass) ---
     if params.mix_budget is not None:
+        # cache first: the mix plan's aggregate, the after_mix count, and
+        # the split write would otherwise each re-execute the near-dedup
+        # candidate/verify job upstream (the cached_exact lesson, again)
+        deduped = deduped.cache()
         deduped = temperature_mix(
             deduped,
             strata_col=params.mix_strata_col,

@@ -404,23 +404,9 @@ def minhash_lsh_candidates(
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
-    rows = k // bands
     sig = minhash_signature(df, k, n, text_col)
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
-                for b in range(bands)
-            ])
-        ).alias("bucket"),
+    stacked = sig.select(
+        "doc_id", F.explode(minhash_band_keys(k, bands)).alias("bucket")
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
@@ -581,9 +567,12 @@ def _simhash_bits(
     return sums.select("doc_id", packed_col.cast("long").alias("simhash"))
 
 
-def minhash_band_keys(sig: DataFrame, k: int, bands: int) -> Column:
-    """Array of banded bucket keys ("b:md5(mh..|mh..)") from a signature
-    frame's ``mh0..mh{k-1}`` columns."""
+def minhash_band_keys(k: int, bands: int) -> Column:
+    """Array of banded bucket keys ("b:md5(mh..|mh..)") over a signature
+    frame's ``mh0..mh{k-1}`` columns — THE single definition of the
+    bucket-key format: batch LSH candidates and the persisted
+    incremental index must agree on it byte-for-byte or probes silently
+    return empty."""
     rows = k // bands
     return F.array(*[
         F.concat_ws(
@@ -631,7 +620,7 @@ def build_dedup_index(
         "doc_id", "fp",
         *[f"mh{i}" for i in range(k)],
         F.when(
-            F.col("mh0").isNotNull(), minhash_band_keys(sig, k, bands)
+            F.col("mh0").isNotNull(), minhash_band_keys(k, bands)
         ).otherwise(F.array().cast("array<string>")).alias("buckets"),
     )
 
@@ -669,7 +658,10 @@ def incremental_dedup(
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
-    new_idx = build_dedup_index(new_docs, k, bands, n, text_col)
+    # cached: the batch index feeds BOTH probe tiers (exact fp join and
+    # the exploded bucket side) — uncached, the shingle+signature pass
+    # over the batch would execute twice (the jaccard_pairs_auto lesson)
+    new_idx = build_dedup_index(new_docs, k, bands, n, text_col).cache()
     exact_hit = new_idx.join(
         index.select(F.col("fp").alias("fp")).distinct(), "fp", "inner"
     ).select("doc_id")
@@ -1004,6 +996,12 @@ def stratified_sample(
     (different salt).  Strata not listed in ``fractions`` keep
     ``default_fraction``.  Unlike ``df.sampleBy`` this is stable across
     runs, partitionings, and engines.
+
+    A NULL stratum is a real stratum: pass ``None`` as a ``fractions``
+    key to target it, otherwise it keeps ``default_fraction`` like any
+    other unlisted value.  (The naive ``col == value`` / ``isin``
+    encoding silently evaluates to NULL for null rows — i.e. drops the
+    whole stratum no matter what — so null handling must be explicit.)
     """
     h = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
@@ -1021,13 +1019,20 @@ def stratified_sample(
             return F.lit(False)
         return h < F.lit(format(int(frac * space), "08x"))
 
+    col = F.col(strata_col)
+    named = [(v, f) for v, f in fractions.items() if v is not None]
     cond = None
-    for value, frac in fractions.items():
-        this = (F.col(strata_col) == value) & keep(frac)
+    for value, frac in named:
+        this = (col == value) & keep(frac)
         cond = this if cond is None else cond | this
-    listed = F.col(strata_col).isin(*fractions.keys())
-    rest = (~listed) & keep(default_fraction)
-    cond = rest if cond is None else cond | rest
+    null_frac = fractions.get(None, default_fraction)
+    null_case = col.isNull() & keep(null_frac)
+    cond = null_case if cond is None else cond | null_case
+    if named:
+        rest = col.isNotNull() & ~col.isin(*[v for v, _ in named])
+    else:
+        rest = col.isNotNull()
+    cond = cond | (rest & keep(default_fraction))
     return df.filter(cond)
 
 
@@ -1074,7 +1079,11 @@ def temperature_mix_plan(
             return mass * 1_000_000
         return round(mass ** alpha * 1_000_000)
 
-    masses = {r[strata_col]: int(r["mass"]) for r in rows}
+    # `or 0`: an all-NULL weight_col group aggregates to a NULL mass —
+    # treat it as zero-mass (fraction 0) instead of TypeError-ing the
+    # driver.  NULL strata keys are kept: stratified_sample targets
+    # them explicitly, so a null-source slice mixes like any other.
+    masses = {r[strata_col]: int(r["mass"] or 0) for r in rows}
     nums = {s: share_num(m) for s, m in masses.items()}
     total = sum(nums.values())  # exact int
     plan = {}
@@ -1131,7 +1140,7 @@ def dup_ngram_stats(
 
     Returns (doc_id, n_shingles, n_dup, dup_frac).
     """
-    sh = doc_shingles(df, text_col, n)
+    sh = doc_shingles(df, text_col, n).cache()  # feeds df agg AND the join
     vocab_df = sh.groupBy("shingle").agg(
         F.count("*").alias("df")
     )

@@ -2925,7 +2925,11 @@ def q_semdedup_pairs(spark, sf_dir):
     equi-join, and the exact cosine rescore keeps round(cos, 6) ≥ 0.35.
     The oracle replays the identical seeded build (same CTEs as the
     ivf_topk oracle), so assignment, bucketing, and scores are all
-    value-checked."""
+    value-checked.  Known caveat shared with that oracle: the argmax
+    over UNROUNDED assignment cosines could in principle flip between
+    engines for a vector whose two best centroids differ by ~1 ulp
+    (different summation orders); no such near-tie exists in the
+    fixtures, and the rounded output cosine absorbs everything else."""
     from slow_tortoise_spark.operators.similarity import semantic_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3090,8 +3094,8 @@ _Q_EVENT_SEQUENCES = """
 def q_incremental_dedup(spark, sf_dir):
     """Ingest-time dedup of a new batch against a pre-built corpus index:
     docs with doc_id % 5 == 0 arrive as the batch, augmented with
-    constructed exact copies (+100000) and one-token-appended near
-    copies (+200000) of indexed docs so both drop tiers fire.  Exact
+    constructed exact copies (+1e12) and one-token-appended near
+    copies (+2e12 — far above any natural doc_id at any scale factor) of indexed docs so both drop tiers fire.  Exact
     drops match on the fingerprint; near drops on MinHash-signature
     agreement ≥ 0.5 among banded-LSH bucket candidates — the oracle
     replays fingerprints, signatures, buckets, and the agreement
@@ -3107,12 +3111,12 @@ def q_incremental_dedup(spark, sf_dir):
         docs.filter("doc_id % 5 = 0")
         .unionByName(
             corpus.filter("doc_id % 7 = 1").select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+                (F.col("doc_id") + 10**12).alias("doc_id"), "text"
             )
         )
         .unionByName(
             corpus.filter("doc_id % 7 = 2").select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
+                (F.col("doc_id") + 2 * 10**12).alias("doc_id"),
                 F.concat("text", F.lit(" zzz")).alias("text"),
             )
         )
@@ -3130,10 +3134,10 @@ _Q_INCREMENTAL_DEDUP = f"""
   WITH all_docs AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000, text FROM documents
+    SELECT doc_id + 1000000000000, text FROM documents
     WHERE doc_id % 5 != 0 AND doc_id % 7 = 1
     UNION ALL
-    SELECT doc_id + 200000, text || ' zzz' FROM documents
+    SELECT doc_id + 2000000000000, text || ' zzz' FROM documents
     WHERE doc_id % 5 != 0 AND doc_id % 7 = 2
   ),
   toks AS (
@@ -3161,11 +3165,11 @@ _Q_INCREMENTAL_DEDUP = f"""
     FROM all_docs
   ),
   new_ids AS (
-    SELECT doc_id FROM all_docs WHERE doc_id % 5 = 0 OR doc_id >= 100000
+    SELECT doc_id FROM all_docs WHERE doc_id % 5 = 0 OR doc_id >= 1000000000000
   ),
   old_ids AS (
     SELECT doc_id FROM all_docs
-    WHERE NOT (doc_id % 5 = 0 OR doc_id >= 100000)
+    WHERE NOT (doc_id % 5 = 0 OR doc_id >= 1000000000000)
   ),
   bands AS (
     SELECT doc_id, '0:' || md5(mh0 || '|' || mh1) AS bucket FROM sig

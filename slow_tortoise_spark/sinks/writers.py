@@ -393,5 +393,11 @@ def write_webdataset_shards(
         .collect()
     )
     manifest = {r["shard"]: r["n"] for r in shards}
-    write_json(manifest, "webdataset/manifest.json", writer)
+    # manifest lands beside the shards (path_fn's directory), so two
+    # shard sets written through one writer root (train/ and val/, say)
+    # keep separate inventories instead of clobbering a fixed key
+    manifest_rel = os.path.join(
+        os.path.dirname(path_fn(0)), "manifest.json"
+    )
+    write_json(manifest, manifest_rel, writer)
     return sum(manifest.values())

@@ -1069,3 +1069,36 @@ def test_bigram_logprob_known_case(spark):
     # bigram ranking separates coherent text from shuffled boilerplate:
     # doc 0's path is the majority continuation, doc 2's the minority
     assert out[0]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_stratified_sample_and_mix_null_stratum(spark):
+    """A NULL stratum is a real stratum: it follows fractions[None] (or
+    the default), and temperature_mix neither crashes on NULL masses nor
+    silently drops null-source rows while charging their mass."""
+    from slow_tortoise_spark.operators.dedup import (
+        stratified_sample,
+        temperature_mix,
+        temperature_mix_plan,
+    )
+
+    rows = ([Row(doc_id=i, source="a", w=10) for i in range(40)]
+            + [Row(doc_id=100 + i, source=None, w=10) for i in range(40)])
+    df = spark.createDataFrame(rows)
+
+    kept = stratified_sample(df, "source", {"a": 1.0, None: 1.0})
+    assert kept.count() == 80  # null stratum kept, not silently dropped
+    none_only = stratified_sample(df, "source", {"a": 0.0},
+                                  default_fraction=1.0)
+    assert {r["source"] for r in none_only.collect()} == {None}
+
+    plan = temperature_mix_plan(df, "source", alpha=0.5, budget=80.0)
+    assert set(plan) == {"a", None} and plan[None][1] == 1.0
+    mixed = temperature_mix(df, "source", alpha=0.5, budget=80.0)
+    assert mixed.count() == 80
+
+    # all-NULL weight mass: zero-mass stratum, no TypeError
+    df2 = spark.createDataFrame(
+        [Row(doc_id=0, source="a", w=5), Row(doc_id=1, source="b", w=None)]
+    )
+    plan2 = temperature_mix_plan(df2, "source", 0.5, 100.0, weight_col="w")
+    assert plan2["b"] == (0, 0.0) and plan2["a"][1] == 1.0
