@@ -467,3 +467,60 @@ def bigram_logprob(
     if round_to is not None:
         out = out.withColumn("mean_logprob", F.round("mean_logprob", round_to))
     return out
+
+
+def unigram_logprob_under(
+    target: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Score ``target`` documents under a REFERENCE corpus's add-one-
+    smoothed unigram LM — the actual CCNet setup (score web text under a
+    trusted-corpus LM), where :func:`unigram_logprob` is the
+    self-corpus variant.  Out-of-vocabulary tokens take the add-one
+    floor ``1/(N+V+1)``, so unlike the self-corpus scorer this one NEEDS
+    smoothing: the target can contain tokens the reference never saw.
+
+    ``p(w) = (c_ref(w) + 1) / (N_ref + V_ref + 1)`` — add-one over the
+    reference vocabulary plus one shared OOV bucket.  Shape: one
+    reference pass builds the vocab (N and V then come from summing the
+    VOCAB-sized aggregate, not re-scanning), one target pass LEFT-joins
+    it (AQE broadcasts a fitting vocab), one per-doc average.  Docs with
+    zero tokens keep row parity with zeros.
+    """
+    ref_toks = reference.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = ref_toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("v")
+    ).first()
+    denom = float((stats["n"] or 0) + (stats["v"] or 0) + 1)
+
+    toks = target.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
+    scored = toks.join(vocab, "tok", "left").select(
+        "doc_id",
+        F.log((F.coalesce("cnt", F.lit(0)) + 1) / F.lit(denom)).alias("lp"),
+        F.col("cnt").isNull().cast("int").alias("oov"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.avg("lp").alias("mean_logprob"),
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+    )
+    out = (
+        target.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("mean_logprob", F.round("mean_logprob", round_to))
+    return out

@@ -3248,6 +3248,56 @@ _Q_BIGRAM_LOGPROB = """
 """
 
 
+def q_xcorpus_logprob(spark, sf_dir):
+    """Even-id docs form the reference LM; odd-id docs are scored under
+    it with add-one smoothing (OOV floor 1/(N+V+1)) — cross-corpus
+    CCNet-style quality filtering."""
+    from slow_tortoise_spark.operators.text import unigram_logprob_under
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob_under(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+        round_to=6,
+    )
+    return out.orderBy("doc_id")
+
+
+_Q_XCORPUS_LOGPROB = """
+  WITH ref_toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents WHERE doc_id % 2 = 0
+  ),
+  vocab AS (SELECT tok, COUNT(*) AS cnt FROM ref_toks GROUP BY tok),
+  stats AS (SELECT SUM(cnt) + COUNT(*) + 1 AS denom FROM vocab),
+  tgt AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents WHERE doc_id % 2 = 1
+  ),
+  scored AS (
+    SELECT t.doc_id,
+           ln((COALESCE(v.cnt, 0) + 1) / (SELECT denom::DOUBLE FROM stats))
+             AS lp,
+           CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
+    FROM tgt t LEFT JOIN vocab v ON t.tok = v.tok
+  ),
+  agg AS (
+    SELECT doc_id, AVG(lp) AS mean_logprob, COUNT(*) AS n_tokens,
+           SUM(oov) AS n_oov
+    FROM scored GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         round(COALESCE(a.mean_logprob, 0.0), 6) AS mean_logprob,
+         COALESCE(a.n_tokens, 0) AS n_tokens,
+         COALESCE(a.n_oov, 0) AS n_oov
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+  WHERE d.doc_id % 2 = 1
+  ORDER BY d.doc_id
+"""
+
+
 # Round-3 rotation: the training/mixing ops earn driver CORRECTNESS rows;
 # the displaced demo/subsumed entries stay oracle-checked in the verifier
 # tier below (rotation mechanism endorsed by the round-2 review).
@@ -3301,6 +3351,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "incremental_dedup": q_incremental_dedup,
     "bigram_logprob": q_bigram_logprob,
+    "xcorpus_logprob": q_xcorpus_logprob,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3333,4 +3384,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "string_funcs": _Q_STRING_FUNCS,
     "incremental_dedup": _Q_INCREMENTAL_DEDUP,
     "bigram_logprob": _Q_BIGRAM_LOGPROB,
+    "xcorpus_logprob": _Q_XCORPUS_LOGPROB,
 }

@@ -1102,3 +1102,27 @@ def test_stratified_sample_and_mix_null_stratum(spark):
     )
     plan2 = temperature_mix_plan(df2, "source", 0.5, 100.0, weight_col="w")
     assert plan2["b"] == (0, 0.0) and plan2["a"][1] == 1.0
+
+
+def test_unigram_logprob_under_oov_floor(spark):
+    """OOV tokens take the add-one floor; in-vocab tokens score by
+    reference counts; all-OOV docs rank lowest."""
+    import math
+
+    from slow_tortoise_spark.operators.text import unigram_logprob_under
+
+    ref = spark.createDataFrame([
+        Row(doc_id=0, text="a a a b"),   # N=4, V=2 -> denom=7
+    ])
+    tgt = spark.createDataFrame([
+        Row(doc_id=10, text="a"),        # ln(4/7)
+        Row(doc_id=11, text="zzz"),      # OOV: ln(1/7)
+        Row(doc_id=12, text="a zzz"),
+    ])
+    out = {r["doc_id"]: r for r in unigram_logprob_under(tgt, ref).collect()}
+    assert abs(out[10]["mean_logprob"] - math.log(4 / 7)) < 1e-12
+    assert abs(out[11]["mean_logprob"] - math.log(1 / 7)) < 1e-12
+    assert out[11]["n_oov"] == 1 and out[10]["n_oov"] == 0
+    assert out[12]["n_oov"] == 1 and out[12]["n_tokens"] == 2
+    assert out[10]["mean_logprob"] > out[12]["mean_logprob"] \
+        > out[11]["mean_logprob"]
