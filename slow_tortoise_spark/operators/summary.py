@@ -100,3 +100,44 @@ def apply_qualifier_thresholds(
         new_map[feature] = [q for q in quals if q in cf and cf[q] <= max_count]
         active.update(new_map[feature])
     return new_map, sorted(active)
+
+
+def profile_table(
+    df, cols: list[str] | None = None, exact_distinct: bool = True
+):
+    """ANALYZE-style per-column profile: one output row per column with
+    (col_name, n_rows, n_null, n_distinct, min_value, max_value) —
+    the stats a warehouse keeps per table, computed in ONE aggregate
+    pass and melted via ``stack`` (values stringified so mixed column
+    types share a schema).
+
+    ``exact_distinct=True`` uses COUNT(DISTINCT …) — Spark plans the
+    multi-distinct aggregate with an Expand (rows × columns), exact but
+    heavy at corpus scale; ``False`` swaps in HyperLogLog
+    ``approx_count_distinct`` (one pass, mergeable sketches — the
+    100 TB default, at the price of losing SQL-oracle value parity).
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols or df.columns)
+    aggs = []
+    for i, c in enumerate(cols):
+        nd = (
+            F.countDistinct(F.col(c)) if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{i}"),
+            nd.alias(f"_nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{i}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("_rows"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', _rows, _rows - `_nn_{i}`, `_nd_{i}`, `_mn_{i}`, `_mx_{i}`"
+        for i, c in enumerate(cols)
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stacked}) as "
+        "(col_name, n_rows, n_null, n_distinct, min_value, max_value)"
+    )

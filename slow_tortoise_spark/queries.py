@@ -3298,6 +3298,30 @@ _Q_XCORPUS_LOGPROB = """
 """
 
 
+def q_profile_table(spark, sf_dir):
+    """ANALYZE-style per-column profile of lineitem (exact distincts;
+    min/max stringified — columns chosen so the string forms are
+    engine-portable: integers and plain strings, no float formatting)."""
+    from slow_tortoise_spark.operators.summary import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"]
+    return profile_table(li.select(*cols)).orderBy("col_name")
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in ["l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"]:
+        parts.append(f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM lineitem""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 # Round-3 rotation: the training/mixing ops earn driver CORRECTNESS rows;
 # the displaced demo/subsumed entries stay oracle-checked in the verifier
 # tier below (rotation mechanism endorsed by the round-2 review).
@@ -3352,6 +3376,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "bigram_logprob": q_bigram_logprob,
     "xcorpus_logprob": q_xcorpus_logprob,
+    "profile_table": q_profile_table,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3385,4 +3410,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "incremental_dedup": _Q_INCREMENTAL_DEDUP,
     "bigram_logprob": _Q_BIGRAM_LOGPROB,
     "xcorpus_logprob": _Q_XCORPUS_LOGPROB,
+    "profile_table": _profile_sql(),
 }

@@ -178,3 +178,24 @@ def test_apply_qualifier_thresholds_reference_golden():
     new_map, cols = apply_qualifier_thresholds(q_map, counts, max_count=9)
     assert new_map == {"f1": ["qual2"], "f2": [], "f3": ["qual1"]}
     assert cols == ["qual1", "qual2"]
+
+
+def test_profile_table_stats(spark):
+    """Null counts, exact distincts, stringified min/max; one row per
+    profiled column from a single aggregate pass."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.summary import profile_table
+
+    df = spark.createDataFrame([
+        Row(a=1, b="x"), Row(a=1, b=None), Row(a=3, b="y"),
+    ])
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert out["a"]["n_rows"] == 3 and out["a"]["n_null"] == 0
+    assert out["a"]["n_distinct"] == 2
+    assert (out["a"]["min_value"], out["a"]["max_value"]) == ("1", "3")
+    assert out["b"]["n_null"] == 1 and out["b"]["n_distinct"] == 2
+    assert out["b"]["min_value"] == "x" and out["b"]["max_value"] == "y"
+    # approx tier returns the same shape
+    approx = profile_table(df, exact_distinct=False).count()
+    assert approx == 2
