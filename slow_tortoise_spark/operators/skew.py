@@ -62,3 +62,47 @@ def salted_aggregation(
     )
     phase1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)
+
+
+def skew_report(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Hot-key diagnostic: per column, the most frequent value, its
+    count, and its share of all rows — the number that tells you whether
+    a groupBy/join on that column needs salting (share ≈ 1/partitions is
+    fine; share ≥ a few percent means one reducer owns that key).
+
+    One pass: columns melt to (col_name, value) rows via ``stack``
+    (values stringified to share a schema), ONE groupBy over
+    (col_name, value), and a per-column top-1 window.  Ties break on the
+    value string for cross-engine determinism.  NULLs count as a value —
+    a mostly-NULL column is exactly the kind of skew this should
+    surface.
+
+    Returns (col_name, top_value, top_count, n_rows, share).
+    """
+    cols = list(cols or df.columns)
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (col_name, value)"
+    )
+    counts = melted.groupBy("col_name", "value").agg(
+        F.count("*").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col_name").orderBy(
+        F.desc("cnt"), F.col("value").asc_nulls_first()
+    )
+    total = df.count()
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "col_name",
+            F.col("value").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+            F.lit(total).alias("n_rows"),
+            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+        )
+    )

@@ -3322,6 +3322,44 @@ def _profile_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+def q_skew_report(spark, sf_dir):
+    """Hot-key skew diagnostic over events columns (top value + share
+    per column; ties break on the value string both engines)."""
+    from slow_tortoise_spark.operators.skew import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(
+        ev, ["user_id", "event_type", "props"]
+    ).orderBy("col_name")
+
+
+_Q_SKEW_REPORT = """
+  WITH melted AS (
+    SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS value FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(event_type AS VARCHAR) FROM events
+    UNION ALL
+    SELECT 'props', CAST(props AS VARCHAR) FROM events
+  ),
+  counts AS (
+    SELECT col_name, value, COUNT(*) AS cnt FROM melted GROUP BY 1, 2
+  ),
+  ranked AS (
+    SELECT col_name, value, cnt,
+           row_number() OVER (
+             PARTITION BY col_name
+             ORDER BY cnt DESC, value ASC NULLS FIRST) AS rn
+    FROM counts
+  ),
+  total AS (SELECT COUNT(*) AS n FROM events)
+  SELECT col_name, value AS top_value, cnt AS top_count, total.n AS n_rows,
+         round(cnt / CAST(total.n AS DOUBLE), 6) AS share
+  FROM ranked, total
+  WHERE rn = 1
+  ORDER BY col_name
+"""
+
+
 # Round-3 rotation: the training/mixing ops earn driver CORRECTNESS rows;
 # the displaced demo/subsumed entries stay oracle-checked in the verifier
 # tier below (rotation mechanism endorsed by the round-2 review).
@@ -3377,6 +3415,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "xcorpus_logprob": q_xcorpus_logprob,
     "profile_table": q_profile_table,
+    "skew_report": q_skew_report,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3411,4 +3450,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "bigram_logprob": _Q_BIGRAM_LOGPROB,
     "xcorpus_logprob": _Q_XCORPUS_LOGPROB,
     "profile_table": _profile_sql(),
+    "skew_report": _Q_SKEW_REPORT,
 }

@@ -105,8 +105,11 @@ def main() -> int:
     idx = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     dest_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/slow_tortoise_local"
     spark = get_spark(app_name="run_flow_local")
-    if idx == 4:
-        # training-data corpus pipeline over the documents table
+    if idx in (4, 5):
+        # training-data corpus pipeline over the documents table;
+        # set 5 adds the temperature-mixing stage (α=0.5, half the
+        # post-dedup rows as budget — exercises the optional stage +
+        # after_mix manifest entry)
         from slow_tortoise_spark.corpus_pipeline import (
             CorpusParams,
             run_corpus_pipeline,
@@ -114,11 +117,17 @@ def main() -> int:
         from slow_tortoise_spark.sources.reader import read_table
 
         docs = read_table(spark, f"{TESTDATA}/documents.parquet").select(
-            "doc_id", "text"
+            "doc_id", "text", "source"
         )
-        manifest = run_corpus_pipeline(
-            spark, docs, CorpusParams(out_dir=f"{dest_root}/corpus-run")
+        params = (
+            CorpusParams(out_dir=f"{dest_root}/corpus-run")
+            if idx == 4
+            else CorpusParams(
+                out_dir=f"{dest_root}/corpus-mixed-run",
+                mix_budget=docs.count() / 2.0,
+            )
         )
+        manifest = run_corpus_pipeline(spark, docs, params)
         print(manifest)
         return 0
     data_path = _datacube_from_events(

@@ -199,3 +199,20 @@ def test_profile_table_stats(spark):
     # approx tier returns the same shape
     approx = profile_table(df, exact_distinct=False).count()
     assert approx == 2
+
+
+def test_skew_report_hot_key_and_nulls(spark):
+    """The dominant value surfaces with its share; NULL counts as a
+    value (a mostly-NULL column is skew); ties break on value."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.skew import skew_report
+
+    rows = ([Row(k="hot", v=None)] * 6
+            + [Row(k="a", v="x"), Row(k="b", v="x"), Row(k="c", v="y"),
+               Row(k="d", v="z")])
+    out = {r["col_name"]: r for r in
+           skew_report(spark.createDataFrame(rows)).collect()}
+    assert out["k"]["top_value"] == "hot" and out["k"]["top_count"] == 6
+    assert abs(out["k"]["share"] - 0.6) < 1e-9
+    assert out["v"]["top_value"] is None and out["v"]["top_count"] == 6
