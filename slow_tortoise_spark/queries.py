@@ -3360,6 +3360,66 @@ _Q_SKEW_REPORT = """
 """
 
 
+def q_streaming_index_dedup(spark, sf_dir):
+    """Stream-static LEFT ANTI dedup with a FULL SQL oracle: the
+    documents table streams in (availableNow file source), docs whose
+    id is a multiple of 5 are the "incoming" slice, and the static
+    index is built from the rest — admitted doc_ids must equal the
+    batch fingerprint anti-join the oracle computes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from slow_tortoise_spark.operators.dedup import build_dedup_index
+    from slow_tortoise_spark.streaming.pipeline import (
+        run_to_memory,
+        streaming_index_dedup,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").filter("doc_id % 5 != 0")
+    index = build_dedup_index(corpus.select("doc_id", "text"))
+
+    tag = hashlib.md5(f"docs:{sf_dir}".encode()).hexdigest()[:8]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"st_docstream_{tag}")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .filter("doc_id % 5 = 0")
+        .select("doc_id", "text")
+    )
+    out = run_to_memory(
+        streaming_index_dedup(sdf, index), f"sid_{tag}", spark
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_Q_STREAMING_INDEX_DEDUP = """
+  WITH fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM documents
+  )
+  SELECT n.doc_id
+  FROM fp n
+  WHERE n.doc_id % 5 = 0
+    AND n.f NOT IN (SELECT f FROM fp WHERE doc_id % 5 != 0)
+  ORDER BY n.doc_id
+"""
+
+
 # Round-3 rotation: the training/mixing ops earn driver CORRECTNESS rows;
 # the displaced demo/subsumed entries stay oracle-checked in the verifier
 # tier below (rotation mechanism endorsed by the round-2 review).
@@ -3416,6 +3476,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xcorpus_logprob": q_xcorpus_logprob,
     "profile_table": q_profile_table,
     "skew_report": q_skew_report,
+    "streaming_index_dedup": q_streaming_index_dedup,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -3451,4 +3512,5 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "xcorpus_logprob": _Q_XCORPUS_LOGPROB,
     "profile_table": _profile_sql(),
     "skew_report": _Q_SKEW_REPORT,
+    "streaming_index_dedup": _Q_STREAMING_INDEX_DEDUP,
 }

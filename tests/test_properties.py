@@ -236,3 +236,92 @@ def test_connected_components_match_union_find(spark_session, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab cd", min_size=0, max_size=40),
+                   min_size=2, max_size=10),
+    split=st.integers(1, 9),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_dedup_invariants_property(spark_session, texts, split):
+    """On arbitrary corpora (empty docs, whitespace-only, repeats):
+    admitted ⊆ batch; an exact copy of any indexed doc is never
+    admitted; a batch doc whose normalized text matches nothing indexed
+    and that shares no shingle with the corpus is always admitted."""
+    import re
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    corpus_rows = [Row(doc_id=i, text=t)
+                   for i, t in enumerate(texts[:split])]
+    batch_rows = [Row(doc_id=100 + i, text=t)
+                  for i, t in enumerate(texts[split:])]
+    if not corpus_rows or not batch_rows:
+        return
+    corpus = spark_session.createDataFrame(
+        corpus_rows, "doc_id long, text string")
+    batch = spark_session.createDataFrame(
+        batch_rows, "doc_id long, text string")
+    index = build_dedup_index(corpus)
+    admitted = {r["doc_id"] for r in
+                incremental_dedup(batch, index, threshold=0.5).collect()}
+    assert admitted <= {r.doc_id for r in batch_rows}
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip()).lower()
+
+    corpus_norms = {norm(r.text) for r in corpus_rows}
+    for r in batch_rows:
+        if norm(r.text) in corpus_norms:
+            assert r.doc_id not in admitted  # exact tier must fire
+
+    def shingles(t):
+        toks = [x for x in re.split(r"\s+", t.strip().lower()) if x]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    corpus_shingles = set().union(*(shingles(r.text) for r in corpus_rows))
+    for r in batch_rows:
+        if (norm(r.text) not in corpus_norms
+                and not (shingles(r.text) & corpus_shingles)):
+            assert r.doc_id in admitted  # nothing to collide with
+
+
+@given(
+    masses=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(1, 60),
+        min_size=1, max_size=4,
+    ),
+    budget=st.integers(1, 200),
+)
+@settings(max_examples=8, deadline=None)
+def test_temperature_mix_budget_property(spark_session, masses, budget):
+    """Keep fractions are in (0, 1]; expected kept rows Σ frac·m never
+    exceed the budget by more than one stratum's rounding; alpha=1
+    fractions are equal across strata (natural proportions)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import temperature_mix_plan
+
+    rows = [Row(doc_id=i + 1000 * si, source=s)
+            for si, (s, m) in enumerate(sorted(masses.items()))
+            for i in range(m)]
+    df = spark_session.createDataFrame(rows, "doc_id long, source string")
+    plan = temperature_mix_plan(df, "source", alpha=0.5, budget=float(budget))
+    assert set(plan) == set(masses)
+    expected = 0.0
+    for s, (m, frac) in plan.items():
+        assert m == masses[s] and 0.0 < frac <= 1.0
+        expected += frac * m
+    assert expected <= max(budget, max(masses.values())) + 1e-6
+
+    plan1 = temperature_mix_plan(df, "source", alpha=1.0,
+                                 budget=float(budget))
+    fracs = {round(f, 12) for _, f in plan1.values()}
+    assert len(fracs) == 1
