@@ -140,6 +140,17 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    # Normalize naive (NTZ) timestamps to session-UTC TimestampType so the
+    # query surface sees ONE timestamp type regardless of which encoding
+    # the data generator used (it has produced both TIMESTAMP(NANOS) and
+    # plain micro NTZ across rounds). Session tz is UTC above, so the cast
+    # is value-identity on the underlying micros, and collected rows stay
+    # naive-UTC datetimes — hash-stable vs the DuckDB oracle either way.
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
