@@ -1437,47 +1437,62 @@ _Q_CUBE_AGG = f"""
 """
 
 
-def q_streaming_window_counts(spark, sf_dir):
-    """Structured Streaming: hourly windowed agg over the events stream
-    (availableNow drain; equals the batch grouping on complete input)."""
+def _stream_events(spark, sf_dir):
+    """Encoding-aware streaming source for the ``events`` table.
+
+    The test generator has emitted ``ts`` both as parquet TIMESTAMP(NANOS)
+    and as plain micro-precision NTZ across rounds.  Probe the footer once
+    on the driver (the same probe the batch reader uses,
+    ``sources/reader.py``) and pick the decode, so ``event_time`` carries
+    identical values under either encoding.  The file stream source wants
+    a directory: scope the ``sf_dir`` scan to the single events file with
+    ``pathGlobFilter`` — no symlinks, no filesystem side-effects.
+    """
     from pyspark.sql import types as T
 
-    from slow_tortoise_spark.streaming.pipeline import (
-        run_to_memory,
-        windowed_temporal_agg,
-    )
+    from slow_tortoise_spark.sources.reader import _nanos_timestamp_columns
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = "ts" in _nanos_timestamp_columns(f"{sf_dir}/events.parquet")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+            T.StructField(
+                "ts", T.LongType() if nanos else T.TimestampNTZType()
+            ),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file stream source requires a directory: expose the single
-    # parquet file through a symlink dir (read-only w.r.t. the testdata).
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = os.path.join(tempfile.gettempdir(), f"st_stream_{tag}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    sdf = (
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        event_time = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        # Session tz is UTC above, so NTZ → TimestampType is value-identity
+        # on the underlying micros (matches read_table's normalization).
+        event_time = F.col("ts").cast("timestamp")
+    return (
         spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .select(
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
-            F.col("event_type").alias("feature"),
-            "value",
-        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", event_time)
+    )
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    """Structured Streaming: hourly windowed agg over the events stream
+    (availableNow drain; equals the batch grouping on complete input)."""
+    from slow_tortoise_spark.streaming.pipeline import (
+        run_to_memory,
+        windowed_temporal_agg,
+    )
+
+    sdf = _stream_events(spark, sf_dir).select(
+        "event_time",
+        F.col("event_type").alias("feature"),
+        "value",
     )
     out = run_to_memory(
         windowed_temporal_agg(sdf, window="1 hour"),
@@ -2544,45 +2559,16 @@ def q_stream_stream_join(spark, sf_dir):
     after a click by the same user, both sides streamed (availableNow
     drain over the complete input ≡ the batch time-range join the
     DuckDB oracle runs)."""
-    from pyspark.sql import types as T
-
     from slow_tortoise_spark.streaming.pipeline import (
         run_to_memory,
         stream_stream_join,
     )
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stream_dir = os.path.join(tempfile.gettempdir(), f"st_stream_{tag}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-
     def side(ev_type):
         return (
-            spark.readStream.schema(schema)
-            .parquet(stream_dir)
+            _stream_events(spark, sf_dir)
             .filter(F.col("event_type") == ev_type)
-            .select(
-                "event_id",
-                F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
-                "user_id",
-            )
+            .select("event_id", "event_time", "user_id")
         )
 
     joined = stream_stream_join(
@@ -3005,8 +2991,14 @@ def q_dup_ngram_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     out = dup_ngram_stats(docs, n=10)
+    # dup_frac goes out as an integer micro-fraction (like temperature_mix):
+    # integer columns cannot diverge in the driver's float-canonicalizing
+    # hash compare (round-3 lesson — rows/schema matched, hash didn't).
     return out.select(
-        "doc_id", "n_shingles", "n_dup", F.round("dup_frac", 6).alias("dup_frac")
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        F.round(F.col("dup_frac") * 1e6).cast("bigint").alias("dup_frac_micro"),
     ).orderBy("doc_id")
 
 
@@ -3032,8 +3024,9 @@ _Q_DUP_NGRAM_STATS = """
   SELECT d.doc_id,
          COALESCE(p.n_shingles, 0) AS n_shingles,
          COALESCE(p.n_dup, 0) AS n_dup,
-         round(COALESCE(p.n_dup, 0)::DOUBLE
-               / greatest(COALESCE(p.n_shingles, 0), 1), 6) AS dup_frac
+         CAST(round(COALESCE(p.n_dup, 0)::DOUBLE
+               / greatest(COALESCE(p.n_shingles, 0), 1) * 1e6) AS BIGINT)
+           AS dup_frac_micro
   FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
   ORDER BY d.doc_id
 """
@@ -3367,8 +3360,6 @@ def q_streaming_index_dedup(spark, sf_dir):
     index is built from the rest — admitted doc_ids must equal the
     batch fingerprint anti-join the oracle computes."""
     import hashlib
-    import os
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -3382,11 +3373,6 @@ def q_streaming_index_dedup(spark, sf_dir):
     index = build_dedup_index(corpus.select("doc_id", "text"))
 
     tag = hashlib.md5(f"docs:{sf_dir}".encode()).hexdigest()[:8]
-    stream_dir = os.path.join(tempfile.gettempdir(), f"st_docstream_{tag}")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
@@ -3396,7 +3382,8 @@ def q_streaming_index_dedup(spark, sf_dir):
     ])
     sdf = (
         spark.readStream.schema(schema)
-        .parquet(stream_dir)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
         .filter("doc_id % 5 = 0")
         .select("doc_id", "text")
     )

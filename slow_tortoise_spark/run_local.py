@@ -51,6 +51,55 @@ def _datacube_from_events(spark, sf_dir: str, out_path: str) -> str:
     return out_path
 
 
+def _drifted_cube_files(spark, base_cube_path: str, out_root: str) -> list[str]:
+    """Stage the cube as TWO parquet files with drifting schemas (the
+    reference's multi-file sets 3/4: later shards add qualifier columns).
+    File 1 lacks ``qual2``; file 2 adds it — the harmonized union pads
+    the gap with empty strings."""
+    from pyspark.sql import functions as F
+
+    cube = spark.read.parquet(base_cube_path)
+    half1 = cube.filter(F.col("timestamp") % 2 == 0).drop("qual1")
+    half2 = cube.filter(F.col("timestamp") % 2 == 1).withColumn(
+        "qual2", F.concat(F.lit("x"), (F.col("timestamp") % 3).cast("string"))
+    )
+    p1 = f"{out_root}/_drift_1.parquet"
+    p2 = f"{out_root}/_drift_2.parquet"
+    half1.write.mode("overwrite").parquet(p1)
+    half2.write.mode("overwrite").parquet(p2)
+    return [p1, p2]
+
+
+def _invalid_ts_cube(spark, base_cube_path: str, out_root: str) -> str:
+    """Stage a cube with null + beyond-ns-range timestamps (reference set
+    5 'Invalid timestamps' and the fill_timestamp=0 sets 9/10): nulls are
+    filled with ``fill_timestamp``, extreme rows must be dropped (P9)."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.schema import MAX_TIMESTAMP_MS
+
+    cube = spark.read.parquet(base_cube_path)
+    staged = cube.withColumn(
+        "timestamp",
+        F.when(F.col("timestamp") % 7 == 0, None)
+        .when(F.col("timestamp") % 11 == 0, F.lit(MAX_TIMESTAMP_MS + 1))
+        .otherwise(F.col("timestamp")),
+    )
+    path = f"{out_root}/_invalid_ts.parquet"
+    staged.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _regionless_cube(spark, base_cube_path: str, out_root: str) -> str:
+    """Stage a cube with NO region columns (reference set 12: datasets
+    that ship only lat/lng) — regional families must degrade gracefully
+    while global timeseries and tiles still run."""
+    cube = spark.read.parquet(base_cube_path)
+    path = f"{out_root}/_regionless.parquet"
+    cube.drop("country", "admin1").write.mode("overwrite").parquet(path)
+    return path
+
+
 def parameter_sets(data_path: str, dest_root: str) -> list[PipelineParams]:
     """Mirrors the reference's run_flow_local.py parameter-set shapes."""
     return [
@@ -105,6 +154,52 @@ def main() -> int:
     idx = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     dest_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/slow_tortoise_local"
     spark = get_spark(app_name="run_flow_local")
+    if idx in (6, 7, 8, 9):
+        # Reference parity sets beyond the 0-5 core (run_flow_local.py
+        # sets 3/4 drift, 5 invalid-ts, 11 raw-threshold, 12 regionless).
+        base = _datacube_from_events(
+            spark, TESTDATA, f"{dest_root}/_staged_cube.parquet"
+        )
+        if idx == 6:  # multi-file schema drift (harmonized union read)
+            params = PipelineParams(
+                data_id="drift-test",
+                run_id="multi-file-1",
+                data_paths=_drifted_cube_files(spark, base, dest_root),
+                dest_root=dest_root,
+                time_resolutions=("month",),
+                compute_tiles=False,
+            )
+        elif idx == 7:  # invalid timestamps + fill_timestamp=0
+            params = PipelineParams(
+                data_id="invalid-ts-test",
+                run_id="fill-ts-1",
+                data_paths=[_invalid_ts_cube(spark, base, dest_root)],
+                dest_root=dest_root,
+                fill_timestamp=0,
+                time_resolutions=("month",),
+                compute_tiles=False,
+            )
+        elif idx == 8:  # raw_count_threshold gating (reference set 11)
+            params = PipelineParams(
+                data_id="raw-threshold-test",
+                run_id="raw-gate-1",
+                data_paths=[base],
+                dest_root=dest_root,
+                raw_count_threshold=0,
+                time_resolutions=("month",),
+                compute_tiles=False,
+            )
+        else:  # 9: no region columns at all (reference set 12)
+            params = PipelineParams(
+                data_id="regionless-test",
+                run_id="no-regions-1",
+                data_paths=[_regionless_cube(spark, base, dest_root)],
+                dest_root=dest_root,
+                time_resolutions=("month",),
+            )
+        results = run_pipeline(spark, params)
+        print({k: v for k, v in results.items() if k != "output_agg_values"})
+        return 0
     if idx in (4, 5):
         # training-data corpus pipeline over the documents table;
         # set 5 adds the temperature-mixing stage (α=0.5, half the

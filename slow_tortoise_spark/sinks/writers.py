@@ -98,6 +98,26 @@ WRITE_TYPES = {"file": FileWriter, "s3": S3Writer, "null": NullWriter}
 # ---------------------------------------------------------------------------
 
 
+def _escape_dotted(df, *col_lists):
+    """Shim for PySpark's plain-string column resolution: ``groupBy`` /
+    ``applyInPandas`` resolve names like ``"1.0"`` (a pivoted qualifier
+    value — the reference's pandas pipeline produces such headers freely)
+    as the multi-part path ```1`.`0``` and fail. Rename offending columns
+    to positional placeholders for the Spark-side shuffle and hand back a
+    restore map so the pandas side (and the written artifact headers)
+    keeps the original names. Returns (df, restore_map, mapped_col_lists).
+    """
+    safe = {
+        c: f"__dotted_{i}"
+        for i, c in enumerate(df.columns)
+        if "." in c or "`" in c
+    }
+    if safe:
+        df = df.toDF(*[safe.get(c, c) for c in df.columns])
+    mapped = [[safe.get(c, c) for c in cols] for cols in col_lists]
+    return df, {v: k for k, v in safe.items()}, mapped
+
+
 def write_grouped_csv(
     df,
     group_cols: list[str],
@@ -118,8 +138,11 @@ def write_grouped_csv(
     import pandas as pd
 
     value_cols = [c for c in df.columns if c not in group_cols]
+    df, restore, (g_cols,) = _escape_dotted(df, group_cols)
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if restore:
+            pdf = pdf.rename(columns=restore)
         key = {c: pdf.iloc[0][c] for c in group_cols}
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
@@ -127,7 +150,7 @@ def write_grouped_csv(
         writer.write(body, path_fn(key))
         return pd.DataFrame({"n": [len(pdf)]})
 
-    out = df.groupBy(*group_cols).applyInPandas(emit, schema="n long")
+    out = df.groupBy(*g_cols).applyInPandas(emit, schema="n long")
     return out.count()
 
 
@@ -157,11 +180,14 @@ def write_grouped_csv_bundles(
     from pyspark.sql import functions as F
 
     value_cols = [c for c in df.columns if c not in group_cols]
+    df, restore, (g_cols,) = _escape_dotted(df, group_cols)
 
     def emit(batches):
         frames: list[pd.DataFrame] = []
         pid = None
         for pdf in batches:
+            if restore:
+                pdf = pdf.rename(columns=restore)
             if len(pdf) and pid is None:
                 pid = int(pdf["_pid"].iloc[0])
             frames.append(pdf)
@@ -188,7 +214,7 @@ def write_grouped_csv_bundles(
         yield pd.DataFrame({"n": [len(index)]})
 
     out = (
-        df.repartition(*[F.col(c) for c in group_cols])
+        df.repartition(*[F.col(c) for c in g_cols])
         .withColumn("_pid", F.spark_partition_id())
         .mapInPandas(emit, schema="n long")
     )
@@ -214,12 +240,16 @@ def write_grouped_json(df, group_cols: list[str], path_fn, writer,
     """
     import pandas as pd
 
+    df, restore, (g_cols,) = _escape_dotted(df, group_cols)
+
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if restore:
+            pdf = pdf.rename(columns=restore)
         key = {c: pdf.iloc[0][c] for c in group_cols}
         writer.write(json.dumps(payload_fn(pdf), default=str), path_fn(key))
         return pd.DataFrame({"n": [1]})
 
-    return df.groupBy(*group_cols).applyInPandas(emit, schema="n long").count()
+    return df.groupBy(*g_cols).applyInPandas(emit, schema="n long").count()
 
 
 def write_tile_bundles(

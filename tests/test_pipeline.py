@@ -557,3 +557,60 @@ def test_pipeline_csv_bundle_sink(spark, cube_path, tmp_path):
         keys.update(_json.load(open(i)))
     # qualifier-gated per-region breakdowns still write per-file
     assert any("/level-0/" in k and k.endswith(".csv") for k in keys)
+
+
+def test_grouped_sinks_accept_dotted_column_names(spark, tmp_path):
+    """Pivoted qualifier values like '1.0' become column names with dots;
+    PySpark's applyInPandas resolves plain strings as multi-part paths, so
+    the sinks must shim them (round-4 regression: run_local qualifier
+    pivot on a constant-1.0 weight column crashed every grouped sink)."""
+    import json as _json
+
+    from slow_tortoise_spark.operators.pivot import qualifier_timeseries_pivot
+    from slow_tortoise_spark.sinks.writers import (
+        FileWriter,
+        write_grouped_csv,
+        write_grouped_csv_bundles,
+        write_grouped_json,
+    )
+
+    df = spark.createDataFrame(
+        [("f1", 1000, "1.0", 2.0), ("f1", 2000, "1.0", 3.0),
+         ("f2", 1000, "2.5", 4.0)],
+        "feature string, timestamp long, q string, s_sum double",
+    )
+    wide = qualifier_timeseries_pivot(df, "q", "s_sum")
+    assert any("." in c for c in wide.columns)  # the hazard is present
+
+    out = str(tmp_path / "dotted")
+    n = write_grouped_csv(
+        wide, ["feature"],
+        path_fn=lambda k: f"csv/{k['feature']}.csv",
+        writer=FileWriter(out), sort_cols=["timestamp"],
+    )
+    assert n == 2
+    header = open(f"{out}/csv/f1.csv").read().splitlines()[0]
+    assert "1.0" in header  # artifact keeps the original dotted header
+
+    n_b = write_grouped_csv_bundles(
+        wide, ["feature"],
+        key_fn=lambda k: f"csv/{k['feature']}.csv",
+        bundle_path_fn=lambda pid: f"bundles/part-{pid:05d}",
+        writer=FileWriter(out), sort_cols=["timestamp"],
+    )
+    assert n_b == 2
+    for ipath in glob.glob(f"{out}/bundles/*.idx.json"):
+        blob = open(ipath[: -len(".idx.json")] + ".bundle", "rb").read()
+        for key, (off, ln) in _json.load(open(ipath)).items():
+            assert blob[off:off + ln] == open(
+                os.path.join(out, key), "rb").read(), key
+
+    n_j = write_grouped_json(
+        wide, ["feature"],
+        path_fn=lambda k: f"json/{k['feature']}.json",
+        writer=FileWriter(out),
+        payload_fn=lambda pdf: sorted(pdf.columns.tolist()),
+    )
+    assert n_j == 2
+    cols = _json.load(open(f"{out}/json/f1.json"))
+    assert "1.0" in cols and "2.5" in cols
