@@ -842,14 +842,92 @@ def containment_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _star_components(
+    pairs: DataFrame, id_a: str, id_b: str, max_iters: int
+) -> DataFrame:
+    """Large-star/small-star connected components (the two-step
+    alternating-star scheme from the MapReduce CC literature): each round
+    rewires every node's larger neighbors (large-star) and then its
+    smaller neighbors (small-star) to the neighborhood minimum, halving
+    the effective component depth — O(log n) rounds on pathological
+    chains where min-label propagation needs O(n).
+
+    Each round is two groupBy-min + join passes over frames the size of
+    the EDGE set; ``localCheckpoint`` truncates lineage per round.
+    Converges when the small-star output equals its input, at which point
+    every edge is (node, component-min).
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # Large-star: for every node, connect its LARGER neighbors to the
+        # min of its closed neighborhood m = min(N(u) ∪ {u}).
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star over the large-star output (edges directed big→small):
+        # connect each node and its smaller neighbors to their min.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.unionByName(edges).distinct().count() - edges.count()
+            if small.count() == edges.count()
+            else 1
+        )
+        edges = small
+        if changed == 0:
+            return edges.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("component")
+            ).unionByName(
+                edges.select("v").distinct().select(
+                    F.col("v").alias("doc_id"), F.col("v").alias("component")
+                )
+            ).distinct()
+    raise RuntimeError(
+        f"star connected_components did not converge in {max_iters} "
+        f"iterations; raise max_iters"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iters: int = 50,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(doc_id, component) for every node of the pair graph; component =
     the smallest doc_id reachable through the pairs (transitive).
+
+    ``algorithm="label_prop"`` (default) is O(diameter) rounds — right
+    for the shallow star/chain graphs near-dup detection produces.
+    ``algorithm="star"`` is the large-star/small-star scheme — O(log n)
+    rounds, the published fix for pathologically deep chains.
 
     The greedy per-pair drop policy misses star shapes: with verified
     pairs (1,3) and (2,3) it drops only 3 — docs 1 and 2 both survive
@@ -860,15 +938,18 @@ def connected_components(
     iteration every node takes the min of its own and its neighbors'
     labels, until a fixpoint (converges in O(graph diameter) iterations;
     near-dup graphs are shallow — stars and short chains — so this
-    terminates in 2–4 rounds in practice; a large-star/small-star scheme
-    would cut worst-case rounds to O(log n) at the cost of edge
-    rewriting).  Each iteration is two shuffles (neighbor-min groupBy +
+    terminates in 2–4 rounds in practice).
+    Each iteration is two shuffles (neighbor-min groupBy +
     label join) over FRAMES THE SIZE OF THE PAIR GRAPH — the corpus
     itself is never touched — and ``localCheckpoint`` truncates lineage
     so plans stay O(1) across iterations.  The fixpoint check is an
     exact count of changed labels (one action per iteration — the
     nature of iterative algorithms on Spark).
     """
+    if algorithm == "star":
+        return _star_components(pairs, id_a, id_b, max_iters)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(

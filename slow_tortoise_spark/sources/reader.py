@@ -18,7 +18,9 @@ column pruning are Catalyst's job; we only normalize the logical schema.
 
 from __future__ import annotations
 
+import os
 import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,20 +139,38 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     # calendar truncation is UTC regardless of the host timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # PySpark converts collected TimestampType values through the DRIVER
+    # PROCESS timezone (datetime.fromtimestamp), not the session tz — on
+    # a non-UTC host, collected rows would shift vs the DuckDB oracle.
+    # Pin the process to UTC once (Unix-only tzset; this engine's artifact
+    # and oracle parity is defined in UTC).
+    if time.strftime("%z") not in ("+0000", "-0000"):
+        os.environ["TZ"] = "UTC"
+        time.tzset()
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    # Normalize naive (NTZ) timestamps to session-UTC TimestampType so the
-    # query surface sees ONE timestamp type regardless of which encoding
-    # the data generator used (it has produced both TIMESTAMP(NANOS) and
-    # plain micro NTZ across rounds). Session tz is UTC above, so the cast
-    # is value-identity on the underlying micros, and collected rows stay
-    # naive-UTC datetimes — hash-stable vs the DuckDB oracle either way.
+    # One select for all re-typed columns (a withColumn loop would stack
+    # one Project node per column and deepen the plan for no reason):
+    # TIMESTAMP(NANOS) → truncate to micros; naive NTZ → session-UTC
+    # TimestampType, so the query surface sees ONE timestamp type
+    # regardless of which encoding the data generator used. Session tz is
+    # UTC above, so the NTZ cast is value-identity on the underlying
+    # micros, and collected rows stay naive-UTC datetimes — hash-stable
+    # vs the DuckDB oracle either way.
     from pyspark.sql import types as T
 
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    casts = {
+        c: F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
+        for c in _nanos_timestamp_columns(path)
+    }
+    casts.update(
+        {
+            f.name: F.col(f.name).cast("timestamp")
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.TimestampNTZType)
+        }
+    )
+    if casts:
+        df = df.withColumns(casts)
     return df
 
 

@@ -1126,3 +1126,38 @@ def test_unigram_logprob_under_oov_floor(spark):
     assert out[12]["n_oov"] == 1 and out[12]["n_tokens"] == 2
     assert out[10]["mean_logprob"] > out[12]["mean_logprob"] \
         > out[11]["mean_logprob"]
+
+
+def test_connected_components_star_algorithm_parity(spark):
+    """large-star/small-star returns the same (doc_id, component) map as
+    min-label propagation on mixed chain/star/isolated-pair graphs, and
+    converges on a 33-node chain within a log-scale iteration budget
+    where label propagation needs O(n) rounds."""
+    import random
+
+    from slow_tortoise_spark.operators.dedup import connected_components
+
+    random.seed(7)
+    edges = [(1, 2), (2, 3), (5, 6), (10, 30), (20, 30)]
+    # random extra clusters
+    for base in (100, 200, 300):
+        ids = [base + i for i in range(8)]
+        for _ in range(10):
+            a, b = random.sample(ids, 2)
+            edges.append((a, b))
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs, algorithm="star").collect()}
+    assert got == want
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "doc_a long, doc_b long"
+    )
+    # label_prop would need ~32 rounds; star must finish in far fewer
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(
+                chain, algorithm="star", max_iters=8).collect()}
+    assert set(comp) == set(range(33))
+    assert set(comp.values()) == {0}
