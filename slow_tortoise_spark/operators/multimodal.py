@@ -2,10 +2,12 @@
 
 Media travel as opaque ``binary`` columns plus typed metadata — the
 schema, partitioning, and Arrow-batched UDF shape are the real,
-production-grade part; the actual codec calls are stubbed because no
-image/audio libraries exist in this environment. Replace the marked
-``_decode_*_stub`` internals with PIL/ffmpeg calls without touching any
-Spark plumbing.
+production-grade part. Image decode/resize are IMPORT-GATED: when PIL is
+installed on the executors the real codec runs (histogram features, true
+resample); otherwise — and for undecodable blobs — a deterministic
+content-hash stub keeps the full pipeline testable. Audio/video decode
+remain stubbed (``_decode_*`` internals marked below; swap in ffmpeg
+calls without touching any Spark plumbing).
 
 Batch-shape rules encoded here (the part that matters at 100 TB):
 * ``mapInPandas`` streams Arrow record batches — media bytes never
@@ -46,8 +48,21 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _imaging():
+    """Import-gated imaging backend: PIL's Image module when installed,
+    else ``None`` (→ deterministic stub). Called INSIDE the Arrow UDFs so
+    the probe runs on the executor that will do the decoding, not the
+    driver."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_image_stub(content: bytes) -> dict:
-    """STUB — replace with a real decoder (PIL etc.).
+    """STUB fallback when no imaging library exists in the environment.
 
     Deterministic fake: derives pseudo-features from the byte content so
     the full pipeline (schema, batching, downstream ANN) is testable.
@@ -61,6 +76,25 @@ def _decode_image_stub(content: bytes) -> dict:
     return {"sha": digest.hex()[:16], "features": features}
 
 
+def _decode_image_real(image_mod, content: bytes) -> dict:
+    """Real decode path (used automatically when PIL is importable):
+    sha identity + a 16-bin normalized grayscale histogram as the
+    fixed-size feature vector — deterministic, library-only, and the
+    same shape the stub emits so downstream ANN/dedup are unaffected."""
+    import hashlib
+    import io
+
+    digest = hashlib.sha256(content).digest()
+    img = image_mod.open(io.BytesIO(content)).convert("L")
+    hist = img.histogram()  # 256 bins for mode L
+    coarse = [sum(hist[i:i + 16]) for i in range(0, 256, 16)]
+    total = float(sum(coarse)) or 1.0
+    return {
+        "sha": digest.hex()[:16],
+        "features": [c / total for c in coarse],
+    }
+
+
 def extract_image_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary image content.
 
@@ -71,8 +105,20 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        image_mod = _imaging()
+
+        def decode(c):
+            if image_mod is not None and c is not None:
+                try:
+                    return _decode_image_real(image_mod, c)
+                except Exception:
+                    # undecodable blob (synthetic fixtures, corrupt file):
+                    # fall through to the content-hash pseudo-features
+                    pass
+            return _decode_image_stub(c)
+
         for pdf in batches:
-            feats = [_decode_image_stub(c) for c in pdf["content"]]
+            feats = [decode(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -119,18 +165,33 @@ def plan_resize(df: DataFrame, max_dim: int = 256) -> DataFrame:
 
 
 def apply_resize(df_planned: DataFrame) -> DataFrame:
-    """Arrow-batched resize executor — decode/resample STUBBED.
-
-    Real implementation swaps the marked line for a PIL resize; the fake
-    keeps bytes deterministic (sha-tagged) so downstream dedup/tests can
-    pin values. Rows with ``needs_resize = false`` pass through untouched
-    (and, because the filter is a plain Column, Catalyst prunes them from
-    the Python stage entirely when the caller splits the union)."""
+    """Arrow-batched resize executor — real PIL resize when the library
+    is importable on the executor, deterministic sha-tagged stub bytes
+    otherwise (and for undecodable blobs), so downstream dedup/tests can
+    pin values in either environment. Rows with ``needs_resize = false``
+    pass through untouched (and, because the filter is a plain Column,
+    Catalyst prunes them from the Python stage entirely when the caller
+    splits the union)."""
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
+        import io
 
         import pandas as pd
+
+        image_mod = _imaging()
+
+        def resize(c, tw, th):
+            if image_mod is not None:
+                try:
+                    img = image_mod.open(io.BytesIO(c))
+                    out = io.BytesIO()
+                    img.resize((int(tw), int(th))).save(out, format="PNG")
+                    return out.getvalue()
+                except Exception:
+                    pass  # undecodable → deterministic stub bytes
+            tag = hashlib.sha256(c).digest()[:4]
+            return bytes(tag) + b"%dx%d" % (tw, th)
 
         for pdf in batches:
             out_content = []
@@ -139,9 +200,7 @@ def apply_resize(df_planned: DataFrame) -> DataFrame:
                 if not nr or c is None:
                     out_content.append(c)
                     continue
-                # STUB: real code = PIL Image.open(...).resize((tw, th))
-                tag = hashlib.sha256(c).digest()[:4]
-                out_content.append(bytes(tag) + b"%dx%d" % (tw, th))
+                out_content.append(resize(c, tw, th))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1161,3 +1161,43 @@ def test_connected_components_star_algorithm_parity(spark):
                 chain, algorithm="star", max_iters=8).collect()}
     assert set(comp) == set(range(33))
     assert set(comp.values()) == {0}
+
+
+def test_image_decode_import_gate_and_real_backend_shape():
+    """The imaging backend is import-gated: absent PIL the stub runs (sha
+    = content hash), and the real path — exercised here through a fake
+    backend — emits the same sha plus a 16-bin normalized histogram, so
+    swapping environments never changes join keys or feature shape."""
+    import hashlib
+
+    from slow_tortoise_spark.operators.multimodal import (
+        _decode_image_real,
+        _decode_image_stub,
+        _imaging,
+    )
+
+    content = b"not an image"
+    stub = _decode_image_stub(content)
+    assert stub["sha"] == hashlib.sha256(content).hexdigest()[:16]
+    assert len(stub["features"]) == 16
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def histogram(self):
+            return [1] * 256
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(buf):
+            return _FakeImg()
+
+    real = _decode_image_real(_FakeImageMod, content)
+    assert real["sha"] == stub["sha"]  # identity key is backend-invariant
+    assert len(real["features"]) == 16
+    assert abs(sum(real["features"]) - 1.0) < 1e-9
+
+    backend = _imaging()  # env probe: PIL or None, never an exception
+    assert backend is None or hasattr(backend, "open")
