@@ -1365,7 +1365,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "jaccard_pairs": q_jaccard_pairs,
-    "simhash": q_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "ivf_topk": q_ivf_topk,
@@ -1396,7 +1395,6 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": _lang_id_sql(),
     "minhash_lsh_pairs": _Q_MINHASH_LSH_PAIRS,
     "jaccard_pairs": _Q_JACCARD_PAIRS,
-    "simhash": _simhash_sql(),
     "ann_cosine_topk": _Q_ANN_COSINE_TOPK,
     "embedding_near_dups": _embedding_near_dups_sql(),
     "ivf_topk": _Q_IVF_TOPK,
@@ -2847,21 +2845,17 @@ def q_simhash16(spark, sf_dir):
 
 
 # Round-3 rotation: first-class training-data operators move into the
-# 50-entry driver catalog (each now earns a CORRECTNESS row).
+# 50-entry driver catalog (each now earns a CORRECTNESS row). Round 4
+# rotated quality_score/window_lag_lead/hash_split back to the verifier
+# tier (their families keep other driver rows) to make room.
 QUERIES.update(
     {
-        "quality_score": q_quality_score,
-        "window_lag_lead": q_window_lag_lead,
-        "hash_split": q_hash_split,
         "contamination": q_contamination,
         "simhash_near_dups": q_simhash_near_dups,
     }
 )
 ORACLE_SQL.update(
     {
-        "quality_score": _quality_score_sql(),
-        "window_lag_lead": _Q_WINDOW_LAG_LEAD,
-        "hash_split": _Q_HASH_SPLIT,
         "contamination": _Q_CONTAMINATION,
         "simhash_near_dups": _simhash_near_dups_sql(),
     }
@@ -3201,7 +3195,17 @@ def q_bigram_logprob(spark, sf_dir):
     from slow_tortoise_spark.operators.text import bigram_logprob
 
     docs = _t(spark, sf_dir, "documents")
-    return bigram_logprob(docs, round_to=6).orderBy("doc_id")
+    out = bigram_logprob(docs)
+    # Integer micro-logprob (like dup_ngram_stats / temperature_mix): a
+    # mean of ln() values is exactly the float shape that can diverge in
+    # the driver's hash canonicalization; integers cannot.
+    return out.select(
+        "doc_id",
+        F.round(F.col("mean_logprob") * 1e6).cast("bigint").alias(
+            "mean_logprob_micro"
+        ),
+        "n_bigrams",
+    ).orderBy("doc_id")
 
 
 _Q_BIGRAM_LOGPROB = """
@@ -3234,7 +3238,8 @@ _Q_BIGRAM_LOGPROB = """
     FROM scored GROUP BY doc_id
   )
   SELECT d.doc_id,
-         round(COALESCE(a.mean_logprob, 0.0), 6) AS mean_logprob,
+         CAST(round(COALESCE(a.mean_logprob, 0.0) * 1e6) AS BIGINT)
+           AS mean_logprob_micro,
          COALESCE(a.n_bigrams, 0) AS n_bigrams
   FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
   ORDER BY d.doc_id
@@ -3430,7 +3435,33 @@ ORACLE_SQL.update(
 )
 
 
+# Round-4 rotation: the stream-static dedup join, transitive-closure
+# clustering, bigram LM scoring, and BPE pair counting move into the
+# 50-entry driver catalog (each earns a CORRECTNESS row); the displaced
+# entries below stay oracle-checked in the verifier tier.
+QUERIES.update(
+    {
+        "streaming_index_dedup": q_streaming_index_dedup,
+        "dedup_components": q_dedup_components,
+        "bigram_logprob": q_bigram_logprob,
+        "bpe_pairs": q_bpe_pairs,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "streaming_index_dedup": _Q_STREAMING_INDEX_DEDUP,
+        "dedup_components": _Q_DEDUP_COMPONENTS,
+        "bigram_logprob": _Q_BIGRAM_LOGPROB,
+        "bpe_pairs": _Q_BPE_PAIRS,
+    }
+)
+
+
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "simhash": q_simhash,
+    "quality_score": q_quality_score,
+    "window_lag_lead": q_window_lag_lead,
+    "hash_split": q_hash_split,
     "temporal_agg_all": q_temporal_agg_all,
     "temporal_agg_year": q_temporal_agg_year,
     "minhash_signatures": q_minhash_signatures,
@@ -3445,28 +3476,28 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "simhash16": q_simhash16,
     "unigram_logprob": q_unigram_logprob,
-    "dedup_components": q_dedup_components,
     "stream_stream_join": q_stream_stream_join,
     "sessionize_batch": q_sessionize_batch,
     "doc_chunks": q_doc_chunks,
     "tfidf_terms": q_tfidf_terms,
     "containment_pairs": q_containment_pairs,
     "stratified_sample": q_stratified_sample,
-    "bpe_pairs": q_bpe_pairs,
     "semi_join": q_semi_join,
     "set_ops": q_set_ops,
     "region_lists": q_region_lists,
     "rows_per_feature": q_rows_per_feature,
     "string_funcs": q_string_funcs,
     "incremental_dedup": q_incremental_dedup,
-    "bigram_logprob": q_bigram_logprob,
     "xcorpus_logprob": q_xcorpus_logprob,
     "profile_table": q_profile_table,
     "skew_report": q_skew_report,
-    "streaming_index_dedup": q_streaming_index_dedup,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
+    "simhash": _simhash_sql(),
+    "quality_score": _quality_score_sql(),
+    "window_lag_lead": _Q_WINDOW_LAG_LEAD,
+    "hash_split": _Q_HASH_SPLIT,
     "temporal_agg_all": _Q_TEMPORAL_AGG_ALL,
     "temporal_agg_year": _Q_TEMPORAL_AGG_YEAR,
     "minhash_signatures": _Q_MINHASH_SIGNATURES,
@@ -3481,23 +3512,19 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "doc_fingerprints": _Q_DOC_FINGERPRINTS,
     "simhash16": _simhash_sql(16),
     "unigram_logprob": _Q_UNIGRAM_LOGPROB,
-    "dedup_components": _Q_DEDUP_COMPONENTS,
     "stream_stream_join": _Q_STREAM_STREAM_JOIN,
     "sessionize_batch": _Q_SESSIONIZE_BATCH,
     "doc_chunks": _Q_DOC_CHUNKS,
     "tfidf_terms": _Q_TFIDF_TERMS,
     "containment_pairs": _Q_CONTAINMENT_PAIRS,
     "stratified_sample": _Q_STRATIFIED_SAMPLE,
-    "bpe_pairs": _Q_BPE_PAIRS,
     "semi_join": _Q_SEMI_JOIN,
     "set_ops": _Q_SET_OPS,
     "region_lists": _Q_REGION_LISTS,
     "rows_per_feature": _Q_ROWS_PER_FEATURE,
     "string_funcs": _Q_STRING_FUNCS,
     "incremental_dedup": _Q_INCREMENTAL_DEDUP,
-    "bigram_logprob": _Q_BIGRAM_LOGPROB,
     "xcorpus_logprob": _Q_XCORPUS_LOGPROB,
     "profile_table": _profile_sql(),
     "skew_report": _Q_SKEW_REPORT,
-    "streaming_index_dedup": _Q_STREAMING_INDEX_DEDUP,
 }
