@@ -1248,6 +1248,75 @@ def dup_ngram_stats(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide LINE-level dedup (the C4/CCNet boilerplate remover):
+    drop every line whose normalized form (trim + lower) appears in at
+    least ``min_docs`` DISTINCT documents — navigation chrome, cookie
+    banners, licence boilerplate — and rebuild each document from its
+    surviving lines in original order.
+
+    Lines shorter than ``min_len`` normalized characters never
+    participate in counting and are always kept (blank separators aren't
+    boilerplate evidence).
+
+    Shape (all native ops, no Python): one posexplode over lines; the
+    document-frequency table is a distinct (doc, line-hash) projection +
+    one groupBy — in-doc repeats don't inflate the count; lines
+    LEFT-join that table (an equi-join on the 128-bit line hash, AQE
+    free to broadcast the dup side, which at corpus scale is the small
+    Zipf head); the rebuild is one groupBy(doc) over array_sort'd
+    (pos, line) structs.  Total: one explode + three shuffles, each
+    linear in the line count — never doc×doc.
+
+    Returns (doc_id, text, n_lines, n_dropped) with ``text`` rebuilt
+    from kept lines joined by newline.  Documents whose every line is
+    boilerplate surface with empty text, not a missing row.
+    """
+    norm = F.lower(F.trim(F.col("line")))
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "lhash",
+        F.when(F.length(norm) >= min_len, F.md5(norm)),  # null = exempt
+    )
+    doc_freq = (
+        lines.filter(F.col("lhash").isNotNull())
+        .select("doc_id", "lhash")
+        .distinct()
+        .groupBy("lhash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lhash", F.lit(True).alias("is_dup"))
+    )
+    marked = lines.join(doc_freq, "lhash", "left")
+    kept = F.col("is_dup").isNull()
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(kept, 0).otherwise(1)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+        )
+        .select("doc_id", text_col, "n_lines", "n_dropped")
+    )
+
+
 def cross_corpus_contamination(
     train: DataFrame,
     test: DataFrame,

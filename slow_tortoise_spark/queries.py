@@ -3435,6 +3435,66 @@ ORACLE_SQL.update(
 )
 
 
+def q_dedup_lines(spark, sf_dir):
+    """C4/CCNet-style line-level dedup: lines appearing in ≥2 distinct
+    documents are boilerplate and get stripped; documents are rebuilt
+    from their surviving lines. The synthetic corpus is seeded with
+    constructed duplicates (each doc unioned with a two-line variant
+    sharing its text) so dup lines actually exist."""
+    from slow_tortoise_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("\nunique tail "),
+                     F.col("doc_id").cast("string")).alias("text"),
+        )
+    )
+    out = dedup_lines(staged, min_len=1, min_docs=2)
+    return out.select(
+        "doc_id", "text", "n_lines", "n_dropped"
+    ).orderBy("doc_id")
+
+
+_Q_DEDUP_LINES = """
+  WITH staged AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           text || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+      AS text
+    FROM documents
+  ),
+  ln AS (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos
+    FROM staged
+  ),
+  normed AS (
+    SELECT doc_id, pos, line,
+           CASE WHEN length(lower(trim(line))) >= 1
+                THEN md5(lower(trim(line))) END AS lhash
+    FROM ln
+  ),
+  freq AS (
+    SELECT lhash
+    FROM (SELECT DISTINCT doc_id, lhash FROM normed WHERE lhash IS NOT NULL)
+    GROUP BY lhash HAVING COUNT(*) >= 2
+  )
+  SELECT n.doc_id,
+         COALESCE(string_agg(
+           CASE WHEN f.lhash IS NULL THEN n.line END,
+           chr(10) ORDER BY n.pos), '') AS text,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN f.lhash IS NULL THEN 0 ELSE 1 END) AS n_dropped
+  FROM normed n LEFT JOIN freq f ON n.lhash = f.lhash
+  GROUP BY n.doc_id
+  ORDER BY n.doc_id
+"""
+
+
 # Round-4 rotation: the stream-static dedup join, transitive-closure
 # clustering, bigram LM scoring, and BPE pair counting move into the
 # 50-entry driver catalog (each earns a CORRECTNESS row); the displaced
@@ -3458,6 +3518,7 @@ ORACLE_SQL.update(
 
 
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_lines": q_dedup_lines,
     "simhash": q_simhash,
     "quality_score": q_quality_score,
     "window_lag_lead": q_window_lag_lead,
@@ -3494,6 +3555,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
+    "dedup_lines": _Q_DEDUP_LINES,
     "simhash": _simhash_sql(),
     "quality_score": _quality_score_sql(),
     "window_lag_lead": _Q_WINDOW_LAG_LEAD,

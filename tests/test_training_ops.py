@@ -1201,3 +1201,35 @@ def test_image_decode_import_gate_and_real_backend_shape():
 
     backend = _imaging()  # env probe: PIL or None, never an exception
     assert backend is None or hasattr(backend, "open")
+
+
+def test_dedup_lines_boilerplate_removal(spark):
+    """Line-level dedup: lines shared by ≥2 docs (normalized) drop from
+    every doc, order and blank separators survive, all-boilerplate docs
+    surface with empty text, and short lines are exempt from counting."""
+    from slow_tortoise_spark.operators.dedup import dedup_lines
+
+    cookie = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{cookie}\nreal content one\n\nmore body text"),
+            (2, f"  {cookie.upper()}  \nreal content two"),  # ws+case normed
+            (3, cookie),  # nothing but boilerplate
+            (4, "a\nsolo document line"),  # 'a' short but min_len=1 counts it
+            (5, "a\nanother solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_docs=2).collect()}
+    assert out[1]["text"] == "real content one\n\nmore body text"
+    assert out[1]["n_lines"] == 4 and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "real content two"
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+    # 'a' appears in two docs → dropped under min_len=1
+    assert out[4]["text"] == "solo document line"
+
+    # with min_len above 1-char lines, 'a' is exempt and survives
+    out2 = {r["doc_id"]: r
+            for r in dedup_lines(docs, min_len=2, min_docs=2).collect()}
+    assert out2[4]["text"] == "a\nsolo document line"
+    assert out2[4]["n_dropped"] == 0
