@@ -325,3 +325,43 @@ def test_temperature_mix_budget_property(spark_session, masses, budget):
                                  budget=float(budget))
     fracs = {round(f, 12) for _, f in plan1.values()}
     assert len(fracs) == 1
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=_edges)
+@settings(max_examples=6, deadline=None)
+def test_star_cc_matches_label_prop_and_python_oracle(spark_session, edges):
+    """Both CC algorithms agree with each other AND with a pure-Python
+    union-find on arbitrary random graphs (self-loops excluded)."""
+    from slow_tortoise_spark.operators.dedup import connected_components
+
+    parent = list(range(25))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    want = {n: find(n) for n in nodes}
+
+    pairs = spark_session.createDataFrame(edges, "doc_a long, doc_b long")
+    lp = {r["doc_id"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    star = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs, algorithm="star").collect()}
+    assert lp == want
+    assert star == want
