@@ -149,3 +149,22 @@ def test_jaccard_prefix_plan_uses_array_rescore(spark, sf_dir):
     assert "array_intersect" in plan
     assert "slice" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_lines_is_equi_joined_and_jvm_side(spark, sf_dir):
+    """Line-level dedup joins lines to the duplicate-line table on the
+    line-hash equi-key (nested loop would be quadratic in lines) and
+    runs no Python in the plan; the rebuild is native array_sort."""
+    from slow_tortoise_spark.operators.dedup import dedup_lines
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = (
+        dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "lhash" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
