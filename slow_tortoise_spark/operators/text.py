@@ -524,3 +524,72 @@ def unigram_logprob_under(
     if round_to is not None:
         out = out.withColumn("mean_logprob", F.round("mean_logprob", round_to))
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (web-corpus provenance ops)
+# ---------------------------------------------------------------------------
+
+#: http(s) URLs up to whitespace or common delimiters. Kept to a subset
+#: of regex syntax that behaves identically under Java regex (Spark) and
+#: RE2 (DuckDB) so oracles replay verbatim.
+URL_PATTERN = r"""https?://[^\s)>\]"']+"""
+
+#: Capture group 1 = the host part (stop at /, :, ?, #).
+DOMAIN_PATTERN = r"""^https?://([^/:?#]+)"""
+
+
+def extract_urls(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, url, domain) — one row per URL occurrence in each doc.
+
+    Pure codegen'd column ops: ``regexp_extract_all`` + explode + a
+    domain ``regexp_extract``. Linear scan, no shuffle.
+    """
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(text_col, F.lit(URL_PATTERN), 0)
+            ).alias("url"),
+        )
+        .withColumn(
+            "domain", F.lower(F.regexp_extract("url", DOMAIN_PATTERN, 1))
+        )
+    )
+
+
+def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level provenance table: per domain, total URL occurrences
+    and the number of distinct documents citing it. One explode + one
+    groupBy (the distinct-doc count rides the same shuffle via
+    count_distinct) — the standard pre-filter artifact for domain
+    blocklists and per-domain caps."""
+    return (
+        extract_urls(df, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def filter_blocklisted_domains(
+    df: DataFrame, blocklist: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop every document that cites ANY blocklisted domain.
+
+    ``blocklist`` is a one-column (``domain``) frame. Shape: extract →
+    semi-join the doc's domains against the blocklist (AQE broadcasts a
+    real-world blocklist — thousands of rows — for free) → LEFT ANTI
+    back to the corpus on doc_id. Two joins over the URL stream, zero
+    doc×doc terms; the corpus itself shuffles only on doc_id.
+    """
+    flagged = (
+        extract_urls(df, text_col)
+        .join(blocklist.select(F.lower("domain").alias("domain")), "domain",
+              "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return df.join(flagged, "doc_id", "left_anti")

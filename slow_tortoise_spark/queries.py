@@ -3495,6 +3495,90 @@ _Q_DEDUP_LINES = """
 """
 
 
+def _staged_url_docs(spark, sf_dir):
+    """Documents with deterministic injected URLs (the synthetic corpus
+    has none): every doc cites one of 7 rotating domains; every 10th doc
+    additionally cites the blocklisted spam domain."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://site"), (did % 7).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"),
+            F.when(
+                did % 10 == 0,
+                F.concat(F.lit(" http://spam.example.net/x?id="),
+                         did.cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_STAGED_URL_SQL = """
+    SELECT doc_id,
+           text || ' https://site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                || CASE WHEN doc_id % 10 = 0
+                        THEN ' http://spam.example.net/x?id='
+                             || CAST(doc_id AS VARCHAR)
+                        ELSE '' END AS text
+    FROM documents
+"""
+
+
+def q_domain_counts(spark, sf_dir):
+    """Corpus provenance: per cited domain, URL occurrences + distinct
+    citing documents (the artifact domain blocklists and per-domain
+    caps are built from)."""
+    from slow_tortoise_spark.operators.text import domain_counts
+
+    return domain_counts(_staged_url_docs(spark, sf_dir)).orderBy("domain")
+
+
+_Q_DOMAIN_COUNTS = f"""
+  WITH staged AS ({_STAGED_URL_SQL}),
+  urls AS (
+    SELECT doc_id,
+           lower(regexp_extract(u, '^https?://([^/:?#]+)', 1)) AS domain
+    FROM staged, LATERAL unnest(
+      regexp_extract_all(text, 'https?://[^\\s)>\\]"'']+')) AS t(u)
+  )
+  SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+  FROM urls GROUP BY domain ORDER BY domain
+"""
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Domain blocklist filtering: documents citing the spam domain are
+    dropped whole; survivors pass through untouched."""
+    from slow_tortoise_spark.operators.text import filter_blocklisted_domains
+
+    staged = _staged_url_docs(spark, sf_dir)
+    blocklist = spark.createDataFrame(
+        [("spam.example.net",), ("Malware.Example.ORG",)], "domain string"
+    )
+    out = filter_blocklisted_domains(staged, blocklist)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+_Q_BLOCKLIST_FILTER = f"""
+  WITH staged AS ({_STAGED_URL_SQL}),
+  urls AS (
+    SELECT doc_id,
+           lower(regexp_extract(u, '^https?://([^/:?#]+)', 1)) AS domain
+    FROM staged, LATERAL unnest(
+      regexp_extract_all(text, 'https?://[^\\s)>\\]"'']+')) AS t(u)
+  )
+  SELECT doc_id FROM staged
+  WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM urls
+    WHERE domain IN ('spam.example.net', 'malware.example.org'))
+  ORDER BY doc_id
+"""
+
+
 # Round-4 rotation: the stream-static dedup join, transitive-closure
 # clustering, bigram LM scoring, and BPE pair counting move into the
 # 50-entry driver catalog (each earns a CORRECTNESS row); the displaced
@@ -3519,6 +3603,8 @@ ORACLE_SQL.update(
 
 VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
+    "domain_counts": q_domain_counts,
+    "blocklist_filter": q_blocklist_filter,
     "simhash": q_simhash,
     "quality_score": q_quality_score,
     "window_lag_lead": q_window_lag_lead,
@@ -3556,6 +3642,8 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
     "dedup_lines": _Q_DEDUP_LINES,
+    "domain_counts": _Q_DOMAIN_COUNTS,
+    "blocklist_filter": _Q_BLOCKLIST_FILTER,
     "simhash": _simhash_sql(),
     "quality_score": _quality_score_sql(),
     "window_lag_lead": _Q_WINDOW_LAG_LEAD,

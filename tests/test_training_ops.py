@@ -1233,3 +1233,38 @@ def test_dedup_lines_boilerplate_removal(spark):
             for r in dedup_lines(docs, min_len=2, min_docs=2).collect()}
     assert out2[4]["text"] == "a\nsolo document line"
     assert out2[4]["n_dropped"] == 0
+
+
+def test_url_domain_ops(spark):
+    """URL extraction handles delimiters/case, domain stats count
+    occurrences vs distinct docs separately, and blocklist filtering
+    drops citing docs whole (case-insensitive on both sides)."""
+    from slow_tortoise_spark.operators.text import (
+        domain_counts,
+        extract_urls,
+        filter_blocklisted_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://A.Example.COM/x and (http://b.example.org/y)"),
+            (2, "dup https://a.example.com/1 https://a.example.com/2"),
+            (3, "plain text, no links"),
+            (4, "bad stuff http://SPAM.example.net/z?q=1"),
+        ],
+        "doc_id long, text string",
+    )
+    urls = {(r["doc_id"], r["domain"]) for r in extract_urls(docs).collect()}
+    assert (1, "a.example.com") in urls
+    assert (1, "b.example.org") in urls  # trailing ')' not swallowed
+    assert (4, "spam.example.net") in urls
+
+    dc = {r["domain"]: (r["n_urls"], r["n_docs"])
+          for r in domain_counts(docs).collect()}
+    assert dc["a.example.com"] == (3, 2)  # 3 occurrences across 2 docs
+    assert dc["b.example.org"] == (1, 1)
+
+    block = spark.createDataFrame([("Spam.Example.Net",)], "domain string")
+    kept = {r["doc_id"]
+            for r in filter_blocklisted_domains(docs, block).collect()}
+    assert kept == {1, 2, 3}
