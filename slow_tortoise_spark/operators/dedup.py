@@ -284,6 +284,46 @@ def verify_candidate_pairs(
     return _rescore_pairs(pairs, _doc_shingle_sets(sh), threshold)
 
 
+def verify_pairs_edit_distance(
+    df: DataFrame,
+    pairs: DataFrame,
+    max_ratio: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level verification of candidate pairs: normalized edit
+    distance ``levenshtein(a, b) / max(len)`` — the strictest practical
+    near-dup metric, O(len²) per pair, so it belongs strictly AFTER a
+    bucketed candidate generator (LSH / simhash), never on raw pairs of
+    the whole corpus.
+
+    Shape: two equi-joins attach the pair texts (each a hash join on
+    doc_id; only docs appearing in pairs are scanned twice), then the
+    native ``levenshtein`` expression scores JVM-side. Returns
+    (doc_a, doc_b, edit_distance, edit_ratio) for pairs at or under
+    ``max_ratio``.
+    """
+    texts = df.select("doc_id", F.col(text_col).alias("_t"))
+    a = texts.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
+    b = texts.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    scored = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").alias("edit_distance"),
+            (
+                F.levenshtein("_ta", "_tb").cast("double")
+                / F.greatest(
+                    F.length("_ta"), F.length("_tb"), F.lit(1)
+                )
+            ).alias("edit_ratio"),
+        )
+    )
+    return scored.filter(F.col("edit_ratio") <= max_ratio)
+
+
 #: corpus-plan → priced Σdf² (see jaccard_pairs_auto)
 _JACCARD_PRICE_MEMO: dict[tuple, int] = {}
 

@@ -3528,6 +3528,63 @@ _STAGED_URL_SQL = """
 """
 
 
+def q_edit_distance_verify(spark, sf_dir):
+    """Edit-distance verification of an explicit candidate-pair list
+    (the post-LSH exact tier): each doc paired with a tail-mutated copy;
+    pairs at ≤20% normalized Levenshtein survive — long docs absorb the
+    constant-size mutation, short docs get rejected."""
+    from slow_tortoise_spark.operators.dedup import verify_pairs_edit_distance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    mutated = docs.select(
+        (did + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail words "),
+                 (did % 5).cast("string")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    pairs = docs.select(
+        did.alias("doc_a"), (did + 1_000_000).alias("doc_b")
+    )
+    out = verify_pairs_edit_distance(corpus, pairs, max_ratio=0.2)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "edit_distance",
+        F.round(F.col("edit_ratio") * 1e6).cast("bigint").alias(
+            "edit_ratio_micro"
+        ),
+    ).orderBy("doc_a")
+
+
+_Q_EDIT_DISTANCE_VERIFY = """
+  WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           text || ' extra tail words ' || CAST(doc_id % 5 AS VARCHAR)
+      AS text
+    FROM documents
+  ),
+  pairs AS (
+    SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents
+  ),
+  scored AS (
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(a.text, b.text) AS edit_distance,
+           levenshtein(a.text, b.text)::DOUBLE
+             / greatest(length(a.text), length(b.text), 1) AS r
+    FROM pairs p
+    JOIN corpus a ON p.doc_a = a.doc_id
+    JOIN corpus b ON p.doc_b = b.doc_id
+  )
+  SELECT doc_a, doc_b, edit_distance,
+         CAST(round(r * 1e6) AS BIGINT) AS edit_ratio_micro
+  FROM scored WHERE r <= 0.2
+  ORDER BY doc_a
+"""
+
+
 def q_domain_counts(spark, sf_dir):
     """Corpus provenance: per cited domain, URL occurrences + distinct
     citing documents (the artifact domain blocklists and per-domain
@@ -3605,6 +3662,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
     "domain_counts": q_domain_counts,
     "blocklist_filter": q_blocklist_filter,
+    "edit_distance_verify": q_edit_distance_verify,
     "simhash": q_simhash,
     "quality_score": q_quality_score,
     "window_lag_lead": q_window_lag_lead,
@@ -3644,6 +3702,7 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "dedup_lines": _Q_DEDUP_LINES,
     "domain_counts": _Q_DOMAIN_COUNTS,
     "blocklist_filter": _Q_BLOCKLIST_FILTER,
+    "edit_distance_verify": _Q_EDIT_DISTANCE_VERIFY,
     "simhash": _simhash_sql(),
     "quality_score": _quality_score_sql(),
     "window_lag_lead": _Q_WINDOW_LAG_LEAD,

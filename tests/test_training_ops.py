@@ -1268,3 +1268,30 @@ def test_url_domain_ops(spark):
     kept = {r["doc_id"]
             for r in filter_blocklisted_domains(docs, block).collect()}
     assert kept == {1, 2, 3}
+
+
+def test_verify_pairs_edit_distance(spark):
+    """Pairwise Levenshtein verification: identical texts score 0,
+    small mutations pass the ratio gate, rewrites fail it, and only
+    listed pairs are scored (no doc×doc blowup)."""
+    from slow_tortoise_spark.operators.dedup import verify_pairs_edit_distance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog!"),
+            (3, "a completely different sentence about ships"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in verify_pairs_edit_distance(docs, pairs,
+                                               max_ratio=0.2).collect()}
+    assert (1, 4) in out and out[(1, 4)]["edit_distance"] == 0
+    assert (1, 2) in out and out[(1, 2)]["edit_distance"] == 1
+    assert (1, 3) not in out  # rewrite: ratio far above 0.2
+    assert out[(1, 2)]["edit_ratio"] == 1 / 44
