@@ -372,10 +372,13 @@ def jaccard_pairs_auto(
     files = df.inputFiles()
     memo_key = (df.semanticHash(), text_col, n,
                 len(files), sum(len(f) for f in files))
-    sh = doc_shingles(df, text_col, n).cache()
+    sh = doc_shingles(df, text_col, n)
     if memo_key in _JACCARD_PRICE_MEMO:
+        # memo hit → the winning plan is the shingle frame's ONLY
+        # consumer; caching it would just pay a materialization pass.
         pair_rows = _JACCARD_PRICE_MEMO[memo_key]
     else:
+        sh = sh.cache()  # two consumers: the pricing agg + the winner
         est = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
