@@ -448,9 +448,14 @@ def minhash_lsh_candidates(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     sig = minhash_signature(df, k, n, text_col)
+    # cache(): the self-join consumes this frame on BOTH sides and AQE
+    # does not ReuseExchange across it (verified in the executed plan),
+    # so without the cache the whole shingle+signature pipeline — the
+    # expensive part — runs twice. The cached frame is #docs × bands
+    # rows of (id, hash), tiny next to the corpus at any scale.
     stacked = sig.select(
         "doc_id", F.explode(minhash_band_keys(k, bands)).alias("bucket")
-    )
+    ).cache()
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
