@@ -818,9 +818,12 @@ def simhash_near_duplicates(
             ).alias(f"b{i}")
         )
         off += w
+    # cache(): both sides of the band self-join read this frame and AQE
+    # does not ReuseExchange across it — uncached, the whole simhash
+    # computation (the expensive part) runs twice. (k+1) rows per doc.
     stacked = sh.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
-    )
+    ).cache()
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

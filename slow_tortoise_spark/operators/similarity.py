@@ -309,7 +309,10 @@ def lsh_near_duplicates(
     The exact O(n²) ``embedding_near_duplicates`` below is the verifier
     tier.
     """
-    bk = hyperplane_band_buckets(df, planes, bands, id_col, vec_col)
+    # cache(): the self-join reads this frame on both sides and AQE does
+    # not ReuseExchange across it — uncached, the plane dot-products run
+    # twice. bands rows per vector.
+    bk = hyperplane_band_buckets(df, planes, bands, id_col, vec_col).cache()
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(
@@ -377,7 +380,9 @@ def semantic_dedup_pairs(
         df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         kmeans_iters=kmeans_iters,
     )
-    side = indexed.select(id_col, "cell", vec_col)
+    # cache(): same self-join double-execution hazard — the IVF cell
+    # assignment (centroid argmax per vector) would otherwise run twice.
+    side = indexed.select(id_col, "cell", vec_col).cache()
     a, b = side.alias("a"), side.alias("b")
     pairs = a.join(
         b,
