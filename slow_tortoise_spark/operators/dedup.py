@@ -1329,13 +1329,15 @@ def dedup_lines(
     boilerplate surface with empty text, not a missing row.
     """
     norm = F.lower(F.trim(F.col("line")))
+    # cache(): feeds BOTH the document-frequency aggregate and the dup
+    # join — uncached, the line explode would run twice.
     lines = df.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn(
         "lhash",
         F.when(F.length(norm) >= min_len, F.md5(norm)),  # null = exempt
-    )
+    ).cache()
     doc_freq = (
         lines.filter(F.col("lhash").isNotNull())
         .select("doc_id", "lhash")
