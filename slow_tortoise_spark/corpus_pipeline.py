@@ -2,7 +2,8 @@
 
 Where ``run_pipeline`` turns a geotemporal datacube into serving
 artifacts, ``run_corpus_pipeline`` turns a raw document corpus into a
-training-ready dataset: quality/language gating → exact dedup → MinHash
+training-ready dataset: (optional) domain blocklist + line-level
+boilerplate removal → quality/language gating → exact dedup → MinHash
 near-dedup → deterministic splits → partitioned parquet + a manifest of
 what was dropped at every gate.  Every stage is one of the library
 operators (operators/text.py, operators/dedup.py), so the plan is pure
@@ -32,6 +33,7 @@ from pyspark.sql import functions as F
 
 from slow_tortoise_spark.operators.dedup import (
     connected_components,
+    dedup_lines,
     drop_exact_duplicates,
     hash_split,
     minhash_lsh_candidates,
@@ -39,6 +41,7 @@ from slow_tortoise_spark.operators.dedup import (
     verify_candidate_pairs,
 )
 from slow_tortoise_spark.operators.text import (
+    filter_blocklisted_domains,
     language_id,
     quality_features,
     repetition_ratio,
@@ -72,6 +75,11 @@ class CorpusParams:
     mix_alpha: float = 0.5
     mix_strata_col: str = "source"
     mix_weight_col: str | None = None
+    #: drop whole documents citing any of these domains (pre-gate)
+    blocklist_domains: tuple[str, ...] = ()
+    #: strip lines shared by ≥ this many docs BEFORE quality gating
+    #: (None = stage off); gates then score the cleaned text
+    line_dedup_min_docs: int | None = None
 
 
 def _near_dup_drops(
@@ -108,6 +116,26 @@ def run_corpus_pipeline(
     manifest and writes the split corpus to ``out_dir``."""
     manifest: dict[str, Any] = {}
     manifest["input_docs"] = docs.count()
+
+    # --- optional provenance + boilerplate stages (pre-gate: quality
+    # heuristics should score the text that will actually be trained on)
+    if params.blocklist_domains:
+        bl = spark.createDataFrame(
+            [(d,) for d in params.blocklist_domains], "domain string"
+        )
+        docs = filter_blocklisted_domains(docs, bl)
+        manifest["after_blocklist"] = docs.count()
+    if params.line_dedup_min_docs is not None:
+        cleaned = dedup_lines(
+            docs.select("doc_id", "text"),
+            min_docs=params.line_dedup_min_docs,
+        ).cache()  # two consumers: the dropped-lines stat + the join
+        manifest["boilerplate_lines_dropped"] = (
+            cleaned.agg(F.sum("n_dropped")).first()[0] or 0
+        )
+        docs = docs.drop("text").join(
+            cleaned.select("doc_id", "text"), "doc_id"
+        )
 
     # --- one-pass quality / repetition / language gates ----------------
     scored = repetition_ratio(quality_features(docs))

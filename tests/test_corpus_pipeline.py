@@ -135,3 +135,42 @@ def test_corpus_pipeline_temperature_mix_stage(spark, sf_dir, tmp_path):
     )
     assert 0 < mixed["after_mix"] < kept_before
     assert mixed["output_docs"] == mixed["after_mix"]
+
+
+def test_corpus_pipeline_blocklist_and_line_dedup_stages(spark, tmp_path):
+    """The optional pre-gate stages compose: spam-citing docs drop whole,
+    shared boilerplate lines strip from survivors BEFORE quality gating,
+    and the manifest records both."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+
+    banner = "subscribe to our newsletter today"
+    body = "a genuinely informative paragraph with many distinct words "
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\n{body}one two three four five six", "s1"),
+            (2, f"{banner}\n{body}seven eight nine ten eleven", "s1"),
+            (3, f"spam here http://spam.example.net/x\n{body}", "s2"),
+            (4, f"{body}twelve thirteen fourteen fifteen sixteen", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    params = CorpusParams(
+        out_dir=str(tmp_path / "corpus"),
+        blocklist_domains=("spam.example.net",),
+        line_dedup_min_docs=2,
+        dedup="none",
+        min_tokens=3,
+    )
+    manifest = run_corpus_pipeline(spark, docs, params)
+    assert manifest["input_docs"] == 4
+    assert manifest["after_blocklist"] == 3        # doc 3 dropped whole
+    assert manifest["boilerplate_lines_dropped"] == 2  # banner in 1 and 2
+    assert manifest["output_docs"] == 3
+
+    out = spark.read.parquet(str(tmp_path / "corpus" / "corpus"))
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert banner not in texts[1] and banner not in texts[2]
+    assert texts[4].startswith(body)
