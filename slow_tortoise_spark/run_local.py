@@ -200,6 +200,45 @@ def main() -> int:
         results = run_pipeline(spark, params)
         print({k: v for k, v in results.items() if k != "output_agg_values"})
         return 0
+    if idx == 10:
+        # corpus pipeline with the round-4 curation stages: every 10th
+        # doc cites a blocklisted domain (dropped whole), every doc
+        # carries a shared banner line (stripped as boilerplate).
+        from pyspark.sql import functions as F
+
+        from slow_tortoise_spark.corpus_pipeline import (
+            CorpusParams,
+            run_corpus_pipeline,
+        )
+        from slow_tortoise_spark.sources.reader import read_table
+
+        docs = read_table(spark, f"{TESTDATA}/documents.parquet").select(
+            "doc_id", "text", "source"
+        )
+        did = F.col("doc_id")
+        staged = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("Subscribe to our newsletter!\n"),
+                F.col("text"),
+                F.when(
+                    did % 10 == 0,
+                    F.lit("\nvisit http://spam.example.net/deals"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+            "source",
+        )
+        manifest = run_corpus_pipeline(
+            spark,
+            staged,
+            CorpusParams(
+                out_dir=f"{dest_root}/corpus-curated-run",
+                blocklist_domains=("spam.example.net",),
+                line_dedup_min_docs=2,
+            ),
+        )
+        print(manifest)
+        return 0
     if idx in (4, 5):
         # training-data corpus pipeline over the documents table;
         # set 5 adds the temperature-mixing stage (α=0.5, half the
