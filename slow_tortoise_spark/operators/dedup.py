@@ -1064,10 +1064,12 @@ def connected_components(
     )
 
 
-def drop_by_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def drop_by_components(
+    docs: DataFrame, pairs: DataFrame, algorithm: str = "label_prop"
+) -> DataFrame:
     """Keep one representative (the component-min doc_id) per near-dup
     cluster; docs not in any pair pass through untouched."""
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, algorithm=algorithm)
     drops = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(drops, "doc_id", "left_anti")
 
@@ -1107,6 +1109,39 @@ def hash_split(
     expr = (expr.otherwise(names[-1]) if expr is not None
             else F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Hard per-group document cap (e.g. ≤N docs per domain/source —
+    the Common-Crawl-style guard against a single site dominating the
+    mix). Deterministic: within each group, rows rank by
+    md5(salt:id) — a keyed hash, so survival is reproducible across
+    runs, partitionings, and engines, and independent of split/sample
+    salts — and ranks > ``cap`` drop.
+
+    One window over the group partition (a single shuffle on
+    ``group_col``); at corpus scale prefer this over orderBy-limit per
+    group (no global sort) and note hot groups are exactly what the cap
+    is for — the window state per group is O(1). NULL group is a real
+    group and capped like any other.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(rank_key, id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
 
 
 def stratified_sample(

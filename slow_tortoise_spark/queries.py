@@ -3528,6 +3528,28 @@ _STAGED_URL_SQL = """
 """
 
 
+def q_source_cap(spark, sf_dir):
+    """Per-source hard cap: at most 15 docs per source survive, chosen
+    by deterministic keyed-hash rank (reproducible in any engine)."""
+    from slow_tortoise_spark.operators.dedup import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", cap=15).orderBy("doc_id")
+
+
+_Q_SOURCE_CAP = """
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+  ) WHERE rk <= 15
+  ORDER BY doc_id
+"""
+
+
 def q_edit_distance_verify(spark, sf_dir):
     """Edit-distance verification of an explicit candidate-pair list
     (the post-LSH exact tier): each doc paired with a tail-mutated copy;
@@ -3663,6 +3685,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_counts": q_domain_counts,
     "blocklist_filter": q_blocklist_filter,
     "edit_distance_verify": q_edit_distance_verify,
+    "source_cap": q_source_cap,
     "simhash": q_simhash,
     "quality_score": q_quality_score,
     "window_lag_lead": q_window_lag_lead,
@@ -3703,6 +3726,7 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "domain_counts": _Q_DOMAIN_COUNTS,
     "blocklist_filter": _Q_BLOCKLIST_FILTER,
     "edit_distance_verify": _Q_EDIT_DISTANCE_VERIFY,
+    "source_cap": _Q_SOURCE_CAP,
     "simhash": _simhash_sql(),
     "quality_score": _quality_score_sql(),
     "window_lag_lead": _Q_WINDOW_LAG_LEAD,

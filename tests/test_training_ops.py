@@ -1295,3 +1295,30 @@ def test_verify_pairs_edit_distance(spark):
     assert (1, 2) in out and out[(1, 2)]["edit_distance"] == 1
     assert (1, 3) not in out  # rewrite: ratio far above 0.2
     assert out[(1, 2)]["edit_ratio"] == 1 / 44
+
+
+def test_cap_per_group_determinism_and_cap(spark):
+    """Per-group cap keeps exactly min(cap, |group|) rows, identically
+    across repeated runs (keyed-hash rank), and treats NULL as a group."""
+    from slow_tortoise_spark.operators.dedup import cap_per_group
+
+    rows = [(i, "big") for i in range(20)]
+    rows += [(100 + i, "small") for i in range(3)]
+    rows += [(200 + i, None) for i in range(7)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out1 = {(r["doc_id"], r["source"])
+            for r in cap_per_group(docs, "source", cap=5).collect()}
+    out2 = {(r["doc_id"], r["source"])
+            for r in cap_per_group(docs, "source", cap=5).collect()}
+    assert out1 == out2  # deterministic
+    by_group = {}
+    for _, s in out1:
+        by_group[s] = by_group.get(s, 0) + 1
+    assert by_group == {"big": 5, "small": 3, None: 5}
+
+    # a different salt picks a different (still deterministic) survivor set
+    out3 = {(r["doc_id"], r["source"])
+            for r in cap_per_group(docs, "source", cap=5,
+                                   salt="other").collect()}
+    assert out3 != out1
