@@ -168,3 +168,54 @@ def test_dedup_lines_is_equi_joined_and_jvm_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "lhash" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_logprob_no_nested_loop(spark, sf_dir):
+    """Bigram LM scoring joins doc bigrams to the conditional-count
+    tables on equi-keys only — a nested loop would be corpus-quadratic."""
+    from slow_tortoise_spark.operators.text import bigram_logprob
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = bigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_blocklist_filter_is_jvm_side_equi_join(spark, sf_dir):
+    """Blocklist filtering: semi-join on domain + anti-join on doc_id,
+    no Python stages, no nested loops."""
+    from slow_tortoise_spark.operators.text import filter_blocklisted_domains
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bl = spark.createDataFrame([("spam.example.net",)], "domain string")
+    plan = (
+        filter_blocklisted_domains(docs, bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_group_single_partial_window(spark, sf_dir):
+    """The per-group cap is one window over the group partition — no
+    global sort, no join, no Python."""
+    from slow_tortoise_spark.operators.dedup import cap_per_group
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = (
+        cap_per_group(docs, "source", cap=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
