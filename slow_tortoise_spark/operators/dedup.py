@@ -1339,6 +1339,7 @@ def dedup_lines(
     text_col: str = "text",
     min_len: int = 1,
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide LINE-level dedup (the C4/CCNet boilerplate remover):
     drop every line whose normalized form (trim + lower) appears in at
@@ -1360,15 +1361,20 @@ def dedup_lines(
     linear in the line count — never doc×doc.
 
     Returns (doc_id, text, n_lines, n_dropped) with ``text`` rebuilt
-    from kept lines joined by newline.  Documents whose every line is
+    from kept lines joined by ``sep``.  Documents whose every line is
     boilerplate surface with empty text, not a missing row.
+    ``sep="\\n\\n"`` switches the unit from lines to paragraphs (the
+    CCNet granularity); the separator is split on literally.
     """
+    import re as _re
     norm = F.lower(F.trim(F.col("line")))
     # cache(): feeds BOTH the document-frequency aggregate and the dup
     # join — uncached, the line explode would run twice.
     lines = df.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     ).withColumn(
         "lhash",
         F.when(F.length(norm) >= min_len, F.md5(norm)),  # null = exempt
@@ -1398,7 +1404,7 @@ def dedup_lines(
                     ),
                     lambda s: s["line"],
                 ),
-                "\n",
+                sep,
             ).alias(text_col),
         )
         .select("doc_id", text_col, "n_lines", "n_dropped")

@@ -3528,6 +3528,47 @@ _STAGED_URL_SQL = """
 """
 
 
+def q_lsh_edit_funnel(spark, sf_dir):
+    """The full near-dup funnel composed end-to-end: MinHash-banded LSH
+    proposes candidate pairs (never all-pairs), then the exact
+    edit-distance tier rescores and keeps pairs at ≤50% normalized
+    Levenshtein — the shape a 100 TB dedup run actually executes."""
+    from slow_tortoise_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        verify_pairs_edit_distance,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = minhash_lsh_candidates(docs, k=8, bands=4)
+    out = verify_pairs_edit_distance(docs, cands, max_ratio=0.5)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "edit_distance",
+        F.round(F.col("edit_ratio") * 1e6).cast("bigint").alias(
+            "edit_ratio_micro"
+        ),
+    ).orderBy("doc_a", "doc_b")
+
+
+_Q_LSH_EDIT_FUNNEL = f"""
+  WITH cand AS ({{lsh_sql}}),
+  scored AS (
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(a.text, b.text) AS edit_distance,
+           levenshtein(a.text, b.text)::DOUBLE
+             / greatest(length(a.text), length(b.text), 1) AS r
+    FROM cand c
+    JOIN documents a ON c.doc_a = a.doc_id
+    JOIN documents b ON c.doc_b = b.doc_id
+  )
+  SELECT doc_a, doc_b, edit_distance,
+         CAST(round(r * 1e6) AS BIGINT) AS edit_ratio_micro
+  FROM scored WHERE r <= 0.5
+  ORDER BY doc_a, doc_b
+"""
+
+
 def q_source_cap(spark, sf_dir):
     """Per-source hard cap: at most 15 docs per source survive, chosen
     by deterministic keyed-hash rank (reproducible in any engine)."""
@@ -3685,6 +3726,7 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_counts": q_domain_counts,
     "blocklist_filter": q_blocklist_filter,
     "edit_distance_verify": q_edit_distance_verify,
+    "lsh_edit_funnel": q_lsh_edit_funnel,
     "source_cap": q_source_cap,
     "simhash": q_simhash,
     "quality_score": q_quality_score,
@@ -3726,6 +3768,9 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "domain_counts": _Q_DOMAIN_COUNTS,
     "blocklist_filter": _Q_BLOCKLIST_FILTER,
     "edit_distance_verify": _Q_EDIT_DISTANCE_VERIFY,
+    "lsh_edit_funnel": _Q_LSH_EDIT_FUNNEL.format(
+        lsh_sql=_Q_MINHASH_LSH_PAIRS
+    ),
     "source_cap": _Q_SOURCE_CAP,
     "simhash": _simhash_sql(),
     "quality_score": _quality_score_sql(),

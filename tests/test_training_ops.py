@@ -1322,3 +1322,24 @@ def test_cap_per_group_determinism_and_cap(spark):
             for r in cap_per_group(docs, "source", cap=5,
                                    salt="other").collect()}
     assert out3 != out1
+
+
+def test_dedup_lines_paragraph_mode(spark):
+    """sep='\\n\\n' switches the dedup unit to paragraphs: a shared
+    paragraph (with internal newlines) drops whole, and rebuild joins
+    with the same separator."""
+    from slow_tortoise_spark.operators.dedup import dedup_lines
+
+    boiler = "terms apply\nsee site for details"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n\nunique paragraph one\nwith two lines"),
+            (2, f"{boiler}\n\nunique paragraph two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in dedup_lines(docs, min_docs=2, sep="\n\n").collect()}
+    assert out[1]["text"] == "unique paragraph one\nwith two lines"
+    assert out[2]["text"] == "unique paragraph two"
+    assert out[1]["n_lines"] == 2 and out[1]["n_dropped"] == 1
