@@ -14,6 +14,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from slow_tortoise_spark.queries import ORACLE_SQL, QUERIES
+from slow_tortoise_spark.session import pin_process_utc
+
+# The driver builds its own SparkSession, so the engine's bootstrap never
+# runs — pin the process timezone at this entry boundary instead (collected
+# TimestampType rows go through datetime.fromtimestamp in the DRIVER
+# process tz; parity with the DuckDB oracle is defined in UTC).
+pin_process_utc()
 
 
 def entry(spark: SparkSession) -> DataFrame:

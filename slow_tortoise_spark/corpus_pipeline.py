@@ -115,6 +115,11 @@ def run_corpus_pipeline(
     """Run the gates over ``docs`` (doc_id, text, …); returns the stage
     manifest and writes the split corpus to ``out_dir``."""
     manifest: dict[str, Any] = {}
+    # Frames this pipeline cache()s and therefore owns: unpersisted after
+    # the final write so repeated runs in one driver don't accumulate
+    # executor-memory pins (operator-INTERNAL caches are the operators'
+    # documented short-lived frames — see SCALE.md "cache lifecycle").
+    _owned_caches: list[DataFrame] = []
     manifest["input_docs"] = docs.count()
 
     # --- optional provenance + boilerplate stages (pre-gate: quality
@@ -126,10 +131,15 @@ def run_corpus_pipeline(
         docs = filter_blocklisted_domains(docs, bl)
         manifest["after_blocklist"] = docs.count()
     if params.line_dedup_min_docs is not None:
+        # Coalesce NULL text to '' first: posexplode(split(NULL)) emits no
+        # row, so a null-text doc would produce no dedup_lines output and
+        # the inner join below would drop it with no manifest accounting.
+        # With '' it flows through as an (honest) empty-text doc instead.
         cleaned = dedup_lines(
-            docs.select("doc_id", "text"),
+            docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text")),
             min_docs=params.line_dedup_min_docs,
         ).cache()  # two consumers: the dropped-lines stat + the join
+        _owned_caches.append(cleaned)
         manifest["boilerplate_lines_dropped"] = (
             cleaned.agg(F.sum("n_dropped")).first()[0] or 0
         )
@@ -180,6 +190,7 @@ def run_corpus_pipeline(
         # the split write would otherwise each re-execute the near-dedup
         # candidate/verify job upstream (the cached_exact lesson, again)
         deduped = deduped.cache()
+        _owned_caches.append(deduped)
         deduped = temperature_mix(
             deduped,
             strata_col=params.mix_strata_col,
@@ -212,4 +223,6 @@ def run_corpus_pipeline(
     if cached_exact is not None:
         cached_exact.unpersist()
     gated.unpersist()
+    for frame in _owned_caches:
+        frame.unpersist()
     return manifest

@@ -372,13 +372,17 @@ def jaccard_pairs_auto(
     files = df.inputFiles()
     memo_key = (df.semanticHash(), text_col, n,
                 len(files), sum(len(f) for f in files))
-    sh = doc_shingles(df, text_col, n)
+    # Cache on EVERY path, not just the pricing pass: the winning plan is
+    # itself multi-consumer (the naive tier reads the shingle frame three
+    # times — sizes agg + both self-join sides — and the prefix tier's
+    # docsets twice), so a memo hit still wants the cache.  Re-caching an
+    # identical logical plan is a CacheManager no-op (one WARN line), so
+    # repeated calls share one materialization instead of the memo-hit
+    # path silently depending on the miss-run's still-registered cache.
+    sh = doc_shingles(df, text_col, n).cache()
     if memo_key in _JACCARD_PRICE_MEMO:
-        # memo hit → the winning plan is the shingle frame's ONLY
-        # consumer; caching it would just pay a materialization pass.
         pair_rows = _JACCARD_PRICE_MEMO[memo_key]
     else:
-        sh = sh.cache()  # two consumers: the pricing agg + the winner
         est = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -1111,36 +1115,129 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def _cap_rank_key(id_col: str, salt: str):
+    return F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+
+
+def _cap_candidates(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str,
+    salt: str,
+    hot_threshold: int,
+) -> DataFrame:
+    """Prune each group to a superset of its keyed-hash top-``cap``.
+
+    The md5 rank key is uniform, so within a group of n rows the cap-th
+    smallest hash sits near (cap/n)·2^60 in the 60-bit numeric prefix
+    space.  Cutoff per group: ((cap + margin)/n)·2^60 with margin =
+    16·sqrt(cap+64)+64 — a Chernoff bound puts the probability that
+    fewer than ``cap`` hashes fall below it around e^-100.  Groups at or
+    under ``hot_threshold`` rows get an infinite cutoff (no pruning —
+    the exact window is already cheap there).
+
+    Losslessness: the 60-bit prefix order is a monotone coarsening of
+    the full 32-hex-char order, so if at least min(cap, n) rows satisfy
+    prefix ≤ cutoff, every row of the true top-``cap`` does too (a row
+    beaten on prefix is beaten on full hash).  The caller re-checks that
+    count at runtime and raises rather than silently under-capping.
+
+    Adds columns ``_hnum`` (numeric prefix), ``_n`` (group size).
+    """
+    margin = 16.0 * (cap + 64.0) ** 0.5 + 64.0
+    no_prune = F.lit(1 << 60)  # > any 60-bit prefix value
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").alias("_n")
+    )
+    cuts = counts.select(
+        "_g",
+        "_n",
+        F.when(F.col("_n") <= F.lit(int(hot_threshold)), no_prune)
+        .otherwise(
+            F.least(
+                no_prune,
+                (F.lit(float(cap) + margin) / F.col("_n") * F.lit(2.0**60))
+                .cast("long"),
+            )
+        )
+        .alias("_cut"),
+    )
+    hnum = F.conv(F.substring(_cap_rank_key(id_col, salt), 1, 15), 16, 10
+                  ).cast("long")
+    # One row per group after the agg → always broadcast-sized relative
+    # to the fact side; eqNullSafe keeps the NULL group (a real group).
+    return (
+        df.withColumn("_hnum", hnum)
+        .join(F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col("_g")))
+        .filter(F.col("_hnum") <= F.col("_cut"))
+        .drop("_g", "_cut")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
     cap: int,
     id_col: str = "doc_id",
     salt: str = "cap",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Hard per-group document cap (e.g. ≤N docs per domain/source —
     the Common-Crawl-style guard against a single site dominating the
     mix). Deterministic: within each group, rows rank by
     md5(salt:id) — a keyed hash, so survival is reproducible across
     runs, partitionings, and engines, and independent of split/sample
-    salts — and ranks > ``cap`` drop.
+    salts — and ranks > ``cap`` drop. NULL group is a real group and
+    capped like any other.
 
-    One window over the group partition (a single shuffle on
-    ``group_col``); at corpus scale prefer this over orderBy-limit per
-    group (no global sort) and note hot groups are exactly what the cap
-    is for — the window state per group is O(1). NULL group is a real
-    group and capped like any other.
+    Default path: one ``row_number`` window over the group partition (a
+    single shuffle on ``group_col``).  Caveat at scale: a window sorts
+    EACH GROUP IN ONE TASK — a billion-doc domain is one straggler task
+    sorting O(n log n), and hot groups are exactly what a cap is for.
+
+    ``hot_threshold`` enables the two-phase scale path: per-group counts
+    (map-side-combined agg) → broadcast a conservative per-group hash
+    cutoff → filter, so the exact window only ever sorts ~cap + 16·√cap
+    candidate rows per group regardless of group size (see
+    ``_cap_candidates`` for the bound and the losslessness argument).
+    Both paths rank by the identical (md5, id) key and return identical
+    rows; a runtime guard raises if pruning ever lost a survivor (the
+    ~e^-100 tail), rather than under-capping silently.
     """
     from pyspark.sql import Window
 
-    rank_key = F.md5(
-        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
-    )
+    rank_key = _cap_rank_key(id_col, salt)
     w = Window.partitionBy(group_col).orderBy(rank_key, id_col)
+    if hot_threshold is None:
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+    cand = _cap_candidates(df, group_col, cap, id_col, salt, hot_threshold)
+    # Same partition key as the rank window → one shuffle+sort serves both
+    # the per-group candidate count and row_number.
+    wc = Window.partitionBy(group_col)
+    guard_ok = F.col("_cand_n") >= F.least(F.lit(cap), F.col("_n"))
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= cap)
-        .drop("_rk")
+        cand.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_cand_n", F.count("*").over(wc))
+        # The guard lives INSIDE the filter so column pruning can't drop
+        # it: good rows pass on the cheap branch; a pruning shortfall
+        # evaluates assert_true(false) and fails the job loudly.
+        .filter(
+            F.when(
+                ~guard_ok,
+                F.assert_true(
+                    F.lit(False),
+                    F.lit("cap_per_group: hash-prefix pruning lost rows; "
+                          "rerun with hot_threshold=None"),
+                ).isNull(),
+            ).otherwise(F.lit(True))
+            & (F.col("_rk") <= cap)
+        )
+        .drop("_rk", "_cand_n", "_hnum", "_n")
     )
 
 

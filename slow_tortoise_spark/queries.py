@@ -2634,10 +2634,10 @@ _Q_SESSIONIZE_BATCH = """
   ),
   marked AS (
     SELECT user_id, event_id, ts, value,
-           SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
                     THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM ordered
   )
   SELECT user_id, session_id,
@@ -3017,7 +3017,7 @@ _Q_DUP_NGRAM_STATS = """
   )
   SELECT d.doc_id,
          COALESCE(p.n_shingles, 0) AS n_shingles,
-         COALESCE(p.n_dup, 0) AS n_dup,
+         CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
          CAST(round(COALESCE(p.n_dup, 0)::DOUBLE
                / greatest(COALESCE(p.n_shingles, 0), 1) * 1e6) AS BIGINT)
            AS dup_frac_micro
@@ -3289,7 +3289,7 @@ _Q_XCORPUS_LOGPROB = """
   SELECT d.doc_id,
          round(COALESCE(a.mean_logprob, 0.0), 6) AS mean_logprob,
          COALESCE(a.n_tokens, 0) AS n_tokens,
-         COALESCE(a.n_oov, 0) AS n_oov
+         CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
   FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
   WHERE d.doc_id % 2 = 1
   ORDER BY d.doc_id
@@ -3488,7 +3488,8 @@ _Q_DEDUP_LINES = """
            CASE WHEN f.lhash IS NULL THEN n.line END,
            chr(10) ORDER BY n.pos), '') AS text,
          COUNT(*) AS n_lines,
-         SUM(CASE WHEN f.lhash IS NULL THEN 0 ELSE 1 END) AS n_dropped
+         CAST(SUM(CASE WHEN f.lhash IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dropped
   FROM normed n LEFT JOIN freq f ON n.lhash = f.lhash
   GROUP BY n.doc_id
   ORDER BY n.doc_id
@@ -3806,3 +3807,45 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "profile_table": _profile_sql(),
     "skew_report": _Q_SKEW_REPORT,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-5 rotation.  The driver catalog is capped at 50 entries, so the only
+# way the driver ever hash-checks a verifier-tier query is to rotate it in.
+# Twelve proven verifier queries move into the catalog; twelve multi-round-
+# green catalog entries move out to the verifier tier, each leaving a sibling
+# driver row covering its operator family:
+#
+#   out temporal_agg_month  -> weighted_agg / weighted_timeseries (A1-A3)
+#   out region_id           -> regional_rollup / regional_timeseries (P12,R*)
+#   out qualifier_counts    -> qualifier_pivot / output_summary (A8,V1)
+#   out anti_join           -> window_topn + incoming stream_stream_join
+#   out cube_agg            -> regional_rollup (grouping-sets family)
+#   out event_sequences     -> asof_join + incoming sessionize_batch
+#   out dedup_exact_docs    -> dedup_components + incoming incremental_dedup
+#   out contamination       -> incoming containment_pairs (cross-corpus ngram)
+#   out embedding_near_dups -> semdedup_pairs / ivf_topk / ann_cosine_topk
+#   out bpe_pairs           -> token_stats + incoming tfidf_terms/doc_chunks
+#   out tile_binning        -> tile_rollup / grid_stats (G1-G5)
+#   out temperature_mix     -> incoming source_cap (corpus-composition family)
+#
+# Every query keeps its full-value DuckDB oracle on whichever tier it sits;
+# bench.py reads the merged dict, so the measured set is rotation-invariant.
+_ROTATE_IN = [
+    "unigram_logprob", "xcorpus_logprob", "incremental_dedup",
+    "sessionize_batch", "stream_stream_join", "tfidf_terms", "doc_chunks",
+    "containment_pairs", "lsh_edit_funnel", "dedup_lines", "source_cap",
+    "blocklist_filter",
+]
+_ROTATE_OUT = [
+    "temporal_agg_month", "region_id", "qualifier_counts", "anti_join",
+    "cube_agg", "event_sequences", "dedup_exact_docs", "contamination",
+    "embedding_near_dups", "bpe_pairs", "tile_binning", "temperature_mix",
+]
+for _name in _ROTATE_IN:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

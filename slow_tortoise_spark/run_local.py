@@ -59,7 +59,7 @@ def _drifted_cube_files(spark, base_cube_path: str, out_root: str) -> list[str]:
     from pyspark.sql import functions as F
 
     cube = spark.read.parquet(base_cube_path)
-    half1 = cube.filter(F.col("timestamp") % 2 == 0).drop("qual1")
+    half1 = cube.filter(F.col("timestamp") % 2 == 0)
     half2 = cube.filter(F.col("timestamp") % 2 == 1).withColumn(
         "qual2", F.concat(F.lit("x"), (F.col("timestamp") % 3).cast("string"))
     )
@@ -98,6 +98,25 @@ def _regionless_cube(spark, base_cube_path: str, out_root: str) -> str:
     path = f"{out_root}/_regionless.parquet"
     cube.drop("country", "admin1").write.mode("overwrite").parquet(path)
     return path
+
+
+def _sharded_cube_files(spark, base_cube_path: str, out_root: str) -> list[str]:
+    """Stage the cube as THREE same-schema parquet shards totalling ~30K
+    rows (reference set 9: a 30K-record indicator split across 3 files —
+    the multi-file read path with NO schema drift). Each shard is the
+    base cube day-shifted so rows stay distinct across shards."""
+    from pyspark.sql import functions as F
+
+    cube = spark.read.parquet(base_cube_path)
+    paths = []
+    for i in range(3):
+        shard = cube.withColumn(
+            "timestamp", F.col("timestamp") + F.lit(i * 86_400_000)
+        )
+        p = f"{out_root}/_shard_{i}.parquet"
+        shard.write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return paths
 
 
 def parameter_sets(data_path: str, dest_root: str) -> list[PipelineParams]:
@@ -154,9 +173,10 @@ def main() -> int:
     idx = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     dest_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/slow_tortoise_local"
     spark = get_spark(app_name="run_flow_local")
-    if idx in (6, 7, 8, 9):
+    if idx in (6, 7, 8, 9, 11, 12):
         # Reference parity sets beyond the 0-5 core (run_flow_local.py
-        # sets 3/4 drift, 5 invalid-ts, 11 raw-threshold, 12 regionless).
+        # sets 3/4 drift, 5 invalid-ts, 8 weighted-selected, 9 30K-row
+        # multi-file indicator, 11 raw-threshold, 12 regionless).
         base = _datacube_from_events(
             spark, TESTDATA, f"{dest_root}/_staged_cube.parquet"
         )
@@ -189,13 +209,46 @@ def main() -> int:
                 time_resolutions=("month",),
                 compute_tiles=False,
             )
-        else:  # 9: no region columns at all (reference set 12)
+        elif idx == 9:  # no region columns at all (reference set 12)
             params = PipelineParams(
                 data_id="regionless-test",
                 run_id="no-regions-1",
                 data_paths=[_regionless_cube(spark, base, dest_root)],
                 dest_root=dest_root,
                 time_resolutions=("month",),
+            )
+        elif idx == 11:
+            # weighted run with a selected-task subset (reference set 8:
+            # weight_column=HAREA_TOT + the four non-tile output tasks —
+            # weighted avgs flow through every family, tiles skipped, and
+            # the partial-run gate withholds results.json).
+            params = PipelineParams(
+                data_id="weighted-selected-test",
+                run_id="weighted-selected-1",
+                data_paths=[base],
+                dest_root=dest_root,
+                weight_column="w",
+                time_resolutions=("month",),
+                selected_output_tasks=(
+                    "compute_global_timeseries",
+                    "compute_regional_stats",
+                    "compute_regional_timeseries",
+                    "compute_regional_aggregation",
+                ),
+            )
+        else:  # 12: multi-file indicator at ~30K records (reference set 9)
+            base10 = _datacube_from_events(
+                spark, "/root/testdata/sf0.01",
+                f"{dest_root}/_staged_cube_10k.parquet",
+            )
+            params = PipelineParams(
+                data_id="indicator-30k-test",
+                run_id="indicator",
+                data_paths=_sharded_cube_files(spark, base10, dest_root),
+                dest_root=dest_root,
+                fill_timestamp=0,
+                time_resolutions=("month",),
+                compute_tiles=False,
             )
         results = run_pipeline(spark, params)
         print({k: v for k, v in results.items() if k != "output_agg_values"})

@@ -9,8 +9,26 @@ for the few Pandas-UDF paths (tile protobuf serialization, grouped sinks).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
+
+
+def pin_process_utc() -> None:
+    """Pin the *driver process* timezone to UTC (Unix tzset).
+
+    PySpark converts collected TimestampType values through the driver
+    process timezone (``datetime.fromtimestamp``), not the session tz —
+    on a non-UTC host, collected rows would shift vs the DuckDB oracle.
+    This engine's artifact and oracle parity is defined in UTC, so the
+    pin happens ONCE at session bootstrap (here) and at the harness
+    entry boundary (``__spark_entry__`` import), never as a side effect
+    of per-table reads: ``time.tzset`` mutates process-global state and
+    is not thread-safe, so it belongs at process setup only.
+    """
+    if time.strftime("%z") not in ("+0000", "-0000"):
+        os.environ["TZ"] = "UTC"
+        time.tzset()
 
 
 def get_spark(
@@ -45,6 +63,7 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    pin_process_utc()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

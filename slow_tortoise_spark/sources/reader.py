@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 import re
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,19 +133,15 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     long; we truncate to microseconds (integer DIV, matching how micro-
     precision engines read the same files) and cast to TimestampType.
     """
-    # Runtime-settable; done here so callers with a vanilla session (e.g.
-    # the external driver) can still read TIMESTAMP(NANOS) files, and so
-    # calendar truncation is UTC regardless of the host timezone.
+    # Runtime-settable SESSION confs; done here so callers with a vanilla
+    # session (e.g. the external driver) can still read TIMESTAMP(NANOS)
+    # files, and so calendar truncation is UTC regardless of the host
+    # timezone.  The PROCESS-global UTC pin (os.environ['TZ'] + tzset)
+    # deliberately does NOT live here — mutating host state as a side
+    # effect of reading a table is wrong; it happens once at session
+    # bootstrap (session.pin_process_utc) and at __spark_entry__ import.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # PySpark converts collected TimestampType values through the DRIVER
-    # PROCESS timezone (datetime.fromtimestamp), not the session tz — on
-    # a non-UTC host, collected rows would shift vs the DuckDB oracle.
-    # Pin the process to UTC once (Unix-only tzset; this engine's artifact
-    # and oracle parity is defined in UTC).
-    if time.strftime("%z") not in ("+0000", "-0000"):
-        os.environ["TZ"] = "UTC"
-        time.tzset()
     df = spark.read.parquet(path)
     # One select for all re-typed columns (a withColumn loop would stack
     # one Project node per column and deepen the plan for no reason):

@@ -80,14 +80,30 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # relation API (not DBAPI cursor): .types exposes the real
+            # DuckDB types — cursor.description only says 'NUMBER'.
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
             continue
         problems = []
+        # Oracle output types must be representable by Spark's type system
+        # bit-for-bit: DuckDB silently widens SUM(int) / COUNT(*) FILTER to
+        # HUGEINT (int128), which hash-mismatches against Spark's BIGINT in
+        # the driver even when every value is identical (round-4 lesson:
+        # dup_ngram_stats was red for two rounds on exactly this). Force a
+        # CAST(... AS BIGINT) in the oracle SQL instead.
+        bad_types = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t.upper() or "INT128" in t.upper()
+        ]
+        if bad_types:
+            problems.append(f"oracle emits int128 column(s) {bad_types} — "
+                            f"CAST to BIGINT in the SQL")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):

@@ -1324,6 +1324,47 @@ def test_cap_per_group_determinism_and_cap(spark):
     assert out3 != out1
 
 
+def test_cap_per_group_two_phase_parity_and_pruning(spark):
+    """The hot-group scale path (hot_threshold) returns the IDENTICAL
+    survivor set as the plain window path, while the exact window only
+    ever sorts ~cap-sized candidate groups — the hot group must be
+    pruned from |group| rows down to within the Chernoff bound — and
+    the per-group cutoff ships as a broadcast join."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.dedup import (
+        _cap_candidates,
+        cap_per_group,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 17000, F.lit("hot"))
+        .when(F.col("id") < 18500, F.lit(None).cast("string"))
+        .otherwise((F.col("id") % 5).cast("string"))
+        .alias("source"),
+    )
+    cap, thresh = 50, 2000
+    plain = {tuple(r) for r in cap_per_group(df, "source", cap).collect()}
+    two = cap_per_group(df, "source", cap, hot_threshold=thresh)
+    assert {tuple(r) for r in two.collect()} == plain
+
+    # pruning: the hot group's candidate set is O(cap), not O(|group|);
+    # groups at/under the threshold are untouched (superset-lossless).
+    cand = _cap_candidates(df, "source", cap, "doc_id", "cap", thresh)
+    per = {r["source"]: r["c"]
+           for r in cand.groupBy("source").agg(
+               F.count("*").alias("c")).collect()}
+    margin = 16.0 * math.sqrt(cap + 64.0) + 64.0
+    assert per["hot"] <= cap + 2 * margin          # pruned hard
+    assert per["hot"] >= cap                       # but lossless
+    assert per[None] == 1500                       # under threshold: intact
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan             # cutoffs broadcast
+
+
 def test_dedup_lines_paragraph_mode(spark):
     """sep='\\n\\n' switches the dedup unit to paragraphs: a shared
     paragraph (with internal newlines) drops whole, and rebuild joins
