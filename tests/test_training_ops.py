@@ -215,6 +215,41 @@ def test_multimodal_plumbing(spark):
     assert [r["frame_ms"] for r in frames.collect()] == [0, 1000, 2000, 3000]
 
 
+def test_image_real_decode_when_imaging_available(spark):
+    """Auto-activating guard on the REAL decode path: skipped while no
+    imaging library exists in the environment, live the day one lands.
+    A genuine decodable image must produce histogram features (sum≈1,
+    16 bins) rather than the content-hash pseudo-features — keeping the
+    import gate honest instead of silently stubbing forever."""
+    import pytest
+
+    from slow_tortoise_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_image_stub,
+        _imaging,
+    )
+
+    image_mod = _imaging()
+    if image_mod is None:
+        pytest.skip("no imaging library installed — stub path covered by "
+                    "test_multimodal_plumbing")
+    import io
+
+    buf = io.BytesIO()
+    image_mod.new("L", (8, 8), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="image", content=bytearray(png),
+             mime="image/png", width=8, height=8, duration_ms=None)],
+        schema=MEDIA_SCHEMA,
+    )
+    f0 = extract_image_features(df).collect()[0]
+    assert len(f0["features"]) == 16
+    # histogram features normalize to 1; the stub's hash-bytes do not
+    assert abs(sum(f0["features"]) - 1.0) < 1e-6
+    assert f0["features"] != _decode_image_stub(png)["features"]
+
+
 def test_jaccard_prefix_matches_naive(spark):
     from slow_tortoise_spark.operators.dedup import jaccard_pairs_prefix
 
