@@ -126,6 +126,16 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+#: Constructed-DataFrame memo: building the re-typed frame costs ~100 ms of
+#: driver round-trips (parquet relation + withColumns over every field), paid
+#: per call by query functions that take (spark, sf_dir).  DataFrames are
+#: immutable, so reuse is safe; the local-path stat signature (mtime, size)
+#: invalidates the entry when the file — or the directory entry list, for
+#: multi-file parquet dirs — is rewritten.  Non-statable paths (object
+#: stores) skip the memo entirely rather than risk serving a stale plan.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, re-typing TIMESTAMP(NANOS) columns to timestamps.
 
@@ -133,6 +143,13 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     long; we truncate to microseconds (integer DIV, matching how micro-
     precision engines read the same files) and cast to TimestampType.
     """
+    try:
+        st = os.stat(path)
+        memo_key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        memo_key = None
+    if memo_key is not None and memo_key in _TABLE_MEMO:
+        return _TABLE_MEMO[memo_key]
     # Runtime-settable SESSION confs; done here so callers with a vanilla
     # session (e.g. the external driver) can still read TIMESTAMP(NANOS)
     # files, and so calendar truncation is UTC regardless of the host
@@ -166,6 +183,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     )
     if casts:
         df = df.withColumns(casts)
+    if memo_key is not None:
+        if len(_TABLE_MEMO) > 256:
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[memo_key] = df
     return df
 
 

@@ -219,3 +219,55 @@ def test_cap_per_group_single_partial_window(spark, sf_dir):
     assert plan.count("Window") >= 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key with the same bucket count
+    join WITHOUT any exchange: the write-time layout replaces the
+    read-time shuffle (the 100 TB repeated-join path). The same join
+    over plain parquet must show exchanges — proving the elimination
+    comes from the bucket spec, not from the data being small."""
+    from slow_tortoise_spark.sources.bucketed import (
+        cogrouped_join,
+        is_exchange_free_join,
+        write_bucketed,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    wh = tmp_path_factory.mktemp("bucketed_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{wh}'")
+    li = read_table(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"),
+                   "bkt.li_b", "k", buckets=4)
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"),
+                   "bkt.ord_b", "k", buckets=4)
+
+    old = {c: spark.conf.get(c, None) for c in
+           ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        # force a non-broadcast join so the exchange question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = cogrouped_join(spark, "bkt.li_b", "bkt.ord_b", "k")
+        assert is_exchange_free_join(joined)
+        # row parity with the plain shuffled join
+        plain = li.join(orders,
+                        li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == plain
+        plain_plan = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in plain_plan  # control: unbucketed DOES shuffle
+    finally:
+        for c, v in old.items():
+            spark.conf.set(c, v) if v is not None else spark.conf.unset(c)
+        spark.sql("DROP TABLE IF EXISTS bkt.li_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.ord_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
