@@ -593,3 +593,137 @@ def filter_blocklisted_domains(
         .distinct()
     )
     return df.join(flagged, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training
+# ---------------------------------------------------------------------------
+
+def bpe_word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency table with each word exploded to spaced
+    symbols — the state BPE training iterates on.
+
+    The 100 TB move happens HERE: one shuffle collapses the corpus to
+    its distinct lowercased tokens (``(sym, wc)``); every subsequent
+    merge iteration touches only this small vocabulary table, never the
+    corpus again — the standard word-frequency formulation of BPE
+    training, distributed.
+
+    Symbol encoding: symbols joined AND flanked by double spaces
+    (``"  h  e  y  "``).  A merge of (a, b) is then the literal
+    ``replace(" a  b ", " ab ")``: the pattern consumes one space of
+    each double boundary and the replacement restores it, so
+    immediately-repeated pairs ("a b a b") all merge in one left-to-right
+    pass — the greedy BPE semantics — while symbol-internal text can
+    never match (no double space inside a symbol). Literal replace, no
+    regex: Java and RE2 engines never enter the picture, so a DuckDB
+    oracle replays merges exactly.
+    """
+    toks = df.select(
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
+    return toks.groupBy("tok").agg(F.count("*").alias("wc")).select(
+        F.concat(
+            F.lit("  "), F.array_join(F.split("tok", ""), "  "), F.lit("  ")
+        ).alias("sym"),
+        "wc",
+    )
+
+
+def _bpe_top_pair(words: DataFrame):
+    """Most frequent adjacent symbol pair, occurrence-weighted.
+
+    Ties break (count desc, lhs asc, rhs asc) so training is
+    deterministic across engines and partitionings.  Returns one Row —
+    the single bounded driver collect each BPE iteration needs.
+    """
+    parts = F.split(F.trim("sym"), "  ")
+    pairs = words.select(
+        F.col("wc"),
+        F.explode(
+            F.zip_with(
+                F.slice(parts, 1, F.greatest(F.size(parts) - 1, F.lit(0))),
+                F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.desc("cnt"), "lhs", "rhs")
+        .first()
+    )
+
+
+def bpe_train(
+    df: DataFrame, num_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns the ordered merge table
+    (rank, lhs, rhs, cnt) — the artifact a tokenizer ships.
+
+    Driver loop by design: BPE is inherently sequential (merge k+1's
+    counts depend on merge k), so each iteration runs one distributed
+    pair-count over the CACHED vocabulary table and collects exactly one
+    row (the argmax pair) — bounded driver data, corpus touched once at
+    :func:`bpe_word_freq`.  The merge itself is a literal column
+    ``replace`` (see the encoding contract there), stacked lazily; the
+    vocab is re-cached every few iterations to keep the replay chain
+    shallow.
+    """
+    spark = df.sparkSession
+    words = bpe_word_freq(df, text_col).cache()
+    merges = []
+    cached = [words]
+    cur = words
+    for rank in range(1, num_merges + 1):
+        top = _bpe_top_pair(cur)
+        if top is None or top["cnt"] is None:
+            break
+        lhs, rhs = top["lhs"], top["rhs"]
+        merges.append((rank, lhs, rhs, int(top["cnt"])))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ),
+        )
+        # Re-materialize periodically: each merge stacks one Project over
+        # the vocab; caching every 8th keeps recompute O(8) replaces
+        # instead of O(k) while bounding pinned copies.
+        if rank % 8 == 0 and rank < num_merges:
+            cur = cur.cache()
+            cached.append(cur)
+    out = spark.createDataFrame(
+        merges, "rank bigint, lhs string, rhs string, cnt bigint"
+    )
+    for frame in cached:
+        frame.unpersist()
+    return out
+
+
+def bpe_segmented_vocab(
+    df: DataFrame, num_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary segmented by the learned merges: (token, pieces, wc).
+
+    Re-applies the merge table to the word-frequency state (the replace
+    chain is deterministic, so replaying it is cheaper than carrying the
+    trained frame's lineage) and splits the final symbol string back
+    into pieces — what an encoder would emit per word.
+    """
+    merges = bpe_train(df, num_merges, text_col).collect()
+    words = bpe_word_freq(df, text_col)
+    sym = F.col("sym")
+    for m in merges:
+        sym = F.replace(
+            sym,
+            F.lit(f" {m['lhs']}  {m['rhs']} "),
+            F.lit(f" {m['lhs']}{m['rhs']} "),
+        )
+    return words.select(
+        F.replace(F.trim(sym), F.lit("  "), F.lit(" ")).alias("pieces"),
+        "wc",
+    )

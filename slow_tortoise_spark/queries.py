@@ -3849,3 +3849,55 @@ for _name in _ROTATE_OUT:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training (verifier tier — the oracle replays every merge)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_train(spark, sf_dir):
+    """Eight learned BPE merges over the documents vocabulary — the
+    iterative completion of ``bpe_pairs`` (which ranks only round-0
+    candidates). Driver-looped argmax per round; corpus touched once."""
+    from slow_tortoise_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=8)
+
+
+def _bpe_train_sql(k: int = 8) -> str:
+    """Generate the chained-CTE oracle: w{i} = vocab state after i
+    merges, p{i} = that state's argmax pair. Merge replay is the same
+    literal double-space replace the Spark side uses (text.py
+    bpe_word_freq docstring), so every round is value-checked, not just
+    the first."""
+    ctes = [
+        "w0 AS (SELECT '  ' || array_to_string(string_split(tok, ''), '  ')"
+        " || '  ' AS sym, COUNT(*) AS wc FROM (SELECT unnest(list_filter("
+        "string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok"
+        " FROM documents) GROUP BY 1)"
+    ]
+    for i in range(k):
+        ctes.append(
+            f"p{i} AS (SELECT parts[j] AS lhs, parts[j+1] AS rhs, "
+            f"CAST(SUM(wc) AS BIGINT) AS cnt FROM (SELECT wc, "
+            f"string_split(trim(sym), '  ') AS parts FROM w{i}), "
+            f"LATERAL unnest(range(1, len(parts))) AS t(j) "
+            f"GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"w{i+1} AS (SELECT replace(sym, ' ' || p.lhs || '  ' || "
+                f"p.rhs || ' ', ' ' || p.lhs || p.rhs || ' ') AS sym, wc "
+                f"FROM w{i}, p{i} AS p)"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i+1} AS BIGINT) AS rank, lhs, rhs, cnt FROM p{i}"
+        for i in range(k)
+    )
+    return f"WITH {', '.join(ctes)} SELECT * FROM ({unions}) ORDER BY rank"
+
+
+VERIFIER_QUERIES["bpe_train"] = q_bpe_train
+VERIFIER_ORACLE_SQL["bpe_train"] = _bpe_train_sql(8)

@@ -1419,3 +1419,33 @@ def test_dedup_lines_paragraph_mode(spark):
     assert out[1]["text"] == "unique paragraph one\nwith two lines"
     assert out[2]["text"] == "unique paragraph two"
     assert out[1]["n_lines"] == 2 and out[1]["n_dropped"] == 1
+
+
+def test_bpe_train_greedy_semantics_and_vocab(spark):
+    """Hand-checked BPE on a tiny corpus: merges must follow the greedy
+    textbook order (occurrence-weighted, ties by pair), and immediately
+    repeated pairs must ALL merge in one round — the double-space
+    replace contract in bpe_word_freq."""
+    from slow_tortoise_spark.operators.text import (
+        bpe_segmented_vocab,
+        bpe_train,
+    )
+
+    # "ababab" stresses consecutive-repeat merging; weights via repeats.
+    docs = spark.createDataFrame(
+        [(1, "ababab ababab abc"), (2, "ababab abc abc")],
+        "doc_id long, text string",
+    )
+    merges = [tuple(r) for r in bpe_train(docs, num_merges=3).collect()]
+    # round 1: pairs ab=3*3(in ababab)+1*3(abc)=12, ba=2*3=6, bc=3 → (a,b)
+    assert merges[0] == (1, "a", "b", 12)
+    # round 2 state: ababab→[ab,ab,ab] (ALL three pairs merged at once),
+    # abc→[ab,c]; pairs: (ab,ab)=2*3=6, (ab,c)=3 → (ab,ab)
+    assert merges[1] == (2, "ab", "ab", 6)
+    # round 3: ababab→[abab,ab]; (abab,ab)=3 vs (ab,c)=3 — tie breaks
+    # lexicographically: ("ab","c") < ("abab","ab")
+    assert merges[2] == (3, "ab", "c", 3)
+
+    vocab = {r["pieces"]: r["wc"]
+             for r in bpe_segmented_vocab(docs, num_merges=3).collect()}
+    assert vocab == {"abab ab": 3, "abc": 3}
