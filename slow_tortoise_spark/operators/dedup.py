@@ -1545,3 +1545,81 @@ def cross_corpus_contamination(
         )
         .filter(F.col("n_hits") >= min_common)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, n: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring (span-level) dedup: delete every token that sits
+    inside an ``n``-token window whose exact content occurs more than
+    once corpus-wide (counting in-doc repeats), and rebuild the document
+    from the surviving tokens.  This is the removal companion to
+    ``dup_ngram_stats`` — the "deduplicate training data" curation step
+    that whole-document dedup misses (reference has no analogue; the
+    datacube engine never touches text spans).
+
+    Semantics: tokens are whitespace splits of the lowercased text (the
+    corpus-wide shingle convention).  A window starting at 1-based token
+    position ``s`` covers positions ``s .. s+n-1``; a token survives iff
+    no duplicated window covers it.  Docs shorter than ``n`` tokens have
+    no windows and pass through unchanged (lowercased).
+
+    Shape: windows are built IN-ROW (transform over a sequence — no
+    (doc, pos) shuffle to enumerate them); occurrence counts come from
+    one count() over ``Window.partitionBy(w)`` — a single shuffle of the
+    window frame with no self-join and no recompute; duplicated starts
+    collapse per doc (collect_set, second shuffle — bounded by the doc's
+    window count); the rebuild is an in-row two-parameter ``F.filter``
+    whose index probes the start set (O(tokens x dup-starts) per row,
+    all JVM-side).  Skew note: a pathologically hot n-gram makes one
+    ``w`` partition large; only the *count* is needed there, so a salted
+    two-level count can be swapped in if a corpus ever ships a
+    billion-fold repeated span — with n=10 words that head is tiny.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = _fan_out(df.select("doc_id", text_col)).select(
+        "doc_id", toks.alias("t")
+    )
+    n_win = F.size("t") - F.lit(n - 1)
+    starts_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts_idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("t", i, n), " ").alias("w"),
+                ),
+            )
+        ).alias("pw"),
+    ).select("doc_id", F.col("pw.pos").alias("pos"), F.col("pw.w").alias("w"))
+    dup_starts = (
+        win.withColumn("c", F.count("*").over(Window.partitionBy("w")))
+        .where(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("ss"))
+    )
+    ss = F.coalesce(F.col("ss"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            ss, lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(n - 1))
+        ),
+    )
+    return (
+        df.select("doc_id", toks.alias("t"))
+        .join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+    )

@@ -727,3 +727,74 @@ def bpe_segmented_vocab(
         F.replace(F.trim(sym), F.lit("  "), F.lit(" ")).alias("pieces"),
         "wc",
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token gram, then
+    in each window of ``w`` consecutive gram hashes select the minimum
+    (rightmost-position tie-break); the distinct selected (pos, hash)
+    pairs are the fingerprint set.  Guarantees every shared substring of
+    ``w + k - 1`` tokens contributes at least one common fingerprint —
+    the robust local-dedup/plagiarism sketch between whole-doc md5 and
+    full shingle sets.
+
+    Hashes are the first 16 hex chars of md5 (lexicographic min — the
+    corpus MinHash convention, so the DuckDB oracle replays it
+    verbatim).  Docs with fewer than ``w`` grams yield no fingerprints
+    (no full window exists).
+
+    Shape: ENTIRELY in-row — grams, windows, per-window argmin
+    (``F.aggregate`` over a slice), distinct + sort — zero shuffles
+    before any downstream aggregation.  Per-row cost is O(grams x w);
+    the classic rolling-deque O(grams) rewrite isn't expressible as a
+    Column, and with the small ``w`` of practice the constant is noise
+    next to md5.  At 100 TB this is a map-only stage that scales with
+    input splits.
+
+    Returns (doc_id, n_grams, fingerprints: array<struct<pos,h>>).
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select("doc_id", toks.alias("t"))
+    n_grams = F.size("t") - F.lit(k - 1)
+    gram_idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        gram_idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.substring(
+                F.md5(F.array_join(F.slice("t", i, k), " ")), 1, 16
+            ).alias("h"),
+        ),
+    )
+    with_grams = base.select(
+        "doc_id", F.greatest(n_grams, F.lit(0)).alias("n_grams"),
+        grams.alias("g")
+    )
+    n_full = F.col("n_grams") - F.lit(w - 1)
+    win_idx = F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # per-window argmin: min hash, rightmost position on ties ("~" sorts
+    # after every hex digit, so the init loses to any real gram)
+    pick = lambda j: F.aggregate(  # noqa: E731
+        F.slice("g", j, w),
+        F.struct(F.lit(0).alias("pos"), F.lit("~").alias("h")),
+        lambda acc, x: F.when(
+            (x["h"] < acc["h"])
+            | ((x["h"] == acc["h"]) & (x["pos"] > acc["pos"])),
+            x,
+        ).otherwise(acc),
+    )
+    selected = F.array_sort(
+        F.array_distinct(F.transform(win_idx, pick))
+    )
+    return with_grams.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        selected.alias("fingerprints"),
+    )

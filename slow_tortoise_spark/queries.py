@@ -3901,3 +3901,136 @@ def _bpe_train_sql(k: int = 8) -> str:
 
 VERIFIER_QUERIES["bpe_train"] = q_bpe_train
 VERIFIER_ORACLE_SQL["bpe_train"] = _bpe_train_sql(8)
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup + winnowing fingerprints (verifier tier)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring span removal (Lee et al. 2022 style): delete every
+    token inside a 10-token window whose content repeats corpus-wide,
+    rebuild docs from survivors. Full-value check: the oracle rebuilds
+    the cleaned text with the same token/window conventions."""
+    from slow_tortoise_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=10).orderBy("doc_id")
+
+
+_Q_DUP_SPAN_REMOVAL = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  win AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           array_to_string(list_slice(t, u.i, u.i + 9), ' ') AS w
+    FROM toks, LATERAL unnest(range(1, greatest(len(t) - 9, 0) + 1)) AS u(i)
+  ),
+  dup AS (SELECT w FROM win GROUP BY w HAVING COUNT(*) > 1),
+  cov AS (
+    SELECT DISTINCT v.doc_id, v.pos + u.k AS i
+    FROM win v JOIN dup USING (w),
+         LATERAL unnest(range(0, 10)) AS u(k)
+  ),
+  tok AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[CAST(u.i AS INT)] AS tok
+    FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+  ),
+  reb AS (
+    SELECT k.doc_id, COUNT(*) AS n_kept,
+           string_agg(k.tok, ' ' ORDER BY k.i) AS clean_text
+    FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.i = k.i
+    WHERE c.i IS NULL
+    GROUP BY k.doc_id
+  )
+  SELECT d.doc_id,
+         CAST(len(t.t) AS BIGINT) AS n_tokens,
+         CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+         COALESCE(r.clean_text, '') AS clean_text
+  FROM documents d
+  JOIN toks t USING (doc_id)
+  LEFT JOIN reb r USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints, k=5-token grams, window w=4; the
+    per-doc selected set is value-checked via an order-canonical md5
+    checksum the oracle reproduces pair-for-pair."""
+    from slow_tortoise_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, k=5, w=4)
+    fps = F.col("fingerprints")
+    checksum = F.md5(
+        F.array_join(
+            F.transform(
+                fps,
+                lambda s: F.concat_ws(
+                    "", s["pos"].cast("string"), F.lit(":"), s["h"]
+                ),
+            ),
+            "|",
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.size(fps).cast("long").alias("n_fp"),
+        checksum.alias("fp_checksum"),
+    ).orderBy("doc_id")
+
+
+_Q_WINNOW_FP = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           substr(md5(array_to_string(list_slice(t, u.i, u.i + 4), ' ')),
+                  1, 16) AS h
+    FROM toks, LATERAL unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+  ),
+  g AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+  cand AS (
+    SELECT a.doc_id, a.pos AS j, b.pos, b.h,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.doc_id, a.pos ORDER BY b.h, b.pos DESC
+           ) AS rn
+    FROM grams a
+    JOIN g USING (doc_id)
+    JOIN grams b ON b.doc_id = a.doc_id
+               AND b.pos BETWEEN a.pos AND a.pos + 3
+    WHERE a.pos <= g.n_grams - 3
+  ),
+  sel AS (SELECT DISTINCT doc_id, pos, h FROM cand WHERE rn = 1),
+  chk AS (
+    SELECT doc_id, COUNT(*) AS n_fp,
+           md5(string_agg(pos || ':' || h, '|' ORDER BY pos, h))
+             AS fp_checksum
+    FROM sel GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(g.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(c.n_fp, 0) AS BIGINT) AS n_fp,
+         COALESCE(c.fp_checksum, md5('')) AS fp_checksum
+  FROM documents d
+  LEFT JOIN g USING (doc_id)
+  LEFT JOIN chk c USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
+VERIFIER_QUERIES["dup_span_removal"] = q_dup_span_removal
+VERIFIER_ORACLE_SQL["dup_span_removal"] = _Q_DUP_SPAN_REMOVAL
+VERIFIER_QUERIES["winnow_fp"] = q_winnow_fp
+VERIFIER_ORACLE_SQL["winnow_fp"] = _Q_WINNOW_FP

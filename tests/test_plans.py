@@ -271,3 +271,32 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS bkt.li_b")
         spark.sql("DROP TABLE IF EXISTS bkt.ord_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_dup_span_removal_jvm_side_single_window_count(spark, sf_dir):
+    """Span removal must stay JVM-side (no Python eval in the plan) and
+    count window occurrences with ONE pass over the exploded window
+    frame — a window-function count, not a groupBy + self-join that
+    would compute the explode twice."""
+    from slow_tortoise_spark.operators.dedup import remove_duplicate_spans
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(remove_duplicate_spans(docs, n=10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one generate (the in-row window transform), not one per consumer
+    assert plan.count("Generate explode") == 1
+    assert "Window" in plan  # the occurrence count
+
+
+def test_winnow_fingerprints_is_map_only(spark, sf_dir):
+    """Winnowing is a pure per-row computation: its plan must contain no
+    exchange at all — grams, windows, argmin, distinct and sort all
+    happen in-row, so the stage scales with input splits."""
+    from slow_tortoise_spark.operators.text import winnow_fingerprints
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(winnow_fingerprints(docs, k=5, w=4))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1449,3 +1449,80 @@ def test_bpe_train_greedy_semantics_and_vocab(spark):
     vocab = {r["pieces"]: r["wc"]
              for r in bpe_segmented_vocab(docs, num_merges=3).collect()}
     assert vocab == {"abab ab": 3, "abc": 3}
+
+
+def test_remove_duplicate_spans_golden(spark):
+    """Hand-derived span removal: the duplicated 4-gram 'a b c d'
+    (3 occurrences across docs 1/2/4, one doc twice) covers exactly the
+    tokens under its windows; everything else survives in order."""
+    from slow_tortoise_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x y a b c d z"),
+            (3, "short one"),
+            (4, "a b c d q r s a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in remove_duplicate_spans(docs, n=4).collect()}
+    assert out[1]["clean_text"] == "e f g"
+    assert out[2]["clean_text"] == "x y z"
+    # shorter than n: no windows, passes through (lowercase rejoin)
+    assert out[3]["clean_text"] == "short one"
+    assert out[3]["n_removed"] == 0
+    # both in-doc occurrences removed — in-doc repeats count as dups
+    assert out[4]["clean_text"] == "q r s"
+    assert out[4]["n_tokens"] == 11 and out[4]["n_removed"] == 8
+
+
+def test_remove_duplicate_spans_overlapping_windows(spark):
+    """Overlapping duplicated windows union their coverage (no
+    double-count), and a doc that is ALL duplicate rebuilds to ''."""
+    from slow_tortoise_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u"), (2, "p q r s t x"), (3, "q r s t u y")],
+        "doc_id long, text string",
+    )
+    # dup 4-grams: 'p q r s' (docs 1,2), 'q r s t' (1,2,3), 'r s t u'
+    # (1,3) → doc 1 fully covered.
+    out = {r["doc_id"]: r
+           for r in remove_duplicate_spans(docs, n=4).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "x"
+    assert out[3]["clean_text"] == "y"
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee: docs sharing a substring of at least
+    w + k - 1 tokens share at least one fingerprint; selection is the
+    per-window min hash with rightmost tie-break, so the set is a
+    proper subset of all grams."""
+    from slow_tortoise_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in winnow_fingerprints(docs, k=5, w=4).collect()}
+    fp = {d: {s["h"] for s in rows[d]["fingerprints"]} for d in rows}
+    assert fp[1] & fp[2], "9-token shared run (w+k-1=8) must collide"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    for d in (1, 2, 3):
+        assert 0 < len(rows[d]["fingerprints"]) < rows[d]["n_grams"]
+    # doc shorter than w grams -> no full window -> no fingerprints
+    tiny = spark.createDataFrame(
+        [(9, "just five tokens right here")], "doc_id long, text string"
+    )
+    t = winnow_fingerprints(tiny, k=5, w=4).collect()[0]
+    assert t["n_grams"] == 0 or t["n_grams"] < 4
+    assert t["fingerprints"] == []
