@@ -1623,3 +1623,120 @@ def remove_duplicate_spans(
             F.concat_ws(" ", kept).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (approximate contamination at broadcast cost)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 2^20 bits packed 32 per BIGINT word (bit index <= 31,
+#: so no sign-bit hazards on any engine).  Positions are the first 5 hex
+#: chars (20 bits) of salted md5 — portable and SQL-replayable.
+BLOOM_M_BITS = 1 << 20
+
+
+def _bloom_positions(item: Column, k: int) -> Column:
+    """Array of ``k`` 20-bit positions for one item (salted md5)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{h}:"), item)), 1, 5),
+                16,
+                10,
+            ).cast("long")
+            for h in range(k)
+        ]
+    )
+
+
+def build_bloom_filter(
+    df: DataFrame, col: str, k: int = 5
+) -> DataFrame:
+    """Distributed Bloom-filter build over a key column: explode each
+    key's ``k`` bit positions, pack 32 bits per word, ``bit_or`` per
+    word index.  The result is at most 32768 rows (1 MiB of bits) no
+    matter the input size — one partially-aggregated shuffle, then a
+    broadcast-sized set structure, the classic trick for membership
+    probes against a vocabulary too big to broadcast raw.
+
+    Returns (word int, bits long)."""
+    p = df.select(F.explode(_bloom_positions(F.col(col), k)).alias("p"))
+    return (
+        p.select(
+            F.shiftright("p", 5).cast("int").alias("word"),
+            # shiftleft's python wrapper wants a literal bit count; the
+            # SQL form takes any expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Approximate cross-corpus contamination scan: the train side
+    collapses to a Bloom filter over its distinct n-gram shingles
+    (<= 1 MiB regardless of corpus size), the test side probes it with a
+    broadcast equi-join on the word index.  Compare
+    ``cross_corpus_contamination``: same question, but the exact scan
+    shuffles the full train vocabulary — at 100 TB the Bloom build is
+    the only train-side shuffle and its output always fits one executor.
+    No false negatives; false-positive rate (1-e^(-kn/m))^k — about
+    4e-5 at 30k shingles with the default geometry.  The construction is
+    deterministic, so the oracle replays it bit-for-bit.
+
+    Returns (doc_id, n_shingles, n_bloom_hits, hit_ratio) per test doc.
+    """
+    train_vocab = doc_shingles(train, text_col, n).select("shingle").distinct()
+    bloom = build_bloom_filter(train_vocab, "shingle", k)
+    test_sh = doc_shingles(test, text_col, n)
+    probes = test_sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(_bloom_positions(F.col("shingle"), k)).alias("p"),
+    ).select(
+        "doc_id",
+        "shingle",
+        F.shiftright("p", 5).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").alias(
+            "mask"
+        ),
+    )
+    checked = probes.join(F.broadcast(bloom), "word", "left").select(
+        "doc_id",
+        "shingle",
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+            != 0
+        )
+        .cast("int")
+        .alias("bit_set"),
+    )
+    per_shingle = checked.groupBy("doc_id", "shingle").agg(
+        F.min("bit_set").alias("all_set")
+    )
+    out = per_shingle.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("all_set").alias("n_bloom_hits"),
+    )
+    return (
+        test.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (
+                F.coalesce("n_bloom_hits", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1))
+            ).alias("hit_ratio"),
+        )
+    )

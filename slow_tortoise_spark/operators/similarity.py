@@ -450,3 +450,132 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear algebra: gramian + PCA over embedding columns
+# ---------------------------------------------------------------------------
+
+
+def embedding_gramian(
+    df: DataFrame, vec_col: str = "embedding", method: str = "explode"
+) -> DataFrame:
+    """Gramian G = sum(x xT) of an ``array<float>`` column as a long
+    (i, j, g) frame — the building block for PCA / whitening / covariance
+    over a corpus too large to collect.
+
+    ``method="explode"`` (default, oracle-checkable): two nested in-row
+    generates emit (i, j, vi*vj) and one partially-aggregated groupBy
+    sums them.  The shuffle carries at most d^2 rows PER MAP TASK no
+    matter the corpus size (map-side combine collapses each partition to
+    one partial gramian), so at 100 TB the cost is pure embarrassingly
+    parallel CPU; the exchange stays tiny.  ``method="pandas"`` computes
+    per-batch ``X.T @ X`` with BLAS inside ``mapInPandas`` — same
+    shuffle shape, far fewer instructions per element; the justified
+    Arrow path when d is large.  Both return bit-comparable doubles up
+    to float-sum ordering (parity-tested to 1e-6).
+
+    Returns (i, j, g) with 0-based dimensions, d^2 rows.
+    """
+    if method == "pandas":
+        return _gramian_pandas(df, vec_col)
+    v = F.col(vec_col)
+    ex = df.select(
+        F.posexplode(v).alias("i", "vi"), v.alias("vec")
+    ).select("i", F.col("vi").cast("double").alias("vi"), "vec")
+    pairs = ex.select(
+        "i",
+        F.posexplode(
+            F.transform("vec", lambda x: x.cast("double") * F.col("vi"))
+        ).alias("j", "p"),
+    )
+    return pairs.groupBy("i", "j").agg(F.sum("p").alias("g"))
+
+
+def _gramian_pandas(df: DataFrame, vec_col: str) -> DataFrame:
+    """Arrow-batched gramian: one d x d partial per batch, summed by the
+    same tiny groupBy as the explode path."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        G = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            G = X.T @ X if G is None else G + X.T @ X
+        if G is not None:
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()}
+            )
+
+    out = df.select(vec_col).mapInPandas(partials, "i int, j int, g double")
+    return out.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+def embedding_mean(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean of an embedding column: (i, mu), d rows, one
+    partially-aggregated shuffle."""
+    return (
+        df.select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+    )
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8,
+    method: str = "pandas",
+):
+    """Fit a k-component PCA on the driver from the distributed gramian
+    (+ mean + count): covariance = G/n - mu muT is d x d — tiny — so the
+    eigendecomposition is a numpy ``eigh`` on the driver, the classic
+    tall-skinny split (cluster does the O(rows d^2) work, driver the
+    O(d^3)).  Deterministic sign: each component's
+    largest-|coefficient| entry is made positive.
+
+    Returns (components: list[list[float]] k x d ordered by variance
+    desc, explained_variance: list[float]).
+    """
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+    n = df.count()
+    G = np.zeros((d, d))
+    for r in embedding_gramian(df, vec_col, method=method).collect():
+        G[r["i"], r["j"]] = r["g"]
+    mu = np.zeros(d)
+    for r in embedding_mean(df, vec_col).collect():
+        mu[r["i"]] = r["mu"]
+    cov = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto fitted components — in-row zip_with dot
+    products against the broadcast-literal component matrix (k x d
+    doubles in the plan; no UDF, no shuffle, map-only)."""
+    comp_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in components
+        ]
+    )
+    proj = F.transform(comp_lit, lambda c: dot_col(F.col(vec_col), c))
+    return df.withColumn(out_col, proj)

@@ -4034,3 +4034,133 @@ VERIFIER_QUERIES["dup_span_removal"] = q_dup_span_removal
 VERIFIER_ORACLE_SQL["dup_span_removal"] = _Q_DUP_SPAN_REMOVAL
 VERIFIER_QUERIES["winnow_fp"] = q_winnow_fp
 VERIFIER_ORACLE_SQL["winnow_fp"] = _Q_WINNOW_FP
+
+
+# ---------------------------------------------------------------------------
+# Embedding gramian + Bloom-filter contamination (verifier tier)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gramian(spark, sf_dir):
+    """Distributed gramian of the embeddings table (d=64 -> 4096 cells),
+    the PCA/whitening building block; micro-rounded so float-sum
+    ordering can't flip the driver hash."""
+    from slow_tortoise_spark.operators.similarity import embedding_gramian
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = embedding_gramian(emb, "embedding", method="explode")
+    return g.select(
+        "i", "j", F.round(F.col("g") * 1e6).cast("bigint").alias("g_micro")
+    ).orderBy("i", "j")
+
+
+_Q_EMBEDDING_GRAMIAN = """
+  WITH x AS (
+    SELECT CAST(u.i AS INT) - 1 AS i,
+           CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS vi,
+           embedding AS v
+    FROM embeddings,
+         LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+  ),
+  p AS (
+    SELECT i, CAST(u2.j AS INT) - 1 AS j,
+           vi * CAST(v[CAST(u2.j AS INT)] AS DOUBLE) AS p
+    FROM x, LATERAL unnest(range(1, len(v) + 1)) AS u2(j)
+  )
+  SELECT i, j, CAST(round(SUM(p) * 1e6) AS BIGINT) AS g_micro
+  FROM p GROUP BY i, j ORDER BY i, j
+"""
+
+
+def _bloom_nib_sql(hx: str) -> str:
+    """20-bit int from a 5-hex-char expression (the Bloom position)."""
+    nibs = [
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1)"
+        for i in range(5)
+    ]
+    expr = nibs[0]
+    for nb in nibs[1:]:
+        expr = f"({expr}) * 16 + {nb}"
+    return f"({expr})"
+
+
+def q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter contamination scan (even-id train / odd-id test,
+    5-gram shingles): the train vocabulary collapses to <=1 MiB of bits,
+    so the construction is deterministic and the oracle replays every
+    position."""
+    from slow_tortoise_spark.operators.dedup import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    out = bloom_contamination(train, test, n=5, k=5)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        F.round(F.col("hit_ratio") * 1e6).cast("bigint").alias("hit_micro"),
+    ).orderBy("doc_id")
+
+
+def _bloom_sql(n: int = 5, k: int = 5) -> str:
+    pos_union = lambda src: " UNION ALL ".join(  # noqa: E731
+        f"SELECT {cols}, {_bloom_nib_sql(f'''substr(md5('{h}:' || shingle), 1, 5)''')} AS p"
+        f" FROM {src}"
+        for h in range(k)
+        for cols in [("doc_id, shingle" if src == "test_sh" else "shingle")]
+    )
+    return f"""
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - {n - 1}, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))) AS shingle
+    FROM toks WHERE len(t) >= {n}
+  ),
+  train_vocab AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+  test_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+  bp AS ({pos_union('train_vocab')}),
+  bloom AS (
+    SELECT CAST(p // 32 AS INT) AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+    FROM bp GROUP BY 1
+  ),
+  tp AS ({pos_union('test_sh')}),
+  checked AS (
+    SELECT t.doc_id, t.shingle,
+           CASE WHEN COALESCE(b.bits, 0)
+                     & (CAST(1 AS BIGINT) << CAST(t.p % 32 AS INT)) <> 0
+                THEN 1 ELSE 0 END AS bit_set
+    FROM tp t LEFT JOIN bloom b ON b.word = CAST(t.p // 32 AS INT)
+  ),
+  per AS (
+    SELECT doc_id, shingle, MIN(bit_set) AS all_set
+    FROM checked GROUP BY doc_id, shingle
+  ),
+  agg AS (
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(all_set) AS BIGINT) AS n_hits
+    FROM per GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+         CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_bloom_hits,
+         CAST(round(COALESCE(a.n_hits, 0)::DOUBLE
+               / greatest(COALESCE(a.n_shingles, 0), 1) * 1e6) AS BIGINT)
+           AS hit_micro
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  WHERE d.doc_id % 2 = 1
+  ORDER BY d.doc_id
+"""
+
+
+VERIFIER_QUERIES["embedding_gramian"] = q_embedding_gramian
+VERIFIER_ORACLE_SQL["embedding_gramian"] = _Q_EMBEDDING_GRAMIAN
+VERIFIER_QUERIES["bloom_contamination"] = q_bloom_contamination
+VERIFIER_ORACLE_SQL["bloom_contamination"] = _bloom_sql(5, 5)

@@ -300,3 +300,39 @@ def test_winnow_fingerprints_is_map_only(spark, sf_dir):
     plan = _plan(winnow_fingerprints(docs, k=5, w=4))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_is_broadcast_join_with_bounded_build(spark, sf_dir):
+    """The Bloom probe must broadcast the bits frame (<= 32768 rows by
+    construction, never the corpus) and stay JVM-side; the build side's
+    groupBy carries partial aggregation so each map task emits at most
+    one word set."""
+    from slow_tortoise_spark.operators.dedup import bloom_contamination
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    df = bloom_contamination(train, test, n=5)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gramian_shuffle_is_dimension_bounded(spark, sf_dir):
+    """The explode gramian's exchange must sit ABOVE a partial
+    HashAggregate: map-side combine collapses every partition to at most
+    d^2 cells, so the shuffle never scales with row count."""
+    from slow_tortoise_spark.operators.similarity import embedding_gramian
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    plan = _plan(embedding_gramian(emb, method="explode"))
+    # plans print top-down, so the partial HashAggregate (below the
+    # exchange) must appear AFTER the exchange line in the text
+    assert "Exchange hashpartitioning(i" in plan
+    below = plan.split("Exchange hashpartitioning(i", 1)[1]
+    assert "HashAggregate" in below and "partial_sum" in below
+    assert "BatchEvalPython" not in plan

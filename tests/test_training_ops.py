@@ -1526,3 +1526,81 @@ def test_winnow_fingerprints_guarantee(spark):
     t = winnow_fingerprints(tiny, k=5, w=4).collect()[0]
     assert t["n_grams"] == 0 or t["n_grams"] < 4
     assert t["fingerprints"] == []
+
+
+def test_gramian_parity_and_pca_matches_numpy(spark):
+    """The explode and pandas gramians agree to 1e-6; pca_fit matches a
+    straight numpy eigendecomposition of the covariance (components up
+    to the deterministic sign convention), and pca_project reproduces
+    X @ W in-row."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.similarity import (
+        embedding_gramian,
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(80, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    g1 = {(r["i"], r["j"]): r["g"]
+          for r in embedding_gramian(df, method="explode").collect()}
+    g2 = {(r["i"], r["j"]): r["g"]
+          for r in embedding_gramian(df, method="pandas").collect()}
+    assert g1.keys() == g2.keys() and len(g1) == 36
+    assert all(abs(g1[k] - g2[k]) < 1e-6 for k in g1)
+    Xd = X.astype(np.float64)
+    G = Xd.T @ Xd
+    assert all(abs(g1[(i, j)] - G[i, j]) < 1e-6
+               for i in range(6) for j in range(6))
+
+    comps, var = pca_fit(df, k=3, method="pandas")
+    cov = np.cov(Xd.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    assert np.allclose(sorted(var, reverse=True), vals[order], atol=1e-6)
+    for c, idx in zip(comps, order):
+        expect = vecs[:, idx]
+        if expect[np.argmax(np.abs(expect))] < 0:
+            expect = -expect
+        assert np.allclose(c, expect, atol=1e-6)
+
+    W = np.array(comps).T  # d x k
+    rows = pca_project(df, comps).orderBy("vec_id").collect()
+    proj = np.array([r["pca"] for r in rows])
+    assert np.allclose(proj, Xd @ W, atol=1e-5)
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom membership has NO false negatives: per test doc the bloom
+    hit count is >= the exact contamination hit count, and with the
+    1 MiB geometry at toy scale it should be exactly equal."""
+    from slow_tortoise_spark.operators.dedup import (
+        bloom_contamination,
+        cross_corpus_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (1, "alpha beta gamma delta epsilon other stuff"),
+            (3, "totally unrelated words nowhere in train corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    train = docs.filter("doc_id % 2 = 0")
+    test = docs.filter("doc_id % 2 = 1")
+    bloom = {r["doc_id"]: r
+             for r in bloom_contamination(train, test, n=5).collect()}
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in cross_corpus_contamination(
+                 train, test, n=5, min_common=0).collect()}
+    assert bloom[1]["n_bloom_hits"] >= 1
+    for d in bloom:
+        assert bloom[d]["n_bloom_hits"] >= exact.get(d, 0)
+    assert bloom[3]["n_bloom_hits"] == 0  # no collisions at this scale
