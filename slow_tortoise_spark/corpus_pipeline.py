@@ -3,9 +3,10 @@
 Where ``run_pipeline`` turns a geotemporal datacube into serving
 artifacts, ``run_corpus_pipeline`` turns a raw document corpus into a
 training-ready dataset: (optional) domain blocklist + line-level
-boilerplate removal → quality/language gating → exact dedup → MinHash
-near-dedup → deterministic splits → partitioned parquet + a manifest of
-what was dropped at every gate.  Every stage is one of the library
+boilerplate removal + duplicated-span removal → quality/language gating
+→ exact dedup → MinHash near-dedup → (optional) Bloom benchmark
+decontamination + temperature mixing → deterministic splits →
+partitioned parquet + a manifest of what was dropped at every gate.  Every stage is one of the library
 operators (operators/text.py, operators/dedup.py), so the plan is pure
 DataFrame/Catalyst work: the gates are a single projection+filter pass,
 each dedup tier is the documented one-shuffle/banded shape, and the
@@ -32,11 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slow_tortoise_spark.operators.dedup import (
+    bloom_contamination,
     connected_components,
     dedup_lines,
     drop_exact_duplicates,
     hash_split,
     minhash_lsh_candidates,
+    remove_duplicate_spans,
     temperature_mix,
     verify_candidate_pairs,
 )
@@ -80,6 +83,18 @@ class CorpusParams:
     #: strip lines shared by ≥ this many docs BEFORE quality gating
     #: (None = stage off); gates then score the cleaned text
     line_dedup_min_docs: int | None = None
+    #: delete corpus-duplicated n-token spans BEFORE gating (None = off).
+    #: NB: the rebuild whitespace-normalizes and lowercases text — the
+    #: standard curation normalization; run it before gates so quality
+    #: heuristics score what will actually be trained on
+    span_dedup_ngram: int | None = None
+    #: benchmark/eval corpus (doc_id, text) to decontaminate against via
+    #: the Bloom scan (None = stage off); applied after dedup so the
+    #: scan probes only surviving docs
+    decontaminate_against: DataFrame | None = None
+    #: drop docs whose benchmark shingle hit ratio exceeds this
+    decontam_threshold: float = 0.05
+    decontam_ngram: int = 8
 
 
 def _near_dup_drops(
@@ -146,6 +161,21 @@ def run_corpus_pipeline(
         docs = docs.drop("text").join(
             cleaned.select("doc_id", "text"), "doc_id"
         )
+    if params.span_dedup_ngram is not None:
+        # exact-substring removal (Lee et al. 2022): same null-coalesce
+        # contract as line dedup so manifest accounting stays exact
+        spans = remove_duplicate_spans(
+            docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text")),
+            n=params.span_dedup_ngram,
+        ).cache()  # two consumers: tokens-removed stat + the join
+        _owned_caches.append(spans)
+        manifest["dup_span_tokens_removed"] = (
+            spans.agg(F.sum("n_removed")).first()[0] or 0
+        )
+        docs = docs.drop("text").join(
+            spans.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
 
     # --- one-pass quality / repetition / language gates ----------------
     scored = repetition_ratio(quality_features(docs))
@@ -182,6 +212,20 @@ def run_corpus_pipeline(
         )
         deduped = deduped.join(drops, "doc_id", "left_anti")
         manifest["after_near_dedup"] = deduped.count()
+
+    # --- optional benchmark decontamination (post-dedup: probe only
+    # survivors; the Bloom side collapses the benchmark to <=1 MiB) ----
+    if params.decontaminate_against is not None:
+        scan = bloom_contamination(
+            params.decontaminate_against,
+            deduped.select("doc_id", "text"),
+            n=params.decontam_ngram,
+        )
+        contaminated = scan.filter(
+            F.col("hit_ratio") > params.decontam_threshold
+        ).select("doc_id")
+        deduped = deduped.join(contaminated, "doc_id", "left_anti")
+        manifest["after_decontamination"] = deduped.count()
 
     # --- optional temperature mixing (post-dedup, pre-split: mixing a
     # corpus that still contains duplicates double-counts their mass) ---

@@ -174,3 +174,53 @@ def test_corpus_pipeline_blocklist_and_line_dedup_stages(spark, tmp_path):
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     assert banner not in texts[1] and banner not in texts[2]
     assert texts[4].startswith(body)
+
+
+def test_corpus_pipeline_span_dedup_and_decontamination_stages(
+    spark, tmp_path
+):
+    """The two round-5 stages: duplicated-span removal strips the shared
+    12-token run pre-gating, and the Bloom decontamination gate drops
+    the doc that quotes the benchmark."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+
+    shared = "the same twelve token boilerplate run appears in both docs here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique opening alpha beta {shared}", "s1"),
+            (2, f"{shared} unique closing gamma delta", "s1"),
+            (3, "an original document with plenty of its own words inside",
+             "s2"),
+            (4, "leaked benchmark question about the meaning of life and "
+                "everything else", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "leaked benchmark question about the meaning of life and "
+               "everything else entirely")],
+        "doc_id long, text string",
+    )
+    params = CorpusParams(
+        out_dir=str(tmp_path / "corpus"),
+        span_dedup_ngram=11,
+        decontaminate_against=bench,
+        decontam_ngram=8,
+        decontam_threshold=0.05,
+        dedup="none",
+        min_tokens=3,
+    )
+    manifest = run_corpus_pipeline(spark, docs, params)
+    assert manifest["input_docs"] == 4
+    # the 11-token shared run duplicates -> 11 tokens removed per doc
+    assert manifest["dup_span_tokens_removed"] == 22
+    # doc 4 shares >5% of its 8-gram shingles with the benchmark
+    assert manifest["after_decontamination"] == 3
+    out = spark.read.parquet(str(tmp_path / "corpus" / "corpus"))
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 4 not in texts
+    assert texts[1] == "unique opening alpha beta"
+    assert texts[2] == "unique closing gamma delta"
