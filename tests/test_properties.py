@@ -365,3 +365,73 @@ def test_star_cc_matches_label_prop_and_python_oracle(spark_session, edges):
             for r in connected_components(pairs, algorithm="star").collect()}
     assert lp == want
     assert star == want
+
+
+@given(texts=_texts)
+@settings(max_examples=8, deadline=None)
+def test_span_removal_matches_python_reference(spark_session, texts):
+    """remove_duplicate_spans agrees with a direct python reference on
+    arbitrary corpora (tiny alphabet -> plenty of duplicated windows,
+    empty docs, whitespace-only docs, in-doc repeats)."""
+    from slow_tortoise_spark.operators.dedup import remove_duplicate_spans
+
+    n = 2
+    toks = {i: [t for t in txt.lower().split() if t]
+            for i, txt in enumerate(texts)}
+    counts: dict[str, int] = {}
+    for ts in toks.values():
+        for i in range(len(ts) - n + 1):
+            w = " ".join(ts[i:i + n])
+            counts[w] = counts.get(w, 0) + 1
+    expect = {}
+    for d, ts in toks.items():
+        cov: set[int] = set()
+        for i in range(len(ts) - n + 1):
+            if counts[" ".join(ts[i:i + n])] > 1:
+                cov.update(range(i, i + n))
+        kept = [t for j, t in enumerate(ts) if j not in cov]
+        expect[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+
+    df = spark_session.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_duplicate_spans(df, n=n).collect()}
+    assert got == expect
+
+
+@given(texts=_texts)
+@settings(max_examples=8, deadline=None)
+def test_winnow_matches_python_reference(spark_session, texts):
+    """winnow_fingerprints agrees with a direct python winnowing
+    reference (same md5-prefix hashes, min-hash rightmost tie-break)."""
+    import hashlib
+
+    from slow_tortoise_spark.operators.text import winnow_fingerprints
+
+    k, w = 2, 3
+
+    def md5_16(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()[:16]
+
+    expect = {}
+    for d, txt in enumerate(texts):
+        ts = [t for t in txt.lower().split() if t]
+        grams = [(i + 1, md5_16(" ".join(ts[i:i + k])))
+                 for i in range(len(ts) - k + 1)]
+        sel = set()
+        for j in range(len(grams) - w + 1):
+            sel.add(min(grams[j:j + w], key=lambda t: (t[1], -t[0])))
+        expect[d] = (len(grams), sorted(sel))
+
+    df = spark_session.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"],
+            sorted((s["pos"], s["h"]) for s in r["fingerprints"]),
+        )
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == expect
