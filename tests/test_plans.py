@@ -336,3 +336,39 @@ def test_gramian_shuffle_is_dimension_bounded(spark, sf_dir):
     below = plan.split("Exchange hashpartitioning(i", 1)[1]
     assert "HashAggregate" in below and "partial_sum" in below
     assert "BatchEvalPython" not in plan
+
+
+def test_headline_query_exchange_budgets(spark, sf_dir):
+    """Shuffle-count regression pins for the headline bench queries:
+    every Exchange (shuffle or broadcast) in these plans was audited in
+    round 5; a future edit that silently adds one fails here and has to
+    justify itself.  Budgets are the audited counts, not aspirations —
+    lower is fine, higher is a review flag."""
+    from slow_tortoise_spark import queries as Q
+
+    budgets = {
+        "pricing_summary": 2,
+        "top_orders": 3,
+        "region_revenue": 7,
+        "global_timeseries": 3,
+        "regional_rollup": 5,
+        "regional_extrema": 3,
+        "qualifier_pivot": 3,
+        "tile_rollup": 2,
+        "grid_stats": 3,
+        "minhash_lsh_pairs": 7,
+        "ann_cosine_topk": 0,
+        "token_stats": 1,
+        "asof_join": 2,
+        "rolling_window": 2,
+        "salted_agg": 3,
+    }
+    merged = dict(Q.QUERIES)
+    merged.update(Q.VERIFIER_QUERIES)
+    over = {}
+    for name, budget in budgets.items():
+        plan = _plan(merged[name](spark, sf_dir))
+        n = plan.count("Exchange")
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"exchange budget exceeded: {over}"
