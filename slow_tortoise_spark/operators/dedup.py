@@ -1740,3 +1740,37 @@ def bloom_contamination(
             ).alias("hit_ratio"),
         )
     )
+
+
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic pseudo-random total order for training export —
+    reproducible global shuffling without RNG state: every row gets
+    (bucket, bucket_rank) where ``bucket`` is a keyed-hash prefix and
+    ``bucket_rank`` ranks the full hash within the bucket (id
+    tie-break).  (bucket, bucket_rank) is a total order; identical
+    inputs order identically on any cluster layout, and a changed
+    ``salt`` is a fresh epoch permutation.
+
+    Scale: the rank window partitions by bucket — ~|corpus|/buckets rows
+    per task, never the single-task global window of a bare
+    ``row_number() over (order by ...)``.  A writer wanting physical
+    order repartitions by bucket and sortWithinPartitions.
+
+    Returns the input plus (bucket int, bucket_rank int).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("_h", h).withColumn(
+        "bucket",
+        F.conv(F.substring("_h", 1, 2), 16, 10).cast("int") % buckets,
+    )
+    w = Window.partitionBy("bucket").orderBy("_h", id_col)
+    return out.withColumn("bucket_rank", F.row_number().over(w)).drop("_h")

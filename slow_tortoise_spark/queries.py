@@ -4164,3 +4164,38 @@ VERIFIER_QUERIES["embedding_gramian"] = q_embedding_gramian
 VERIFIER_ORACLE_SQL["embedding_gramian"] = _Q_EMBEDDING_GRAMIAN
 VERIFIER_QUERIES["bloom_contamination"] = q_bloom_contamination
 VERIFIER_ORACLE_SQL["bloom_contamination"] = _bloom_sql(5, 5)
+
+
+def q_shuffle_rows(spark, sf_dir):
+    """Deterministic epoch-shuffle order over documents: (bucket,
+    bucket_rank) is a reproducible total order with no RNG state."""
+    from slow_tortoise_spark.operators.dedup import shuffle_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_rows(docs).select(
+        "doc_id", "bucket", "bucket_rank"
+    ).orderBy("bucket", "bucket_rank")
+
+
+_Q_SHUFFLE_ROWS = """
+  WITH h AS (
+    SELECT doc_id, md5('shuffle:' || doc_id) AS h
+    FROM documents
+  ),
+  b AS (
+    SELECT doc_id, h,
+           CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+              AS INT) % 256 AS bucket
+    FROM h
+  )
+  SELECT doc_id, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+              AS INT) AS bucket_rank
+  FROM b
+  ORDER BY bucket, bucket_rank
+"""
+
+
+VERIFIER_QUERIES["shuffle_rows"] = q_shuffle_rows
+VERIFIER_ORACLE_SQL["shuffle_rows"] = _Q_SHUFFLE_ROWS

@@ -1604,3 +1604,24 @@ def test_bloom_contamination_superset_of_exact(spark):
     for d in bloom:
         assert bloom[d]["n_bloom_hits"] >= exact.get(d, 0)
     assert bloom[3]["n_bloom_hits"] == 0  # no collisions at this scale
+
+
+def test_shuffle_rows_total_order_and_epoch_independence(spark):
+    """(bucket, bucket_rank) is a total order, stable across runs, and a
+    different salt yields a genuinely different permutation."""
+    from slow_tortoise_spark.operators.dedup import shuffle_rows
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = [(r["bucket"], r["bucket_rank"], r["doc_id"])
+         for r in shuffle_rows(docs).orderBy("bucket", "bucket_rank").collect()]
+    b = [(r["bucket"], r["bucket_rank"], r["doc_id"])
+         for r in shuffle_rows(docs).orderBy("bucket", "bucket_rank").collect()]
+    assert a == b  # deterministic
+    keys = [(x[0], x[1]) for x in a]
+    assert len(set(keys)) == 300  # total order, no collisions
+    order1 = [x[2] for x in a]
+    order2 = [r["doc_id"] for r in shuffle_rows(docs, salt="epoch2")
+              .orderBy("bucket", "bucket_rank").collect()]
+    assert sorted(order1) == sorted(order2)
+    assert order1 != order2  # new epoch permutes
+    assert order1 != sorted(order1)  # and it's actually shuffled
