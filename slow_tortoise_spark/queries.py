@@ -4199,3 +4199,75 @@ _Q_SHUFFLE_ROWS = """
 
 VERIFIER_QUERIES["shuffle_rows"] = q_shuffle_rows
 VERIFIER_ORACLE_SQL["shuffle_rows"] = _Q_SHUFFLE_ROWS
+
+
+# ---------------------------------------------------------------------------
+# K-means Lloyd iterations (verifier tier — the oracle replays every round)
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Cell assignment after two distributed Lloyd iterations (C=4,
+    deterministic md5 seeding).  Like bpe_train, the oracle replays the
+    ITERATIVE algorithm round by round — assignment, per-cell means,
+    re-assignment — so the distributed k-means is value-checked, not
+    just its final shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, _ = build_ivf_index(emb, n_cells=4, kmeans_iters=2)
+    return indexed.select("vec_id", "cell").orderBy("vec_id")
+
+
+def _kmeans_sql(n_cells: int = 4, iters: int = 2) -> str:
+    """Chained-CTE Lloyd replay: cents{r} = centroid vectors entering
+    round r, assign{r} = argmax-cosine assignment under them (lowest
+    cell on ties — the engine's array_position first-wins order).
+    The vector's own norm is a positive per-row constant, so the argmax
+    ranks dot/‖c‖ exactly like the engine's join strategy."""
+    ctes = [
+        """v AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)""",
+        f"""seeds AS (
+        SELECT vec_id AS seed_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS cell
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {n_cells})""",
+        """cents0 AS (
+        SELECT s.cell, v.i, v.x FROM seeds s JOIN v ON v.vec_id = s.seed_id)""",
+    ]
+    for r in range(iters + 1):
+        ctes.append(
+            f"""cnorm{r} AS (
+            SELECT cell, sqrt(SUM(x * x)) AS n FROM cents{r} GROUP BY cell)"""
+        )
+        ctes.append(
+            f"""assign{r} AS (
+            SELECT vec_id, cell FROM (
+              SELECT d.vec_id, d.cell,
+                     row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / cn.n DESC, d.cell) AS rn
+              FROM (SELECT v.vec_id, c.cell, SUM(v.x * c.x) AS dot
+                    FROM v JOIN cents{r} c ON v.i = c.i
+                    GROUP BY 1, 2) d
+              JOIN cnorm{r} cn ON d.cell = cn.cell
+            ) WHERE rn = 1)"""
+        )
+        if r < iters:
+            ctes.append(
+                f"""cents{r + 1} AS (
+                SELECT a.cell, v.i, AVG(v.x) AS x
+                FROM assign{r} a JOIN v ON v.vec_id = a.vec_id
+                GROUP BY 1, 2)"""
+            )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, cell FROM assign{iters} ORDER BY vec_id"
+    )
+
+
+VERIFIER_QUERIES["kmeans_assign"] = q_kmeans_assign
+VERIFIER_ORACLE_SQL["kmeans_assign"] = _kmeans_sql(4, 2)

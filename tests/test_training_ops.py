@@ -1625,3 +1625,42 @@ def test_shuffle_rows_total_order_and_epoch_independence(spark):
     assert sorted(order1) == sorted(order2)
     assert order1 != order2  # new epoch permutes
     assert order1 != sorted(order1)  # and it's actually shuffled
+
+
+def test_kmeans_iterations_improve_within_cluster_similarity(spark):
+    """Lloyd iterations on a separable toy set must (a) change the
+    seeded assignment, (b) not worsen mean within-cluster cosine, and
+    (c) recover the true clusters."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.similarity import build_ivf_index
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 8) * 10  # 4 well-separated directions in R^8
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append(
+            (i, [float(x) for x in centers[c] + rng.normal(scale=0.2, size=8)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    idx0, cents0 = build_ivf_index(df, n_cells=4, kmeans_iters=0)
+    idx2, cents2 = build_ivf_index(df, n_cells=4, kmeans_iters=2)
+    a0 = {r["vec_id"]: r["cell"] for r in idx0.select("vec_id", "cell").collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in idx2.select("vec_id", "cell").collect()}
+    assert a0 != a2  # it learned something beyond the seeds
+
+    def mean_cos(assign, cents):
+        cm = {cid: np.array(c) for cid, c in cents}
+        X = {i: np.array(v) for i, v in rows}
+        return float(np.mean([
+            X[i] @ cm[c] / (np.linalg.norm(X[i]) * np.linalg.norm(cm[c]))
+            for i, c in assign.items()
+        ]))
+
+    assert mean_cos(a2, cents2) >= mean_cos(a0, cents0) - 1e-9
+    # true clusters recovered: every vec_id mod-4 class maps to one cell
+    for c in range(4):
+        cells = {a2[i] for i in range(200) if i % 4 == c}
+        assert len(cells) == 1
