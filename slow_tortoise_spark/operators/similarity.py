@@ -579,3 +579,68 @@ def pca_project(
     )
     proj = F.transform(comp_lit, lambda c: dot_col(F.col(vec_col), c))
     return df.withColumn(out_col, proj)
+
+
+def logreg_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    dim: int = 8,
+    iters: int = 5,
+    lr: float = 0.5,
+) -> list[float]:
+    """Distributed logistic regression by full-batch gradient descent —
+    the quality-classifier trainer of a curation pipeline (score docs
+    with a linear model over embedding/quality features).  Weights live
+    on the driver (dim+1 floats); every iteration is ONE aggregate job:
+    sigmoid(x·w) is an in-row expression over the literal weights and
+    the gradient is dim+1 SUM expressions (map-side combined, so the
+    shuffle carries dim+1 doubles per partition — corpus size only
+    affects scan CPU).  The classic driver-loop split: cluster does
+    O(rows·dim) per round, driver does O(dim).
+
+    Returns [w_0..w_{dim-1}, bias] after ``iters`` rounds from w=0.
+    """
+    from functools import reduce
+
+    n = df.count()
+    w = [0.0] * (dim + 1)
+    v = F.col(vec_col)
+    y = F.col(label_col).cast("double")
+    for _ in range(iters):
+        z = reduce(
+            lambda acc, j: acc
+            + F.element_at(v, j + 1).cast("double") * F.lit(w[j]),
+            range(dim),
+            F.lit(w[dim]),
+        )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y
+        aggs = [
+            F.sum(err * F.element_at(v, j + 1).cast("double")).alias(f"g{j}")
+            for j in range(dim)
+        ] + [F.sum(err).alias("gb")]
+        row = df.agg(*aggs).first()
+        w = [w[j] - lr * row[f"g{j}"] / n for j in range(dim)] + [
+            w[dim] - lr * row["gb"] / n
+        ]
+    return w
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "score",
+) -> DataFrame:
+    """Apply a fitted linear model in-row: sigmoid(x·w + b)."""
+    from functools import reduce
+
+    dim = len(weights) - 1
+    v = F.col(vec_col)
+    z = reduce(
+        lambda acc, j: acc
+        + F.element_at(v, j + 1).cast("double") * F.lit(weights[j]),
+        range(dim),
+        F.lit(weights[dim]),
+    )
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

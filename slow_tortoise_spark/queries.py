@@ -3873,14 +3873,14 @@ def _bpe_train_sql(k: int = 8) -> str:
     bpe_word_freq docstring), so every round is value-checked, not just
     the first."""
     ctes = [
-        "w0 AS (SELECT '  ' || array_to_string(string_split(tok, ''), '  ')"
+        "w0 AS MATERIALIZED (SELECT '  ' || array_to_string(string_split(tok, ''), '  ')"
         " || '  ' AS sym, COUNT(*) AS wc FROM (SELECT unnest(list_filter("
         "string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok"
         " FROM documents) GROUP BY 1)"
     ]
     for i in range(k):
         ctes.append(
-            f"p{i} AS (SELECT parts[j] AS lhs, parts[j+1] AS rhs, "
+            f"p{i} AS MATERIALIZED (SELECT parts[j] AS lhs, parts[j+1] AS rhs, "
             f"CAST(SUM(wc) AS BIGINT) AS cnt FROM (SELECT wc, "
             f"string_split(trim(sym), '  ') AS parts FROM w{i}), "
             f"LATERAL unnest(range(1, len(parts))) AS t(j) "
@@ -3888,7 +3888,7 @@ def _bpe_train_sql(k: int = 8) -> str:
         )
         if i < k - 1:
             ctes.append(
-                f"w{i+1} AS (SELECT replace(sym, ' ' || p.lhs || '  ' || "
+                f"w{i+1} AS MATERIALIZED (SELECT replace(sym, ' ' || p.lhs || '  ' || "
                 f"p.rhs || ' ', ' ' || p.lhs || p.rhs || ' ') AS sym, wc "
                 f"FROM w{i}, p{i} AS p)"
             )
@@ -4271,3 +4271,84 @@ def _kmeans_sql(n_cells: int = 4, iters: int = 2) -> str:
 
 VERIFIER_QUERIES["kmeans_assign"] = q_kmeans_assign
 VERIFIER_ORACLE_SQL["kmeans_assign"] = _kmeans_sql(4, 2)
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression trainer (verifier tier — oracle replays every GD round)
+# ---------------------------------------------------------------------------
+
+
+def q_logreg_weights(spark, sf_dir):
+    """Five full-batch gradient-descent rounds of a logistic quality
+    classifier over the first 8 embedding dims (target: label parity).
+    Like bpe_train/kmeans_assign, the oracle replays the ITERATIVE
+    optimization round by round; weights go out micro-rounded."""
+    from slow_tortoise_spark.operators.similarity import logreg_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") % 2).alias("y")
+    )
+    w = logreg_fit(emb, dim=8, iters=5, lr=0.5)
+    return spark.createDataFrame(
+        [(j, int(round(wj * 1e6))) for j, wj in enumerate(w)],
+        "j int, w_micro long",
+    ).orderBy("j")
+
+
+def _logreg_sql(dim: int = 8, iters: int = 5, lr: float = 0.5) -> str:
+    """Chained-CTE gradient-descent replay: w{r} = weights entering
+    round r (j = dim is the bias), g{r} = that round's full-batch
+    gradient. The engine folds z left-to-right over literal weights
+    while SQL sums a join — float association differs at ~1e-16, far
+    under the 1e-6 output rounding."""
+    # AS MATERIALIZED everywhere: each round's CTEs are referenced
+    # multiple times (z{r} reads w{r} twice, w{r+1} reads w{r} and g{r});
+    # inlining doubles the expression tree per round — measured 410 s for
+    # 5 rounds vs ~1 s materialized.
+    w0 = ", ".join(f"({j}, 0.0)" for j in range(dim + 1))
+    ctes = [
+        f"""x AS MATERIALIZED (
+        SELECT vec_id, CAST(u.j AS INT) - 1 AS j,
+               CAST(embedding[CAST(u.j AS INT)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(range(1, {dim} + 1)) AS u(j))""",
+        """yy AS MATERIALIZED (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y
+                  FROM embeddings)""",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings)",
+        f"w0(j, wv) AS MATERIALIZED (VALUES {w0})",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""z{r} AS MATERIALIZED (
+            SELECT x.vec_id,
+                   SUM(x.x * w.wv)
+                   + (SELECT wv FROM w{r} WHERE j = {dim}) AS z
+            FROM x JOIN w{r} w ON x.j = w.j
+            GROUP BY x.vec_id)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+            SELECT z.vec_id, 1.0 / (1.0 + exp(-z.z)) - yy.y AS err
+            FROM z{r} z JOIN yy ON z.vec_id = yy.vec_id)"""
+        )
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+            SELECT x.j, SUM(e.err * x.x) AS g
+            FROM e{r} e JOIN x ON e.vec_id = x.vec_id
+            GROUP BY x.j
+            UNION ALL
+            SELECT {dim} AS j, SUM(err) AS g FROM e{r})"""
+        )
+        ctes.append(
+            f"""w{r + 1} AS MATERIALIZED (
+            SELECT w.j, w.wv - {lr} * g.g / nn.n AS wv
+            FROM w{r} w JOIN g{r} g ON w.j = g.j, nn)"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT j, CAST(round(wv * 1e6) AS BIGINT) AS w_micro"
+        f" FROM w{iters} ORDER BY j"
+    )
+
+
+VERIFIER_QUERIES["logreg_weights"] = q_logreg_weights
+VERIFIER_ORACLE_SQL["logreg_weights"] = _logreg_sql(8, 5, 0.5)

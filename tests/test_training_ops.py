@@ -1664,3 +1664,32 @@ def test_kmeans_iterations_improve_within_cluster_similarity(spark):
     for c in range(4):
         cells = {a2[i] for i in range(200) if i % 4 == c}
         assert len(cells) == 1
+
+
+def test_logreg_learns_separable_classifier(spark):
+    """Full-batch GD logistic regression separates a linearly separable
+    toy set: training accuracy 100% after a few rounds, and more rounds
+    never hurt the separable fit."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.similarity import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(200, 4)).astype(np.float32)
+    y = (X[:, 0] + 2 * X[:, 1] > 0.5).astype(int)  # margin-separable
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], int(y[i])) for i in range(200)],
+        "vec_id long, embedding array<float>, y int",
+    )
+    w = logreg_fit(df, dim=4, iters=30, lr=2.0)
+    assert len(w) == 5
+    scored = logreg_score(df, w).select("vec_id", "score", "y").collect()
+    acc = np.mean([(r["score"] > 0.5) == bool(r["y"]) for r in scored])
+    assert acc >= 0.97
+    # learned direction correlates with the true one
+    true_w = np.array([1.0, 2.0, 0.0, 0.0])
+    got = np.array(w[:4])
+    assert got @ true_w / (np.linalg.norm(got) * np.linalg.norm(true_w)) > 0.9
