@@ -4352,3 +4352,31 @@ def _logreg_sql(dim: int = 8, iters: int = 5, lr: float = 0.5) -> str:
 
 VERIFIER_QUERIES["logreg_weights"] = q_logreg_weights
 VERIFIER_ORACLE_SQL["logreg_weights"] = _logreg_sql(8, 5, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late rotation (second batch).  The four late-round showpiece
+# operators earn driver hash rows THIS round; four multi-round-green
+# catalog entries step down to the verifier tier, each leaving a sibling
+# driver row covering its family:
+#
+#   out pii_redact      -> token_stats / lang_id (text-scan family)
+#   out range_join      -> asof_join (timejoin family)
+#   out rolling_window  -> window_topn + verifier window_running/lag_lead
+#   out approx_distinct -> percentiles (approximate/statistical aggregates)
+#
+# bench.py reads the merged dict, so the measured set stays invariant.
+_ROTATE_IN_2 = [
+    "dup_span_removal", "bloom_contamination", "kmeans_assign",
+    "logreg_weights",
+]
+_ROTATE_OUT_2 = [
+    "pii_redact", "range_join", "rolling_window", "approx_distinct",
+]
+for _name in _ROTATE_IN_2:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_2:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
