@@ -4,9 +4,10 @@ Where ``run_pipeline`` turns a geotemporal datacube into serving
 artifacts, ``run_corpus_pipeline`` turns a raw document corpus into a
 training-ready dataset: (optional) domain blocklist + line-level
 boilerplate removal + duplicated-span removal → quality/language gating
-→ exact dedup → MinHash near-dedup → (optional) Bloom benchmark
-decontamination + temperature mixing → deterministic splits →
-partitioned parquet + a manifest of what was dropped at every gate.  Every stage is one of the library
++ (optional) learned logistic gate → exact dedup → MinHash near-dedup →
+(optional) Bloom benchmark decontamination + temperature mixing →
+deterministic splits → partitioned parquet + a manifest of what was
+dropped at every gate.  Every stage is one of the library
 operators (operators/text.py, operators/dedup.py), so the plan is pure
 DataFrame/Catalyst work: the gates are a single projection+filter pass,
 each dedup tier is the documented one-shuffle/banded shape, and the
@@ -95,6 +96,13 @@ class CorpusParams:
     #: drop docs whose benchmark shingle hit ratio exceeds this
     decontam_threshold: float = 0.05
     decontam_ngram: int = 8
+    #: learned quality gate (None = off): logistic weights over the
+    #: feature vector [avg_token_len, punct_ratio, digit_ratio,
+    #: upper_ratio, stopword_ratio] plus trailing bias (length 6) —
+    #: train them with ``similarity.logreg_fit`` on a labeled sample;
+    #: docs scoring below ``model_gate_threshold`` drop
+    model_gate_weights: tuple[float, ...] | None = None
+    model_gate_threshold: float = 0.5
 
 
 def _near_dup_drops(
@@ -187,6 +195,28 @@ def run_corpus_pipeline(
     )
     if params.langs:
         keep = keep & F.col("lang_pred").isin(*params.langs)
+    if params.model_gate_weights is not None:
+        # learned gate composes with the heuristics in the SAME scan:
+        # the feature columns already sit on `scored` (projected away
+        # only below), so this adds one in-row sigmoid, no extra pass
+        from slow_tortoise_spark.operators.similarity import logreg_score
+
+        feats = F.array(
+            F.coalesce(F.col("avg_token_len"), F.lit(0.0)),
+            F.col("punct_ratio"),
+            F.col("digit_ratio"),
+            F.col("upper_ratio"),
+            F.col("stopword_ratio"),
+        )
+        scored = logreg_score(
+            scored.withColumn("_feat", feats),
+            list(params.model_gate_weights),
+            vec_col="_feat",
+            out_col="model_score",
+        ).drop("_feat")
+        keep = keep & (
+            F.col("model_score") >= params.model_gate_threshold
+        )
     gated = scored.filter(keep).select(
         *docs.columns, "n_tokens", "quality_score", "rep_ratio", "lang_pred"
     )

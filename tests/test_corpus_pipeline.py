@@ -224,3 +224,43 @@ def test_corpus_pipeline_span_dedup_and_decontamination_stages(
     assert 4 not in texts
     assert texts[1] == "unique opening alpha beta"
     assert texts[2] == "unique closing gamma delta"
+
+
+def test_corpus_pipeline_model_gate(spark, tmp_path):
+    """The learned quality gate: logistic weights that punish
+    punctuation density drop the symbol-soup doc while the heuristic
+    gates alone would keep it."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary sentence with the usual words in it",
+             "s1"),
+            (2, "another clean document the and of with plain prose here",
+             "s1"),
+            (3, "!!! ??? *** $$$ %%% @@@ symbols !!! ??? *** everywhere !!!",
+             "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    base = CorpusParams(
+        out_dir=str(tmp_path / "c1"), dedup="none",
+        min_tokens=3, max_rep_ratio=1.0,
+    )
+    m0 = run_corpus_pipeline(spark, docs, base)
+    assert m0["after_gates"] == 3  # heuristics alone keep the soup
+
+    gated = CorpusParams(
+        out_dir=str(tmp_path / "c2"), dedup="none",
+        min_tokens=3, max_rep_ratio=1.0,
+        # sigmoid(4 - 40*punct_ratio): clean prose ~sigmoid(4)≈0.98,
+        # symbol soup (punct_ratio>0.2) ≈ sigmoid(-4)≈0.02
+        model_gate_weights=(0.0, -40.0, 0.0, 0.0, 0.0, 4.0),
+    )
+    m1 = run_corpus_pipeline(spark, docs, gated)
+    assert m1["after_gates"] == 2
+    out = spark.read.parquet(str(tmp_path / "c2" / "corpus"))
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
