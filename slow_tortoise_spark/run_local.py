@@ -253,6 +253,51 @@ def main() -> int:
         results = run_pipeline(spark, params)
         print({k: v for k, v in results.items() if k != "output_agg_values"})
         return 0
+    if idx == 13:
+        # curation v2: EVERY optional stage at once — blocklist, line
+        # dedup, span dedup, learned logistic gate, MinHash near-dedup,
+        # Bloom decontamination against a held-out benchmark slice, and
+        # temperature mixing — the full training-data flagship run.
+        from pyspark.sql import functions as F
+
+        from slow_tortoise_spark.corpus_pipeline import (
+            CorpusParams,
+            run_corpus_pipeline,
+        )
+        from slow_tortoise_spark.sources.reader import read_table
+
+        docs = read_table(spark, f"{TESTDATA}/documents.parquet").select(
+            "doc_id", "text", "source"
+        )
+        bench = docs.filter("doc_id % 25 = 0").select("doc_id", "text")
+        corpus = docs.filter("doc_id % 25 != 0")
+        staged = corpus.select(
+            "doc_id",
+            F.concat(
+                F.lit("Subscribe to our newsletter!\n"),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.lit("\nvisit http://spam.example.net/deals"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+            "source",
+        )
+        manifest = run_corpus_pipeline(
+            spark,
+            staged,
+            CorpusParams(
+                out_dir=f"{dest_root}/corpus-curated-v2",
+                blocklist_domains=("spam.example.net",),
+                line_dedup_min_docs=2,
+                span_dedup_ngram=10,
+                model_gate_weights=(0.0, -40.0, 0.0, 0.0, 0.0, 4.0),
+                decontaminate_against=bench,
+                mix_budget=300.0,
+            ),
+        )
+        print(manifest)
+        return 0
     if idx == 10:
         # corpus pipeline with the round-4 curation stages: every 10th
         # doc cites a blocklisted domain (dropped whole), every doc
