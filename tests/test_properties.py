@@ -435,3 +435,48 @@ def test_winnow_matches_python_reference(spark_session, texts):
         for r in winnow_fingerprints(df, k=k, w=w).collect()
     }
     assert got == expect
+
+
+@given(texts=_texts)
+@settings(max_examples=5, deadline=None)
+def test_bloom_contamination_never_false_negative_property(
+    spark_session, texts
+):
+    """On arbitrary corpora (split even/odd), every exact contamination
+    hit is also a Bloom hit — the no-false-negative guarantee holds for
+    ANY input, not just the curated fixtures."""
+    from slow_tortoise_spark.operators.dedup import (
+        bloom_contamination,
+        cross_corpus_contamination,
+    )
+
+    df = spark_session.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    train = df.filter("doc_id % 2 = 0")
+    test = df.filter("doc_id % 2 = 1")
+    bloom = {r["doc_id"]: r["n_bloom_hits"]
+             for r in bloom_contamination(train, test, n=2).collect()}
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in cross_corpus_contamination(
+                 train, test, n=2, min_common=0).collect()}
+    for d, hits in exact.items():
+        assert bloom.get(d, 0) >= hits
+
+
+@given(ids=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                    min_size=1, max_size=60, unique=True))
+@settings(max_examples=6, deadline=None)
+def test_shuffle_rows_total_order_property(spark_session, ids):
+    """(bucket, bucket_rank) is a collision-free total order for any id
+    set (negative, sparse, huge) and is permutation-stable."""
+    from slow_tortoise_spark.operators.dedup import shuffle_rows
+
+    df = spark_session.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = shuffle_rows(df).collect()
+    keys = {(r["bucket"], r["bucket_rank"]) for r in rows}
+    assert len(keys) == len(ids)
+    assert all(0 <= r["bucket"] < 256 and r["bucket_rank"] >= 1
+               for r in rows)
+    again = shuffle_rows(df).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
