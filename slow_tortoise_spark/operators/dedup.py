@@ -1565,21 +1565,23 @@ def remove_duplicate_spans(
     no windows and pass through unchanged (lowercased).
 
     Shape: windows are built IN-ROW (transform over a sequence — no
-    (doc, pos) shuffle to enumerate them); occurrence counts come from
-    one count() over ``Window.partitionBy(w)`` — a single shuffle of the
-    window frame with no self-join and no recompute; duplicated starts
-    collapse per doc (collect_set, second shuffle — bounded by the doc's
-    window count); the rebuild is an in-row two-parameter ``F.filter``
-    whose index probes the start set (O(tokens x dup-starts) per row,
-    all JVM-side).  Skew note: a pathologically hot n-gram makes one
-    ``w`` partition large; only the *count* is needed there, so a salted
-    two-level count can be swapped in if a corpus ever ships a
-    billion-fold repeated span — with n=10 words that head is tiny.
+    (doc, pos) shuffle to enumerate them); occurrence counts are a
+    partially-aggregated ``groupBy(w)`` — map-side combine collapses a
+    pathologically hot n-gram (a corpus-wide license header) inside
+    every map task, so no single reducer ever materializes a hot key's
+    row set (a ``Window.partitionBy(w)`` count was measured equal-speed
+    at sf0.1 but puts a hot key's ENTIRE partition in one task, and AQE
+    cannot split windows the way it skew-splits joins).  The duplicated
+    head (Zipf-small) joins back against a re-enumerated window frame —
+    re-running the map-only explode is deliberate: caching rows x
+    windows at 100 TB costs more than recomputing a generate stage.
+    Duplicated starts collapse per doc (collect_set, bounded by the
+    doc's window count); the rebuild is an in-row two-parameter
+    ``F.filter`` whose index probes the start set (O(tokens x
+    dup-starts) per row, all JVM-side).
 
     Returns (doc_id, n_tokens, n_removed, clean_text).
     """
-    from pyspark.sql.window import Window
-
     toks = tokens_col(F.lower(F.col(text_col)))
     base = _fan_out(df.select("doc_id", text_col)).select(
         "doc_id", toks.alias("t")
@@ -1600,9 +1602,11 @@ def remove_duplicate_spans(
             )
         ).alias("pw"),
     ).select("doc_id", F.col("pw.pos").alias("pos"), F.col("pw.w").alias("w"))
+    dup = win.groupBy("w").agg(F.count("*").alias("c")).where(
+        F.col("c") > 1
+    ).select("w")
     dup_starts = (
-        win.withColumn("c", F.count("*").over(Window.partitionBy("w")))
-        .where(F.col("c") > 1)
+        win.join(dup, "w")
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("ss"))
     )

@@ -273,20 +273,21 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP DATABASE IF EXISTS bkt")
 
 
-def test_dup_span_removal_jvm_side_single_window_count(spark, sf_dir):
-    """Span removal must stay JVM-side (no Python eval in the plan) and
-    count window occurrences with ONE pass over the exploded window
-    frame — a window-function count, not a groupBy + self-join that
-    would compute the explode twice."""
+def test_dup_span_removal_jvm_side_skew_safe_count(spark, sf_dir):
+    """Span removal must stay JVM-side (no Python eval) and count window
+    occurrences with a PARTIALLY-AGGREGATED groupBy — never a
+    Window.partitionBy(w), whose hot key would pin an entire partition
+    to one task that AQE cannot split."""
     from slow_tortoise_spark.operators.dedup import remove_duplicate_spans
     from slow_tortoise_spark.sources.reader import read_table
 
     docs = read_table(spark, f"{sf_dir}/documents.parquet")
     plan = _plan(remove_duplicate_spans(docs, n=10))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # one generate (the in-row window transform), not one per consumer
-    assert plan.count("Generate explode") == 1
-    assert "Window" in plan  # the occurrence count
+    assert "Window" not in plan  # the skew-unsafe shape is banned
+    # partial aggregate below the count exchange (map-side combine)
+    below = plan.split("Exchange hashpartitioning(w", 1)[1]
+    assert "HashAggregate" in below and "partial_count" in below
 
 
 def test_winnow_fingerprints_is_map_only(spark, sf_dir):
