@@ -102,16 +102,21 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep one representative (min doc_id) per identical-text group."""
-    fp = fingerprint(df, text_col)
-    from pyspark.sql import Window
+    """Keep one representative (min doc_id) per identical-text group.
 
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "fingerprint")
+    Skew shape: the representative is found by a PARTIALLY-AGGREGATED
+    ``groupBy(fingerprint).min(doc_id)`` — a document duplicated 10^8
+    times corpus-wide collapses inside every map task — and the keeper
+    set joins back on the COMPOSITE (fingerprint, doc_id) key, which is
+    unique per row and therefore unskewable.  The previous
+    ``row_number() over partitionBy(fingerprint)`` shape pinned a hot
+    group's entire row set to one task that AQE cannot split.
+    """
+    fp = fingerprint(df, text_col)
+    keepers = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
     )
+    return fp.join(keepers, ["fingerprint", "doc_id"]).drop("fingerprint")
 
 
 # ---------------------------------------------------------------------------

@@ -373,3 +373,18 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"exchange budget exceeded: {over}"
+
+
+def test_exact_dedup_is_skew_safe(spark, sf_dir):
+    """drop_exact_duplicates must find representatives via a partial
+    groupBy + composite-key join-back — never a row_number window over
+    the fingerprint, whose hot group would pin one task."""
+    from slow_tortoise_spark.operators.dedup import drop_exact_duplicates
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(drop_exact_duplicates(docs))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the keeper agg
