@@ -223,14 +223,52 @@ def apply_resize(df_planned: DataFrame) -> DataFrame:
     ).mapInPandas(run, schema=schema)
 
 
+def _decode_wav_window(content: bytes, off_ms: int, window_ms: int):
+    """REAL audio decode for RIFF/WAVE 16-bit PCM — stdlib ``wave`` +
+    numpy, no external codec needed: RMS energy plus 8 rFFT band
+    magnitudes for the [off, off+window) slice.  Returns None when the
+    container/precision is unsupported (caller falls back to the stub;
+    compressed formats still need a codec library this container lacks).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch, sw = w.getnchannels(), w.getsampwidth()
+        fr, nf = w.getframerate(), w.getnframes()
+        if sw != 2 or nch < 1 or fr <= 0:
+            return None
+        start = min(int(off_ms * fr / 1000), nf)
+        count = min(int(window_ms * fr / 1000), max(nf - start, 0))
+        if count <= 0:
+            return {"energy": 0.0, "features": [0.0] * 8}
+        w.setpos(start)
+        raw = w.readframes(count)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    energy = float(np.sqrt(np.mean(x * x)))
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, 8)
+    feats = [
+        float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in bands
+    ]
+    return {"energy": energy, "features": feats}
+
+
 def extract_audio_features(df: DataFrame, window_ms: int = 1000) -> DataFrame:
-    """Windowed audio features: offsets JVM-side, decode stubbed.
+    """Windowed audio features: offsets JVM-side; WAV/PCM content is
+    decoded FOR REAL (stdlib ``wave`` + numpy rFFT — no external codec),
+    other containers fall back to the deterministic stub.
 
     Window offsets explode from native ``sequence`` column math (exactly
     like video frame sampling); only the per-window feature extraction
-    runs in Python over Arrow batches. The stub derives deterministic
-    pseudo-features from (bytes, offset) so the full shape — explode →
-    batched UDF → fixed-size float arrays — is testable end-to-end."""
+    runs in Python over Arrow batches.  The RIFF/WAVE probe runs per
+    blob inside the UDF, mirroring the image path's import gate: real
+    features when the bytes are decodable, sha pseudo-features (the
+    engine-invariant identity) otherwise, same schema either way."""
     windows = df.withColumn(
         "window_ms",
         F.explode(
@@ -244,6 +282,7 @@ def extract_audio_features(df: DataFrame, window_ms: int = 1000) -> DataFrame:
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
+        import wave
 
         import pandas as pd
 
@@ -254,8 +293,19 @@ def extract_audio_features(df: DataFrame, window_ms: int = 1000) -> DataFrame:
                     energies.append(None)
                     feats.append(None)
                     continue
-                # STUB: real code decodes PCM for [off, off+window) and
-                # computes RMS/mel features.
+                decoded = None
+                if c[:4] == b"RIFF" and c[8:12] == b"WAVE":
+                    try:
+                        decoded = _decode_wav_window(c, off, window_ms)
+                    except (wave.Error, EOFError, ValueError):
+                        decoded = None
+                if decoded is not None:
+                    energies.append(decoded["energy"])
+                    feats.append(decoded["features"])
+                    continue
+                # STUB fallback: non-WAV containers need a codec library
+                # this environment lacks; deterministic pseudo-features
+                # keep the full shape testable end-to-end.
                 digest = hashlib.sha256(c + b"%d" % off).digest()
                 energies.append(digest[0] / 255.0)
                 feats.append([b / 255.0 for b in digest[:8]])

@@ -1693,3 +1693,56 @@ def test_logreg_learns_separable_classifier(spark):
     true_w = np.array([1.0, 2.0, 0.0, 0.0])
     got = np.array(w[:4])
     assert got @ true_w / (np.linalg.norm(got) * np.linalg.norm(true_w)) > 0.9
+
+
+def test_audio_features_real_wav_decode(spark):
+    """RIFF/WAVE 16-bit PCM decodes FOR REAL (stdlib wave + numpy): a
+    pure sine's window RMS must be amplitude/sqrt(2), silence must be 0,
+    and a non-WAV blob falls back to the deterministic stub."""
+    import io
+    import math
+    import struct
+    import wave as wavemod
+
+    from slow_tortoise_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    def make_wav(samples, framerate=8000):
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(framerate)
+            w.writeframes(
+                b"".join(struct.pack("<h", int(s * 32767)) for s in samples)
+            )
+        return buf.getvalue()
+
+    fr = 8000
+    amp = 0.5
+    sine = [amp * math.sin(2 * math.pi * 440 * t / fr)
+            for t in range(fr * 2)]  # 2 s
+    silence = [0.0] * fr  # 1 s
+    rows = [
+        (1, make_wav(sine, fr), 2000),
+        (2, make_wav(silence, fr), 1000),
+        (3, b"not a wav at all", 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, duration_ms long"
+    )
+    out = extract_audio_features(df, window_ms=1000).collect()
+    by_key = {(r["media_id"], r["window_ms"]): r for r in out}
+    # sine RMS = amp / sqrt(2) in BOTH windows
+    for win in (0, 1000):
+        e = by_key[(1, win)]["energy"]
+        assert abs(e - amp / math.sqrt(2)) < 1e-3, e
+        assert len(by_key[(1, win)]["features"]) == 8
+        # 440 Hz lands in the lowest of 8 bands of a 0-4 kHz spectrum
+        f = by_key[(1, win)]["features"]
+        assert f[0] == max(f)
+    assert by_key[(2, 0)]["energy"] == 0.0
+    # non-WAV: deterministic stub (sha-derived, in [0, 1])
+    stub = by_key[(3, 0)]
+    assert stub["energy"] is not None and 0.0 <= stub["energy"] <= 1.0
