@@ -88,6 +88,12 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Returns (fingerprint, doc_ids sorted, dup_count) for groups of ≥ 2.
     Representative selection for drop-dedup = min(doc_id) per group.
+
+    Scale note: this DIAGNOSTIC op materializes each group's full id
+    list in one aggregation buffer — a 10^8-duplicated doc means a
+    10^8-element array on one reducer.  The production drop path
+    (``drop_exact_duplicates``) never builds the lists and is fully
+    skew-safe; reach for it first at corpus scale.
     """
     fp = fingerprint(df, text_col)
     return (
