@@ -340,3 +340,80 @@ def sample_video_frames(
         ),
     )
     return frames.select("media_id", "frame_ms", "content")
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.DoubleType(), True),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def _parse_avi(content: bytes):
+    """REAL RIFF/AVI container demux — stdlib ``struct`` only: walk the
+    chunk tree, read ``avih``'s microseconds-per-frame, and collect the
+    byte ranges of every video frame chunk (``##dc`` compressed /
+    ``##db`` uncompressed).  This is container-level parsing, not codec
+    work: the FRAME BYTES come out for real; decoding them to pixels
+    still needs a codec (MJPEG frames feed straight into the PIL-gated
+    image path when present).  Returns None for non-AVI bytes."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    state = {"uspf": 0, "frames": []}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = content[pos:pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+            data_start = pos + 8
+            data_end = min(data_start + size, end)
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_end)
+            elif fourcc == b"avih" and size >= 4:
+                (state["uspf"],) = struct.unpack(
+                    "<I", content[data_start:data_start + 4]
+                )
+            elif fourcc[2:4] in (b"dc", b"db"):
+                state["frames"].append((data_start, data_end - data_start))
+            pos = data_end + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(content))
+    return state
+
+
+def demux_avi_frames(df: DataFrame) -> DataFrame:
+    """One row per REAL video frame extracted from AVI binary content
+    (media_id, frame_idx, frame_ms, frame_bytes) — Arrow-batched
+    container demux with no codec dependency; non-AVI blobs contribute
+    no rows (use ``sample_video_frames`` for the metadata time-grid
+    path).  Composes with ``extract_image_features``: MJPEG frame bytes
+    are JPEG images, so the PIL-gated decode applies downstream."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [],
+                   "frame_bytes": []}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                parsed = _parse_avi(bytes(c))
+                if parsed is None:
+                    continue
+                for i, (off, size) in enumerate(parsed["frames"]):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * parsed["uspf"] / 1000.0)
+                    out["frame_bytes"].append(bytes(c[off:off + size]))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(
+        run, schema=VIDEO_FRAMES_SCHEMA
+    )

@@ -1746,3 +1746,44 @@ def test_audio_features_real_wav_decode(spark):
     # non-WAV: deterministic stub (sha-derived, in [0, 1])
     stub = by_key[(3, 0)]
     assert stub["energy"] is not None and 0.0 <= stub["energy"] <= 1.0
+
+
+def test_avi_demux_extracts_real_frames(spark):
+    """A hand-built RIFF/AVI round-trips: the demuxer recovers every
+    frame's exact bytes and timestamps from avih's rate, skips non-AVI
+    blobs, and the frame bytes feed the image-feature path downstream."""
+    import struct
+
+    from slow_tortoise_spark.operators.multimodal import (
+        demux_avi_frames,
+        extract_image_features,
+    )
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", list_type + payload)
+
+    frames = [b"frame-zero-bytes!", b"frame-one-bytes", b"frame-two-xx"]
+    avih = chunk(b"avih", struct.pack("<I", 40000) + b"\x00" * 52)  # 25 fps
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + lst(b"hdrl", avih) + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"definitely not avi")],
+        "media_id long, content binary",
+    )
+    rows = demux_avi_frames(df).orderBy("frame_idx").collect()
+    assert [bytes(r["frame_bytes"]) for r in rows] == frames
+    assert [r["frame_ms"] for r in rows] == [0.0, 40.0, 80.0]
+    assert {r["media_id"] for r in rows} == {1}  # non-AVI: no rows
+
+    feats = extract_image_features(
+        demux_avi_frames(df).select(
+            F.col("media_id"), F.col("frame_bytes").alias("content")
+        )
+    ).collect()
+    assert len(feats) == 3 and all(r["sha"] for r in feats)
