@@ -95,6 +95,92 @@ def _decode_image_real(image_mod, content: bytes) -> dict:
     }
 
 
+def _decode_png_stdlib(content: bytes) -> dict:
+    """REAL PNG decode with only the stdlib — zlib inflate + full
+    filter-type unfiltering (None/Sub/Up/Average/Paeth) for 8-bit
+    grayscale/RGB/RGBA non-interlaced images — emitting the SAME
+    16-bin luma histogram as the PIL path (ITU-R 601-2 integer luma,
+    PIL's convert("L") formula), so features are backend-invariant.
+    Raises ValueError on anything it can't decode (caller falls back).
+    Correctness-first pure-Python rows; a cluster with PIL installed
+    takes the C path automatically."""
+    import hashlib
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    pos, width = 8, None
+    idat = []
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos:pos + 4])
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise ValueError("unsupported png variant")
+            bpp = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("truncated png")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise ValueError("short idat")
+    prev = bytearray(stride)
+    hist = [0] * 16
+    off = 0
+    for _ in range(height):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter {ftype}")
+        for i in range(0, stride, bpp):
+            if bpp == 1:
+                luma = line[i]
+            else:
+                luma = (
+                    line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114
+                ) // 1000
+            hist[luma >> 4] += 1
+        prev = line
+    total = float(sum(hist)) or 1.0
+    digest = hashlib.sha256(content).digest()
+    return {
+        "sha": digest.hex()[:16],
+        "features": [h / total for h in hist],
+    }
+
+
 def extract_image_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary image content.
 
@@ -114,6 +200,13 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 except Exception:
                     # undecodable blob (synthetic fixtures, corrupt file):
                     # fall through to the content-hash pseudo-features
+                    pass
+            if c is not None and c[:8] == b"\x89PNG\r\n\x1a\n":
+                try:
+                    # no PIL in this environment: PNGs still decode for
+                    # real via the stdlib zlib tier (same luma histogram)
+                    return _decode_png_stdlib(c)
+                except Exception:
                     pass
             return _decode_image_stub(c)
 

@@ -1787,3 +1787,66 @@ def test_avi_demux_extracts_real_frames(spark):
         )
     ).collect()
     assert len(feats) == 3 and all(r["sha"] for r in feats)
+
+
+def test_png_decodes_for_real_without_pil(spark):
+    """PNG image features are REAL in this environment: a hand-encoded
+    RGB PNG exercising every filter type (None/Sub/Up/Average/Paeth)
+    decodes to the exact ITU-R 601-2 luma histogram — identical whether
+    the PIL tier or the stdlib zlib tier does the work."""
+    import struct
+    import zlib
+
+    from slow_tortoise_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    w, h, bpp = 6, 10, 3
+    rng = __import__("numpy").random.default_rng(5)
+    px = rng.integers(0, 256, size=(h, w * bpp), dtype="uint8")
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for y in range(h):
+        line = bytes(int(v) for v in px[y])
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(w * bpp):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(left, up, ul)}[ftype]
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+
+    expect = [0] * 16
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(px[y][x * 3]), int(px[y][x * 3 + 1]),
+                       int(px[y][x * 3 + 2]))
+            expect[((r * 299 + g * 587 + b * 114) // 1000) >> 4] += 1
+    total = float(w * h)
+
+    df = spark.createDataFrame([(1, png)], "media_id long, content binary")
+    row = extract_image_features(df).collect()[0]
+    import numpy as np
+
+    np.testing.assert_allclose(
+        row["features"], [e / total for e in expect], atol=1e-6
+    )  # features column is float32
