@@ -105,6 +105,29 @@ def _decode_png_stdlib(content: bytes) -> dict:
     Correctness-first pure-Python rows; a cluster with PIL installed
     takes the C path automatically."""
     import hashlib
+
+    width, height, bpp, rows = _png_pixels(content)
+    hist = [0] * 16
+    for line in rows:
+        for i in range(0, width * bpp, bpp):
+            if bpp == 1:
+                luma = line[i]
+            else:
+                luma = (
+                    line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114
+                ) // 1000
+            hist[luma >> 4] += 1
+    total = float(sum(hist)) or 1.0
+    digest = hashlib.sha256(content).digest()
+    return {
+        "sha": digest.hex()[:16],
+        "features": [h / total for h in hist],
+    }
+
+
+def _png_pixels(content: bytes):
+    """Parse a PNG to raw unfiltered pixel rows: (width, height, bpp,
+    rows) with ``rows[y]`` a bytearray of ``width*bpp`` samples."""
     import struct
     import zlib
 
@@ -135,7 +158,7 @@ def _decode_png_stdlib(content: bytes) -> dict:
     if len(raw) < height * (stride + 1):
         raise ValueError("short idat")
     prev = bytearray(stride)
-    hist = [0] * 16
+    rows = []
     off = 0
     for _ in range(height):
         ftype = raw[off]
@@ -164,21 +187,48 @@ def _decode_png_stdlib(content: bytes) -> dict:
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad filter {ftype}")
-        for i in range(0, stride, bpp):
-            if bpp == 1:
-                luma = line[i]
-            else:
-                luma = (
-                    line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114
-                ) // 1000
-            hist[luma >> 4] += 1
+        rows.append(line)
         prev = line
-    total = float(sum(hist)) or 1.0
-    digest = hashlib.sha256(content).digest()
-    return {
-        "sha": digest.hex()[:16],
-        "features": [h / total for h in hist],
-    }
+    return width, height, bpp, rows
+
+
+def _encode_png_stdlib(width: int, height: int, bpp: int, rows) -> bytes:
+    """Minimal PNG encoder (filter 0 everywhere, one zlib IDAT) — the
+    inverse of ``_png_pixels`` for the stdlib resize tier."""
+    import struct
+    import zlib
+
+    color = {1: 0, 3: 2, 4: 6}[bpp]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR",
+                struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _resize_png_stdlib(content: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor PNG resize with only the stdlib: decode, sample
+    source pixels on the target grid, re-encode.  Deterministic."""
+    w, h, bpp, rows = _png_pixels(content)
+    out_rows = []
+    for y in range(th):
+        sy = min(y * h // th, h - 1)
+        src_row = rows[sy]
+        line = bytearray(tw * bpp)
+        for x in range(tw):
+            sx = min(x * w // tw, w - 1)
+            line[x * bpp:(x + 1) * bpp] = src_row[sx * bpp:(sx + 1) * bpp]
+        out_rows.append(line)
+    return _encode_png_stdlib(tw, th, bpp, out_rows)
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
@@ -283,6 +333,12 @@ def apply_resize(df_planned: DataFrame) -> DataFrame:
                     return out.getvalue()
                 except Exception:
                     pass  # undecodable → deterministic stub bytes
+            if c[:8] == b"\x89PNG\r\n\x1a\n":
+                try:
+                    # no PIL: PNGs still resize for real (stdlib tier)
+                    return _resize_png_stdlib(c, int(tw), int(th))
+                except Exception:
+                    pass
             tag = hashlib.sha256(c).digest()[:4]
             return bytes(tag) + b"%dx%d" % (tw, th)
 

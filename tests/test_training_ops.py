@@ -1850,3 +1850,57 @@ def test_png_decodes_for_real_without_pil(spark):
     np.testing.assert_allclose(
         row["features"], [e / total for e in expect], atol=1e-6
     )  # features column is float32
+
+
+def test_png_resize_real_without_pil(spark):
+    """apply_resize really resizes PNG content in this environment: the
+    output decodes to the planned target dims and every pixel equals
+    the nearest-neighbor sample of the source.  (Skipped when PIL is
+    installed — its tier takes precedence and resamples bicubically.)"""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: its resize tier takes precedence")
+    except ImportError:
+        pass
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import (
+        _png_pixels,
+        apply_resize,
+        plan_resize,
+    )
+
+    w, h, bpp = 8, 8, 3
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(h, w * bpp), dtype="uint8")
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    raw = b"".join(b"\x00" + bytes(int(v) for v in px[y]) for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+
+    df = spark.createDataFrame(
+        [(1, png, w, h)], "media_id long, content binary, width int, height int"
+    )
+    out = apply_resize(plan_resize(df, max_dim=4)).collect()[0]
+    assert (out["width"], out["height"]) == (4, 4)
+    tw2, th2, bpp2, rows = _png_pixels(bytes(out["content"]))
+    assert (tw2, th2, bpp2) == (4, 4, 3)
+    for y in range(4):
+        sy = min(y * h // 4, h - 1)
+        for x in range(4):
+            sx = min(x * w // 4, w - 1)
+            assert (bytes(rows[y][x * 3:x * 3 + 3])
+                    == bytes(int(v) for v in px[sy][sx * 3:sx * 3 + 3]))
