@@ -1904,3 +1904,53 @@ def test_png_resize_real_without_pil(spark):
             sx = min(x * w // 4, w - 1)
             assert (bytes(rows[y][x * 3:x * 3 + 3])
                     == bytes(int(v) for v in px[sy][sx * 3:sx * 3 + 3]))
+
+
+def test_media_dedup_end_to_end_with_real_decode(spark):
+    """The media dedup story composes with REAL decode in this env:
+    PNGs -> luma-histogram features (stdlib tier) -> brute-force cosine
+    finds the recolored near-duplicate of the query image while ranking
+    unrelated noise images lower."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import (
+        extract_image_features,
+    )
+    from slow_tortoise_spark.operators.similarity import brute_force_topk
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    def png_of(px):
+        h, wb = px.shape
+        raw = b"".join(b"\x00" + bytes(int(v) for v in px[y])
+                       for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", wb // 3, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(8, 24), dtype="uint8")
+    near = base.copy()
+    near[0, :3] = (base[0, :3].astype(int) + 8) % 256  # one pixel nudged
+    rows = [(0, png_of(base)), (1, png_of(near))] + [
+        (i, png_of(rng.integers(0, 256, size=(8, 24), dtype="uint8")))
+        for i in range(2, 10)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = extract_image_features(df).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    query = [float(x)
+             for x in feats.filter("vec_id = 0").first()["embedding"]]
+    top = brute_force_topk(feats, query, k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]  # self, then the near-dup
+    assert top[1]["cosine"] > 0.99
