@@ -2,12 +2,23 @@
 
 Media travel as opaque ``binary`` columns plus typed metadata — the
 schema, partitioning, and Arrow-batched UDF shape are the real,
-production-grade part. Image decode/resize are IMPORT-GATED: when PIL is
-installed on the executors the real codec runs (histogram features, true
-resample); otherwise — and for undecodable blobs — a deterministic
-content-hash stub keeps the full pipeline testable. Audio/video decode
-remain stubbed (``_decode_*`` internals marked below; swap in ffmpeg
-calls without touching any Spark plumbing).
+production-grade part.  Decode is TIERED per blob, probed inside the
+Arrow UDFs:
+
+* **images** — PIL when importable (any format), else REAL stdlib
+  decoders for PNG (zlib inflate + full unfiltering) and 24-bit BMP;
+  resize likewise (PIL resample, else nearest-neighbor + PNG
+  re-encode).  All tiers emit the same 16-bin ITU-R 601-2 luma
+  histogram, so features are backend-invariant.
+* **audio** — RIFF/WAVE 16-bit PCM decodes for REAL (stdlib ``wave`` +
+  numpy rFFT); compressed codecs fall back to the stub.
+* **video** — RIFF/AVI containers DEMUX for real (exact frame bytes +
+  timestamps via stdlib ``struct``); pixel decode of compressed frames
+  stays codec-gated (MJPEG frames feed the image tiers directly).
+
+Undecodable blobs always fall back to a deterministic content-hash stub
+so the full pipeline (schema, batching, downstream ANN) is testable in
+any environment.
 
 Batch-shape rules encoded here (the part that matters at 100 TB):
 * ``mapInPandas`` streams Arrow record batches — media bytes never
@@ -59,6 +70,58 @@ def _imaging():
         return Image
     except ImportError:
         return None
+
+
+def _bmp_pixels(content: bytes):
+    """Parse an uncompressed 24-bit BITMAPINFOHEADER BMP to raw rows
+    (stdlib struct only): returns (width, height, bpp=3, rows top-down,
+    RGB order) — BMP stores bottom-up BGR with 4-byte row padding."""
+    import struct
+
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a bmp")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    (hdr_size, width, height) = struct.unpack("<Iii", content[14:26])
+    (planes, depth) = struct.unpack("<HH", content[26:30])
+    (compression,) = struct.unpack("<I", content[30:34])
+    if hdr_size < 40 or depth != 24 or compression != 0 or width <= 0:
+        raise ValueError("unsupported bmp variant")
+    flip = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    if len(content) < data_off + stride * height:
+        raise ValueError("truncated bmp")
+    rows = []
+    for y in range(height):
+        src_y = (height - 1 - y) if flip else y
+        off = data_off + src_y * stride
+        line = bytearray(width * 3)
+        for x in range(width):
+            b, g, r = content[off + x * 3:off + x * 3 + 3]
+            line[x * 3:x * 3 + 3] = bytes((r, g, b))
+        rows.append(line)
+    return width, height, 3, rows
+
+
+def _decode_bmp_stdlib(content: bytes) -> dict:
+    """REAL 24-bit BMP decode — same 16-bin luma histogram contract as
+    the PNG/PIL tiers."""
+    import hashlib
+
+    width, height, bpp, rows = _bmp_pixels(content)
+    hist = [0] * 16
+    for line in rows:
+        for i in range(0, width * bpp, bpp):
+            luma = (
+                line[i] * 299 + line[i + 1] * 587 + line[i + 2] * 114
+            ) // 1000
+            hist[luma >> 4] += 1
+    total = float(sum(hist)) or 1.0
+    digest = hashlib.sha256(content).digest()
+    return {
+        "sha": digest.hex()[:16],
+        "features": [h / total for h in hist],
+    }
 
 
 def _decode_image_stub(content: bytes) -> dict:
@@ -256,6 +319,11 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                     # no PIL in this environment: PNGs still decode for
                     # real via the stdlib zlib tier (same luma histogram)
                     return _decode_png_stdlib(c)
+                except Exception:
+                    pass
+            if c is not None and c[:2] == b"BM":
+                try:
+                    return _decode_bmp_stdlib(c)
                 except Exception:
                     pass
             return _decode_image_stub(c)

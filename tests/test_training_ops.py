@@ -1954,3 +1954,43 @@ def test_media_dedup_end_to_end_with_real_decode(spark):
     top = brute_force_topk(feats, query, k=2).collect()
     assert [r["vec_id"] for r in top] == [0, 1]  # self, then the near-dup
     assert top[1]["cosine"] > 0.99
+
+
+def test_bmp_decodes_for_real(spark):
+    """24-bit BMPs decode for real with stdlib struct: bottom-up BGR
+    rows with 4-byte padding come out as the exact luma histogram."""
+    import struct
+
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    w, h = 5, 4  # stride 15 -> padded to 16
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype="uint8")  # RGB rows
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        body += row
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    bmp = bytes(header + body)
+
+    expect = [0] * 16
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            expect[((r * 299 + g * 587 + b * 114) // 1000) >> 4] += 1
+    df = spark.createDataFrame([(1, bmp)], "media_id long, content binary")
+    row = extract_image_features(df).collect()[0]
+    np.testing.assert_allclose(
+        row["features"], [e / float(w * h) for e in expect], atol=1e-6
+    )
