@@ -1,0 +1,102 @@
+"""Media curation pipeline — the multimodal counterpart of
+``corpus_pipeline``: binary media columns → tiered real decode
+(operators/multimodal.py) → feature extraction → exact dedup (sha) →
+hyperplane-LSH near-dedup over the feature vectors → partitioned
+parquet + a manifest of what every gate dropped.
+
+Scale notes (the 100 TB shape):
+* decode/features run once, Arrow-batched, and are cached for the two
+  dedup tiers (the frame is id + sha + 16 floats — tiny next to the
+  blobs, which are NOT carried through the dedup joins);
+* exact dedup reuses the skew-safe composite-key shape from
+  ``drop_exact_duplicates`` (partial groupBy min + join on the unique
+  (sha, media_id) key);
+* near-dedup is the banded-LSH bucket join (never all-pairs), planes
+  generated deterministically from ``seed`` so reruns reproduce.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from slow_tortoise_spark.operators.multimodal import extract_image_features
+from slow_tortoise_spark.operators.similarity import lsh_near_duplicates
+
+
+@dataclass
+class MediaParams:
+    """Gates and knobs of the media pipeline."""
+
+    out_dir: str
+    #: "none" | "exact" | "lsh" (lsh implies exact first)
+    dedup: str = "lsh"
+    #: exact-cosine threshold for LSH candidate rescoring
+    near_dup_threshold: float = 0.98
+    lsh_planes: int = 8
+    lsh_bands: int = 4
+    seed: int = 42
+
+
+def run_media_pipeline(
+    spark: SparkSession, media: DataFrame, params: MediaParams
+) -> dict[str, Any]:
+    """Run the gates over ``media`` (media_id, content, ...); returns
+    the stage manifest and writes surviving (media_id, sha, features)
+    plus the kept blobs to ``out_dir``."""
+    import numpy as np
+
+    manifest: dict[str, Any] = {}
+    manifest["input_media"] = media.count()
+
+    feats = extract_image_features(media).cache()  # consumers: both tiers
+    kept = feats
+    if params.dedup in ("exact", "lsh"):
+        keepers = feats.groupBy("sha").agg(
+            F.min("media_id").alias("media_id")
+        )
+        kept = feats.join(keepers, ["sha", "media_id"])
+        manifest["after_exact_dedup"] = kept.count()
+    if params.dedup == "lsh":
+        first = kept.select("features").first()
+        dim = len(first["features"]) if first else 0
+        if dim:
+            rs = np.random.RandomState(params.seed)
+            planes = [
+                [float(x) for x in row]
+                for row in np.round(rs.randn(params.lsh_planes, dim), 6)
+            ]
+            emb = kept.select(
+                F.col("media_id").alias("vec_id"),
+                F.col("features").alias("embedding"),
+            )
+            pairs = lsh_near_duplicates(
+                emb,
+                planes,
+                bands=params.lsh_bands,
+                threshold=params.near_dup_threshold,
+            )
+            drops = pairs.select(
+                F.col("id_b").alias("media_id")
+            ).distinct()
+            kept = kept.join(drops, "media_id", "left_anti")
+        manifest["after_near_dedup"] = kept.count()
+
+    out = media.join(kept.select("media_id", "sha", "features"), "media_id")
+    out.write.mode("overwrite").parquet(f"{params.out_dir}/media")
+    manifest["output_media"] = (
+        spark.read.parquet(f"{params.out_dir}/media").count()
+    )
+
+    import json
+
+    from slow_tortoise_spark.sinks.writers import FileWriter
+
+    FileWriter(params.out_dir).write(
+        json.dumps(manifest, default=str), "manifest.json"
+    )
+    feats.unpersist()
+    return manifest

@@ -264,3 +264,57 @@ def test_corpus_pipeline_model_gate(spark, tmp_path):
     assert m1["after_gates"] == 2
     out = spark.read.parquet(str(tmp_path / "c2" / "corpus"))
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_media_pipeline_end_to_end(spark, tmp_path):
+    """Media curation e2e with REAL decode: a byte-identical copy falls
+    to exact sha dedup, a one-pixel-nudged recolor falls to the LSH
+    near-dup tier, distinct images all survive."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from slow_tortoise_spark.media_pipeline import (
+        MediaParams,
+        run_media_pipeline,
+    )
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    def png_of(px):
+        h, wb = px.shape
+        raw = b"".join(b"\x00" + bytes(int(v) for v in px[y])
+                       for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", wb // 3, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 256, size=(8, 24), dtype="uint8")
+    near = base.copy()
+    near[0, 0] = (int(base[0, 0]) + 6) % 256
+    rows = [
+        (0, png_of(base)),
+        (1, png_of(base)),          # exact duplicate (same bytes)
+        (2, png_of(near)),          # near duplicate
+        (3, png_of(rng.integers(0, 256, size=(8, 24), dtype="uint8"))),
+        (4, png_of(rng.integers(0, 256, size=(8, 24), dtype="uint8"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    manifest = run_media_pipeline(
+        spark, df,
+        MediaParams(out_dir=str(tmp_path / "media"),
+                    near_dup_threshold=0.98),
+    )
+    assert manifest["input_media"] == 5
+    assert manifest["after_exact_dedup"] == 4      # 1 drops (same sha)
+    assert manifest["after_near_dedup"] == 3       # 2 drops (cosine)
+    assert manifest["output_media"] == 3
+    out = spark.read.parquet(str(tmp_path / "media" / "media"))
+    assert {r["media_id"] for r in out.collect()} == {0, 3, 4}
