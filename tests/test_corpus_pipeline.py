@@ -7,6 +7,7 @@ import json
 import os
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from slow_tortoise_spark.corpus_pipeline import CorpusParams, run_corpus_pipeline
 from slow_tortoise_spark.sources.reader import read_table
@@ -318,3 +319,67 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     assert manifest["output_media"] == 3
     out = spark.read.parquet(str(tmp_path / "media" / "media"))
     assert {r["media_id"] for r in out.collect()} == {0, 3, 4}
+
+
+def test_media_files_to_pipeline(spark, tmp_path):
+    """binaryFile ingest end-to-end: PNG/WAV files on disk -> typed
+    MEDIA rows (kind/mime from extension, stable path-hash ids) -> the
+    media pipeline dedups them; the streaming reader sees the same
+    files incrementally via availableNow."""
+    import struct
+    import zlib
+
+    from slow_tortoise_spark.media_pipeline import (
+        MediaParams,
+        run_media_pipeline,
+    )
+    from slow_tortoise_spark.sources.media import (
+        read_media_dir,
+        stream_media_dir,
+    )
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    def tiny_png(seed):
+        raw = b"\x00" + bytes(((seed * 37 + i) % 256) for i in range(9))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.png").write_bytes(tiny_png(1))
+    (src / "b.png").write_bytes(tiny_png(2))
+    (src / "copy_of_a.png").write_bytes(tiny_png(1))  # exact dup bytes
+    (src / "noise.wav").write_bytes(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+    media = read_media_dir(spark, str(src))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert rows["a.png"]["kind"] == "image"
+    assert rows["a.png"]["mime"] == "image/png"
+    assert rows["noise.wav"]["kind"] == "audio"
+    assert len({r["media_id"] for r in rows.values()}) == 4  # stable ids
+
+    manifest = run_media_pipeline(
+        spark,
+        media.filter(F.col("kind") == "image"),
+        MediaParams(out_dir=str(tmp_path / "curated")),
+    )
+    assert manifest["input_media"] == 3
+    assert manifest["after_exact_dedup"] == 2  # the byte copy drops
+
+    # streaming: same projection, availableNow drains the directory
+    q = (
+        stream_media_dir(spark, str(src), glob="*.png")
+        .writeStream.format("memory")
+        .queryName("media_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT media_id, kind FROM media_stream_test").collect()
+    assert len(got) == 3 and all(r["kind"] == "image" for r in got)
