@@ -798,3 +798,143 @@ def winnow_fingerprints(
         F.col("n_grams").cast("long").alias("n_grams"),
         selected.alias("fingerprints"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-n-gram importance weights for data selection
+# ---------------------------------------------------------------------------
+
+
+def dsir_bucket_logratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-bucket importance log-ratios for DSIR data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): tokens hash into ``buckets`` buckets; the target and
+    raw corpora each induce a smoothed bucket distribution; bucket b's
+    weight is ``ln(p_target(b) / p_raw(b))`` with add-``alpha``
+    smoothing over the full bucket domain.
+
+    The ratio is emitted as an INTEGER micro-log (``round(lr * 1e6)``):
+    one ln() call per bucket, rounded once — document scores downstream
+    are then pure integer arithmetic, immune to float-sum ordering
+    across engines (the ln itself is the only cross-engine float, and
+    it is rounded to 1e-6 before any aggregation touches it).
+
+    Scale shape: two token-bucket aggregations (map-side combined to at
+    most ``buckets`` rows per task) + two scalar token counts read off
+    those same aggregates — corpus size only affects scan CPU; the
+    result is a ``buckets``-row frame, broadcastable by construction.
+
+    Returns (b int, lr_micro bigint), exactly ``buckets`` rows.
+    """
+    spark = raw_df.sparkSession
+
+    def bucket_counts(df: DataFrame):
+        toks = df.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+        )
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        )
+        return toks.select(b.alias("b")).groupBy("b").agg(
+            F.count("*").alias("c")
+        )
+
+    tcnt = bucket_counts(target_df).cache()
+    rcnt = bucket_counts(raw_df).cache()
+    T = tcnt.agg(F.sum("c")).first()[0] or 0
+    R = rcnt.agg(F.sum("c")).first()[0] or 0
+    dom = spark.range(buckets).select(F.col("id").alias("b"))
+    t_den = float(T + alpha * buckets)
+    r_den = float(R + alpha * buckets)
+    joined = (
+        dom.join(tcnt.withColumnRenamed("c", "t"), "b", "left")
+        .join(rcnt.withColumnRenamed("c", "r"), "b", "left")
+    )
+    lr = F.log(
+        ((F.coalesce(F.col("t"), F.lit(0)) + F.lit(alpha)) / F.lit(t_den))
+        / ((F.coalesce(F.col("r"), F.lit(0)) + F.lit(alpha)) / F.lit(r_den))
+    )
+    out = joined.select(
+        "b", F.round(lr * 1e6).cast("bigint").alias("lr_micro")
+    )
+    tcnt.unpersist()
+    rcnt.unpersist()
+    return out
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance weight: the sum of its tokens'
+    bucket micro-log-ratios — documents whose hashed-unigram profile
+    looks like the TARGET corpus score high; resample the raw corpus
+    proportionally to (a temperature of) this weight to select
+    pretraining data that matches a high-quality target distribution.
+
+    Plan: per-(doc, bucket) integer counts (one shuffle, map-side
+    combined), a broadcast join against the ``buckets``-row ratio
+    frame, then one integer per-doc sum — every aggregation after the
+    single ln() is BIGINT-exact, so scores replay bit-identically in a
+    SQL oracle regardless of partitioning or summation order.  Docs
+    with no tokens (null/empty text) keep weight 0 via the left join.
+
+    Returns (id_col, n_tokens bigint, w_micro bigint), one row per raw
+    doc.
+    """
+    lr = dsir_bucket_logratios(
+        raw_df, target_df, text_col, buckets, alpha, salt
+    )
+    toks = raw_df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    per = toks.select(F.col(id_col), b.alias("b")).groupBy(id_col, "b").agg(
+        F.count("*").alias("n")
+    )
+    scored = (
+        per.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lr_micro")).alias("w_micro"),
+        )
+    )
+    return (
+        raw_df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("w_micro", F.lit(0)).cast("bigint").alias("w_micro"),
+        )
+    )

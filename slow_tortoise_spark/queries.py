@@ -4380,3 +4380,122 @@ for _name in _ROTATE_OUT_2:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8 SQ) similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_sq_topk(spark, sf_dir):
+    """Symmetric int8 scalar-quantized top-10 against vec_id=0: corpus
+    and query quantized against per-dimension min/max, ranked by the
+    exact BIGINT squared L2 code distance (similarity.py sq_topk).
+    Integer end-to-end — no float-ordering hazard in the oracle."""
+    from slow_tortoise_spark.operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq_topk(emb, k=10, query_id=0)
+
+
+_Q_SQ_TOPK = """
+  WITH v AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ),
+  mm AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY i),
+  codes AS (
+    SELECT v.vec_id, v.i,
+           CASE WHEN mm.mx = mm.mn THEN 0
+                ELSE LEAST(255, GREATEST(0,
+                  CAST(floor((v.x - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5)
+                       AS INT)))
+           END AS c
+    FROM v JOIN mm USING (i)
+  ),
+  q AS (SELECT i, c FROM codes WHERE vec_id = 0)
+  SELECT codes.vec_id,
+         CAST(SUM(CAST(codes.c - q.c AS BIGINT)
+                  * CAST(codes.c - q.c AS BIGINT)) AS BIGINT) AS dist
+  FROM codes JOIN q ON codes.i = q.i
+  GROUP BY codes.vec_id
+  ORDER BY dist ASC, vec_id
+  LIMIT 10
+"""
+
+
+VERIFIER_QUERIES["sq_topk"] = q_sq_topk
+VERIFIER_ORACLE_SQL["sq_topk"] = _Q_SQ_TOPK
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-unigram data selection)
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights over documents: target distribution =
+    the src0 slice, raw = the whole corpus; per-doc weight is the
+    integer sum of hashed-bucket micro-log-ratios
+    (operators/text.py dsir_weights).  After the single per-bucket ln()
+    is rounded to micros, every aggregate is BIGINT-exact, so the SQL
+    oracle replays the weights bit-identically."""
+    from slow_tortoise_spark.operators.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_weights(docs, target).orderBy("doc_id")
+
+
+def _dsir_nib_sql(hx: str, n: int = 4) -> str:
+    """Integer from the first ``n`` hex chars of expression ``hx``."""
+    nibs = [
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1)"
+        for i in range(n)
+    ]
+    expr = nibs[0]
+    for nb in nibs[1:]:
+        expr = f"({expr}) * 16 + {nb}"
+    return f"({expr})"
+
+
+_Q_DSIR_WEIGHTS = f"""
+  WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ),
+  tb AS (
+    SELECT doc_id,
+           {_dsir_nib_sql("substr(md5('dsir:' || tok), 1, 4)")} % 1024 AS b
+    FROM toks
+  ),
+  t AS (SELECT b, COUNT(*) AS c FROM tb JOIN documents USING (doc_id)
+        WHERE source = 'src0' GROUP BY b),
+  r AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
+  tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM t) AS T,
+                 (SELECT COALESCE(SUM(c), 0) FROM r) AS R),
+  dom AS (SELECT unnest(range(0, 1024)) AS b),
+  lr AS (
+    SELECT dom.b,
+           CAST(round(ln(((COALESCE(t.c, 0) + 1.0) / (tot.T + 1.0 * 1024))
+                         / ((COALESCE(r.c, 0) + 1.0) / (tot.R + 1.0 * 1024)))
+                      * 1e6) AS BIGINT) AS lr_micro
+    FROM dom LEFT JOIN t ON dom.b = t.b LEFT JOIN r ON dom.b = r.b, tot
+  ),
+  per AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY doc_id, b)
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(per.n), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(per.n * lr.lr_micro), 0) AS BIGINT) AS w_micro
+  FROM documents d
+  LEFT JOIN per ON d.doc_id = per.doc_id
+  LEFT JOIN lr ON per.b = lr.b
+  GROUP BY d.doc_id
+  ORDER BY d.doc_id
+"""
+
+
+VERIFIER_QUERIES["dsir_weights"] = q_dsir_weights
+VERIFIER_ORACLE_SQL["dsir_weights"] = _Q_DSIR_WEIGHTS

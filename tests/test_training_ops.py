@@ -1994,3 +1994,86 @@ def test_bmp_decodes_for_real(spark):
     np.testing.assert_allclose(
         row["features"], [e / float(w * h) for e in expect], atol=1e-6
     )
+
+
+def test_sq_quantize_codes_bounded_and_deterministic(spark, sf_dir):
+    from slow_tortoise_spark.operators.similarity import sq_minmax, sq_quantize
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    minmax = [(r["pos"], r["mn"], r["mx"])
+              for r in sq_minmax(emb).collect()]
+    codes = sq_quantize(emb, minmax).select("vec_id", "codes").collect()
+    for r in codes:
+        assert all(0 <= c <= 255 for c in r["codes"])
+    # exact endpoints: the per-dimension min maps to 0, the max to 255
+    by_dim = {pos: (mn, mx) for pos, mn, mx in minmax}
+    hit_lo = hit_hi = False
+    emb_rows = {r["vec_id"]: r["embedding"]
+                for r in emb.select("vec_id", "embedding").collect()}
+    for r in codes:
+        vec = emb_rows[r["vec_id"]]
+        for d, c in enumerate(r["codes"]):
+            mn, mx = by_dim[d]
+            if float(vec[d]) == mn and mx > mn:
+                assert c == 0
+                hit_lo = True
+            if float(vec[d]) == mx and mx > mn:
+                assert c == 255
+                hit_hi = True
+    assert hit_lo and hit_hi
+    # repartitioning does not change the codebook (min/max are
+    # order-independent) nor the codes
+    minmax2 = [(r["pos"], r["mn"], r["mx"])
+               for r in sq_minmax(emb.repartition(7)).collect()]
+    assert sorted(minmax) == sorted(minmax2)
+
+
+def test_sq_topk_tracks_exact_ranking(spark, sf_dir):
+    """SQ is approximate, but at 8 bits on this corpus the top-1 must be
+    the query itself and top-k recall vs exact cosine stays high."""
+    from slow_tortoise_spark.operators.similarity import (
+        brute_force_topk,
+        sq_topk,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=10).collect()]
+    approx = sq_topk(emb, k=10, query_id=0).collect()
+    assert approx[0]["vec_id"] == 0  # self-match: identical codes, dist 0
+    assert approx[0]["dist"] == 0
+    got = [r["vec_id"] for r in approx]
+    assert len(set(exact) & set(got)) >= 6
+    # distances are exact integers, monotonically non-decreasing
+    dists = [r["dist"] for r in approx]
+    assert all(isinstance(d, int) for d in dists)
+    assert dists == sorted(dists)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR sanity on a constructed corpus: docs sharing the target's
+    vocabulary must outscore docs from a disjoint vocabulary, and
+    weights are partitioning-invariant integers."""
+    from slow_tortoise_spark.operators.text import dsir_weights
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta epsilon " * 3, "tgt"))
+    for i in range(20, 40):
+        rows.append((i, "zork quux blorb fizz buzz " * 3, "other"))
+    rows.append((40, None, "other"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = docs.filter("source = 'tgt'")
+    w = {r["doc_id"]: r["w_micro"]
+         for r in dsir_weights(docs, target, buckets=64).collect()}
+    tgt_scores = [w[i] for i in range(20)]
+    other_scores = [w[i] for i in range(20, 40)]
+    assert min(tgt_scores) > max(other_scores)
+    assert w[40] == 0  # null text -> weight 0, not a dropped row
+    # integer weights, stable under repartitioning
+    w2 = {r["doc_id"]: r["w_micro"]
+          for r in dsir_weights(docs.repartition(7), target,
+                                buckets=64).collect()}
+    assert w == w2
