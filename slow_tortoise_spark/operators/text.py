@@ -938,3 +938,60 @@ def dsir_weights(
             F.coalesce("w_micro", F.lit(0)).cast("bigint").alias("w_micro"),
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE encoding statistics under a tokenizer trained on
+    the same corpus: token count and post-merge piece count — the
+    "how many tokens will this doc cost" signal a training-data
+    pipeline budgets packing and pricing with.
+
+    The encode path never touches the corpus with the merge chain:
+    merges apply to the DISTINCT-token vocabulary (sublinear in corpus
+    size), and documents join the segmented vocab by token (AQE
+    broadcasts it while it fits).  Piece counts are integers, so the
+    per-doc sums replay exactly in a SQL oracle that re-trains the same
+    merges (bpe_train's replay chain) — full value check, not a smoke.
+
+    Returns (id_col, n_tokens bigint, n_pieces bigint); docs with no
+    tokens keep zeros.
+    """
+    merges = bpe_train(df, num_merges, text_col).collect()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    sym = F.concat(
+        F.lit("  "), F.array_join(F.split("tok", ""), "  "), F.lit("  ")
+    )
+    for m in merges:
+        sym = F.replace(
+            sym,
+            F.lit(f" {m['lhs']}  {m['rhs']} "),
+            F.lit(f" {m['lhs']}{m['rhs']} "),
+        )
+    seg = toks.select("tok").distinct().select(
+        "tok", F.size(F.split(F.trim(sym), "  ")).alias("np")
+    )
+    enc = (
+        toks.join(seg, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(enc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
+        )
+    )

@@ -227,3 +227,106 @@ def grid_stats(
         F.max(c).alias(f"max_{c}") for c in cols
     ]
     return per_subtile.groupBy("feature", "timestamp", "zoom").agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) spatial layout: cluster rows so file min/max statistics
+# prune 2-D regions — the storage-layout complement of the tile pyramid.
+# ---------------------------------------------------------------------------
+
+#: 16-bit → 32-bit bit-spread masks (classic Morton "magic numbers").
+_SPREAD_MASKS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits(v: Column) -> Column:
+    """Interleave-ready spread: bit i of a 16-bit int moves to bit 2i.
+    Four shift-or-mask rounds, pure long arithmetic (codegen; identical
+    `|`/`&`/`<<` semantics in SQL engines, so oracles replay it
+    verbatim)."""
+    out = v.cast("long")
+    for sh, mask in _SPREAD_MASKS:
+        out = (out.bitwiseOR(F.shiftleft(out, sh))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def morton_code(x: Column, y: Column) -> Column:
+    """Morton (Z-order) code of two 16-bit tile coordinates: x's bits on
+    even positions, y's on odd.  Nearby (x, y) cells share long code
+    prefixes, so sorting by the code linearizes 2-D locality — the
+    basis of Z-ordered data layout."""
+    return _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    n_files: int = 8,
+    code_col: str = "zcode",
+) -> None:
+    """Write ``df`` parquet Z-ordered on (x_col, y_col): range-partition
+    by Morton code, sort within partitions, keep the code column so
+    scans can predicate on it.
+
+    Why this is the 100 TB layout move: parquet row-group min/max
+    statistics prune 1-D ranges for free, but a query region is 2-D —
+    laid out row-major, every file spans the full x range and nothing
+    prunes.  Z-ordering makes each file own a compact code interval
+    (repartitionByRange gives DISJOINT intervals by construction), so a
+    2-D region decomposes into a few code ranges and the scan skips
+    every other file.  No shuffle beyond the one range exchange; the
+    range boundaries come from Spark's own reservoir sampling.
+    """
+    coded = df.withColumn(
+        code_col, morton_code(F.col(x_col), F.col(y_col))
+    )
+    (
+        coded.repartitionByRange(n_files, F.col(code_col))
+        .sortWithinPartitions(code_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_bucket_stats(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    bucket_shift: int = 20,
+) -> DataFrame:
+    """Clustering diagnostics of the Z-order layout: bucket rows by the
+    top Morton bits (bucket = code >> shift — what a range partitioner
+    converges to on uniform data) and report, per bucket, the row
+    count, the code interval, and how many distinct coarse tiles the
+    bucket touches.  Low tile counts per bucket = high locality = file
+    skipping will work.  All-integer output; the SQL oracle replays the
+    bit arithmetic exactly.
+
+    Returns (bucket, n_rows, min_code, max_code, n_tiles) sorted by
+    bucket.
+    """
+    code = morton_code(F.col(x_col), F.col(y_col))
+    tile_key = (
+        F.shiftright(F.col(x_col), 6) * 1024 + F.shiftright(F.col(y_col), 6)
+    )
+    out = df.select(
+        F.shiftright(code, bucket_shift).alias("bucket"),
+        code.alias("code"),
+        tile_key.alias("tile_key"),
+    )
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+            F.countDistinct("tile_key").alias("n_tiles"),
+        )
+        .orderBy("bucket")
+    )

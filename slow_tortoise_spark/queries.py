@@ -4499,3 +4499,156 @@ _Q_DSIR_WEIGHTS = f"""
 
 VERIFIER_QUERIES["dsir_weights"] = q_dsir_weights
 VERIFIER_ORACLE_SQL["dsir_weights"] = _Q_DSIR_WEIGHTS
+
+
+# ---------------------------------------------------------------------------
+# BPE document encoding (token budget under a corpus-trained tokenizer)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Per-doc token/piece counts under an 8-merge BPE trained on the
+    corpus itself (operators/text.py bpe_encode).  The oracle re-trains
+    the identical merges with bpe_train's replay chain, segments the
+    distinct-token vocab, and joins it back to doc tokens — integer
+    outputs, full value check."""
+    from slow_tortoise_spark.operators.text import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, num_merges=8).orderBy("doc_id")
+
+
+def _bpe_encode_sql(k: int = 8) -> str:
+    """Encode oracle: reuse the w{i}/p{i} training replay from
+    _bpe_train_sql, then thread a (tok, sym) vocab chain v{i} through
+    the same merges and join doc tokens against the segmented vocab."""
+    ctes = [
+        "toks AS MATERIALIZED (SELECT doc_id, unnest(list_filter("
+        "string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok"
+        " FROM documents)",
+        "w0 AS MATERIALIZED (SELECT '  ' || array_to_string(string_split(tok, ''), '  ')"
+        " || '  ' AS sym, COUNT(*) AS wc FROM toks GROUP BY 1)",
+        "v0 AS MATERIALIZED (SELECT tok, '  ' || array_to_string(string_split(tok, ''), '  ')"
+        " || '  ' AS sym FROM (SELECT DISTINCT tok FROM toks))",
+    ]
+    for i in range(k):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT parts[j] AS lhs, parts[j+1] AS rhs, "
+            f"CAST(SUM(wc) AS BIGINT) AS cnt FROM (SELECT wc, "
+            f"string_split(trim(sym), '  ') AS parts FROM w{i}), "
+            f"LATERAL unnest(range(1, len(parts))) AS t(j) "
+            f"GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i+1} AS MATERIALIZED (SELECT tok, replace(sym, ' ' || p.lhs || '  ' || "
+            f"p.rhs || ' ', ' ' || p.lhs || p.rhs || ' ') AS sym "
+            f"FROM v{i}, p{i} AS p)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"w{i+1} AS MATERIALIZED (SELECT replace(sym, ' ' || p.lhs || '  ' || "
+                f"p.rhs || ' ', ' ' || p.lhs || p.rhs || ' ') AS sym, wc "
+                f"FROM w{i}, p{i} AS p)"
+            )
+    return f"""WITH {', '.join(ctes)},
+  seg AS (SELECT tok, len(string_split(trim(sym), '  ')) AS np FROM v{k}),
+  enc AS (
+    SELECT toks.doc_id, COUNT(*) AS n_tokens, SUM(seg.np) AS n_pieces
+    FROM toks JOIN seg USING (tok) GROUP BY toks.doc_id
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(enc.n_pieces, 0) AS BIGINT) AS n_pieces
+  FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+  ORDER BY d.doc_id"""
+
+
+VERIFIER_QUERIES["bpe_encode"] = q_bpe_encode
+VERIFIER_ORACLE_SQL["bpe_encode"] = _bpe_encode_sql(8)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql(xe: str, ye: str) -> str:
+    """Morton code SQL: the same four shift-or-mask spread rounds the
+    Spark side runs (tiles.py _spread_bits) — bit-identical on BIGINT."""
+
+    def spread(e: str) -> str:
+        out = f"CAST({e} AS BIGINT)"
+        for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                         (2, 0x33333333), (1, 0x55555555)):
+            out = f"(({out} | ({out} << {sh})) & {mask})"
+        return out
+
+    return f"({spread(xe)} | ({spread(ye)} << 1))"
+
+
+def q_zorder_stats(spark, sf_dir):
+    """Z-order clustering diagnostics over the synthetic customer tile
+    coords: bucket rows by the top Morton bits and report per-bucket row
+    counts, code intervals, and distinct coarse tiles touched
+    (operators/tiles.py zorder_bucket_stats).  All-integer columns; the
+    oracle replays the bit interleave verbatim."""
+    from slow_tortoise_spark.operators.tiles import zorder_bucket_stats
+
+    t = _tiles14(spark, sf_dir)
+    return zorder_bucket_stats(t, x_col="x14", y_col="y14")
+
+
+_Q_ZORDER_STATS = f"""
+  WITH t AS ({_TILE_SQL}),
+  coded AS (
+    SELECT {_morton_sql('x14', 'y14')} AS code,
+           (x14 >> 6) * 1024 + (y14 >> 6) AS tile_key
+    FROM t
+  )
+  SELECT code >> 20 AS bucket,
+         COUNT(*) AS n_rows,
+         MIN(code) AS min_code,
+         MAX(code) AS max_code,
+         CAST(COUNT(DISTINCT tile_key) AS BIGINT) AS n_tiles
+  FROM coded
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+VERIFIER_QUERIES["zorder_stats"] = q_zorder_stats
+VERIFIER_ORACLE_SQL["zorder_stats"] = _Q_ZORDER_STATS
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction: latest-version-per-key view
+# ---------------------------------------------------------------------------
+
+
+def q_latest_orders(spark, sf_dir):
+    """Latest order per customer (version = orderdate, orderkey) via the
+    single-shuffle max_by compaction (operators/cdc.py latest_by_key) —
+    the plan deliberately avoids a window sort; the oracle states the
+    same semantics as QUALIFY row_number() = 1."""
+    from slow_tortoise_spark.operators.cdc import latest_by_key
+
+    orders = _t(spark, sf_dir, "orders")
+    out = latest_by_key(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey",
+                      "o_totalprice"),
+        key_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    return out.orderBy("o_custkey")
+
+
+_Q_LATEST_ORDERS = """
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+  ORDER BY o_custkey
+"""
+
+
+VERIFIER_QUERIES["latest_orders"] = q_latest_orders
+VERIFIER_ORACLE_SQL["latest_orders"] = _Q_LATEST_ORDERS

@@ -132,3 +132,62 @@ def test_proto_zero_coord_roundtrip():
     tile = decode_tile(encode_tile(0, 0, 0, 4096, {0: (1.0, 1.0, 1.0)}))
     assert (tile["z"], tile["x"], tile["y"]) == (0, 0, 0)
     assert 0 in tile["stats"]
+
+
+def test_morton_code_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.tiles import morton_code
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x int, y int"
+    )
+    got = [r["m"] for r in df.select(
+        morton_code(F.col("x"), F.col("y")).alias("m")).collect()]
+
+    def ref(x, y):
+        m = 0
+        for b in range(16):
+            m |= ((x >> b) & 1) << (2 * b)
+            m |= ((y >> b) & 1) << (2 * b + 1)
+        return m
+
+    assert got == [ref(x, y) for x, y in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+
+
+def test_zorder_write_files_own_disjoint_code_ranges(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.tiles import zorder_write
+
+    random.seed(7)
+    rows = [(i, random.randrange(16384), random.randrange(16384))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x int, y int")
+    path = str(tmp_path / "zordered")
+    zorder_write(df, path, x_col="x", y_col="y", n_files=8)
+
+    back = spark.read.parquet(path).withColumn(
+        "file", F.input_file_name()
+    )
+    stats = back.groupBy("file").agg(
+        F.min("zcode").alias("lo"), F.max("zcode").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()
+    assert len(stats) >= 4  # range partitioner actually spread the data
+    assert sum(r["n"] for r in stats) == 4000
+    # disjoint intervals: sort by lo, every file's hi < next file's lo
+    ordered = sorted(stats, key=lambda r: r["lo"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi"] <= b["lo"]
+    # scan pruning is observable in the plan: a zcode predicate reaches
+    # the parquet scan as a pushed filter
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("zcode") < 1000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "zcode" in plan

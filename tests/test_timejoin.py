@@ -102,3 +102,50 @@ def test_rolling_time_agg(spark):
     assert out[0] == (1, 1.0)
     assert out[999] == (3, 7.0)    # window (−1, 999] includes t=0
     assert out[1500] == (2, 12.0)  # window (500, 1500] → t=999, t=1500
+
+def test_upsert_versions_and_tombstones(spark):
+    from slow_tortoise_spark.operators.cdc import latest_by_key, upsert
+
+    base = spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1"), (3, 1, "c1")],
+        "k long, v long, payload string",
+    )
+    changes = spark.createDataFrame(
+        [(1, 2, "a2", False),   # newer update wins
+         (2, 0, "b0", False),   # OLDER than base -> must not win
+         (3, 2, None, True),    # tombstone deletes k=3
+         (4, 1, "d1", False)],  # brand-new key inserts
+        "k long, v long, payload string, deleted boolean",
+    )
+    out = {r["k"]: r for r in upsert(
+        base, changes, key_cols=["k"], order_cols=["v"],
+        delete_col="deleted").collect()}
+    assert out[1]["payload"] == "a2"
+    assert out[2]["payload"] == "b1"  # stale change lost the version race
+    assert 3 not in out               # tombstone removed the key
+    assert out[4]["payload"] == "d1"
+    # an older live row cannot resurrect past a newer tombstone
+    resurrect = spark.createDataFrame(
+        [(3, 1, "c-old", False)], "k long, v long, payload string, deleted boolean"
+    )
+    out2 = upsert(
+        base.unionByName(changes, allowMissingColumns=True),
+        resurrect, key_cols=["k"], order_cols=["v"], delete_col="deleted",
+    )
+    assert out2.filter("k = 3").count() == 0
+
+
+def test_latest_by_key_plan_has_no_window_sort(spark):
+    """The compaction must be a partial-aggregated max_by, not a
+    window: no Window node, exactly one key exchange."""
+    from slow_tortoise_spark.operators.cdc import latest_by_key
+
+    df = spark.createDataFrame(
+        [(i % 10, i, f"p{i}") for i in range(100)],
+        "k long, v long, payload string",
+    )
+    plan = latest_by_key(df, ["k"], ["v"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan.lower().replace(" ", "_") or \
+        "partial" in plan  # partial aggregation before the exchange

@@ -2077,3 +2077,25 @@ def test_dsir_weights_prefer_target_like_docs(spark):
           for r in dsir_weights(docs.repartition(7), target,
                                 buckets=64).collect()}
     assert w == w2
+
+
+def test_bpe_encode_piece_counts_shrink_with_merges(spark):
+    from slow_tortoise_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "hey hey hey heyday"), (1, "day hey day"), (2, None)],
+        "doc_id long, text string",
+    )
+    no_merge = {r["doc_id"]: r for r in bpe_encode(docs, 0).collect()}
+    merged = {r["doc_id"]: r for r in bpe_encode(docs, 4).collect()}
+    # with zero merges every piece is a character
+    assert no_merge[0]["n_pieces"] == len("heyheyheyheyday")
+    assert no_merge[0]["n_tokens"] == 4
+    # merges only ever reduce piece counts, never token counts
+    for i in (0, 1):
+        assert merged[i]["n_tokens"] == no_merge[i]["n_tokens"]
+        assert merged[i]["n_pieces"] < no_merge[i]["n_pieces"]
+    # null text keeps a zero row rather than disappearing
+    assert merged[2]["n_tokens"] == 0 and merged[2]["n_pieces"] == 0
+    # 'hey' repeats enough that 4 merges collapse it to one piece each
+    assert merged[1]["n_pieces"] <= merged[1]["n_tokens"] * 2
