@@ -264,3 +264,93 @@ def write_stream_artifacts(sdf: DataFrame, batch_fn, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC: merge-on-write snapshot maintenance
+# ---------------------------------------------------------------------------
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, live_only: bool = True,
+    delete_col: str = "deleted",
+) -> DataFrame | None:
+    """Read the current compacted snapshot maintained by
+    :func:`streaming_upsert`, or None before the first commit.
+    ``live_only`` hides tombstone rows (the read view); the stored
+    snapshot RETAINS them so late-arriving stale versions can never
+    resurrect a deleted key."""
+    import os
+
+    manifest = os.path.join(root, "_LATEST")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as fh:
+        version_dir = fh.read().strip()
+    df = spark.read.parquet(os.path.join(root, version_dir))
+    if live_only and delete_col in df.columns:
+        df = df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return df
+
+
+def streaming_upsert(
+    stream_changes: DataFrame,
+    root: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+    delete_col: str = "deleted",
+):
+    """Maintain a latest-version-per-key snapshot from a stream of
+    change rows — a minimal merge-on-write table: each micro-batch
+    merges into the previous snapshot with the single-shuffle
+    ``max_by`` compaction (operators/cdc.py latest_by_key) and commits
+    a NEW versioned directory, then flips a one-line ``_LATEST``
+    manifest (write-temp + atomic rename).  Readers never observe a
+    partial snapshot: they always resolve the manifest to a fully
+    written version — the same commit-protocol shape a transactional
+    table format uses, reduced to its essentials.
+
+    Tombstones (``delete_col`` true) are RETAINED in the snapshot and
+    win version resolution like any row, so late-arriving older
+    versions of a deleted key stay dead; :func:`read_snapshot` hides
+    them from the live view.  Retries of a failed micro-batch are
+    idempotent: the version directory is named by batch_id and
+    overwritten, and the manifest flip is last.
+
+    At scale: each commit is one shuffle over (previous snapshot +
+    micro-batch); for a huge snapshot, partition both sides by key
+    bucket so only touched buckets rewrite — the natural extension,
+    same operator.
+    """
+    import os
+
+    from slow_tortoise_spark.operators.cdc import latest_by_key
+
+    spark = stream_changes.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        prev = read_snapshot(spark, root, live_only=False,
+                             delete_col=delete_col)
+        both = (
+            prev.unionByName(batch_df, allowMissingColumns=True)
+            if prev is not None else batch_df
+        )
+        payload_cols = [
+            c for c in both.columns
+            if c not in key_cols and c not in order_cols
+        ]
+        merged = latest_by_key(both, key_cols, order_cols, payload_cols)
+        vdir = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(root, vdir))
+        tmp = os.path.join(root, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, os.path.join(root, "_LATEST"))
+
+    return (
+        stream_changes.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -539,3 +539,70 @@ def test_streaming_index_dedup_stream_static_anti(spark, tmp_path):
         streaming_index_dedup(sdf, index), "index_dedup", spark
     )
     assert {r["doc_id"] for r in out.collect()} == {11}
+
+
+def test_streaming_upsert_converges_to_batch_merge(spark, tmp_path):
+    """Three change files drained one micro-batch at a time
+    (maxFilesPerTrigger=1): the maintained snapshot must equal a single
+    batch compaction of all changes, tombstones must stay dead even
+    when an older version of the deleted key arrives in a LATER batch,
+    and the manifest must point at the newest committed version."""
+    import os
+
+    from slow_tortoise_spark.operators.cdc import latest_by_key
+    from slow_tortoise_spark.streaming.pipeline import (
+        read_snapshot,
+        streaming_upsert,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    schema = "k long, v long, payload string, deleted boolean"
+    batches = [
+        [(1, 1, "a1", False), (2, 1, "b1", False)],
+        [(1, 2, "a2", False), (3, 5, None, True), (4, 1, "d1", False)],
+        [(3, 2, "c-late", False), (2, 3, "b3", False)],  # 3 stays dead
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "snapshot")
+    os.makedirs(root, exist_ok=True)
+    q = streaming_upsert(
+        sdf, root, key_cols=["k"], order_cols=["v"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    live = {r["k"]: r for r in read_snapshot(spark, root).collect()}
+    assert live[1]["payload"] == "a2"
+    assert live[2]["payload"] == "b3"
+    assert 3 not in live  # tombstone beat the late, older version
+    assert live[4]["payload"] == "d1"
+
+    # snapshot == one-shot batch compaction of the same change set
+    all_changes = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    expect = {
+        r["k"]: r
+        for r in latest_by_key(all_changes, ["k"], ["v"]).collect()
+        if not r["deleted"]
+    }
+    assert set(live) == set(expect)
+    for k in expect:
+        assert live[k]["payload"] == expect[k]["payload"]
+        assert live[k]["v"] == expect[k]["v"]
+
+    # stored snapshot retains the tombstone; manifest points at it
+    full = read_snapshot(spark, root, live_only=False)
+    assert full.filter("k = 3").first()["deleted"] is True
+    with open(os.path.join(root, "_LATEST")) as fh:
+        assert os.path.isdir(os.path.join(root, fh.read().strip()))
