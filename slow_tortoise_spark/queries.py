@@ -4652,3 +4652,67 @@ _Q_LATEST_ORDERS = """
 
 VERIFIER_QUERIES["latest_orders"] = q_latest_orders
 VERIFIER_ORACLE_SQL["latest_orders"] = _Q_LATEST_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic, oracle-replayable)
+# ---------------------------------------------------------------------------
+
+
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min estimates for every distinct document token (width 64
+    forces real collisions): build the d=4 x w=64 counter table in one
+    shuffle, probe each candidate with an integer MIN over its four
+    counters (operators/sketch.py).  Deterministic salted-md5 buckets,
+    so the oracle rebuilds the identical sketch."""
+    from slow_tortoise_spark.operators.sketch import cms_build, cms_estimate
+    from slow_tortoise_spark.operators.text import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    cms = cms_build(toks, "tok", width=64, depth=4)
+    cand = toks.distinct()
+    return cms_estimate(cms, cand, "tok", width=64, depth=4).orderBy("tok")
+
+
+def _cms_sql(width: int = 64, depth: int = 4) -> str:
+    rows_union = " UNION ALL ".join(
+        f"SELECT {r} AS row, "
+        f"{_dsir_nib_sql(f'''substr(md5('cms{r}:' || tok), 1, 4)''')}"
+        f" % {width} AS bucket FROM toks"
+        for r in range(depth)
+    )
+    probe_cols = ", ".join(
+        f"{_dsir_nib_sql(f'''substr(md5('cms{r}:' || tok), 1, 4)''')}"
+        f" % {width} AS b{r}"
+        for r in range(depth)
+    )
+    joins = " ".join(
+        f"LEFT JOIN (SELECT bucket, cnt FROM cms WHERE row = {r}) c{r}"
+        f" ON p.b{r} = c{r}.bucket"
+        for r in range(depth)
+    )
+    least = ", ".join(
+        f"COALESCE(c{r}.cnt, 0)" for r in range(depth)
+    )
+    return f"""
+  WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ),
+  stacked AS ({rows_union}),
+  cms AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM stacked GROUP BY row, bucket),
+  cand AS (SELECT DISTINCT tok FROM toks),
+  p AS (SELECT tok, {probe_cols} FROM cand)
+  SELECT p.tok, CAST(LEAST({least}) AS BIGINT) AS est
+  FROM p {joins}
+  ORDER BY p.tok
+"""
+
+
+VERIFIER_QUERIES["cms_token_counts"] = q_cms_token_counts
+VERIFIER_ORACLE_SQL["cms_token_counts"] = _cms_sql(64, 4)

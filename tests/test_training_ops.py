@@ -2099,3 +2099,62 @@ def test_bpe_encode_piece_counts_shrink_with_merges(spark):
     assert merged[2]["n_tokens"] == 0 and merged[2]["n_pieces"] == 0
     # 'hey' repeats enough that 4 merges collapse it to one piece each
     assert merged[1]["n_pieces"] <= merged[1]["n_tokens"] * 2
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(f"k{i % 20}",) for i in range(400)]  # each key appears 20x
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    cand = df.distinct()
+
+    # tiny width -> collisions: estimates may only ever OVERestimate
+    tight = cms_estimate(cms_build(df, "k", width=8, depth=3), cand, "k",
+                         width=8, depth=3)
+    assert all(r["est"] >= exact[r["k"]] for r in tight.collect())
+
+    # generous width -> min over 4 rows recovers exact counts here
+    wide = cms_estimate(cms_build(df, "k", width=4096, depth=4), cand, "k",
+                        width=4096, depth=4)
+    assert {r["k"]: r["est"] for r in wide.collect()} == exact
+
+    # sketch size is bounded by d*w regardless of input size
+    assert cms_build(df, "k", width=8, depth=3).count() <= 24
+
+
+def test_cms_weighted_counts(spark):
+    from slow_tortoise_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "k string, w long"
+    )
+    cms = cms_build(df, "k", width=1024, depth=4, weight_col="w")
+    est = {r["k"]: r["est"] for r in
+           cms_estimate(cms, df.select("k").distinct(), "k",
+                        width=1024, depth=4).collect()}
+    assert est["a"] == 12 and est["b"] == 1
+
+
+def test_hll_sketches_merge_across_groups(spark):
+    from slow_tortoise_spark.operators.sketch import (
+        hll_sketch_by_group,
+        hll_union_estimate,
+    )
+
+    # two "days" with overlapping users: union estimate must track the
+    # TRUE distinct-of-union, not the sum of per-day distincts
+    rows = [("d1", u) for u in range(1000)] + \
+           [("d2", u) for u in range(500, 1500)]
+    df = spark.createDataFrame(rows, "day string, user long")
+    sk = hll_sketch_by_group(df, "day", "user")
+    assert sk.count() == 2
+    est = hll_union_estimate(sk, "day").first()["distinct_est"]
+    assert abs(est - 1500) / 1500 < 0.05  # HLL lg_k=12 ~ 1.6% rse
+    # merging a sketch with itself is idempotent (no double counting)
+    both = sk.unionAll(sk)
+    est2 = hll_union_estimate(both, "day").first()["distinct_est"]
+    assert est2 == est
