@@ -388,3 +388,67 @@ def test_exact_dedup_is_skew_safe(spark, sf_dir):
     plan = _plan(drop_exact_duplicates(docs))
     assert "Window" not in plan
     assert "partial_min" in plan  # map-side combine on the keeper agg
+
+
+def test_cms_build_is_single_shuffle_with_partial_combine(spark, sf_dir):
+    """The sketch build must collapse the corpus map-side: one hash
+    exchange keyed (row, bucket), partial aggregation before it."""
+    from slow_tortoise_spark.operators.sketch import cms_build
+    from slow_tortoise_spark.operators.text import tokens_col
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    plan = _plan(cms_build(toks, "tok", width=64, depth=4))
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark, sf_dir):
+    """Candidate keys must stream past broadcast counter tables — the
+    corpus-sized side never shuffles for the probe."""
+    from slow_tortoise_spark.operators.sketch import cms_build, cms_estimate
+    from slow_tortoise_spark.operators.text import tokens_col
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    cms = cms_build(toks, "tok", width=64, depth=4)
+    plan = _plan(cms_estimate(cms, toks.distinct(), "tok",
+                              width=64, depth=4))
+    assert plan.count("BroadcastExchange") >= 4  # one sketch row-table each
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
+    """The buckets-row ratio frame must broadcast to the per-doc count
+    side; the token stream itself joins nothing corpus-sized."""
+    from slow_tortoise_spark.operators.text import dsir_weights
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+    plan = _plan(dsir_weights(docs, target, buckets=64))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq_quantize_is_map_only(spark, sf_dir):
+    """Quantization against the literal codebook must add no exchange:
+    the codes column is computed inside the scan's codegen stage."""
+    from slow_tortoise_spark.operators.similarity import sq_minmax, sq_quantize
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    minmax = [(r["pos"], r["mn"], r["mx"])
+              for r in sq_minmax(emb).collect()]
+    plan = _plan(sq_quantize(emb, minmax))
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan.lower()

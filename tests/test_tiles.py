@@ -191,3 +191,38 @@ def test_zorder_write_files_own_disjoint_code_ranges(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "zcode" in plan
+
+
+def test_zorder_layout_actually_prunes_files(spark, tmp_path):
+    """The point of the layout: footer min/max stats prune a code-range
+    query against the Z-ordered copy, while the same rows written in
+    hash-shuffled order prune (almost) nothing."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.tiles import morton_code, zorder_write
+    from slow_tortoise_spark.sources.stats import pruning_report
+
+    random.seed(11)
+    rows = [(i, random.randrange(16384), random.randrange(16384))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x int, y int")
+
+    zpath = str(tmp_path / "zordered")
+    zorder_write(df, zpath, x_col="x", y_col="y", n_files=8)
+
+    upath = str(tmp_path / "unordered")
+    (
+        df.withColumn("zcode", morton_code(F.col("x"), F.col("y")))
+        .repartition(8)  # hash shuffle: every file spans the full domain
+        .write.mode("overwrite").parquet(upath)
+    )
+
+    lo, hi = 0, (1 << 28) // 16  # one sixteenth of the code domain
+    z = pruning_report(zpath, "zcode", lo, hi)
+    u = pruning_report(upath, "zcode", lo, hi)
+    assert z["files_total"] >= 4 and u["files_total"] >= 4
+    assert z["pruned_fraction"] >= 0.5      # most z-files skipped
+    assert u["pruned_fraction"] == 0.0      # unordered skips nothing
+    assert z["files_scanned"] < u["files_scanned"]
