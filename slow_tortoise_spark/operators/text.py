@@ -995,3 +995,127 @@ def bpe_encode(
             F.coalesce("n_pieces", F.lit(0)).cast("bigint").alias("n_pieces"),
         )
     )
+
+
+#: The eight "must contain >= 2" Gopher stop words (Rae et al. 2021).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021, "Scaling Language
+    Models" App. A1.1) as one map-only pass: a per-document violation
+    BITMASK —
+
+    * bit 0 — word count outside [50, 100000]
+    * bit 1 — mean word length outside [3, 10]
+    * bit 2 — symbol-to-word ratio ('#' or '...') > 0.1
+    * bit 3 — > 90% of lines start with a bullet
+    * bit 4 — > 30% of lines end with an ellipsis
+    * bit 5 — < 80% of words contain an alphabetic character
+    * bit 6 — fewer than 2 of the 8 required stop words present
+
+    Every ratio threshold is evaluated by INTEGER cross-multiplication
+    (e.g. ``10 * symbols > n_words`` instead of ``symbols / n_words >
+    0.1``), so the mask is exact on any engine — the SQL oracle replays
+    it bit-for-bit, and there is no float boundary to disagree on.
+    Null text counts zero words (fails bit 0), keeping accounting exact.
+
+    Returns (id_col, n_words bigint, rule_mask bigint, passed int).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(text)
+    n = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    hashes = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))).cast("bigint")
+    ellipses = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("bigint")
+    lines = F.split(text, "\n")
+    nlines = F.size(lines).cast("bigint")
+    bullet_first = lambda l: (  # noqa: E731
+        (F.substring(F.ltrim(l), 1, 1) == "-")
+        | (F.substring(F.ltrim(l), 1, 1) == "*")
+        | (F.substring(F.ltrim(l), 1, 1) == "•")
+    )
+    bullets = F.size(F.filter(lines, bullet_first)).cast("bigint")
+    ell_end = lambda l: (  # noqa: E731
+        (F.length(F.rtrim(l)) >= 3)
+        & (
+            F.rtrim(l).substr(F.length(F.rtrim(l)) - 2, F.lit(3)) == "..."
+        )
+    )
+    ell_lines = F.size(F.filter(lines, ell_end)).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_hits = None
+    low = F.transform(toks, lambda t: F.lower(t))
+    for w in GOPHER_STOPS:
+        hit = F.array_contains(low, w).cast("bigint")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    r0 = (n < 50) | (n > 100000)
+    r1 = (sum_len < 3 * n) | (sum_len > 10 * n)
+    r2 = 10 * (hashes + ellipses) > n
+    r3 = 10 * bullets > 9 * nlines
+    r4 = 10 * ell_lines > 3 * nlines
+    r5 = 5 * alpha_words < 4 * n
+    r6 = stop_hits < 2
+    mask = None
+    for bit, cond in enumerate([r0, r1, r2, r3, r4, r5, r6]):
+        term = F.when(cond, F.lit(1 << bit)).otherwise(F.lit(0)).cast("bigint")
+        mask = term if mask is None else mask + term
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mask.alias("rule_mask"),
+        F.when(mask == 0, F.lit(1)).otherwise(F.lit(0)).alias("passed"),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) — the
+    canonicalization pass that must precede any hash-based dedup on
+    multilingual corpora: "é" as U+00E9 and as "e"+U+0301 are the same
+    text but different bytes, so un-normalized fingerprints silently
+    miss duplicates.
+
+    This is one of the few justified Python paths in the engine: Spark
+    SQL exposes no normalization builtin, and the stdlib
+    ``unicodedata`` table IS the Unicode standard — deterministic
+    across processes, so results replay against SQL engines that ship
+    a normalizer (DuckDB ``nfc_normalize``; cross-checked in pytest on
+    composed/decomposed fixtures).  Arrow-batched scalar pandas_udf:
+    map-only, no shuffle, no per-row Python overhead beyond the batch
+    boundary.
+    """
+    import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out_col = out_col or text_col
+
+    def _norm_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # Real annotation objects (not strings): the module uses postponed
+    # annotation evaluation, under which a decorator-style hint would
+    # fail to resolve the function-local ``pd`` name.
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = F.pandas_udf(_norm_fn, "string")
+    return df.withColumn(out_col, _norm(F.col(text_col)))

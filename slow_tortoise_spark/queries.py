@@ -4716,3 +4716,112 @@ def _cms_sql(width: int = 64, depth: int = 4) -> str:
 
 VERIFIER_QUERIES["cms_token_counts"] = q_cms_token_counts
 VERIFIER_ORACLE_SQL["cms_token_counts"] = _cms_sql(64, 4)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rule set (named filter, exact integer bitmask)
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher (Rae et al. 2021) document-quality rules as an exact
+    violation bitmask (operators/text.py gopher_rules).  Every ratio
+    threshold is an integer cross-multiplication, so the oracle replays
+    the mask bit-for-bit."""
+    from slow_tortoise_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs).orderBy("doc_id")
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(low, '{w}') THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+_Q_GOPHER_RULES = f"""
+  WITH base AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+  t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '') AS toks,
+           string_split(text, chr(10)) AS lines
+    FROM base
+  ),
+  m AS (
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n,
+      CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS BIGINT) AS sum_len,
+      CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+      CAST((length(text) - length(replace(text, '...', ''))) // 3
+           AS BIGINT) AS ellipses,
+      CAST(len(lines) AS BIGINT) AS nlines,
+      CAST(len(list_filter(lines, l ->
+             substr(ltrim(l), 1, 1) = '-' OR substr(ltrim(l), 1, 1) = '*'
+             OR substr(ltrim(l), 1, 1) = '•')) AS BIGINT) AS bullets,
+      CAST(len(list_filter(lines, l ->
+             length(rtrim(l)) >= 3
+             AND substr(rtrim(l), length(rtrim(l)) - 2, 3) = '...'))
+           AS BIGINT) AS ell_lines,
+      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+           AS BIGINT) AS alpha_words,
+      (SELECT {_GOPHER_STOP_SQL}
+       FROM (SELECT list_transform(toks, x -> lower(x)) AS low)) AS stop_hits
+    FROM t
+  ),
+  mask AS (
+    SELECT doc_id, n,
+      CAST((CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END)
+         + (CASE WHEN sum_len < 3 * n OR sum_len > 10 * n THEN 2 ELSE 0 END)
+         + (CASE WHEN 10 * (hashes + ellipses) > n THEN 4 ELSE 0 END)
+         + (CASE WHEN 10 * bullets > 9 * nlines THEN 8 ELSE 0 END)
+         + (CASE WHEN 10 * ell_lines > 3 * nlines THEN 16 ELSE 0 END)
+         + (CASE WHEN 5 * alpha_words < 4 * n THEN 32 ELSE 0 END)
+         + (CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END) AS BIGINT)
+        AS rule_mask
+    FROM m
+  )
+  SELECT doc_id, n AS n_words, rule_mask,
+         CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END AS passed
+  FROM mask ORDER BY doc_id
+"""
+
+
+VERIFIER_QUERIES["gopher_rules"] = q_gopher_rules
+VERIFIER_ORACLE_SQL["gopher_rules"] = _Q_GOPHER_RULES
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (pre-dedup canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """NFC-normalize document text and fingerprint the result
+    (operators/text.py normalize_text; md5 output so the oracle
+    compares bytes, not rendering).  ASCII corpora normalize to
+    themselves — the non-ASCII path is cross-checked against DuckDB's
+    nfc_normalize on composed/decomposed fixtures in pytest."""
+    from slow_tortoise_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = normalize_text(docs, "text", form="NFC", out_col="norm")
+    return out.select(
+        "doc_id",
+        F.md5("norm").alias("norm_md5"),
+        F.when(F.col("norm") == F.col("text"), F.lit(0))
+        .otherwise(F.lit(1)).alias("changed"),
+    ).orderBy("doc_id")
+
+
+_Q_NFC_NORMALIZE = """
+  SELECT doc_id,
+         md5(nfc_normalize(text)) AS norm_md5,
+         CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END AS changed
+  FROM documents ORDER BY doc_id
+"""
+
+
+VERIFIER_QUERIES["nfc_normalize"] = q_nfc_normalize
+VERIFIER_ORACLE_SQL["nfc_normalize"] = _Q_NFC_NORMALIZE

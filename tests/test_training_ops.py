@@ -2158,3 +2158,78 @@ def test_hll_sketches_merge_across_groups(spark):
     both = sk.unionAll(sk)
     est2 = hll_union_estimate(both, "day").first()["distinct_est"]
     assert est2 == est
+
+
+def test_gopher_rules_each_bit_fires(spark):
+    from slow_tortoise_spark.operators.text import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and then it "
+            "have run with great speed to be first of many winners today "
+            "while everyone watched the entire show with delight and "
+            "cheered for more because the performance was truly special "
+            "indeed friends gathered around the stage applauding loudly "
+            "until the very end of that memorable evening together")
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "too short"),                                 # bit 0
+            (2, " ".join(["a"] * 60)),                        # bit 1 (mean len < 3)
+            (3, " ".join(["####word#"] * 60)),                # bit 2 symbols
+            (4, "\n".join(["- bullet point here"] * 10)),     # bit 3 bullets
+            (5, "\n".join(["trailing words..."] * 10)),       # bit 4 ellipses
+            (6, " ".join(["123456"] * 60)),                   # bit 5 no alpha
+            (7, " ".join(["zork"] * 60)),                     # bit 6 no stops
+            (8, None),                                        # null -> bit 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[0]["rule_mask"] == 0 and out[0]["passed"] == 1
+    assert out[1]["rule_mask"] & 1
+    assert out[2]["rule_mask"] & 2
+    assert out[3]["rule_mask"] & 4
+    assert out[4]["rule_mask"] & 8
+    assert out[5]["rule_mask"] & 16
+    assert out[6]["rule_mask"] & 32
+    assert out[7]["rule_mask"] & 64
+    assert out[8]["rule_mask"] & 1 and out[8]["n_words"] == 0
+    assert all(r["passed"] == 0 for k, r in out.items() if k != 0)
+
+
+def test_normalize_text_nfc_agrees_with_duckdb_on_non_ascii(spark):
+    """Composed vs decomposed forms must converge to identical bytes,
+    match DuckDB's nfc_normalize on the same strings, and make
+    fingerprint-dedup see through encoding differences."""
+    import duckdb
+
+    from slow_tortoise_spark.operators.text import normalize_text
+
+    composed = "café résumé"            # precomposed é
+    decomposed = "café résumé"        # e + combining acute
+    rows = [(0, composed), (1, decomposed), (2, "plain ascii"), (3, None),
+            (4, "ＡＢＣ")]                  # fullwidth ABC (NFKC-only)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    nfc = {r["doc_id"]: r["norm"] for r in normalize_text(
+        docs, "text", form="NFC", out_col="norm").collect()}
+    assert nfc[0] == nfc[1] == composed  # both forms -> precomposed bytes
+    assert nfc[2] == "plain ascii"
+    assert nfc[3] is None
+    assert nfc[4] == "ＡＢＣ"  # NFC keeps fullwidth forms
+
+    con = duckdb.connect()
+    for i, (_, s) in enumerate(rows):
+        if s is None:
+            continue
+        expect = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert nfc[i] == expect, f"row {i} diverges from DuckDB NFC"
+
+    # NFKC additionally folds compatibility forms
+    nfkc = {r["doc_id"]: r["norm"] for r in normalize_text(
+        docs, "text", form="NFKC", out_col="norm").collect()}
+    assert nfkc[4] == "ABC"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_text(docs, "text", form="NFX")
