@@ -2,12 +2,13 @@
 
 Where ``run_pipeline`` turns a geotemporal datacube into serving
 artifacts, ``run_corpus_pipeline`` turns a raw document corpus into a
-training-ready dataset: (optional) domain blocklist + line-level
-boilerplate removal + duplicated-span removal → quality/language gating
-+ (optional) learned logistic gate → exact dedup → MinHash near-dedup →
-(optional) Bloom benchmark decontamination + temperature mixing →
-deterministic splits → partitioned parquet + a manifest of what was
-dropped at every gate.  Every stage is one of the library
+training-ready dataset: (optional) Unicode NFC canonicalization +
+domain blocklist + line-level boilerplate removal + duplicated-span
+removal → quality/language gating + (optional) Gopher rule bitmask and
+learned logistic gate folded into the SAME pass → exact dedup → MinHash
+near-dedup → (optional) Bloom benchmark decontamination + DSIR
+importance selection + temperature mixing → deterministic splits →
+partitioned parquet + a manifest of what was dropped at every gate.  Every stage is one of the library
 operators (operators/text.py, operators/dedup.py), so the plan is pure
 DataFrame/Catalyst work: the gates are a single projection+filter pass,
 each dedup tier is the documented one-shuffle/banded shape, and the
@@ -103,6 +104,19 @@ class CorpusParams:
     #: docs scoring below ``model_gate_threshold`` drop
     model_gate_weights: tuple[float, ...] | None = None
     model_gate_threshold: float = 0.5
+    #: Unicode-normalize text FIRST (None = off; "NFC"/"NFKC"/...).
+    #: Must precede every hash-based stage: composed vs decomposed
+    #: encodings of the same text otherwise fingerprint differently
+    normalize_form: str | None = None
+    #: apply the Gopher rule set (text.gopher_mask_col) as part of the
+    #: one-pass gate projection — no extra scan, no shuffle
+    gopher_gate: bool = False
+    #: DSIR importance selection AFTER dedup (None = off): keep the
+    #: docs whose hashed-unigram profile best matches this target
+    #: corpus (doc_id, text), down to ``dsir_keep_fraction``
+    dsir_target: DataFrame | None = None
+    dsir_keep_fraction: float = 0.5
+    dsir_buckets: int = 1024
 
 
 def _near_dup_drops(
@@ -144,6 +158,14 @@ def run_corpus_pipeline(
     # documented short-lived frames — see SCALE.md "cache lifecycle").
     _owned_caches: list[DataFrame] = []
     manifest["input_docs"] = docs.count()
+
+    # --- optional Unicode canonicalization (before ANY hashing: the
+    # dedup fingerprints, line hashes, and shingles downstream must see
+    # one byte encoding per text) --------------------------------------
+    if params.normalize_form is not None:
+        from slow_tortoise_spark.operators.text import normalize_text
+
+        docs = normalize_text(docs, "text", form=params.normalize_form)
 
     # --- optional provenance + boilerplate stages (pre-gate: quality
     # heuristics should score the text that will actually be trained on)
@@ -195,6 +217,14 @@ def run_corpus_pipeline(
     )
     if params.langs:
         keep = keep & F.col("lang_pred").isin(*params.langs)
+    if params.gopher_gate:
+        # the Gopher bitmask is a pure Column — folds into this same
+        # projection+filter pass, zero additional scans
+        from slow_tortoise_spark.operators.text import gopher_mask_col
+
+        keep = keep & (
+            gopher_mask_col(F.coalesce(F.col("text"), F.lit(""))) == 0
+        )
     if params.model_gate_weights is not None:
         # learned gate composes with the heuristics in the SAME scan:
         # the feature columns already sit on `scored` (projected away
@@ -256,6 +286,29 @@ def run_corpus_pipeline(
         ).select("doc_id")
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
         manifest["after_decontamination"] = deduped.count()
+
+    # --- optional DSIR importance selection (post-dedup: selecting a
+    # corpus that still contains duplicates over-weights their buckets;
+    # pre-mix so mixing shares are computed over the selected set) ------
+    if params.dsir_target is not None:
+        from slow_tortoise_spark.operators.text import dsir_weights
+
+        deduped = deduped.cache()  # weights job + threshold + filter
+        _owned_caches.append(deduped)
+        w = dsir_weights(
+            deduped, params.dsir_target, buckets=params.dsir_buckets
+        ).cache()  # consumed by the quantile agg AND the join below
+        _owned_caches.append(w)
+        # deterministic keep-threshold: exact quantile of the integer
+        # weights (one bounded agg), ties keep — ≥ fraction survives
+        cut = w.agg(
+            F.expr(
+                f"percentile(w_micro, {1.0 - params.dsir_keep_fraction})"
+            )
+        ).first()[0]
+        keep_ids = w.filter(F.col("w_micro") >= cut).select("doc_id")
+        deduped = deduped.join(keep_ids, "doc_id", "left_semi")
+        manifest["after_dsir"] = deduped.count()
 
     # --- optional temperature mixing (post-dedup, pre-split: mixing a
     # corpus that still contains duplicates double-counts their mass) ---

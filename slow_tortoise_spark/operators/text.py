@@ -1025,6 +1025,20 @@ def gopher_rules(
     Returns (id_col, n_words bigint, rule_mask bigint, passed int).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
+    mask = gopher_mask_col(text)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_col(text)).cast("bigint").alias("n_words"),
+        mask.alias("rule_mask"),
+        F.when(mask == 0, F.lit(1)).otherwise(F.lit(0)).alias("passed"),
+    )
+
+
+def gopher_mask_col(text: Column) -> Column:
+    """The Gopher violation bitmask as a pure Column over a (non-null)
+    text expression — composable into any existing scan (the corpus
+    pipeline folds it into the one-pass gate projection, zero extra
+    shuffles)."""
     toks = tokens_col(text)
     n = F.size(toks).cast("bigint")
     sum_len = F.aggregate(
@@ -1071,12 +1085,7 @@ def gopher_rules(
     for bit, cond in enumerate([r0, r1, r2, r3, r4, r5, r6]):
         term = F.when(cond, F.lit(1 << bit)).otherwise(F.lit(0)).cast("bigint")
         mask = term if mask is None else mask + term
-    return df.select(
-        F.col(id_col),
-        n.alias("n_words"),
-        mask.alias("rule_mask"),
-        F.when(mask == 0, F.lit(1)).otherwise(F.lit(0)).alias("passed"),
-    )
+    return mask
 
 
 def normalize_text(

@@ -383,3 +383,58 @@ def test_media_files_to_pipeline(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT media_id, kind FROM media_stream_test").collect()
     assert len(got) == 3 and all(r["kind"] == "image" for r in got)
+
+
+def test_pipeline_nfc_gopher_dsir_stages(spark, tmp_path):
+    """The three late-round stages composed: NFC makes decomposed
+    duplicates fall to exact dedup, the Gopher gate drops rule
+    violators in the same gate pass, and DSIR selection keeps the
+    target-like half of the survivors."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+
+    good = ("the quick brown fox jumps over that lazy dog and then it "
+            "have run with great speed to be first of many winners today "
+            "while everyone watched the entire show with delight and "
+            "cheered for more because the performance was truly special "
+            "indeed friends gathered around the stage applauding loudly "
+            "until the very end of that memorable evening together")
+    offdomain = ("zork quux blorb fizz buzz grok plonk snark wibble "
+                 "frobnicate ") * 6 + "the of and to be that have with " * 2
+    composed = good + " café résumé"
+    decomposed = good + " café résumé"  # e + combining accents
+    rows = (
+        [(0, composed, "tgt"), (1, decomposed, "tgt")]  # NFC-equal pair
+        + [(i, good + f" variant {i} unique closing words", "tgt")
+           for i in range(2, 12)]
+        + [(i, offdomain + f" filler {i}", "other") for i in range(12, 22)]
+        + [(22, "way too short", "other")]  # gopher word-count violation
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = docs.filter("source = 'tgt' and doc_id >= 2").select(
+        "doc_id", "text"
+    )
+    params = CorpusParams(
+        out_dir=str(tmp_path / "corpus"),
+        normalize_form="NFC",
+        gopher_gate=True,
+        dedup="exact",
+        min_tokens=5,
+        dsir_target=target,
+        dsir_keep_fraction=0.5,
+        dsir_buckets=64,
+        split_weights={"train": 1.0},
+    )
+    manifest = run_corpus_pipeline(spark, docs, params)
+    assert manifest["input_docs"] == 23
+    # gopher gate removed the short doc (and nothing with 50+ words)
+    assert manifest["after_gates"] == 22
+    # NFC made the composed/decomposed pair byte-identical -> exact dedup
+    assert manifest["after_exact_dedup"] == 21
+    # DSIR kept the target-like half: every surviving doc is on-domain
+    assert manifest["after_dsir"] <= 11
+    out = spark.read.parquet(str(tmp_path / "corpus" / "corpus"))
+    kept_sources = {r["source"] for r in out.select("source").collect()}
+    assert kept_sources == {"tgt"}
