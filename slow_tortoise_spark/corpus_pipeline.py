@@ -293,8 +293,16 @@ def run_corpus_pipeline(
     if params.dsir_target is not None:
         from slow_tortoise_spark.operators.text import dsir_weights
 
-        deduped = deduped.cache()  # weights job + threshold + filter
-        _owned_caches.append(deduped)
+        # TRUNCATE LINEAGE, not just cache: dsir_weights references its
+        # input in three subtrees (bucket counts, token stream, per-doc
+        # counts), so on top of the full curation DAG the logical plan
+        # TRIPLES — measured to OOM the driver just stringifying the
+        # tree once every prior stage is on.  localCheckpoint
+        # materializes the partitions and gives downstream plans a leaf
+        # node.  (On a cluster where executor loss must be survivable,
+        # write/read an intermediate parquet here instead — same
+        # boundary, durable lineage cut.)
+        deduped = deduped.localCheckpoint(eager=True)
         w = dsir_weights(
             deduped, params.dsir_target, buckets=params.dsir_buckets
         ).cache()  # consumed by the quantile agg AND the join below

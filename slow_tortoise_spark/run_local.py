@@ -254,10 +254,15 @@ def main() -> int:
         print({k: v for k, v in results.items() if k != "output_agg_values"})
         return 0
     if idx == 13:
-        # curation v2: EVERY optional stage at once — blocklist, line
-        # dedup, span dedup, learned logistic gate, MinHash near-dedup,
-        # Bloom decontamination against a held-out benchmark slice, and
-        # temperature mixing — the full training-data flagship run.
+        # curation v3: EVERY optional stage at once — NFC normalization,
+        # blocklist, line dedup, span dedup, learned logistic gate,
+        # MinHash near-dedup, Bloom decontamination against a held-out
+        # benchmark slice, DSIR importance selection toward the src0
+        # slice, and temperature mixing — the full training-data
+        # flagship run.  (The Gopher gate stays off HERE only because
+        # the synthetic vocabulary lacks the rule set's required stop
+        # words — every doc would fail bit 6 by construction; the gate
+        # is e2e-covered on realistic text in test_corpus_pipeline.)
         from pyspark.sql import functions as F
 
         from slow_tortoise_spark.corpus_pipeline import (
@@ -293,6 +298,11 @@ def main() -> int:
                 span_dedup_ngram=10,
                 model_gate_weights=(0.0, -40.0, 0.0, 0.0, 0.0, 4.0),
                 decontaminate_against=bench,
+                normalize_form="NFC",
+                dsir_target=corpus.filter("source = 'src0'").select(
+                    "doc_id", "text"
+                ),
+                dsir_keep_fraction=0.8,
                 mix_budget=300.0,
             ),
         )

@@ -480,3 +480,103 @@ def test_shuffle_rows_total_order_property(spark_session, ids):
                for r in rows)
     again = shuffle_rows(df).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def _py_morton(x: int, y: int) -> int:
+    m = 0
+    for b in range(16):
+        m |= ((x >> b) & 1) << (2 * b)
+        m |= ((y >> b) & 1) << (2 * b + 1)
+    return m
+
+
+@given(
+    coords=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_morton_matches_python_reference_property(spark_session, coords):
+    """The shift-or-mask spread equals bit-by-bit interleaving for any
+    16-bit pair, and Z-order preserves equality/prefix structure."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.tiles import morton_code
+
+    df = spark_session.createDataFrame(coords, "x int, y int")
+    got = [r["m"] for r in
+           df.select(morton_code(F.col("x"), F.col("y")).alias("m")).collect()]
+    assert got == [_py_morton(x, y) for x, y in coords]
+    # interleave is a bijection: distinct pairs -> distinct codes
+    assert len(set(got)) == len(set(coords))
+
+
+def _py_gopher_mask(text: str) -> int:
+    toks = [t for t in text.split() if t]
+    n = len(toks)
+    sum_len = sum(len(t) for t in toks)
+    hashes = text.count("#")
+    ellipses = (len(text) - len(text.replace("...", ""))) // 3
+    lines = text.split("\n")
+    bullets = sum(1 for l in lines if l.lstrip()[:1] in ("-", "*", "•"))
+    ell_lines = sum(1 for l in lines
+                    if len(l.rstrip()) >= 3 and l.rstrip().endswith("..."))
+    alpha = sum(1 for t in toks if any(c.isalpha() and c.isascii() for c in t))
+    stops = sum(1 for w in ("the", "be", "to", "of", "and", "that",
+                            "have", "with")
+                if w in [t.lower() for t in toks])
+    mask = 0
+    if n < 50 or n > 100000:
+        mask |= 1
+    if sum_len < 3 * n or sum_len > 10 * n:
+        mask |= 2
+    if 10 * (hashes + ellipses) > n:
+        mask |= 4
+    if 10 * bullets > 9 * len(lines):
+        mask |= 8
+    if 10 * ell_lines > 3 * len(lines):
+        mask |= 16
+    if 5 * alpha < 4 * n:
+        mask |= 32
+    if stops < 2:
+        mask |= 64
+    return mask
+
+
+_gopher_word = st.sampled_from(
+    ["the", "of", "and", "be", "#tag", "word...", "-", "*", "abc",
+     "1234", "x", "...", "verylongwordhere", "Zork"]
+)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_gopher_word, min_size=0, max_size=70).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    newline_every=st.integers(3, 9),
+)
+@settings(max_examples=25, deadline=None)
+def test_gopher_mask_matches_python_reference_property(
+    spark_session, docs, newline_every
+):
+    """The integer cross-multiplied Column bitmask equals a direct
+    python implementation of the rules on arbitrary word-soup docs
+    (bullet lines, ellipses, hashes, no-alpha tokens, stopword mixes)."""
+    from slow_tortoise_spark.operators.text import gopher_rules
+
+    def with_newlines(t: str) -> str:
+        ws = t.split(" ")
+        out = []
+        for i, w in enumerate(ws):
+            out.append(w)
+            out.append("\n" if (i + 1) % newline_every == 0 else " ")
+        return "".join(out).rstrip(" ")
+
+    staged = [(i, with_newlines(t)) for i, t in enumerate(docs)]
+    df = spark_session.createDataFrame(staged, "doc_id long, text string")
+    got = {r["doc_id"]: r["rule_mask"]
+           for r in gopher_rules(df).collect()}
+    for i, t in staged:
+        assert got[i] == _py_gopher_mask(t), (i, t)
