@@ -228,22 +228,26 @@ def run_corpus_pipeline(
     if params.model_gate_weights is not None:
         # learned gate composes with the heuristics in the SAME scan:
         # the feature columns already sit on `scored` (projected away
-        # only below), so this adds one in-row sigmoid, no extra pass
-        from slow_tortoise_spark.operators.similarity import logreg_score
-
-        feats = F.array(
-            F.coalesce(F.col("avg_token_len"), F.lit(0.0)),
-            F.col("punct_ratio"),
-            F.col("digit_ratio"),
-            F.col("upper_ratio"),
-            F.col("stopword_ratio"),
+        # only below), so this adds one in-row sigmoid, no extra pass.
+        # Flat column form, NOT array+element_at: packing the nullable
+        # CASE WHEN feature into an array trips a janino codegen bug
+        # and drops the whole gate predicate to interpreted mode
+        from slow_tortoise_spark.operators.similarity import (
+            logreg_score_cols,
         )
-        scored = logreg_score(
-            scored.withColumn("_feat", feats),
+
+        scored = logreg_score_cols(
+            scored,
             list(params.model_gate_weights),
-            vec_col="_feat",
+            [
+                F.coalesce(F.col("avg_token_len"), F.lit(0.0)),
+                F.col("punct_ratio"),
+                F.col("digit_ratio"),
+                F.col("upper_ratio"),
+                F.col("stopword_ratio"),
+            ],
             out_col="model_score",
-        ).drop("_feat")
+        )
         keep = keep & (
             F.col("model_score") >= params.model_gate_threshold
         )

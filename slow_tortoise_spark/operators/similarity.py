@@ -761,3 +761,31 @@ def sq_topk(
         .orderBy(F.asc("dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def logreg_score_cols(
+    df: DataFrame,
+    weights: list[float],
+    feature_cols: list[Column],
+    out_col: str = "score",
+) -> DataFrame:
+    """Apply a fitted linear model over plain feature COLUMNS:
+    sigmoid(sum(w_j * col_j) + b).  Same math as :func:`logreg_score`
+    without packing an array first — use this form when the features
+    are scalar expressions rather than a stored vector column: wrapping
+    CASE WHEN expressions in array()+element_at() trips a janino
+    codegen bug ("isNull_N is not an rvalue") that silently drops the
+    whole predicate to interpreted mode; the flat sum compiles clean
+    (measured: 32 per-task fallbacks → 0 in the corpus pipeline's
+    learned gate)."""
+    from functools import reduce
+
+    dim = len(weights) - 1
+    if len(feature_cols) != dim:
+        raise ValueError(f"{len(feature_cols)} features for {dim} weights")
+    z = reduce(
+        lambda acc, p: acc + p[0].cast("double") * F.lit(p[1]),
+        zip(feature_cols, weights[:dim]),
+        F.lit(weights[dim]),
+    )
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
