@@ -1128,3 +1128,50 @@ def normalize_text(
     _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _norm = F.pandas_udf(_norm_fn, "string")
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+#: Common HTML entities worth decoding without an HTML parser (the long
+#: tail is rare in web text and harmless to training if left encoded).
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: "&amp;lt;" must become "&lt;", not "<"
+)
+
+
+def strip_html(
+    df: DataFrame, html_col: str = "text", out_col: str = "text"
+) -> DataFrame:
+    """Plain text from HTML markup — the extraction step between a web
+    crawl and every text operator in this library.  Three regex tiers,
+    all JVM-side (and RE2-compatible, so a SQL oracle replays them):
+
+    1. ``<script>``/``<style>`` blocks drop with their CONTENT
+       (``(?is)`` + non-greedy span), since code/CSS is not prose;
+    2. remaining tags ``<[^>]*>`` are replaced by a space (block
+       boundaries must not glue words: ``a</p><p>b`` → ``a b``);
+    3. the six common entities decode via literal replaces, ``&amp;``
+       deliberately last so double-encoded entities un-nest one level
+       per pass instead of over-decoding.
+
+    Whitespace is then collapsed and trimmed.  Adds ``n_tags`` (tag
+    count BEFORE stripping — a markup-density quality signal).  This is
+    the honest regex tier: a browser-grade parser (malformed nesting,
+    CDATA, conditional comments) is a library dependency, not a Column
+    expression — documents that need one should route through a gated
+    mapInPandas like the media decoders.
+    """
+    raw = F.coalesce(F.col(html_col), F.lit(""))
+    n_tags = F.size(
+        F.regexp_extract_all(raw, F.lit(r"<[^>]*>"), F.lit(0))
+    ).cast("bigint")
+    txt = F.regexp_replace(raw, r"(?is)<script[^>]*>.*?</script>", " ")
+    txt = F.regexp_replace(txt, r"(?is)<style[^>]*>.*?</style>", " ")
+    txt = F.regexp_replace(txt, r"<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return df.withColumn("n_tags", n_tags).withColumn(out_col, txt)

@@ -4825,3 +4825,66 @@ _Q_NFC_NORMALIZE = """
 
 VERIFIER_QUERIES["nfc_normalize"] = q_nfc_normalize
 VERIFIER_ORACLE_SQL["nfc_normalize"] = _Q_NFC_NORMALIZE
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction
+# ---------------------------------------------------------------------------
+
+
+def q_strip_html(spark, sf_dir):
+    """Strip deterministic HTML staging (tags + entities wrapped around
+    document text) back to plain text (operators/text.py strip_html).
+    Output is md5 + tag count, so the driver hash checks the extracted
+    bytes; the oracle stages and strips with the same regexes."""
+    from slow_tortoise_spark.operators.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style>"
+                  "<script>var x=1;</script></head><body><h1>T&amp;C"
+                  "</h1><p>"),
+            F.col("text"),
+            F.lit("</p><ul><li>a&lt;b</li></ul></body></html>"),
+        ).alias("text"),
+    )
+    out = strip_html(staged)
+    return out.select(
+        "doc_id", "n_tags", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
+_Q_STRIP_HTML = """
+  WITH staged AS (
+    SELECT doc_id,
+           '<html><head><style>p{color:red}</style>'
+           || '<script>var x=1;</script></head><body><h1>T&amp;C'
+           || '</h1><p>' || text
+           || '</p><ul><li>a&lt;b</li></ul></body></html>' AS html
+    FROM documents
+  ),
+  stripped AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
+                                  ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS text
+    FROM staged
+  )
+  SELECT doc_id, n_tags, md5(text) AS text_md5
+  FROM stripped ORDER BY doc_id
+"""
+
+
+VERIFIER_QUERIES["strip_html"] = q_strip_html
+VERIFIER_ORACLE_SQL["strip_html"] = _Q_STRIP_HTML

@@ -2233,3 +2233,28 @@ def test_normalize_text_nfc_agrees_with_duckdb_on_non_ascii(spark):
 
     with pytest.raises(ValueError):
         normalize_text(docs, "text", form="NFX")
+
+
+def test_strip_html_known_cases(spark):
+    from slow_tortoise_spark.operators.text import strip_html
+
+    docs = spark.createDataFrame(
+        [
+            (0, "<p>hello <b>world</b></p>"),
+            (1, "<script>alert('x')</script>keep<style>b{}</style>this"),
+            (2, "a</p><p>b"),                        # tag gap must space-split
+            (3, "T&amp;C &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b"),
+            (4, "&amp;lt;"),                          # double-encoded: one level
+            (5, None),
+            (6, "no markup at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_html(docs).collect()}
+    assert out[0]["text"] == "hello world" and out[0]["n_tags"] == 4
+    assert out[1]["text"] == "keep this"
+    assert out[2]["text"] == "a b"
+    assert out[3]["text"] == "T&C <tag> \"q\" 's' a b"
+    assert out[4]["text"] == "&lt;"
+    assert out[5]["text"] == "" and out[5]["n_tags"] == 0
+    assert out[6]["text"] == "no markup at all" and out[6]["n_tags"] == 0
