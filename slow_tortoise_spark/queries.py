@@ -4888,3 +4888,41 @@ _Q_STRIP_HTML = """
 
 VERIFIER_QUERIES["strip_html"] = q_strip_html
 VERIFIER_ORACLE_SQL["strip_html"] = _Q_STRIP_HTML
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered join (semi-join reduction)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_join(spark, sf_dir):
+    """Orders joined to a selective customer slice through the Bloom
+    semi-join reduction (operators/joins.py bloom_filtered_join): the
+    big side is pre-filtered by broadcast Bloom probes before its
+    exchange.  No false negatives, so the oracle is simply the PLAIN
+    join — the reduction must be invisible in the result."""
+    from slow_tortoise_spark.operators.joins import bloom_filtered_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter("c_mktsegment = 'BUILDING' AND c_acctbal > 9000")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    out = bloom_filtered_join(orders, cust, "o_custkey")
+    return out.select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
+_Q_BLOOM_JOIN = """
+  SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+  ORDER BY o.o_orderkey
+"""
+
+
+VERIFIER_QUERIES["bloom_join"] = q_bloom_join
+VERIFIER_ORACLE_SQL["bloom_join"] = _Q_BLOOM_JOIN

@@ -452,3 +452,28 @@ def test_sq_quantize_is_map_only(spark, sf_dir):
     plan = _plan(sq_quantize(emb, minmax))
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan.lower()
+
+
+def test_bloom_prefilter_adds_no_shuffle_to_big_side(spark, sf_dir):
+    """Every Bloom probe must be a BroadcastHashJoin; the big side's
+    only exchange (if any) belongs to the final equi-join, and the
+    pre-filter demonstrably shrinks what that exchange carries."""
+    from slow_tortoise_spark.operators.joins import bloom_prefilter
+    from slow_tortoise_spark.sources.reader import read_table
+
+    orders = read_table(spark, f"{sf_dir}/orders.parquet")
+    keys = read_table(spark, f"{sf_dir}/customer.parquet").filter(
+        "c_acctbal > 9000"
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    pre = bloom_prefilter(orders, keys, "o_custkey", k=3)
+    plan = _plan(pre)
+    assert plan.count("BroadcastHashJoin") == 3  # one per hash
+    # the bloom build executes ONCE: every probe reads the cached word
+    # table (differing probe aliases defeat ReuseExchange, so without
+    # the cache the keys-side aggregation would run k times)
+    assert plan.count("InMemoryTableScan") == 3
+    # and the big (orders) side never hash-partitions for the probes:
+    # exchanges appear only inside the cached build's own subtree
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "o_orderkey" in ln:
+            raise AssertionError(f"big side shuffled: {ln}")

@@ -149,3 +149,41 @@ def test_latest_by_key_plan_has_no_window_sort(spark):
     assert "Window" not in plan
     assert "partial_max_by" in plan.lower().replace(" ", "_") or \
         "partial" in plan  # partial aggregation before the exchange
+
+
+def test_bloom_filtered_join_equals_plain_join(spark):
+    """The reduction must be invisible: identical rows for inner and
+    left_semi, across adversarial key mixes (matching, missing,
+    negative, and boundary-value keys)."""
+    from slow_tortoise_spark.operators.joins import (
+        bloom_filtered_join,
+        bloom_prefilter,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"payload{i}") for i in range(2000)]
+        + [(-5, "neg"), (2**40, "big")],
+        "k long, payload string",
+    )
+    small = spark.createDataFrame(
+        [(i * 7, f"dim{i}") for i in range(50)] + [(-5, "negdim"),
+                                                   (2**40, "bigdim")],
+        "k long, name string",
+    )
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    bloomed = {tuple(r) for r in
+               bloom_filtered_join(big, small, "k").collect()}
+    assert bloomed == plain  # no false negatives, inner join unchanged
+    semi_plain = {r["k"] for r in big.join(small, "k", "left_semi").collect()}
+    semi_bloom = {r["k"] for r in
+                  bloom_filtered_join(big, small, "k",
+                                      how="left_semi").collect()}
+    assert semi_bloom == semi_plain
+    # the prefilter really reduces the big side
+    kept = bloom_prefilter(big, small, "k").count()
+    assert len(semi_plain) <= kept < big.count()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_filtered_join(big, small, "k", how="left")
