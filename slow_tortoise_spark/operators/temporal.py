@@ -69,3 +69,72 @@ def temporal_aggregation(
         # carry the weight forward so spatial wavg can reuse it
         aggs.append(F.avg(w).alias(weight_column))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def resample_timeseries(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    fill: str = "zero",
+) -> DataFrame:
+    """Regularize a sparse per-key timeseries onto a fixed grid: every
+    key gets one row per ``step_ms`` tick from its own min to max
+    timestamp, observed values land on their tick, and gaps fill with
+    ``"zero"`` (0.0), ``"null"``, or ``"ffill"`` (carry the last
+    observation forward) — the densification pass a downstream
+    model/chart needs before windowed math on irregular data.
+
+    Plan shape: one per-key (min, max) aggregate, an in-row
+    ``sequence()`` explode (each key's grid generates inside its own
+    task — no cross-key shuffle), one left join back onto the
+    observations at (key, tick) grain, and — for ``ffill`` only — a
+    per-key ordered window (``last(ignorenulls)`` over the unbounded
+    preceding frame).  Keys partition the window, so the sort is
+    per-key, not global; a pathologically long single series is the
+    same single-task caveat as any per-key window (range-chunk the key
+    if that ever bites).  Ticks snap DOWN to the grid origin (epoch 0),
+    so observations between ticks aggregate onto their floor tick —
+    multiple observations in one (key, tick) sum (zero/null modes) or
+    take the tick's last value by original timestamp (ffill mode uses
+    the summed tick value too; "last" semantics belong to as-of joins).
+
+    Returns key_cols + (tick bigint, value double, observed int).
+    """
+    from pyspark.sql.window import Window
+
+    if fill not in ("zero", "null", "ffill"):
+        raise ValueError(f"unknown fill mode {fill!r}")
+    tick = (F.col(ts_col) / step_ms).cast("long") * step_ms
+    obs = (
+        df.select(*key_cols, tick.alias("tick"),
+                  F.col(value_col).cast("double").alias("v"))
+        .groupBy(*key_cols, "tick")
+        .agg(F.sum("v").alias("v"))
+    )
+    spans = obs.groupBy(*key_cols).agg(
+        F.min("tick").alias("_lo"), F.max("tick").alias("_hi")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_ms))
+        ).alias("tick"),
+    )
+    joined = grid.join(obs, [*key_cols, "tick"], "left")
+    observed = F.when(F.col("v").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    if fill == "zero":
+        val = F.coalesce(F.col("v"), F.lit(0.0))
+    elif fill == "null":
+        val = F.col("v")
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("tick")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        val = F.last("v", ignorenulls=True).over(w)
+    return joined.select(
+        *key_cols, "tick", val.alias("value"), observed.alias("observed")
+    )

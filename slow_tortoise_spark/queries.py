@@ -4926,3 +4926,60 @@ _Q_BLOOM_JOIN = """
 
 VERIFIER_QUERIES["bloom_join"] = q_bloom_join
 VERIFIER_ORACLE_SQL["bloom_join"] = _Q_BLOOM_JOIN
+
+
+# ---------------------------------------------------------------------------
+# Timeseries resampling / gap fill
+# ---------------------------------------------------------------------------
+
+
+def q_resample_ffill(spark, sf_dir):
+    """Daily regularization of the per-event-type value series with
+    forward fill (operators/temporal.py resample_timeseries): every
+    type gets one row per day between its first and last event; gap
+    days carry the last observed daily sum forward."""
+    from slow_tortoise_spark.operators.temporal import resample_timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis("ts").alias("timestamp"),
+        "value",
+    )
+    out = resample_timeseries(
+        ev, ["event_type"], step_ms=86_400_000, fill="ffill"
+    )
+    return out.select(
+        "event_type",
+        "tick",
+        F.round("value", 6).alias("value"),
+        "observed",
+    ).orderBy("event_type", "tick")
+
+
+_Q_RESAMPLE_FFILL = """
+  WITH obs AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 86400000) * 86400000 AS tick,
+           SUM(value) AS v
+    FROM events GROUP BY 1, 2
+  ),
+  spans AS (SELECT event_type, MIN(tick) AS lo, MAX(tick) AS hi
+            FROM obs GROUP BY 1),
+  grid AS (SELECT event_type, unnest(range(lo, hi + 1, 86400000)) AS tick
+           FROM spans),
+  j AS (
+    SELECT g.event_type, g.tick, o.v
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.tick = o.tick
+  )
+  SELECT event_type, CAST(tick AS BIGINT) AS tick,
+         round(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY tick
+           ROWS UNBOUNDED PRECEDING), 6) AS value,
+         CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM j ORDER BY event_type, tick
+"""
+
+
+VERIFIER_QUERIES["resample_ffill"] = q_resample_ffill
+VERIFIER_ORACLE_SQL["resample_ffill"] = _Q_RESAMPLE_FFILL

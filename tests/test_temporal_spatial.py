@@ -102,3 +102,42 @@ def test_weighted_spatial_full_contract(spark):
     # s_wavg_t_wavg = (2.5*2 + 10*1)/(2+1) = 5.0
     assert jan["s_wavg_t_wavg"] == 5.0
     assert jan["s_count"] == 2
+
+
+def test_resample_timeseries_fill_modes(spark):
+    from slow_tortoise_spark.operators.temporal import resample_timeseries
+
+    day = 86_400_000
+    rows = [
+        ("a", 0 * day, 1.0),
+        ("a", 0 * day + 5, 2.0),   # same tick as above -> sums to 3.0
+        ("a", 3 * day, 7.0),       # gap: days 1, 2 missing
+        ("b", 10 * day, 4.0),      # single-point series
+    ]
+    df = spark.createDataFrame(rows, "k string, timestamp long, value double")
+
+    def run(fill):
+        out = resample_timeseries(df, ["k"], fill=fill)
+        return {(r["k"], r["tick"] // day): (r["value"], r["observed"])
+                for r in out.collect()}
+
+    zero = run("zero")
+    assert zero[("a", 0)] == (3.0, 1)       # same-tick observations sum
+    assert zero[("a", 1)] == (0.0, 0)
+    assert zero[("a", 2)] == (0.0, 0)
+    assert zero[("a", 3)] == (7.0, 1)
+    assert zero[("b", 10)] == (4.0, 1)
+    assert len(zero) == 5                   # a: 4 ticks, b: 1 tick
+
+    nul = run("null")
+    assert nul[("a", 1)][0] is None and nul[("a", 1)][1] == 0
+
+    ff = run("ffill")
+    assert ff[("a", 1)] == (3.0, 0)         # carried forward
+    assert ff[("a", 2)] == (3.0, 0)
+    assert ff[("a", 3)] == (7.0, 1)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        run("interpolate")
