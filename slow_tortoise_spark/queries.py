@@ -4983,3 +4983,33 @@ _Q_RESAMPLE_FFILL = """
 
 VERIFIER_QUERIES["resample_ffill"] = q_resample_ffill
 VERIFIER_ORACLE_SQL["resample_ffill"] = _Q_RESAMPLE_FFILL
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late rotation (third batch).  This session's showpiece
+# operators earn driver hash rows; four extension-tier dedup rows step
+# down to the verifier tier — the dedup family keeps nine driver rows
+# (minhash_lsh_pairs, jaccard_pairs, simhash_near_dups, dedup_components,
+# dedup_lines, dup_ngram_stats, dup_span_removal, streaming_index_dedup,
+# bloom_contamination), so every out-rotated family stays driver-covered:
+#
+#   out containment_pairs -> jaccard_pairs / dup_span_removal (shingle
+#                            containment family)
+#   out lsh_edit_funnel    -> minhash_lsh_pairs (LSH candidate family)
+#   out incremental_dedup  -> streaming_index_dedup (index-probe family)
+#   out source_cap         -> temperature_mix-style keyed-hash family
+#                             (hash_split verifier + dedup_lines driver)
+#
+# bench.py's measured set is untouched.
+_ROTATE_IN_3 = ["sq_topk", "dsir_weights", "gopher_rules", "bloom_join"]
+_ROTATE_OUT_3 = [
+    "containment_pairs", "lsh_edit_funnel", "incremental_dedup",
+    "source_cap",
+]
+for _name in _ROTATE_IN_3:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_3:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
