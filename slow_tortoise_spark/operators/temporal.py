@@ -82,8 +82,9 @@ def resample_timeseries(
     """Regularize a sparse per-key timeseries onto a fixed grid: every
     key gets one row per ``step_ms`` tick from its own min to max
     timestamp, observed values land on their tick, and gaps fill with
-    ``"zero"`` (0.0), ``"null"``, or ``"ffill"`` (carry the last
-    observation forward) — the densification pass a downstream
+    ``"zero"`` (0.0), ``"null"``, ``"ffill"`` (carry the last
+    observation forward), or ``"linear"`` (interpolate between the
+    bracketing observations) — the densification pass a downstream
     model/chart needs before windowed math on irregular data.
 
     Plan shape: one per-key (min, max) aggregate, an in-row
@@ -104,7 +105,7 @@ def resample_timeseries(
     """
     from pyspark.sql.window import Window
 
-    if fill not in ("zero", "null", "ffill"):
+    if fill not in ("zero", "null", "ffill", "linear"):
         raise ValueError(f"unknown fill mode {fill!r}")
     tick = (F.col(ts_col) / step_ms).cast("long") * step_ms
     obs = (
@@ -128,13 +129,33 @@ def resample_timeseries(
         val = F.coalesce(F.col("v"), F.lit(0.0))
     elif fill == "null":
         val = F.col("v")
-    else:
+    elif fill == "ffill":
         w = (
             Window.partitionBy(*key_cols)
             .orderBy("tick")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         val = F.last("v", ignorenulls=True).over(w)
+    else:  # linear: interpolate between the bracketing observations
+        back = (
+            Window.partitionBy(*key_cols)
+            .orderBy("tick")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fwd = (
+            Window.partitionBy(*key_cols)
+            .orderBy("tick")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        obs_tick = F.when(F.col("v").isNotNull(), F.col("tick"))
+        v0 = F.last("v", ignorenulls=True).over(back)
+        t0 = F.last(obs_tick, ignorenulls=True).over(back)
+        v1 = F.first("v", ignorenulls=True).over(fwd)
+        t1 = F.first(obs_tick, ignorenulls=True).over(fwd)
+        # grid spans min..max tick per key, so every gap is bracketed
+        val = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+            v0 + (v1 - v0) * (F.col("tick") - t0) / (t1 - t0)
+        )
     return joined.select(
         *key_cols, "tick", val.alias("value"), observed.alias("observed")
     )

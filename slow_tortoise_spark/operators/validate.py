@@ -147,3 +147,40 @@ def validate_and_fix(
     df = df.filter(F.col("timestamp") < F.lit(MAX_TIMESTAMP_MS))
 
     return df, stats
+
+
+def mad_outliers(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+):
+    """Robust per-group outlier detection via the median absolute
+    deviation: a row is an outlier when |x - median| > k * MAD.  Unlike
+    mean/stddev z-scores, both statistics are themselves outlier-immune
+    — the estimator a data-quality gate wants on heavy-tailed measures
+    (value drift, corrupt sensors, price glitches).
+
+    Two grouped aggregations (median, then median of |x - med|), each
+    one shuffle at (group) grain with the deviation join flowing
+    through the same hash partitioning — Catalyst reuses the
+    partitioning, so the second agg does not reshuffle.  Exact
+    interpolated ``percentile(0.5)`` keeps the statistic deterministic
+    and SQL-replayable (same convention as the percentiles query).
+
+    Returns the input plus (med double, mad double, is_outlier int).
+    """
+    from pyspark.sql import functions as F
+
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(med, group_cols)
+    mad = with_med.groupBy(*group_cols).agg(
+        F.expr(f"percentile(abs({value_col} - med), 0.5)").alias("mad")
+    )
+    out = with_med.join(mad, group_cols)
+    flag = (
+        F.abs(F.col(value_col) - F.col("med")) > F.lit(k) * F.col("mad")
+    )
+    return out.withColumn("is_outlier", flag.cast("int"))

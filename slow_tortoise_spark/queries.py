@@ -5013,3 +5013,57 @@ for _name in _ROTATE_OUT_3:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier detection (robust per-group data-quality gate)
+# ---------------------------------------------------------------------------
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-event-type MAD outlier summary (operators/validate.py
+    mad_outliers, k=3): group medians and MADs are exact interpolated
+    percentiles (the percentiles-query parity convention), outlier
+    counts are integers."""
+    from slow_tortoise_spark.operators.validate import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    flagged = mad_outliers(ev, ["event_type"], "value", k=3.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_MAD_OUTLIERS = """
+  WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+  ),
+  dev AS (
+    SELECT e.event_type, e.value, m.med
+    FROM events e JOIN med m USING (event_type)
+  ),
+  mad AS (
+    SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+    FROM dev GROUP BY 1
+  )
+  SELECT d.event_type,
+         round(ANY_VALUE(d.med), 6) AS med,
+         round(ANY_VALUE(m.mad), 6) AS mad,
+         CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.0 * m.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         COUNT(*) AS n_rows
+  FROM dev d JOIN mad m USING (event_type)
+  GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+VERIFIER_QUERIES["mad_outliers"] = q_mad_outliers
+VERIFIER_ORACLE_SQL["mad_outliers"] = _Q_MAD_OUTLIERS

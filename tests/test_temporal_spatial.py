@@ -141,3 +141,18 @@ def test_resample_timeseries_fill_modes(spark):
 
     with pytest.raises(ValueError):
         run("interpolate")
+
+
+def test_resample_linear_interpolation(spark):
+    from slow_tortoise_spark.operators.temporal import resample_timeseries
+
+    day = 86_400_000
+    rows = [("a", 0 * day, 1.0), ("a", 4 * day, 9.0), ("a", 6 * day, 3.0)]
+    df = spark.createDataFrame(rows, "k string, timestamp long, value double")
+    out = {r["tick"] // day: r["value"]
+           for r in resample_timeseries(df, ["k"], fill="linear").collect()}
+    assert out[0] == 1.0 and out[4] == 9.0 and out[6] == 3.0
+    assert out[1] == 3.0   # 1 + (9-1) * 1/4
+    assert out[2] == 5.0
+    assert out[3] == 7.0
+    assert out[5] == 6.0   # midpoint of 9 and 3

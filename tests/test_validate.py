@@ -64,3 +64,20 @@ def test_validate_and_fix(spark):
 def test_qualifier_columns(spark):
     df = _dirty_df(spark)
     assert set(get_qualifier_columns(df, weight_column="w")) == {"qual1", "blank"}
+
+
+def test_mad_outliers_flags_planted_glitches(spark):
+    from slow_tortoise_spark.operators.validate import mad_outliers
+
+    rows = ([("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 9]]
+            + [("a", 1000.0), ("a", -500.0)]          # glitches
+            + [("b", 5.0)] * 6)                        # constant: MAD 0
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = mad_outliers(df, ["g"], "value", k=3.0).collect()
+    flagged = {(r["g"], r["value"]) for r in out if r["is_outlier"]}
+    assert flagged == {("a", 1000.0), ("a", -500.0)}
+    # the glitches did not poison the statistics (robustness)
+    a = next(r for r in out if r["g"] == "a" and r["value"] == 10.0)
+    assert 9.0 <= a["med"] <= 11.0 and a["mad"] <= 2.0
+    # constant group: MAD 0, nothing beats 0 strictly -> no outliers
+    assert all(not r["is_outlier"] for r in out if r["g"] == "b")
