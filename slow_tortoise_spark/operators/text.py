@@ -1175,3 +1175,69 @@ def strip_html(
         txt = F.replace(txt, F.lit(ent), F.lit(rep))
     txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
     return df.withColumn("n_tags", n_tags).withColumn(out_col, txt)
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Population stability index between two corpus snapshots over
+    hashed-unigram buckets: per bucket, contribution =
+    ``(p_a - p_b) * ln(p_a / p_b)`` with add-``alpha`` smoothing — the
+    standard drift monitor (PSI < 0.1 stable, > 0.25 shifted) applied
+    to text.  Run it between yesterday's and today's crawl before
+    retraining decisions; a spiking bucket names the drifting
+    vocabulary via its tokens.
+
+    Same scale shape as DSIR (two bounded bucket aggregations, a
+    ``buckets``-row result), and the same portability pattern: each
+    bucket's contribution is a single float expression rounded to
+    integer micros, so the TOTAL (an integer sum) replays exactly.
+
+    Returns (b int, contrib_micro bigint), ``buckets`` rows; PSI =
+    sum(contrib_micro) / 1e6.
+    """
+    spark = df_a.sparkSession
+
+    def bucket_counts(df: DataFrame):
+        toks = df.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+        )
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:"), F.col("tok"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        )
+        return toks.select(b.alias("b")).groupBy("b").agg(
+            F.count("*").alias("c")
+        )
+
+    ca = bucket_counts(df_a).cache()
+    cb = bucket_counts(df_b).cache()
+    A = ca.agg(F.sum("c")).first()[0] or 0
+    B = cb.agg(F.sum("c")).first()[0] or 0
+    a_den = float(A + alpha * buckets)
+    b_den = float(B + alpha * buckets)
+    dom = spark.range(buckets).select(F.col("id").alias("b"))
+    joined = (
+        dom.join(ca.withColumnRenamed("c", "ca"), "b", "left")
+        .join(cb.withColumnRenamed("c", "cb"), "b", "left")
+    )
+    pa = (F.coalesce(F.col("ca"), F.lit(0)) + F.lit(alpha)) / F.lit(a_den)
+    pb = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / F.lit(b_den)
+    contrib = (pa - pb) * F.log(pa / pb)
+    out = joined.select(
+        "b", F.round(contrib * 1e6).cast("bigint").alias("contrib_micro")
+    )
+    ca.unpersist()
+    cb.unpersist()
+    return out

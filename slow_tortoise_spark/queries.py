@@ -5067,3 +5067,60 @@ _Q_MAD_OUTLIERS = """
 
 VERIFIER_QUERIES["mad_outliers"] = q_mad_outliers
 VERIFIER_ORACLE_SQL["mad_outliers"] = _Q_MAD_OUTLIERS
+
+
+# ---------------------------------------------------------------------------
+# PSI drift between corpus snapshots
+# ---------------------------------------------------------------------------
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population stability index between the src0 and src1 document
+    slices over hashed-unigram buckets (operators/text.py psi_drift).
+    Each bucket's (p_a - p_b) ln(p_a/p_b) contribution rounds to
+    integer micros once, so the frame — and any total — replays
+    exactly."""
+    from slow_tortoise_spark.operators.text import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    out = psi_drift(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+        buckets=256,
+    )
+    return out.filter(F.col("contrib_micro") != 0).orderBy("b")
+
+
+_Q_PSI_DRIFT = f"""
+  WITH toks AS (
+    SELECT d.source,
+           unnest(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents d WHERE d.source IN ('src0', 'src1')
+  ),
+  tb AS (
+    SELECT source,
+           {_dsir_nib_sql("substr(md5('dsir:' || tok), 1, 4)")} % 256 AS b
+    FROM toks
+  ),
+  a AS (SELECT b, COUNT(*) AS c FROM tb WHERE source = 'src0' GROUP BY b),
+  bb AS (SELECT b, COUNT(*) AS c FROM tb WHERE source = 'src1' GROUP BY b),
+  tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM a) AS A,
+                 (SELECT COALESCE(SUM(c), 0) FROM bb) AS B),
+  dom AS (SELECT unnest(range(0, 256)) AS b),
+  contrib AS (
+    SELECT dom.b,
+           CAST(round((((COALESCE(a.c, 0) + 1.0) / (tot.A + 1.0 * 256))
+                       - ((COALESCE(bb.c, 0) + 1.0) / (tot.B + 1.0 * 256)))
+                      * ln(((COALESCE(a.c, 0) + 1.0) / (tot.A + 1.0 * 256))
+                           / ((COALESCE(bb.c, 0) + 1.0) / (tot.B + 1.0 * 256)))
+                      * 1e6) AS BIGINT) AS contrib_micro
+    FROM dom LEFT JOIN a ON dom.b = a.b LEFT JOIN bb ON dom.b = bb.b, tot
+  )
+  SELECT b, contrib_micro FROM contrib
+  WHERE contrib_micro <> 0 ORDER BY b
+"""
+
+
+VERIFIER_QUERIES["psi_drift"] = q_psi_drift
+VERIFIER_ORACLE_SQL["psi_drift"] = _Q_PSI_DRIFT

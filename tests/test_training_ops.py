@@ -2258,3 +2258,28 @@ def test_strip_html_known_cases(spark):
     assert out[4]["text"] == "&lt;"
     assert out[5]["text"] == "" and out[5]["n_tags"] == 0
     assert out[6]["text"] == "no markup at all" and out[6]["n_tags"] == 0
+
+
+def test_psi_drift_zero_for_identical_large_for_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.text import psi_drift
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(20)],
+        "doc_id long, text string",
+    )
+    same_psi = psi_drift(a, a, buckets=64).agg(
+        F.sum("contrib_micro")).first()[0]
+    assert same_psi == 0  # identical distributions -> exactly zero
+
+    b = spark.createDataFrame(
+        [(i, "zork quux blorb fizz " * 5) for i in range(20)],
+        "doc_id long, text string",
+    )
+    diff_psi = psi_drift(a, b, buckets=64).agg(
+        F.sum("contrib_micro")).first()[0]
+    assert diff_psi > 250_000  # PSI > 0.25: the "shifted" threshold
+    # PSI is symmetric in its contribution structure
+    assert psi_drift(b, a, buckets=64).agg(
+        F.sum("contrib_micro")).first()[0] == diff_psi
