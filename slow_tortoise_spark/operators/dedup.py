@@ -1789,3 +1789,50 @@ def shuffle_rows(
     )
     w = Window.partitionBy("bucket").orderBy("_h", id_col)
     return out.withColumn("bucket_rank", F.row_number().over(w)).drop("_h")
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis (2006) exponential-sort scheme with the RNG
+    replaced by a keyed hash — each row's uniform is
+    ``u = (h + 1) / 16^12`` from 12 hex chars of ``md5(salt:id)``, its
+    priority is ``ln(u) / w``, and the sample is the top-``n``
+    priorities.  Inclusion probabilities match true ES sampling (the
+    hash is as uniform as an RNG draw), but identical inputs select
+    identical rows on any cluster layout, any partitioning, any retry —
+    the property a reproducible training-data pipeline needs, same
+    rationale as ``hash_split``/``temperature_mix``.  A changed
+    ``salt`` is a fresh independent sample.
+
+    Plan: a map-only priority projection + TakeOrdered top-n — no
+    global sort, no shuffle beyond the bounded top-n merge.  Rows with
+    non-positive or null weight are excluded (zero mass cannot be
+    sampled).
+
+    Returns the sampled rows (all input columns), exactly
+    ``min(n, #positive-weight rows)`` of them.
+    """
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt),
+                              F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16 ** 12))
+    priority = F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_pri", priority)
+        .orderBy(F.desc("_pri"), F.col(id_col))
+        .limit(n)
+        .drop("_pri")
+    )

@@ -5124,3 +5124,37 @@ _Q_PSI_DRIFT = f"""
 
 VERIFIER_QUERIES["psi_drift"] = q_psi_drift
 VERIFIER_ORACLE_SQL["psi_drift"] = _Q_PSI_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis, keyed-hash RNG)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark, sf_dir):
+    """150 documents sampled without replacement with probability
+    proportional to length (n_chars) via the deterministic ES scheme
+    (operators/dedup.py weighted_sample).  The oracle replays the
+    hash-uniform and the ln(u)/w priority verbatim."""
+    from slow_tortoise_spark.operators.dedup import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 150, "n_chars")
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+_Q_WEIGHTED_SAMPLE = f"""
+  WITH pri AS (
+    SELECT doc_id, n_chars,
+           ln(({_dsir_nib_sql("substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 12)", 12)} + 1.0)
+              / 281474976710656.0)
+           / CAST(n_chars AS DOUBLE) AS p
+    FROM documents WHERE n_chars > 0
+  )
+  SELECT doc_id, n_chars FROM pri
+  ORDER BY p DESC, doc_id LIMIT 150
+"""
+
+
+VERIFIER_QUERIES["weighted_sample"] = q_weighted_sample
+VERIFIER_ORACLE_SQL["weighted_sample"] = _Q_WEIGHTED_SAMPLE

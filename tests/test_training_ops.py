@@ -2283,3 +2283,32 @@ def test_psi_drift_zero_for_identical_large_for_disjoint(spark):
     # PSI is symmetric in its contribution structure
     assert psi_drift(b, a, buckets=64).agg(
         F.sum("contrib_micro")).first()[0] == diff_psi
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from slow_tortoise_spark.operators.dedup import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    rows += [(500, 0.0), (501, None)]  # unsampleable mass
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    s1 = {r["doc_id"] for r in weighted_sample(df, 50, "w").collect()}
+    s2 = {r["doc_id"]
+          for r in weighted_sample(df.repartition(7), 50, "w").collect()}
+    assert s1 == s2 and len(s1) == 50          # layout-invariant
+    assert 500 not in s1 and 501 not in s1     # zero/null weight excluded
+
+    # heavy rows (100x weight, 50 of 550 rows) dominate the sample —
+    # aggregate over several salts to damp single-draw noise
+    heavy = 0
+    for salt in ("a", "b", "c"):
+        got = weighted_sample(df, 50, "w", salt=salt).collect()
+        heavy += sum(1 for r in got if r["doc_id"] < 50)
+    assert heavy >= 100  # >= 2/3 heavy on average vs ~9% under uniform
+
+    # a different salt is a genuinely different sample
+    assert {r["doc_id"] for r in
+            weighted_sample(df, 50, "w", salt="other").collect()} != s1
+
+    # n larger than the population returns every positive-weight row
+    assert weighted_sample(df, 10_000, "w").count() == 500
