@@ -253,6 +253,71 @@ def main() -> int:
         results = run_pipeline(spark, params)
         print({k: v for k, v in results.items() if k != "output_agg_values"})
         return 0
+    if idx == 14:
+        # media curation flagship: synthesize a directory of PNGs (with
+        # planted exact and near duplicates) + a stray WAV, ingest via
+        # the binaryFile source, and run the media pipeline's two dedup
+        # tiers (sha exact + hyperplane-LSH near) end-to-end.
+        import struct
+        import zlib
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from slow_tortoise_spark.media_pipeline import (
+            MediaParams,
+            run_media_pipeline,
+        )
+        from slow_tortoise_spark.sources.media import read_media_dir
+
+        def chunk(ctype, data):
+            body = ctype + data
+            return (struct.pack(">I", len(data)) + body
+                    + struct.pack(">I", zlib.crc32(body)))
+
+        def png_of(px):
+            h, wb = px.shape
+            raw = b"".join(b"\x00" + bytes(int(v) for v in px[y])
+                           for y in range(h))
+            return (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", wb // 3, h, 8, 2, 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        import os
+
+        src_dir = f"{dest_root}/media_incoming"
+        os.makedirs(src_dir, exist_ok=True)
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, size=(16, 48), dtype="uint8")
+        near = base.copy()
+        near[0, :6] = (near[0, :6].astype(int) + 5) % 256
+        blobs = {"img_000.png": png_of(base),
+                 "img_copy.png": png_of(base),
+                 "img_near.png": png_of(near)}
+        for i in range(12):
+            # distinct brightness bands per image: luma HISTOGRAMS must
+            # differ (uniform noise would make every histogram flat and
+            # near-identical in feature space — a correct near-match,
+            # but a useless demo)
+            lo = (i * 19) % 196
+            blobs[f"img_{i + 1:03d}.png"] = png_of(
+                rng.integers(lo, lo + 60, size=(16, 48), dtype="uint8"))
+        blobs["stray.wav"] = b"RIFF\x00\x00\x00\x00WAVEjunk"
+        for name, data in blobs.items():
+            with open(f"{src_dir}/{name}", "wb") as fh:
+                fh.write(data)
+
+        media = read_media_dir(spark, src_dir)
+        manifest = run_media_pipeline(
+            spark,
+            media.filter(F.col("kind") == "image"),
+            MediaParams(out_dir=f"{dest_root}/media-curated",
+                        dedup="lsh", near_dup_threshold=0.98),
+        )
+        print(manifest)
+        return 0
     if idx == 13:
         # curation v3: EVERY optional stage at once — NFC normalization,
         # blocklist, line dedup, span dedup, learned logistic gate,
