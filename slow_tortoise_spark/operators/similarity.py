@@ -789,3 +789,52 @@ def logreg_score_cols(
         F.lit(weights[dim]),
     )
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def write_ivf_index(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+) -> None:
+    """Persist an IVF index with CELL AS THE PARTITION COLUMN plus a
+    centroids JSON sidecar.  This turns ``ivf_topk``'s cell pruning
+    from an in-memory filter into DISK-level partition pruning: a query
+    that probes ``nprobe`` of C cells lists and reads only those
+    directories — at 100 TB the scan touches nprobe/C of the files
+    before a single row is deserialized (the plan shows the cell
+    predicate under PartitionFilters, pinned by test)."""
+    import json
+    import os
+
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump([[cid, cvec] for cid, cvec in centroids], fh)
+
+
+def read_ivf_index(
+    spark, path: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Load a persisted IVF index (lazy frame + centroid list)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centroids = [(int(cid), [float(x) for x in cvec])
+                     for cid, cvec in json.load(fh)]
+    return spark.read.parquet(path), centroids
+
+
+def ivf_topk_from_path(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` against a persisted partitioned index — the
+    cell filter becomes a partition filter, so unprobed cells are never
+    even listed into the scan."""
+    indexed, centroids = read_ivf_index(spark, path)
+    return ivf_topk(indexed, centroids, query, k, nprobe, id_col, vec_col)

@@ -477,3 +477,32 @@ def test_bloom_prefilter_adds_no_shuffle_to_big_side(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln and "o_orderkey" in ln:
             raise AssertionError(f"big side shuffled: {ln}")
+
+
+def test_ivf_partitioned_index_prunes_at_the_scan(spark, sf_dir, tmp_path):
+    """Persisted-IVF queries must push the cell probe into
+    PartitionFilters: unprobed cells are skipped at file-listing time,
+    not filtered after deserialization."""
+    from slow_tortoise_spark.operators.similarity import (
+        build_ivf_index,
+        brute_force_topk,
+        ivf_topk_from_path,
+        write_ivf_index,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    indexed, cents = build_ivf_index(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(indexed, cents, path)
+
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = ivf_topk_from_path(spark, path, query, k=5, nprobe=3)
+    plan = _plan(top)
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    # and the persisted probe returns the same rows as the in-memory one
+    got = [r["vec_id"] for r in top.collect()]
+    assert got[0] == 0
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=5).collect()]
+    assert len(set(got) & set(exact)) >= 3
