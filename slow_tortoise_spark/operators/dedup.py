@@ -1836,3 +1836,71 @@ def weighted_sample(
         .limit(n)
         .drop("_pri")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int = 2,
+    id_col: str = "doc_id",
+    salt: str = "negpair",
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every document with ``k`` pseudo-random OTHER documents — no RNG,
+    no cartesian product.  Rows get a global pseudo-random index from
+    the keyed-hash permutation (:func:`shuffle_rows`'s (bucket, rank)
+    order plus driver-side bucket offsets — the bucket is a prefix of
+    the hash, so this equals the plain ``ORDER BY md5, id`` order a SQL
+    oracle states); negative j of the doc at index g is the doc at
+    ``(g + step_j) % N`` with fixed stride ``step_j = max(1,
+    N*j//(k+1))``.  Because the permutation is hash-random, fixed
+    strides yield pseudo-random partners, yet identical inputs produce
+    identical pairs on any layout or retry, and a changed ``salt`` is a
+    fresh pairing.
+
+    Cost: one bucket-partitioned rank window, a ≤``buckets``-row
+    driver collect for offsets, and ONE integer equi-join mapping
+    partner indices back to ids (k map-side projections share it via
+    the union).  Self-pairs (possible only when N <= k) are filtered.
+
+    Returns (id_col, neg_id, neg_rank) — k rows per input doc.
+    """
+    ids = df.select(id_col)
+    sr = shuffle_rows(ids, id_col, salt=salt, buckets=buckets)
+    per_bucket = {
+        r["bucket"]: r["c"]
+        for r in sr.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(per_bucket.values())
+    if n < 2:
+        return ids.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("neg_id"),
+            F.lit(None).cast("int").alias("neg_rank"),
+        ).limit(0)
+    offsets, acc = [], 0
+    for b in range(buckets):
+        offsets.append(acc)
+        acc += per_bucket.get(b, 0)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("bucket") + 1
+    )
+    idx = sr.select(
+        F.col(id_col), (off + F.col("bucket_rank") - 1).alias("gidx")
+    ).cache()  # anchor side + partner lookup side
+    steps = [max(1, (n * j) // (k + 1)) for j in range(1, k + 1)]
+    probes = None
+    for j, s in enumerate(steps, start=1):
+        p = idx.select(
+            F.col(id_col),
+            ((F.col("gidx") + F.lit(s)) % F.lit(n)).alias("pidx"),
+            F.lit(j).alias("neg_rank"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    partners = idx.select(
+        F.col("gidx").alias("pidx"), F.col(id_col).alias("neg_id")
+    )
+    out = probes.join(partners, "pidx").drop("pidx")
+    return out.filter(F.col(id_col) != F.col("neg_id")).select(
+        id_col, "neg_id", "neg_rank"
+    )

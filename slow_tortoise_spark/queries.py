@@ -5158,3 +5158,116 @@ _Q_WEIGHTED_SAMPLE = f"""
 
 VERIFIER_QUERIES["weighted_sample"] = q_weighted_sample
 VERIFIER_ORACLE_SQL["weighted_sample"] = _Q_WEIGHTED_SAMPLE
+
+
+def q_resample_linear(spark, sf_dir):
+    """Daily regularization with LINEAR interpolation between the
+    bracketing observations (resample_timeseries fill="linear") —
+    completes the gap-fill family's oracle coverage."""
+    from slow_tortoise_spark.operators.temporal import resample_timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis("ts").alias("timestamp"),
+        "value",
+    )
+    out = resample_timeseries(
+        ev, ["event_type"], step_ms=86_400_000, fill="linear"
+    )
+    return out.select(
+        "event_type",
+        "tick",
+        F.round("value", 6).alias("value"),
+        "observed",
+    ).orderBy("event_type", "tick")
+
+
+_Q_RESAMPLE_LINEAR = """
+  WITH obs AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 86400000) * 86400000 AS tick,
+           SUM(value) AS v
+    FROM events GROUP BY 1, 2
+  ),
+  spans AS (SELECT event_type, MIN(tick) AS lo, MAX(tick) AS hi
+            FROM obs GROUP BY 1),
+  grid AS (SELECT event_type, unnest(range(lo, hi + 1, 86400000)) AS tick
+           FROM spans),
+  j AS (
+    SELECT g.event_type, g.tick, o.v
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.tick = o.tick
+  ),
+  br AS (
+    SELECT event_type, tick, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY tick
+             ROWS UNBOUNDED PRECEDING) AS v0,
+           last_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY tick
+                   ROWS UNBOUNDED PRECEDING) AS t0,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY tick
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+           first_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY tick
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+    FROM j
+  )
+  SELECT event_type, CAST(tick AS BIGINT) AS tick,
+         round(CASE WHEN v IS NOT NULL THEN v
+                    ELSE v0 + (v1 - v0) * (tick - t0) / (t1 - t0) END,
+               6) AS value,
+         CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM br ORDER BY event_type, tick
+"""
+
+
+VERIFIER_QUERIES["resample_linear"] = q_resample_linear
+VERIFIER_ORACLE_SQL["resample_linear"] = _Q_RESAMPLE_LINEAR
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative-pair sampling (contrastive training)
+# ---------------------------------------------------------------------------
+
+
+def q_negative_pairs(spark, sf_dir):
+    """Two pseudo-random negatives per document via the keyed-hash
+    permutation + fixed strides (operators/dedup.py negative_pairs).
+    The oracle replays the permutation with a plain ORDER BY md5 window
+    — equivalent to the bucketed order because the bucket is a prefix
+    of the hash."""
+    from slow_tortoise_spark.operators.dedup import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_pairs(docs, k=2).orderBy("doc_id", "neg_rank")
+
+
+_Q_NEGATIVE_PAIRS = """
+  WITH r AS (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('negpair:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS g
+    FROM documents
+  ),
+  nn AS (SELECT COUNT(*) AS n FROM r),
+  steps AS (
+    SELECT CAST(j AS INT) AS j,
+           GREATEST(1, (nn.n * j) // 3) AS s
+    FROM (SELECT unnest(range(1, 3)) AS j), nn
+  ),
+  p AS (
+    SELECT r.doc_id, st.j, (r.g + st.s) % nn.n AS pg
+    FROM r, steps st, nn
+  )
+  SELECT p.doc_id, r2.doc_id AS neg_id, p.j AS neg_rank
+  FROM p JOIN r r2 ON p.pg = r2.g
+  WHERE p.doc_id <> r2.doc_id
+  ORDER BY p.doc_id, p.j
+"""
+
+
+VERIFIER_QUERIES["negative_pairs"] = q_negative_pairs
+VERIFIER_ORACLE_SQL["negative_pairs"] = _Q_NEGATIVE_PAIRS

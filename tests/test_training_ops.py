@@ -2312,3 +2312,32 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
 
     # n larger than the population returns every positive-weight row
     assert weighted_sample(df, 10_000, "w").count() == 500
+
+
+def test_negative_pairs_invariants(spark):
+    from slow_tortoise_spark.operators.dedup import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    out = negative_pairs(df, k=3).collect()
+    assert len(out) == 97 * 3                       # k per doc
+    assert all(r["doc_id"] != r["neg_id"] for r in out)
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], set()).add(r["neg_id"])
+    assert all(len(v) == 3 for v in per_doc.values())  # distinct negatives
+
+    # layout-invariant and salt-sensitive
+    a = {(r["doc_id"], r["neg_rank"], r["neg_id"]) for r in out}
+    b = {(r["doc_id"], r["neg_rank"], r["neg_id"])
+         for r in negative_pairs(df.repartition(7), k=3).collect()}
+    assert a == b
+    c = {(r["doc_id"], r["neg_rank"], r["neg_id"])
+         for r in negative_pairs(df, k=3, salt="epoch2").collect()}
+    assert c != a
+
+    # edges: single doc -> no pairs; two docs -> each pairs the other
+    assert negative_pairs(
+        spark.createDataFrame([(1,)], "doc_id long"), k=2).count() == 0
+    two = negative_pairs(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), k=1).collect()
+    assert {(r["doc_id"], r["neg_id"]) for r in two} == {(1, 2), (2, 1)}
