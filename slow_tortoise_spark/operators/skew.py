@@ -106,3 +106,42 @@ def skew_report(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join by salting: the big side's rows spread
+    over ``salt_buckets`` sub-keys (deterministic row hash — no RNG),
+    the small side REPLICATES once per bucket, and the join runs on
+    (key, salt).  A hot key's rows land in S different reducer tasks
+    instead of one straggler — the manual fallback when AQE's skew
+    splitting can't kick in (e.g. the skewed side feeds a cached or
+    bucketed exchange AQE won't re-plan, or the join is part of a
+    stream's static side).
+
+    Result rows are EXACTLY the plain join's (every big row meets the
+    one replica of its partner that carries its salt).  Cost: the small
+    side shuffles ``salt_buckets``× its size — use for big⋈small with a
+    hot big-side key, never for two large inputs.
+
+    ``how`` ∈ {inner, left}: left-outer keeps unmatched big rows (each
+    exists exactly once because a big row has exactly one salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.join(
+        big.sparkSession.range(salt_buckets)
+        .select(F.col("id").cast("int").alias("_salt")),
+        on=F.lit(True),
+    )
+    out = big_s.join(small_s, [key_col, "_salt"], how)
+    return out.drop("_salt")

@@ -5271,3 +5271,82 @@ _Q_NEGATIVE_PAIRS = """
 
 VERIFIER_QUERIES["negative_pairs"] = q_negative_pairs
 VERIFIER_ORACLE_SQL["negative_pairs"] = _Q_NEGATIVE_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (asymmetric grain combinations)
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Asymmetric grouping sets — (flag, status), (flag), () but NOT
+    (status): the grain selection neither cube nor rollup expresses.
+    One Expand + one exchange, same physical shape as the cube; the
+    grouping-id distinguishes a genuine NULL key from a rolled-up one."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+             COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+             CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+               AS gid,
+             {_DSUM.format(x='l_quantity')} AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())
+      ORDER BY gid, l_returnflag, l_linestatus
+    """)
+
+
+_Q_GROUPING_SETS = f"""
+  SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+         COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+         CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+              AS BIGINT) AS gid,
+         {_DSUM.format(x='l_quantity')} AS sum_qty,
+         COUNT(*) AS n
+  FROM lineitem
+  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                          (l_returnflag), ())
+  ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+VERIFIER_QUERIES["grouping_sets"] = q_grouping_sets
+VERIFIER_ORACLE_SQL["grouping_sets"] = _Q_GROUPING_SETS
+
+
+# ---------------------------------------------------------------------------
+# Salted join (hot-key skew mitigation)
+# ---------------------------------------------------------------------------
+
+
+def q_salted_join(spark, sf_dir):
+    """Orders joined to nation-sized dims through the salted join
+    (operators/skew.py salted_join): big-side rows spread over 16
+    sub-keys, the dim replicates per salt.  Result must equal the plain
+    join — the oracle states exactly that."""
+    from slow_tortoise_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    out = salted_join(orders, cust, "o_custkey", salt_buckets=8)
+    return out.select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
+_Q_SALTED_JOIN = """
+  SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  ORDER BY o.o_orderkey
+"""
+
+
+VERIFIER_QUERIES["salted_join"] = q_salted_join
+VERIFIER_ORACLE_SQL["salted_join"] = _Q_SALTED_JOIN

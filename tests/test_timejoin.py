@@ -187,3 +187,39 @@ def test_bloom_filtered_join_equals_plain_join(spark):
 
     with pytest.raises(ValueError):
         bloom_filtered_join(big, small, "k", how="left")
+
+
+def test_salted_join_equals_plain_and_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.skew import salted_join
+
+    # 90% of big rows share one hot key
+    big = spark.createDataFrame(
+        [(0 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 1000, 7)], "k long, name string"
+    )
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = {tuple(r) for r in
+              salted_join(big, small, "k", salt_buckets=8).collect()}
+    assert salted == plain
+
+    # left-outer keeps each unmatched big row exactly once
+    lp = sorted(tuple(r) for r in big.join(small, "k", "left").collect())
+    ls = sorted(tuple(r) for r in
+                salted_join(big, small, "k", salt_buckets=8,
+                            how="left").collect())
+    assert ls == lp
+
+    # the hot key really spreads: >1 distinct salt among its rows
+    salt = F.pmod(F.xxhash64("k", "v"), F.lit(8))
+    n_salts = (big.filter("k = 0").select(salt.alias("s"))
+               .distinct().count())
+    assert n_salts > 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")
