@@ -354,3 +354,118 @@ def streaming_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_bucketed_snapshot(
+    spark: SparkSession, root: str, live_only: bool = True,
+    delete_col: str = "deleted",
+) -> DataFrame | None:
+    """Read the current state of a bucket-level snapshot maintained by
+    :func:`streaming_upsert_bucketed`: the manifest maps each key
+    bucket to the version directory that last rewrote it, so the
+    snapshot is the union of per-version reads, each pruned to its own
+    buckets (partition pruning on ``_bucket``)."""
+    import json
+    import os
+
+    manifest = os.path.join(root, "_BUCKETS")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as fh:
+        bucket_version = {int(b): v for b, v in json.load(fh).items()}
+    by_version: dict[str, list[int]] = {}
+    for b, v in bucket_version.items():
+        by_version.setdefault(v, []).append(b)
+    df = None
+    for v, bs in sorted(by_version.items()):
+        part = spark.read.parquet(os.path.join(root, v)).filter(
+            F.col("_bucket").isin(bs)
+        )
+        df = part if df is None else df.unionByName(part)
+    if df is not None and live_only and delete_col in df.columns:
+        df = df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return df
+
+
+def streaming_upsert_bucketed(
+    stream_changes: DataFrame,
+    root: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+    n_buckets: int = 16,
+    delete_col: str = "deleted",
+):
+    """Bucket-level merge-on-write: like :func:`streaming_upsert`, but
+    the snapshot is hash-bucketed on the key and each micro-batch
+    rewrites ONLY the buckets its changes touch — at a 100 TB snapshot
+    with localized change sets, a commit costs O(touched buckets), not
+    a full-table rewrite.  The ``_BUCKETS`` manifest maps bucket →
+    owning version directory and flips atomically, so readers always
+    resolve a consistent bucket set; untouched buckets keep serving
+    from their old version directories (verified by test: prior
+    version dirs are never modified).
+
+    Each commit: derive the batch's touched buckets (a bounded
+    distinct), read ONLY those buckets from the current snapshot
+    (partition-pruned), compact with the same single-shuffle ``max_by``,
+    write them under ``v{batch}/_bucket=...``, then flip the manifest
+    entries for exactly those buckets.  Tombstones are retained, as in
+    the unbucketed writer.
+    """
+    import json
+    import os
+
+    from slow_tortoise_spark.operators.cdc import latest_by_key
+
+    spark = stream_changes.sparkSession
+    bucket_of = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in key_cols]),
+        F.lit(n_buckets),
+    ).cast("int")
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        batch_b = batch_df.withColumn("_bucket", bucket_of)
+        touched = sorted(
+            r["_bucket"]
+            for r in batch_b.select("_bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        prev = read_bucketed_snapshot(
+            spark, root, live_only=False, delete_col=delete_col
+        )
+        both = batch_b
+        if prev is not None:
+            both = prev.filter(F.col("_bucket").isin(touched)).unionByName(
+                batch_b, allowMissingColumns=True
+            )
+        payload_cols = [
+            c for c in both.columns
+            if c not in key_cols and c not in order_cols and c != "_bucket"
+        ]
+        merged = latest_by_key(
+            both, [*key_cols, "_bucket"], order_cols, payload_cols
+        )
+        vdir = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+            os.path.join(root, vdir)
+        )
+        manifest_path = os.path.join(root, "_BUCKETS")
+        current = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                current = json.load(fh)
+        for b in touched:
+            current[str(b)] = vdir
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(current, fh)
+        os.replace(tmp, manifest_path)
+
+    return (
+        stream_changes.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -606,3 +606,75 @@ def test_streaming_upsert_converges_to_batch_merge(spark, tmp_path):
     assert full.filter("k = 3").first()["deleted"] is True
     with open(os.path.join(root, "_LATEST")) as fh:
         assert os.path.isdir(os.path.join(root, fh.read().strip()))
+
+
+def test_streaming_upsert_bucketed_rewrites_only_touched_buckets(
+    spark, tmp_path
+):
+    """Bucket-level merge-on-write: converges to the batch compaction
+    like the unbucketed writer, AND a batch whose keys miss a bucket
+    leaves that bucket's files untouched (its manifest entry still
+    points at the old version directory)."""
+    import json
+    import os
+
+    from slow_tortoise_spark.operators.cdc import latest_by_key
+    from slow_tortoise_spark.streaming.pipeline import (
+        read_bucketed_snapshot,
+        streaming_upsert_bucketed,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    schema = "k long, v long, payload string, deleted boolean"
+    batches = [
+        [(i, 1, f"p{i}.1", False) for i in range(40)],   # seed all buckets
+        [(3, 2, "p3.2", False), (3 + 16, 1, None, True)],  # touch few keys
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "snap")
+    os.makedirs(root, exist_ok=True)
+    q = streaming_upsert_bucketed(
+        sdf, root, key_cols=["k"], order_cols=["v"],
+        checkpoint=str(tmp_path / "ckpt"), n_buckets=8,
+    )
+    q.awaitTermination()
+
+    live = {r["k"]: r for r in read_bucketed_snapshot(spark, root).collect()}
+    all_rows = [r for rows in batches for r in rows]
+    expect = {
+        r["k"]: r
+        for r in latest_by_key(
+            spark.createDataFrame(all_rows, schema), ["k"], ["v"]
+        ).collect()
+        if not r["deleted"]
+    }
+    assert set(live) == set(expect)
+    assert live[3]["payload"] == "p3.2"
+    assert 19 not in live  # tombstoned in batch 1
+    for k in expect:
+        assert live[k]["v"] == expect[k]["v"]
+
+    # manifest: batch 1's untouched buckets still point at version 0
+    with open(os.path.join(root, "_BUCKETS")) as fh:
+        manifest = json.load(fh)
+    versions = set(manifest.values())
+    assert len(versions) == 2  # v0 for untouched buckets, v1 for touched
+    v0 = min(versions)
+    untouched = [b for b, v in manifest.items() if v == v0]
+    assert untouched  # most buckets were not rewritten by batch 1
+    # and version 0's directory was not modified by the second commit:
+    # batch 1's touched buckets exist under v1 only
+    v1 = max(versions)
+    v1_buckets = {d for d in os.listdir(os.path.join(root, v1))
+                  if d.startswith("_bucket=")}
+    assert len(v1_buckets) <= 2  # only the buckets of keys 3 and 19
