@@ -580,3 +580,40 @@ def test_gopher_mask_matches_python_reference_property(
            for r in gopher_rules(df).collect()}
     for i, t in staged:
         assert got[i] == _py_gopher_mask(t), (i, t)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 10_000),
+                  st.floats(0.01, 100.0, allow_nan=False)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 20),
+)
+@settings(max_examples=20, deadline=None)
+def test_weighted_sample_matches_python_reference_property(
+    spark_session, data, n
+):
+    """The keyed-hash ES sample equals a direct python evaluation of the
+    same priorities — the determinism claim verified end to end."""
+    import hashlib
+    import math
+
+    from slow_tortoise_spark.operators.dedup import weighted_sample
+
+    df = spark_session.createDataFrame(data, "doc_id long, w double")
+    got = sorted(r["doc_id"] for r in weighted_sample(df, n, "w").collect())
+
+    def pri(doc_id, w):
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:12],
+                16)
+        u = (h + 1.0) / float(16 ** 12)
+        return math.log(u) / w
+
+    ref = sorted(
+        doc_id
+        for doc_id, _ in sorted(
+            data, key=lambda t: (-pri(t[0], t[1]), t[0])
+        )[:n]
+    )
+    assert got == ref
