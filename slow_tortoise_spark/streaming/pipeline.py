@@ -469,3 +469,66 @@ def streaming_upsert_bucketed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_versions(root: str) -> list[str]:
+    """All committed version directories under a snapshot root,
+    oldest first (versions are zero-padded batch ids, so lexicographic
+    order is commit order)."""
+    import os
+
+    return sorted(
+        d for d in os.listdir(root)
+        if d.startswith("v") and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def read_snapshot_at(
+    spark: SparkSession, root: str, version: str,
+    live_only: bool = True, delete_col: str = "deleted",
+) -> DataFrame:
+    """Time-travel read of an unbucketed snapshot: every committed
+    version directory is a COMPLETE compacted state (the merge rewrites
+    the whole snapshot), so any historical version reads directly —
+    the manifest only marks which one is current.  Audits, diffs
+    between ingest points, and reproducing a training run's exact
+    input all read an old version with zero extra bookkeeping."""
+    import os
+
+    if version not in snapshot_versions(root):
+        raise ValueError(
+            f"unknown version {version!r}; have {snapshot_versions(root)}"
+        )
+    df = spark.read.parquet(os.path.join(root, version))
+    if live_only and delete_col in df.columns:
+        df = df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return df
+
+
+def vacuum_snapshot(root: str, keep: int = 1) -> list[str]:
+    """Delete version directories no longer reachable: everything
+    except the manifest's current version(s) and the ``keep`` most
+    recent versions (time-travel depth).  Returns the removed names.
+    Readers resolving the manifest are never affected — only strictly
+    older, unreferenced versions go."""
+    import json
+    import os
+    import shutil
+
+    referenced: set[str] = set()
+    m1 = os.path.join(root, "_LATEST")
+    if os.path.exists(m1):
+        with open(m1) as fh:
+            referenced.add(fh.read().strip())
+    m2 = os.path.join(root, "_BUCKETS")
+    if os.path.exists(m2):
+        with open(m2) as fh:
+            referenced.update(json.load(fh).values())
+    versions = snapshot_versions(root)
+    protected = referenced | set(versions[-keep:] if keep > 0 else [])
+    removed = []
+    for v in versions:
+        if v not in protected:
+            shutil.rmtree(os.path.join(root, v))
+            removed.append(v)
+    return removed

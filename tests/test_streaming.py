@@ -678,3 +678,65 @@ def test_streaming_upsert_bucketed_rewrites_only_touched_buckets(
     v1_buckets = {d for d in os.listdir(os.path.join(root, v1))
                   if d.startswith("_bucket=")}
     assert len(v1_buckets) <= 2  # only the buckets of keys 3 and 19
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    import os
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        read_snapshot,
+        read_snapshot_at,
+        snapshot_versions,
+        streaming_upsert,
+        vacuum_snapshot,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    schema = "k long, v long, payload string, deleted boolean"
+    batches = [
+        [(1, 1, "a1", False), (2, 1, "b1", False)],
+        [(1, 2, "a2", False)],
+        [(2, 2, None, True)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "snap")
+    os.makedirs(root, exist_ok=True)
+    streaming_upsert(
+        sdf, root, key_cols=["k"], order_cols=["v"],
+        checkpoint=str(tmp_path / "ckpt"),
+    ).awaitTermination()
+
+    versions = snapshot_versions(root)
+    assert len(versions) == 3
+    # time travel: version 0 predates the update and the delete
+    v0 = {r["k"]: r["payload"]
+          for r in read_snapshot_at(spark, root, versions[0]).collect()}
+    assert v0 == {1: "a1", 2: "b1"}
+    v1 = {r["k"]: r["payload"]
+          for r in read_snapshot_at(spark, root, versions[1]).collect()}
+    assert v1 == {1: "a2", 2: "b1"}
+    now = {r["k"]: r["payload"]
+           for r in read_snapshot(spark, root).collect()}
+    assert now == {1: "a2"}
+
+    # vacuum: keep current + 1 of history; the oldest goes
+    removed = vacuum_snapshot(root, keep=2)
+    assert removed == [versions[0]]
+    assert snapshot_versions(root) == versions[1:]
+    # current read unaffected; vacuum is idempotent
+    assert {r["k"] for r in read_snapshot(spark, root).collect()} == {1}
+    assert vacuum_snapshot(root, keep=2) == []
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_snapshot_at(spark, root, versions[0])  # vacuumed away
