@@ -532,3 +532,61 @@ def vacuum_snapshot(root: str, keep: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(root, v))
             removed.append(v)
     return removed
+
+
+def streaming_agg_snapshot(
+    stream: DataFrame,
+    root: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    checkpoint: str,
+):
+    """Incrementally maintained aggregate table: each micro-batch
+    partial-aggregates its rows and MERGES BY SUMMING with the previous
+    snapshot (plus a ``_n`` row count, so averages derive as sum/_n) —
+    the other maintenance pattern next to latest-wins upsert: algebraic
+    state, where a commit costs one bounded merge over (previous
+    aggregate + batch partial) instead of re-scanning history.  This is
+    how "lifetime totals per key over years of data" stays O(batch)
+    per ingest at 100 TB.  Commit protocol identical to
+    :func:`streaming_upsert` (versioned dirs + atomic ``_LATEST``
+    flip), so :func:`read_snapshot`, :func:`read_snapshot_at`,
+    :func:`snapshot_versions`, and :func:`vacuum_snapshot` all apply
+    (pass ``live_only=False`` — aggregate rows carry no tombstones).
+
+    Only algebraically mergeable state belongs here (sums/counts; min/
+    max would merge the same way; medians would not).
+    """
+    import os
+
+    spark = stream.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        partial = batch_df.groupBy(*key_cols).agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.count("*").alias("_n"),
+        )
+        prev = read_snapshot(spark, root, live_only=False)
+        merged = partial
+        if prev is not None:
+            merged = (
+                prev.unionByName(partial)
+                .groupBy(*key_cols)
+                .agg(
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                    F.sum("_n").alias("_n"),
+                )
+            )
+        vdir = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(root, vdir))
+        tmp = os.path.join(root, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, os.path.join(root, "_LATEST"))
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -740,3 +740,50 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_snapshot_at(spark, root, versions[0])  # vacuumed away
+
+
+def test_streaming_agg_snapshot_converges_to_batch_aggregate(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        read_snapshot,
+        streaming_agg_snapshot,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    schema = "k string, x double"
+    batches = [
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)],
+        [("a", 4.0), ("c", 7.0)],
+        [("b", -10.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "aggsnap")
+    os.makedirs(root, exist_ok=True)
+    streaming_agg_snapshot(
+        sdf, root, key_cols=["k"], sum_cols=["x"],
+        checkpoint=str(tmp_path / "ckpt"),
+    ).awaitTermination()
+
+    got = {r["k"]: (r["x"], r["_n"])
+           for r in read_snapshot(spark, root, live_only=False).collect()}
+    all_rows = [r for rows in batches for r in rows]
+    expect = {
+        r["k"]: (r["x"], r["n"])
+        for r in spark.createDataFrame(all_rows, schema)
+        .groupBy("k").agg(F.sum("x").alias("x"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+    assert got["a"] == (7.0, 3) and got["b"] == (0.0, 2) and got["c"] == (7.0, 1)
