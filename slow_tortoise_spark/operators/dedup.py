@@ -1776,16 +1776,32 @@ def shuffle_rows(
     ``row_number() over (order by ...)``.  A writer wanting physical
     order repartitions by bucket and sortWithinPartitions.
 
+    The bucket is a RANGE-PRESERVING scale of the hash's first byte
+    (``first_byte * buckets // 256``), not a modulus: bucket is then a
+    monotone function of the hash prefix, so concatenating buckets in
+    order with their in-bucket (hash, id) ranks equals the plain global
+    ``ORDER BY md5, id`` — the property :func:`negative_pairs`' SQL
+    oracle states, for ANY ``buckets`` value (a modulus preserves it
+    only at exactly 256; round-5 ADVICE).  ``buckets > 256`` leaves
+    some buckets empty (one hash byte can't split 256 ways further) —
+    capped below rather than silently degrading.
+
     Returns the input plus (bucket int, bucket_rank int).
     """
     from pyspark.sql.window import Window
 
+    if not 1 <= buckets <= 256:
+        raise ValueError(
+            "buckets must be in [1, 256]: the bucket derives from one "
+            f"hash byte (got {buckets})"
+        )
     h = F.md5(
         F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
     )
+    first_byte = F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
     out = df.withColumn("_h", h).withColumn(
         "bucket",
-        F.conv(F.substring("_h", 1, 2), 16, 10).cast("int") % buckets,
+        ((first_byte * F.lit(buckets)) / F.lit(256)).cast("int"),
     )
     w = Window.partitionBy("bucket").orderBy("_h", id_col)
     return out.withColumn("bucket_rank", F.row_number().over(w)).drop("_h")
@@ -1849,9 +1865,10 @@ def negative_pairs(
     every document with ``k`` pseudo-random OTHER documents — no RNG,
     no cartesian product.  Rows get a global pseudo-random index from
     the keyed-hash permutation (:func:`shuffle_rows`'s (bucket, rank)
-    order plus driver-side bucket offsets — the bucket is a prefix of
-    the hash, so this equals the plain ``ORDER BY md5, id`` order a SQL
-    oracle states); negative j of the doc at index g is the doc at
+    order plus driver-side bucket offsets — the bucket is a MONOTONE
+    scale of the hash prefix, so this equals the plain ``ORDER BY md5,
+    id`` order a SQL oracle states, for any ``buckets`` value
+    shuffle_rows accepts); negative j of the doc at index g is the doc at
     ``(g + step_j) % N`` with fixed stride ``step_j = max(1,
     N*j//(k+1))``.  Because the permutation is hash-random, fixed
     strides yield pseudo-random partners, yet identical inputs produce

@@ -19,6 +19,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def _salt_expr(df: DataFrame, salt_buckets: int) -> Column:
+    """Phase-1 salt with guaranteed entropy on identical rows.
+
+    A content-only salt (``hash(*columns)``) is degenerate on the exact
+    shape salting exists for: a hot key whose rows are *identical in
+    every column* (dominant (feature, value) pairs in exact-dup-heavy
+    corpora) would map to ONE bucket and stay in one reducer.  Mixing in
+    ``monotonically_increasing_id()`` — partition ordinal in the high
+    bits, per-partition row offset in the low bits — spreads even a
+    single-partition run of identical rows across all ``salt_buckets``.
+    The salt never appears in the output, so determinism of the id
+    across repartitionings is irrelevant; phase 2 re-combines partials
+    regardless of how rows were bucketed.
+    """
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns])
+        + F.monotonically_increasing_id(),
+        F.lit(salt_buckets),
+    ).cast("int")
+
 #: (partial expr builder, final expr builder) per supported aggregate.
 _ALGEBRAIC = {
     "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
@@ -38,8 +59,9 @@ def salted_aggregation(
     fn ∈ {sum, count, min, max, mean}.
 
     ``mean`` decomposes into sum+count internally. The salt is
-    ``pmod(hash(whole row id-ish), salt_buckets)`` — any spread works, it
-    never appears in the output.
+    ``pmod(xxhash64(row) + monotonically_increasing_id(), salt_buckets)``
+    (see ``_salt_expr``) — identical-row hot keys still spread across
+    phase-1 buckets; the salt never appears in the output.
     """
     partials = []
     finals = []
@@ -57,9 +79,7 @@ def salted_aggregation(
         else:
             raise ValueError(f"{fn!r} is not an algebraic aggregate")
 
-    salted = df.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(k) for k in df.columns]), F.lit(salt_buckets))
-    )
+    salted = df.withColumn("__salt", _salt_expr(df, salt_buckets))
     phase1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)
 
@@ -116,7 +136,8 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join by salting: the big side's rows spread
-    over ``salt_buckets`` sub-keys (deterministic row hash — no RNG),
+    over ``salt_buckets`` sub-keys (RNG-free ``_salt_expr`` — row hash
+    mixed with the partition/row ordinal so identical rows still spread),
     the small side REPLICATES once per bucket, and the join runs on
     (key, salt).  A hot key's rows land in S different reducer tasks
     instead of one straggler — the manual fallback when AQE's skew
@@ -134,10 +155,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left only")
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)
-    ).cast("int")
-    big_s = big.withColumn("_salt", salt)
+    big_s = big.withColumn("_salt", _salt_expr(big, salt_buckets))
     small_s = small.join(
         big.sparkSession.range(salt_buckets)
         .select(F.col("id").cast("int").alias("_salt")),

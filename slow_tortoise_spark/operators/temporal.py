@@ -107,7 +107,11 @@ def resample_timeseries(
 
     if fill not in ("zero", "null", "ffill", "linear"):
         raise ValueError(f"unknown fill mode {fill!r}")
-    tick = (F.col(ts_col) / step_ms).cast("long") * step_ms
+    # Integer FLOOR division: `(ts / step).cast("long")` truncates
+    # toward zero, so pre-epoch (negative) timestamps would snap UP,
+    # contradicting both the snap-DOWN contract and the oracle's
+    # `epoch_ms // step` (round-5 ADVICE).
+    tick = (F.floor(F.col(ts_col) / F.lit(step_ms)).cast("long") * step_ms)
     obs = (
         df.select(*key_cols, tick.alias("tick"),
                   F.col(value_col).cast("double").alias("v"))

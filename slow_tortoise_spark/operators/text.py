@@ -853,10 +853,20 @@ def dsir_bucket_logratios(
             F.count("*").alias("c")
         )
 
-    tcnt = bucket_counts(target_df).cache()
-    rcnt = bucket_counts(raw_df).cache()
-    T = tcnt.agg(F.sum("c")).first()[0] or 0
-    R = rcnt.agg(F.sum("c")).first()[0] or 0
+    # The bucket-count frames are bounded at ``buckets`` rows, so
+    # materialize them to the driver ONCE: each corpus aggregation runs
+    # exactly one job, the scalar token totals come free from the
+    # collected rows, and the returned frame joins two local (hence
+    # broadcast) frames — no cache whose lifetime anyone has to manage.
+    # (Round-5 ADVICE: the old cache was unpersisted before the lazy
+    # result ever evaluated, so both aggregations re-ran downstream.)
+    t_rows = bucket_counts(target_df).collect()
+    r_rows = bucket_counts(raw_df).collect()
+    T = sum(r["c"] for r in t_rows)
+    R = sum(r["c"] for r in r_rows)
+    schema = "b bigint, c bigint"
+    tcnt = spark.createDataFrame(t_rows, schema)
+    rcnt = spark.createDataFrame(r_rows, schema)
     dom = spark.range(buckets).select(F.col("id").alias("b"))
     t_den = float(T + alpha * buckets)
     r_den = float(R + alpha * buckets)
@@ -868,12 +878,9 @@ def dsir_bucket_logratios(
         ((F.coalesce(F.col("t"), F.lit(0)) + F.lit(alpha)) / F.lit(t_den))
         / ((F.coalesce(F.col("r"), F.lit(0)) + F.lit(alpha)) / F.lit(r_den))
     )
-    out = joined.select(
+    return joined.select(
         "b", F.round(lr * 1e6).cast("bigint").alias("lr_micro")
     )
-    tcnt.unpersist()
-    rcnt.unpersist()
-    return out
 
 
 def dsir_weights(
@@ -1221,10 +1228,17 @@ def psi_drift(
             F.count("*").alias("c")
         )
 
-    ca = bucket_counts(df_a).cache()
-    cb = bucket_counts(df_b).cache()
-    A = ca.agg(F.sum("c")).first()[0] or 0
-    B = cb.agg(F.sum("c")).first()[0] or 0
+    # Bounded (≤ buckets rows) → collect once and rebuild as local
+    # frames: one job per corpus, scalar totals free, no cache to
+    # manage (round-5 ADVICE: unpersist-before-evaluation made the
+    # aggregations re-run when the caller evaluated the result).
+    a_rows = bucket_counts(df_a).collect()
+    b_rows = bucket_counts(df_b).collect()
+    A = sum(r["c"] for r in a_rows)
+    B = sum(r["c"] for r in b_rows)
+    schema = "b bigint, c bigint"
+    ca = spark.createDataFrame(a_rows, schema)
+    cb = spark.createDataFrame(b_rows, schema)
     a_den = float(A + alpha * buckets)
     b_den = float(B + alpha * buckets)
     dom = spark.range(buckets).select(F.col("id").alias("b"))
@@ -1235,9 +1249,6 @@ def psi_drift(
     pa = (F.coalesce(F.col("ca"), F.lit(0)) + F.lit(alpha)) / F.lit(a_den)
     pb = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha)) / F.lit(b_den)
     contrib = (pa - pb) * F.log(pa / pb)
-    out = joined.select(
+    return joined.select(
         "b", F.round(contrib * 1e6).cast("bigint").alias("contrib_micro")
     )
-    ca.unpersist()
-    cb.unpersist()
-    return out

@@ -271,6 +271,45 @@ def write_stream_artifacts(sdf: DataFrame, batch_fn, checkpoint: str):
 # ---------------------------------------------------------------------------
 
 
+def _load_latest(root: str) -> tuple[str | None, int]:
+    """Resolve the ``_LATEST`` manifest → (version dir, committed
+    batch id).  The manifest is JSON ``{"version": ..., "batch_id": N}``;
+    a legacy plain-string manifest (pre-idempotence format) reads as
+    (version, -1).  Returns (None, -1) before the first commit."""
+    import json
+    import os
+
+    manifest = os.path.join(root, "_LATEST")
+    if not os.path.exists(manifest):
+        return None, -1
+    with open(manifest) as fh:
+        text = fh.read().strip()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict):
+            return doc["version"], int(doc.get("batch_id", -1))
+    except ValueError:
+        pass
+    return text, -1
+
+
+def _flip_latest(root: str, version: str, batch_id: int) -> None:
+    """Atomically commit (version, batch_id) to ``_LATEST``.  Recording
+    the batch id in the SAME atomic flip is what makes micro-batch
+    replay detectable: a crash between this flip and Spark's streaming
+    checkpoint commit replays the batch, and the merge sees
+    ``batch_id <= committed`` and no-ops instead of reading its own
+    output directory while overwriting it (the foreachBatch
+    idempotence pattern)."""
+    import json
+    import os
+
+    tmp = os.path.join(root, "_LATEST.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "batch_id": batch_id}, fh)
+    os.replace(tmp, os.path.join(root, "_LATEST"))
+
+
 def read_snapshot(
     spark: SparkSession, root: str, live_only: bool = True,
     delete_col: str = "deleted",
@@ -282,15 +321,48 @@ def read_snapshot(
     resurrect a deleted key."""
     import os
 
-    manifest = os.path.join(root, "_LATEST")
-    if not os.path.exists(manifest):
+    version_dir, _ = _load_latest(root)
+    if version_dir is None:
         return None
-    with open(manifest) as fh:
-        version_dir = fh.read().strip()
     df = spark.read.parquet(os.path.join(root, version_dir))
     if live_only and delete_col in df.columns:
         df = df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
     return df
+
+
+def _upsert_merge_fn(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    delete_col: str,
+):
+    """Build the foreachBatch merge for :func:`streaming_upsert`
+    (module-level so the replay/no-op contract is directly testable)."""
+    import os
+
+    from slow_tortoise_spark.operators.cdc import latest_by_key
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        _, committed = _load_latest(root)
+        if batch_id <= committed:
+            return  # replayed after a post-flip crash — already applied
+        prev = read_snapshot(spark, root, live_only=False,
+                             delete_col=delete_col)
+        both = (
+            prev.unionByName(batch_df, allowMissingColumns=True)
+            if prev is not None else batch_df
+        )
+        payload_cols = [
+            c for c in both.columns
+            if c not in key_cols and c not in order_cols
+        ]
+        merged = latest_by_key(both, key_cols, order_cols, payload_cols)
+        vdir = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(root, vdir))
+        _flip_latest(root, vdir, batch_id)
+
+    return merge
 
 
 def streaming_upsert(
@@ -315,39 +387,22 @@ def streaming_upsert(
     win version resolution like any row, so late-arriving older
     versions of a deleted key stay dead; :func:`read_snapshot` hides
     them from the live view.  Retries of a failed micro-batch are
-    idempotent: the version directory is named by batch_id and
-    overwritten, and the manifest flip is last.
+    idempotent at BOTH crash points: a crash mid-write replays into the
+    same ``v{batch_id}`` directory (overwrite, manifest still points at
+    the previous version); a crash AFTER the manifest flip but before
+    the streaming checkpoint commit replays a batch id the manifest
+    already records — the merge detects ``batch_id <= committed`` and
+    no-ops, instead of resolving ``prev`` to its own output directory
+    and overwriting a path it is reading from.
 
     At scale: each commit is one shuffle over (previous snapshot +
     micro-batch); for a huge snapshot, partition both sides by key
     bucket so only touched buckets rewrite — the natural extension,
     same operator.
     """
-    import os
-
-    from slow_tortoise_spark.operators.cdc import latest_by_key
-
-    spark = stream_changes.sparkSession
-
-    def merge(batch_df: DataFrame, batch_id: int):
-        prev = read_snapshot(spark, root, live_only=False,
-                             delete_col=delete_col)
-        both = (
-            prev.unionByName(batch_df, allowMissingColumns=True)
-            if prev is not None else batch_df
-        )
-        payload_cols = [
-            c for c in both.columns
-            if c not in key_cols and c not in order_cols
-        ]
-        merged = latest_by_key(both, key_cols, order_cols, payload_cols)
-        vdir = f"v{batch_id:010d}"
-        merged.write.mode("overwrite").parquet(os.path.join(root, vdir))
-        tmp = os.path.join(root, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(vdir)
-        os.replace(tmp, os.path.join(root, "_LATEST"))
-
+    merge = _upsert_merge_fn(
+        stream_changes.sparkSession, root, key_cols, order_cols, delete_col
+    )
     return (
         stream_changes.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
@@ -372,7 +427,10 @@ def read_bucketed_snapshot(
     if not os.path.exists(manifest):
         return None
     with open(manifest) as fh:
-        bucket_version = {int(b): v for b, v in json.load(fh).items()}
+        bucket_version = {
+            int(b): v for b, v in json.load(fh).items()
+            if not b.startswith("_")  # "_committed_batch" bookkeeping key
+        }
     by_version: dict[str, list[int]] = {}
     for b, v in bucket_version.items():
         by_version.setdefault(v, []).append(b)
@@ -387,44 +445,34 @@ def read_bucketed_snapshot(
     return df
 
 
-def streaming_upsert_bucketed(
-    stream_changes: DataFrame,
+def _bucketed_merge_fn(
+    spark: SparkSession,
     root: str,
     key_cols: list[str],
     order_cols: list[str],
-    checkpoint: str,
-    n_buckets: int = 16,
-    delete_col: str = "deleted",
+    n_buckets: int,
+    delete_col: str,
 ):
-    """Bucket-level merge-on-write: like :func:`streaming_upsert`, but
-    the snapshot is hash-bucketed on the key and each micro-batch
-    rewrites ONLY the buckets its changes touch — at a 100 TB snapshot
-    with localized change sets, a commit costs O(touched buckets), not
-    a full-table rewrite.  The ``_BUCKETS`` manifest maps bucket →
-    owning version directory and flips atomically, so readers always
-    resolve a consistent bucket set; untouched buckets keep serving
-    from their old version directories (verified by test: prior
-    version dirs are never modified).
-
-    Each commit: derive the batch's touched buckets (a bounded
-    distinct), read ONLY those buckets from the current snapshot
-    (partition-pruned), compact with the same single-shuffle ``max_by``,
-    write them under ``v{batch}/_bucket=...``, then flip the manifest
-    entries for exactly those buckets.  Tombstones are retained, as in
-    the unbucketed writer.
-    """
+    """foreachBatch merge for :func:`streaming_upsert_bucketed`
+    (module-level so the replay/no-op contract is directly testable)."""
     import json
     import os
 
     from slow_tortoise_spark.operators.cdc import latest_by_key
 
-    spark = stream_changes.sparkSession
     bucket_of = F.pmod(
         F.xxhash64(*[F.col(c).cast("string") for c in key_cols]),
         F.lit(n_buckets),
     ).cast("int")
 
     def merge(batch_df: DataFrame, batch_id: int):
+        manifest_path = os.path.join(root, "_BUCKETS")
+        current: dict = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                current = json.load(fh)
+        if batch_id <= int(current.get("_committed_batch", -1)):
+            return  # replayed after a post-flip crash — already applied
         batch_b = batch_df.withColumn("_bucket", bucket_of)
         touched = sorted(
             r["_bucket"]
@@ -451,18 +499,50 @@ def streaming_upsert_bucketed(
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(
             os.path.join(root, vdir)
         )
-        manifest_path = os.path.join(root, "_BUCKETS")
-        current = {}
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                current = json.load(fh)
         for b in touched:
             current[str(b)] = vdir
+        current["_committed_batch"] = batch_id
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(current, fh)
         os.replace(tmp, manifest_path)
 
+    return merge
+
+
+def streaming_upsert_bucketed(
+    stream_changes: DataFrame,
+    root: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+    n_buckets: int = 16,
+    delete_col: str = "deleted",
+):
+    """Bucket-level merge-on-write: like :func:`streaming_upsert`, but
+    the snapshot is hash-bucketed on the key and each micro-batch
+    rewrites ONLY the buckets its changes touch — at a 100 TB snapshot
+    with localized change sets, a commit costs O(touched buckets), not
+    a full-table rewrite.  The ``_BUCKETS`` manifest maps bucket →
+    owning version directory and flips atomically, so readers always
+    resolve a consistent bucket set; untouched buckets keep serving
+    from their old version directories (verified by test: prior
+    version dirs are never modified).
+
+    Each commit: derive the batch's touched buckets (a bounded
+    distinct), read ONLY those buckets from the current snapshot
+    (partition-pruned), compact with the same single-shuffle ``max_by``,
+    write them under ``v{batch}/_bucket=...``, then flip the manifest
+    entries for exactly those buckets.  Tombstones are retained, as in
+    the unbucketed writer.  The manifest also records the committed
+    batch id (reserved ``"_committed_batch"`` key) in the same atomic
+    flip, so a batch replayed after a post-flip crash no-ops instead of
+    merging its own output again (see :func:`streaming_upsert`).
+    """
+    merge = _bucketed_merge_fn(
+        stream_changes.sparkSession, root, key_cols, order_cols,
+        n_buckets, delete_col,
+    )
     return (
         stream_changes.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)
@@ -516,14 +596,16 @@ def vacuum_snapshot(root: str, keep: int = 1) -> list[str]:
     import shutil
 
     referenced: set[str] = set()
-    m1 = os.path.join(root, "_LATEST")
-    if os.path.exists(m1):
-        with open(m1) as fh:
-            referenced.add(fh.read().strip())
+    latest_version, _ = _load_latest(root)
+    if latest_version is not None:
+        referenced.add(latest_version)
     m2 = os.path.join(root, "_BUCKETS")
     if os.path.exists(m2):
         with open(m2) as fh:
-            referenced.update(json.load(fh).values())
+            referenced.update(
+                v for b, v in json.load(fh).items()
+                if not b.startswith("_")  # skip bookkeeping keys
+            )
     versions = snapshot_versions(root)
     protected = referenced | set(versions[-keep:] if keep > 0 else [])
     removed = []
@@ -532,6 +614,40 @@ def vacuum_snapshot(root: str, keep: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(root, v))
             removed.append(v)
     return removed
+
+
+def _agg_merge_fn(
+    spark: SparkSession, root: str, key_cols: list[str], sum_cols: list[str]
+):
+    """foreachBatch merge for :func:`streaming_agg_snapshot`
+    (module-level so the replay/no-op contract is directly testable —
+    a replayed batch must NOT double-count)."""
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        _, committed = _load_latest(root)
+        if batch_id <= committed:
+            return  # replayed after a post-flip crash — already summed
+        partial = batch_df.groupBy(*key_cols).agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.count("*").alias("_n"),
+        )
+        prev = read_snapshot(spark, root, live_only=False)
+        merged = partial
+        if prev is not None:
+            merged = (
+                prev.unionByName(partial)
+                .groupBy(*key_cols)
+                .agg(
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                    F.sum("_n").alias("_n"),
+                )
+            )
+        vdir = f"v{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(root, vdir))
+        _flip_latest(root, vdir, batch_id)
+
+    return merge
 
 
 def streaming_agg_snapshot(
@@ -555,35 +671,13 @@ def streaming_agg_snapshot(
     (pass ``live_only=False`` — aggregate rows carry no tombstones).
 
     Only algebraically mergeable state belongs here (sums/counts; min/
-    max would merge the same way; medians would not).
+    max would merge the same way; medians would not) — which also makes
+    replay detection load-bearing: re-merging an already-committed
+    batch would double-count, so the merge no-ops when the manifest's
+    committed batch id already covers this batch (same contract as
+    :func:`streaming_upsert`).
     """
-    import os
-
-    spark = stream.sparkSession
-
-    def merge(batch_df: DataFrame, batch_id: int):
-        partial = batch_df.groupBy(*key_cols).agg(
-            *[F.sum(c).alias(c) for c in sum_cols],
-            F.count("*").alias("_n"),
-        )
-        prev = read_snapshot(spark, root, live_only=False)
-        merged = partial
-        if prev is not None:
-            merged = (
-                prev.unionByName(partial)
-                .groupBy(*key_cols)
-                .agg(
-                    *[F.sum(c).alias(c) for c in sum_cols],
-                    F.sum("_n").alias("_n"),
-                )
-            )
-        vdir = f"v{batch_id:010d}"
-        merged.write.mode("overwrite").parquet(os.path.join(root, vdir))
-        tmp = os.path.join(root, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(vdir)
-        os.replace(tmp, os.path.join(root, "_LATEST"))
-
+    merge = _agg_merge_fn(stream.sparkSession, root, key_cols, sum_cols)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint)

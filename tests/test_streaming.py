@@ -601,11 +601,89 @@ def test_streaming_upsert_converges_to_batch_merge(spark, tmp_path):
         assert live[k]["payload"] == expect[k]["payload"]
         assert live[k]["v"] == expect[k]["v"]
 
-    # stored snapshot retains the tombstone; manifest points at it
+    # stored snapshot retains the tombstone; manifest points at it and
+    # records the last committed batch id (replay-idempotence contract)
+    from slow_tortoise_spark.streaming.pipeline import _load_latest
+
     full = read_snapshot(spark, root, live_only=False)
     assert full.filter("k = 3").first()["deleted"] is True
-    with open(os.path.join(root, "_LATEST")) as fh:
-        assert os.path.isdir(os.path.join(root, fh.read().strip()))
+    version, committed = _load_latest(root)
+    assert os.path.isdir(os.path.join(root, version))
+    assert committed == 2  # three batches → last committed id is 2
+
+
+def test_upsert_and_agg_merge_replay_is_noop(spark, tmp_path):
+    """Round-5 ADVICE (medium): a crash between the manifest flip and
+    the streaming checkpoint commit replays the SAME batch id.  The old
+    code resolved ``prev`` via the manifest to ``v{batch_id}`` itself
+    and overwrote a directory it was reading from (wedging the stream);
+    the agg snapshot would instead double-count.  The merge must detect
+    ``batch_id <= committed`` and no-op."""
+    import os
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        _agg_merge_fn,
+        _bucketed_merge_fn,
+        _load_latest,
+        _upsert_merge_fn,
+        read_bucketed_snapshot,
+        read_snapshot,
+    )
+
+    schema = "k long, v long, payload string, deleted boolean"
+    b0 = spark.createDataFrame(
+        [(1, 1, "a1", False), (2, 1, "b1", False)], schema
+    )
+    b1 = spark.createDataFrame([(1, 2, "a2", False)], schema)
+
+    # --- unbucketed upsert ---
+    root = str(tmp_path / "up")
+    os.makedirs(root)
+    merge = _upsert_merge_fn(spark, root, ["k"], ["v"], "deleted")
+    merge(b0, 0)
+    merge(b1, 1)
+    snap = sorted(tuple(r) for r in read_snapshot(spark, root).collect())
+    # replay batch 1 (manifest already flipped to v1): must no-op, not
+    # raise "Cannot overwrite a path that is also being read from"
+    merge(b1, 1)
+    assert sorted(
+        tuple(r) for r in read_snapshot(spark, root).collect()
+    ) == snap
+    assert _load_latest(root)[1] == 1
+
+    # --- bucketed upsert ---
+    broot = str(tmp_path / "upb")
+    os.makedirs(broot)
+    bmerge = _bucketed_merge_fn(spark, broot, ["k"], ["v"], 4, "deleted")
+    bmerge(b0, 0)
+    bmerge(b1, 1)
+    bsnap = sorted(
+        tuple(r) for r in
+        read_bucketed_snapshot(spark, broot).drop("_bucket").collect()
+    )
+    bmerge(b1, 1)  # replay → no-op
+    assert sorted(
+        tuple(r) for r in
+        read_bucketed_snapshot(spark, broot).drop("_bucket").collect()
+    ) == bsnap
+
+    # --- agg snapshot: replay must NOT double-count ---
+    aroot = str(tmp_path / "agg")
+    os.makedirs(aroot)
+    amerge = _agg_merge_fn(spark, aroot, ["k"], ["v"])
+    amerge(b0, 0)
+    amerge(b1, 1)
+    totals = {
+        r["k"]: (r["v"], r["_n"])
+        for r in read_snapshot(spark, aroot, live_only=False).collect()
+    }
+    assert totals == {1: (3, 2), 2: (1, 1)}
+    amerge(b1, 1)  # replay
+    after = {
+        r["k"]: (r["v"], r["_n"])
+        for r in read_snapshot(spark, aroot, live_only=False).collect()
+    }
+    assert after == totals  # no double-count
 
 
 def test_streaming_upsert_bucketed_rewrites_only_touched_buckets(
@@ -666,7 +744,8 @@ def test_streaming_upsert_bucketed_rewrites_only_touched_buckets(
 
     # manifest: batch 1's untouched buckets still point at version 0
     with open(os.path.join(root, "_BUCKETS")) as fh:
-        manifest = json.load(fh)
+        manifest = {b: v for b, v in json.load(fh).items()
+                    if not b.startswith("_")}
     versions = set(manifest.values())
     assert len(versions) == 2  # v0 for untouched buckets, v1 for touched
     v0 = min(versions)

@@ -143,6 +143,27 @@ def test_resample_timeseries_fill_modes(spark):
         run("interpolate")
 
 
+def test_resample_pre_epoch_timestamps_snap_down(spark):
+    """Round-5 ADVICE: float division + truncation-toward-zero snapped
+    NEGATIVE (pre-epoch) timestamps UP a tick; floor division must snap
+    them DOWN like the oracle's integer `//`."""
+    from slow_tortoise_spark.operators.temporal import resample_timeseries
+
+    day = 86_400_000
+    rows = [
+        ("a", -1 * day, 5.0),        # exactly on the -1 tick
+        ("a", -1 * day + 5, 6.0),    # inside (-1, 0): floor is tick -1
+        ("a", -5, 1.0),              # just before epoch: tick -1, not 0
+        ("a", 0, 2.0),               # epoch itself: tick 0
+    ]
+    df = spark.createDataFrame(rows, "k string, timestamp long, value double")
+    out = {r["tick"] // day: (r["value"], r["observed"])
+           for r in resample_timeseries(df, ["k"], fill="zero").collect()}
+    assert out[-1] == (12.0, 1)      # 5 + 6 + 1 all land on tick -1
+    assert out[0] == (2.0, 1)
+    assert set(out) == {-1, 0}
+
+
 def test_resample_linear_interpolation(spark):
     from slow_tortoise_spark.operators.temporal import resample_timeseries
 

@@ -1627,6 +1627,36 @@ def test_shuffle_rows_total_order_and_epoch_independence(spark):
     assert order1 != sorted(order1)  # and it's actually shuffled
 
 
+def test_shuffle_rows_bucket_order_matches_global_hash_order(spark):
+    """Round-5 ADVICE: the (bucket, bucket_rank) concatenated order
+    must equal the plain ``ORDER BY md5(salt:id), id`` order — the
+    property negative_pairs' SQL oracle states — for ANY buckets
+    value, not only 256 (the old ``% buckets`` prefix was
+    order-preserving only at exactly 256)."""
+    import hashlib
+
+    import pytest
+
+    from slow_tortoise_spark.operators.dedup import shuffle_rows
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    expect = sorted(
+        range(400),
+        key=lambda i: (hashlib.md5(f"shuffle:{i}".encode()).hexdigest(), i),
+    )
+    for buckets in (7, 64, 256):
+        got = [
+            r["doc_id"]
+            for r in shuffle_rows(docs, buckets=buckets)
+            .orderBy("bucket", "bucket_rank")
+            .collect()
+        ]
+        assert got == expect, f"bucket order diverged at buckets={buckets}"
+
+    with pytest.raises(ValueError):
+        shuffle_rows(docs, buckets=512)  # one hash byte can't split >256
+
+
 def test_kmeans_iterations_improve_within_cluster_similarity(spark):
     """Lloyd iterations on a separable toy set must (a) change the
     seeded assignment, (b) not worsen mean within-cluster cosine, and
