@@ -364,4 +364,14 @@ def run_corpus_pipeline(
     gated.unpersist()
     for frame in _owned_caches:
         frame.unpersist()
+    # Caches the invoked OPERATORS own (shingle frames, LSH band stacks,
+    # Bloom word tables, …) are registered in the cachectl registry;
+    # everything the pipeline consumed is written out above, so release
+    # them too — a long-lived driver returns to storage-memory baseline
+    # after every pipeline run.
+    from slow_tortoise_spark.operators.cachectl import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
     return manifest

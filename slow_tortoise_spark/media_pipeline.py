@@ -99,4 +99,11 @@ def run_media_pipeline(
         json.dumps(manifest, default=str), "manifest.json"
     )
     feats.unpersist()
+    # Release caches owned by invoked operators (LSH band stacks etc.) —
+    # everything consumed is already written out above.
+    from slow_tortoise_spark.operators.cachectl import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
     return manifest

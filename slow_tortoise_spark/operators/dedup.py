@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from slow_tortoise_spark.operators.cachectl import tracked_cache
 from slow_tortoise_spark.operators.text import fingerprint, tokens_col
 
 
@@ -147,7 +148,7 @@ def jaccard_pairs(
     ``jaccard_pairs_auto`` prices both plans and dispatches.
     """
     return _jaccard_naive_from_shingles(
-        doc_shingles(df, text_col, n).cache(), threshold
+        tracked_cache(doc_shingles(df, text_col, n)), threshold
     )
 
 
@@ -390,7 +391,7 @@ def jaccard_pairs_auto(
     # identical logical plan is a CacheManager no-op (one WARN line), so
     # repeated calls share one materialization instead of the memo-hit
     # path silently depending on the miss-run's still-registered cache.
-    sh = doc_shingles(df, text_col, n).cache()
+    sh = tracked_cache(doc_shingles(df, text_col, n))
     if memo_key in _JACCARD_PRICE_MEMO:
         pair_rows = _JACCARD_PRICE_MEMO[memo_key]
     else:
@@ -468,9 +469,9 @@ def minhash_lsh_candidates(
     # so without the cache the whole shingle+signature pipeline — the
     # expensive part — runs twice. The cached frame is #docs × bands
     # rows of (id, hash), tiny next to the corpus at any scale.
-    stacked = sig.select(
+    stacked = tracked_cache(sig.select(
         "doc_id", F.explode(minhash_band_keys(k, bands)).alias("bucket")
-    ).cache()
+    ))
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -724,7 +725,7 @@ def incremental_dedup(
     # cached: the batch index feeds BOTH probe tiers (exact fp join and
     # the exploded bucket side) — uncached, the shingle+signature pass
     # over the batch would execute twice (the jaccard_pairs_auto lesson)
-    new_idx = build_dedup_index(new_docs, k, bands, n, text_col).cache()
+    new_idx = tracked_cache(build_dedup_index(new_docs, k, bands, n, text_col))
     exact_hit = new_idx.join(
         index.select(F.col("fp").alias("fp")).distinct(), "fp", "inner"
     ).select("doc_id")
@@ -836,9 +837,9 @@ def simhash_near_duplicates(
     # cache(): both sides of the band self-join read this frame and AQE
     # does not ReuseExchange across it — uncached, the whole simhash
     # computation (the expensive part) runs twice. (k+1) rows per doc.
-    stacked = sh.select(
+    stacked = tracked_cache(sh.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("band")
-    ).cache()
+    ))
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -881,7 +882,7 @@ def containment_pairs(
     stay resident for the session (``spark.catalog.clearCache()``
     reclaims them).
     """
-    sh = doc_shingles(df, text_col, n).cache()
+    sh = tracked_cache(doc_shingles(df, text_col, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1415,7 +1416,7 @@ def dup_ngram_stats(
 
     Returns (doc_id, n_shingles, n_dup, dup_frac).
     """
-    sh = doc_shingles(df, text_col, n).cache()  # feeds df agg AND the join
+    sh = tracked_cache(doc_shingles(df, text_col, n))  # feeds df agg AND the join
     vocab_df = sh.groupBy("shingle").agg(
         F.count("*").alias("df")
     )
@@ -1486,7 +1487,8 @@ def dedup_lines(
     ).withColumn(
         "lhash",
         F.when(F.length(norm) >= min_len, F.md5(norm)),  # null = exempt
-    ).cache()
+    )
+    lines = tracked_cache(lines)
     doc_freq = (
         lines.filter(F.col("lhash").isNotNull())
         .select("doc_id", "lhash")
@@ -1902,9 +1904,9 @@ def negative_pairs(
     off = F.element_at(
         F.array(*[F.lit(o) for o in offsets]), F.col("bucket") + 1
     )
-    idx = sr.select(
+    idx = tracked_cache(sr.select(
         F.col(id_col), (off + F.col("bucket_rank") - 1).alias("gidx")
-    ).cache()  # anchor side + partner lookup side
+    ))  # anchor side + partner lookup side
     steps = [max(1, (n * j) // (k + 1)) for j in range(1, k + 1)]
     probes = None
     for j, s in enumerate(steps, start=1):

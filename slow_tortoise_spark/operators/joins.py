@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from slow_tortoise_spark.operators.cachectl import tracked_cache
 from slow_tortoise_spark.operators.dedup import (
     _bloom_positions,
     build_bloom_filter,
@@ -43,9 +44,9 @@ def bloom_prefilter(
     deduplicating the build (the same self-join recompute hazard as the
     LSH candidate generators — see NOTES) — uncached, the keys-side
     aggregation would run k times."""
-    bloom = build_bloom_filter(
+    bloom = tracked_cache(build_bloom_filter(
         keys.select(key_col).distinct(), key_col, k
-    ).cache()
+    ))
     pos = _bloom_positions(F.col(key_col).cast("string"), k)
     out = big
     cond = None

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from slow_tortoise_spark.operators.cachectl import tracked_cache
+
 
 def dot_col(a: Column, b: Column) -> Column:
     """Dot product of two float arrays (JVM-side, no UDF)."""
@@ -312,7 +314,7 @@ def lsh_near_duplicates(
     # cache(): the self-join reads this frame on both sides and AQE does
     # not ReuseExchange across it — uncached, the plane dot-products run
     # twice. bands rows per vector.
-    bk = hyperplane_band_buckets(df, planes, bands, id_col, vec_col).cache()
+    bk = tracked_cache(hyperplane_band_buckets(df, planes, bands, id_col, vec_col))
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(
@@ -382,7 +384,7 @@ def semantic_dedup_pairs(
     )
     # cache(): same self-join double-execution hazard — the IVF cell
     # assignment (centroid argmax per vector) would otherwise run twice.
-    side = indexed.select(id_col, "cell", vec_col).cache()
+    side = tracked_cache(indexed.select(id_col, "cell", vec_col))
     a, b = side.alias("a"), side.alias("b")
     pairs = a.join(
         b,
