@@ -1,0 +1,518 @@
+"""Verifier tier: iterative/trained operators (BPE training, span
+dedup, winnowing, gramian/PCA, Bloom contamination, k-means, logreg).
+Formerly queries.py lines 3855-4356."""
+from __future__ import annotations
+
+from slow_tortoise_spark.queries._shared import (
+    build_ivf_index,
+    F,
+    _t,
+    read_table,
+)
+from slow_tortoise_spark.queries.verifier_core import (
+    VERIFIER_ORACLE_SQL,
+    VERIFIER_QUERIES,
+)
+
+# Iterative BPE training (verifier tier — the oracle replays every merge)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_train(spark, sf_dir):
+    """Eight learned BPE merges over the documents vocabulary — the
+    iterative completion of ``bpe_pairs`` (which ranks only round-0
+    candidates). Driver-looped argmax per round; corpus touched once."""
+    from slow_tortoise_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=8)
+
+
+def _bpe_train_sql(k: int = 8) -> str:
+    """Generate the chained-CTE oracle: w{i} = vocab state after i
+    merges, p{i} = that state's argmax pair. Merge replay is the same
+    literal double-space replace the Spark side uses (text.py
+    bpe_word_freq docstring), so every round is value-checked, not just
+    the first."""
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT '  ' || array_to_string(string_split(tok, ''), '  ')"
+        " || '  ' AS sym, COUNT(*) AS wc FROM (SELECT unnest(list_filter("
+        "string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok"
+        " FROM documents) GROUP BY 1)"
+    ]
+    for i in range(k):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT parts[j] AS lhs, parts[j+1] AS rhs, "
+            f"CAST(SUM(wc) AS BIGINT) AS cnt FROM (SELECT wc, "
+            f"string_split(trim(sym), '  ') AS parts FROM w{i}), "
+            f"LATERAL unnest(range(1, len(parts))) AS t(j) "
+            f"GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"w{i+1} AS MATERIALIZED (SELECT replace(sym, ' ' || p.lhs || '  ' || "
+                f"p.rhs || ' ', ' ' || p.lhs || p.rhs || ' ') AS sym, wc "
+                f"FROM w{i}, p{i} AS p)"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i+1} AS BIGINT) AS rank, lhs, rhs, cnt FROM p{i}"
+        for i in range(k)
+    )
+    return f"WITH {', '.join(ctes)} SELECT * FROM ({unions}) ORDER BY rank"
+
+
+VERIFIER_QUERIES["bpe_train"] = q_bpe_train
+VERIFIER_ORACLE_SQL["bpe_train"] = _bpe_train_sql(8)
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup + winnowing fingerprints (verifier tier)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring span removal (Lee et al. 2022 style): delete every
+    token inside a 10-token window whose content repeats corpus-wide,
+    rebuild docs from survivors. Full-value check: the oracle rebuilds
+    the cleaned text with the same token/window conventions."""
+    from slow_tortoise_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=10).orderBy("doc_id")
+
+
+_Q_DUP_SPAN_REMOVAL = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  win AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           array_to_string(list_slice(t, u.i, u.i + 9), ' ') AS w
+    FROM toks, LATERAL unnest(range(1, greatest(len(t) - 9, 0) + 1)) AS u(i)
+  ),
+  dup AS (SELECT w FROM win GROUP BY w HAVING COUNT(*) > 1),
+  cov AS (
+    SELECT DISTINCT v.doc_id, v.pos + u.k AS i
+    FROM win v JOIN dup USING (w),
+         LATERAL unnest(range(0, 10)) AS u(k)
+  ),
+  tok AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[CAST(u.i AS INT)] AS tok
+    FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+  ),
+  reb AS (
+    SELECT k.doc_id, COUNT(*) AS n_kept,
+           string_agg(k.tok, ' ' ORDER BY k.i) AS clean_text
+    FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.i = k.i
+    WHERE c.i IS NULL
+    GROUP BY k.doc_id
+  )
+  SELECT d.doc_id,
+         CAST(len(t.t) AS BIGINT) AS n_tokens,
+         CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+         COALESCE(r.clean_text, '') AS clean_text
+  FROM documents d
+  JOIN toks t USING (doc_id)
+  LEFT JOIN reb r USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints, k=5-token grams, window w=4; the
+    per-doc selected set is value-checked via an order-canonical md5
+    checksum the oracle reproduces pair-for-pair."""
+    from slow_tortoise_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, k=5, w=4)
+    fps = F.col("fingerprints")
+    checksum = F.md5(
+        F.array_join(
+            F.transform(
+                fps,
+                lambda s: F.concat_ws(
+                    "", s["pos"].cast("string"), F.lit(":"), s["h"]
+                ),
+            ),
+            "|",
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.size(fps).cast("long").alias("n_fp"),
+        checksum.alias("fp_checksum"),
+    ).orderBy("doc_id")
+
+
+_Q_WINNOW_FP = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           substr(md5(array_to_string(list_slice(t, u.i, u.i + 4), ' ')),
+                  1, 16) AS h
+    FROM toks, LATERAL unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+  ),
+  g AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+  cand AS (
+    SELECT a.doc_id, a.pos AS j, b.pos, b.h,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.doc_id, a.pos ORDER BY b.h, b.pos DESC
+           ) AS rn
+    FROM grams a
+    JOIN g USING (doc_id)
+    JOIN grams b ON b.doc_id = a.doc_id
+               AND b.pos BETWEEN a.pos AND a.pos + 3
+    WHERE a.pos <= g.n_grams - 3
+  ),
+  sel AS (SELECT DISTINCT doc_id, pos, h FROM cand WHERE rn = 1),
+  chk AS (
+    SELECT doc_id, COUNT(*) AS n_fp,
+           md5(string_agg(pos || ':' || h, '|' ORDER BY pos, h))
+             AS fp_checksum
+    FROM sel GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(g.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(c.n_fp, 0) AS BIGINT) AS n_fp,
+         COALESCE(c.fp_checksum, md5('')) AS fp_checksum
+  FROM documents d
+  LEFT JOIN g USING (doc_id)
+  LEFT JOIN chk c USING (doc_id)
+  ORDER BY d.doc_id
+"""
+
+
+VERIFIER_QUERIES["dup_span_removal"] = q_dup_span_removal
+VERIFIER_ORACLE_SQL["dup_span_removal"] = _Q_DUP_SPAN_REMOVAL
+VERIFIER_QUERIES["winnow_fp"] = q_winnow_fp
+VERIFIER_ORACLE_SQL["winnow_fp"] = _Q_WINNOW_FP
+
+
+# ---------------------------------------------------------------------------
+# Embedding gramian + Bloom-filter contamination (verifier tier)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gramian(spark, sf_dir):
+    """Distributed gramian of the embeddings table (d=64 -> 4096 cells),
+    the PCA/whitening building block; micro-rounded so float-sum
+    ordering can't flip the driver hash."""
+    from slow_tortoise_spark.operators.similarity import embedding_gramian
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = embedding_gramian(emb, "embedding", method="explode")
+    return g.select(
+        "i", "j", F.round(F.col("g") * 1e6).cast("bigint").alias("g_micro")
+    ).orderBy("i", "j")
+
+
+_Q_EMBEDDING_GRAMIAN = """
+  WITH x AS (
+    SELECT CAST(u.i AS INT) - 1 AS i,
+           CAST(embedding[CAST(u.i AS INT)] AS DOUBLE) AS vi,
+           embedding AS v
+    FROM embeddings,
+         LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+  ),
+  p AS (
+    SELECT i, CAST(u2.j AS INT) - 1 AS j,
+           vi * CAST(v[CAST(u2.j AS INT)] AS DOUBLE) AS p
+    FROM x, LATERAL unnest(range(1, len(v) + 1)) AS u2(j)
+  )
+  SELECT i, j, CAST(round(SUM(p) * 1e6) AS BIGINT) AS g_micro
+  FROM p GROUP BY i, j ORDER BY i, j
+"""
+
+
+def _bloom_nib_sql(hx: str) -> str:
+    """20-bit int from a 5-hex-char expression (the Bloom position)."""
+    nibs = [
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1)"
+        for i in range(5)
+    ]
+    expr = nibs[0]
+    for nb in nibs[1:]:
+        expr = f"({expr}) * 16 + {nb}"
+    return f"({expr})"
+
+
+def q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter contamination scan (even-id train / odd-id test,
+    5-gram shingles): the train vocabulary collapses to <=1 MiB of bits,
+    so the construction is deterministic and the oracle replays every
+    position."""
+    from slow_tortoise_spark.operators.dedup import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    out = bloom_contamination(train, test, n=5, k=5)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        F.round(F.col("hit_ratio") * 1e6).cast("bigint").alias("hit_micro"),
+    ).orderBy("doc_id")
+
+
+def _bloom_sql(n: int = 5, k: int = 5) -> str:
+    pos_union = lambda src: " UNION ALL ".join(  # noqa: E731
+        f"SELECT {cols}, {_bloom_nib_sql(f'''substr(md5('{h}:' || shingle), 1, 5)''')} AS p"
+        f" FROM {src}"
+        for h in range(k)
+        for cols in [("doc_id, shingle" if src == "test_sh" else "shingle")]
+    )
+    return f"""
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - {n - 1}, 0) + 1),
+             i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))) AS shingle
+    FROM toks WHERE len(t) >= {n}
+  ),
+  train_vocab AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+  test_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+  bp AS ({pos_union('train_vocab')}),
+  bloom AS (
+    SELECT CAST(p // 32 AS INT) AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+    FROM bp GROUP BY 1
+  ),
+  tp AS ({pos_union('test_sh')}),
+  checked AS (
+    SELECT t.doc_id, t.shingle,
+           CASE WHEN COALESCE(b.bits, 0)
+                     & (CAST(1 AS BIGINT) << CAST(t.p % 32 AS INT)) <> 0
+                THEN 1 ELSE 0 END AS bit_set
+    FROM tp t LEFT JOIN bloom b ON b.word = CAST(t.p // 32 AS INT)
+  ),
+  per AS (
+    SELECT doc_id, shingle, MIN(bit_set) AS all_set
+    FROM checked GROUP BY doc_id, shingle
+  ),
+  agg AS (
+    SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(all_set) AS BIGINT) AS n_hits
+    FROM per GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+         CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_bloom_hits,
+         CAST(round(COALESCE(a.n_hits, 0)::DOUBLE
+               / greatest(COALESCE(a.n_shingles, 0), 1) * 1e6) AS BIGINT)
+           AS hit_micro
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+  WHERE d.doc_id % 2 = 1
+  ORDER BY d.doc_id
+"""
+
+
+VERIFIER_QUERIES["embedding_gramian"] = q_embedding_gramian
+VERIFIER_ORACLE_SQL["embedding_gramian"] = _Q_EMBEDDING_GRAMIAN
+VERIFIER_QUERIES["bloom_contamination"] = q_bloom_contamination
+VERIFIER_ORACLE_SQL["bloom_contamination"] = _bloom_sql(5, 5)
+
+
+def q_shuffle_rows(spark, sf_dir):
+    """Deterministic epoch-shuffle order over documents: (bucket,
+    bucket_rank) is a reproducible total order with no RNG state."""
+    from slow_tortoise_spark.operators.dedup import shuffle_rows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_rows(docs).select(
+        "doc_id", "bucket", "bucket_rank"
+    ).orderBy("bucket", "bucket_rank")
+
+
+_Q_SHUFFLE_ROWS = """
+  WITH h AS (
+    SELECT doc_id, md5('shuffle:' || doc_id) AS h
+    FROM documents
+  ),
+  b AS (
+    SELECT doc_id, h,
+           CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+              AS INT) % 256 AS bucket
+    FROM h
+  )
+  SELECT doc_id, bucket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+              AS INT) AS bucket_rank
+  FROM b
+  ORDER BY bucket, bucket_rank
+"""
+
+
+VERIFIER_QUERIES["shuffle_rows"] = q_shuffle_rows
+VERIFIER_ORACLE_SQL["shuffle_rows"] = _Q_SHUFFLE_ROWS
+
+
+# ---------------------------------------------------------------------------
+# K-means Lloyd iterations (verifier tier — the oracle replays every round)
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Cell assignment after two distributed Lloyd iterations (C=4,
+    deterministic md5 seeding).  Like bpe_train, the oracle replays the
+    ITERATIVE algorithm round by round — assignment, per-cell means,
+    re-assignment — so the distributed k-means is value-checked, not
+    just its final shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    indexed, _ = build_ivf_index(emb, n_cells=4, kmeans_iters=2)
+    return indexed.select("vec_id", "cell").orderBy("vec_id")
+
+
+def _kmeans_sql(n_cells: int = 4, iters: int = 2) -> str:
+    """Chained-CTE Lloyd replay: cents{r} = centroid vectors entering
+    round r, assign{r} = argmax-cosine assignment under them (lowest
+    cell on ties — the engine's array_position first-wins order).
+    The vector's own norm is a positive per-row constant, so the argmax
+    ranks dot/‖c‖ exactly like the engine's join strategy."""
+    ctes = [
+        """v AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)""",
+        f"""seeds AS (
+        SELECT vec_id AS seed_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS cell
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {n_cells})""",
+        """cents0 AS (
+        SELECT s.cell, v.i, v.x FROM seeds s JOIN v ON v.vec_id = s.seed_id)""",
+    ]
+    for r in range(iters + 1):
+        ctes.append(
+            f"""cnorm{r} AS (
+            SELECT cell, sqrt(SUM(x * x)) AS n FROM cents{r} GROUP BY cell)"""
+        )
+        ctes.append(
+            f"""assign{r} AS (
+            SELECT vec_id, cell FROM (
+              SELECT d.vec_id, d.cell,
+                     row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / cn.n DESC, d.cell) AS rn
+              FROM (SELECT v.vec_id, c.cell, SUM(v.x * c.x) AS dot
+                    FROM v JOIN cents{r} c ON v.i = c.i
+                    GROUP BY 1, 2) d
+              JOIN cnorm{r} cn ON d.cell = cn.cell
+            ) WHERE rn = 1)"""
+        )
+        if r < iters:
+            ctes.append(
+                f"""cents{r + 1} AS (
+                SELECT a.cell, v.i, AVG(v.x) AS x
+                FROM assign{r} a JOIN v ON v.vec_id = a.vec_id
+                GROUP BY 1, 2)"""
+            )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, cell FROM assign{iters} ORDER BY vec_id"
+    )
+
+
+VERIFIER_QUERIES["kmeans_assign"] = q_kmeans_assign
+VERIFIER_ORACLE_SQL["kmeans_assign"] = _kmeans_sql(4, 2)
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression trainer (verifier tier — oracle replays every GD round)
+# ---------------------------------------------------------------------------
+
+
+def q_logreg_weights(spark, sf_dir):
+    """Five full-batch gradient-descent rounds of a logistic quality
+    classifier over the first 8 embedding dims (target: label parity).
+    Like bpe_train/kmeans_assign, the oracle replays the ITERATIVE
+    optimization round by round; weights go out micro-rounded."""
+    from slow_tortoise_spark.operators.similarity import logreg_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "embedding", (F.col("label") % 2).alias("y")
+    )
+    w = logreg_fit(emb, dim=8, iters=5, lr=0.5)
+    return spark.createDataFrame(
+        [(j, int(round(wj * 1e6))) for j, wj in enumerate(w)],
+        "j int, w_micro long",
+    ).orderBy("j")
+
+
+def _logreg_sql(dim: int = 8, iters: int = 5, lr: float = 0.5) -> str:
+    """Chained-CTE gradient-descent replay: w{r} = weights entering
+    round r (j = dim is the bias), g{r} = that round's full-batch
+    gradient. The engine folds z left-to-right over literal weights
+    while SQL sums a join — float association differs at ~1e-16, far
+    under the 1e-6 output rounding."""
+    # AS MATERIALIZED everywhere: each round's CTEs are referenced
+    # multiple times (z{r} reads w{r} twice, w{r+1} reads w{r} and g{r});
+    # inlining doubles the expression tree per round — measured 410 s for
+    # 5 rounds vs ~1 s materialized.
+    w0 = ", ".join(f"({j}, 0.0)" for j in range(dim + 1))
+    ctes = [
+        f"""x AS MATERIALIZED (
+        SELECT vec_id, CAST(u.j AS INT) - 1 AS j,
+               CAST(embedding[CAST(u.j AS INT)] AS DOUBLE) AS x
+        FROM embeddings, LATERAL unnest(range(1, {dim} + 1)) AS u(j))""",
+        """yy AS MATERIALIZED (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y
+                  FROM embeddings)""",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings)",
+        f"w0(j, wv) AS MATERIALIZED (VALUES {w0})",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""z{r} AS MATERIALIZED (
+            SELECT x.vec_id,
+                   SUM(x.x * w.wv)
+                   + (SELECT wv FROM w{r} WHERE j = {dim}) AS z
+            FROM x JOIN w{r} w ON x.j = w.j
+            GROUP BY x.vec_id)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+            SELECT z.vec_id, 1.0 / (1.0 + exp(-z.z)) - yy.y AS err
+            FROM z{r} z JOIN yy ON z.vec_id = yy.vec_id)"""
+        )
+        ctes.append(
+            f"""g{r} AS MATERIALIZED (
+            SELECT x.j, SUM(e.err * x.x) AS g
+            FROM e{r} e JOIN x ON e.vec_id = x.vec_id
+            GROUP BY x.j
+            UNION ALL
+            SELECT {dim} AS j, SUM(err) AS g FROM e{r})"""
+        )
+        ctes.append(
+            f"""w{r + 1} AS MATERIALIZED (
+            SELECT w.j, w.wv - {lr} * g.g / nn.n AS wv
+            FROM w{r} w JOIN g{r} g ON w.j = g.j, nn)"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT j, CAST(round(wv * 1e6) AS BIGINT) AS w_micro"
+        f" FROM w{iters} ORDER BY j"
+    )
+
+
+VERIFIER_QUERIES["logreg_weights"] = q_logreg_weights
+VERIFIER_ORACLE_SQL["logreg_weights"] = _logreg_sql(8, 5, 0.5)
+
+

@@ -1,0 +1,355 @@
+"""Verifier tier: MAD outliers, PSI drift, weighted sampling,
+negative pairs, grouping sets, salted join.  Formerly queries.py lines
+5019-5355."""
+from __future__ import annotations
+
+from slow_tortoise_spark.queries._shared import (
+    F,
+    _DSUM,
+    _t,
+)
+from slow_tortoise_spark.queries.verifier_core import (
+    VERIFIER_ORACLE_SQL,
+    VERIFIER_QUERIES,
+)
+from slow_tortoise_spark.queries.verifier_scalarops import (
+    _dsir_nib_sql,
+)
+
+# MAD outlier detection (robust per-group data-quality gate)
+# ---------------------------------------------------------------------------
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-event-type MAD outlier summary (operators/validate.py
+    mad_outliers, k=3): group medians and MADs are exact interpolated
+    percentiles (the percentiles-query parity convention), outlier
+    counts are integers."""
+    from slow_tortoise_spark.operators.validate import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    flagged = mad_outliers(ev, ["event_type"], "value", k=3.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q_MAD_OUTLIERS = """
+  WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+  ),
+  dev AS (
+    SELECT e.event_type, e.value, m.med
+    FROM events e JOIN med m USING (event_type)
+  ),
+  mad AS (
+    SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+    FROM dev GROUP BY 1
+  )
+  SELECT d.event_type,
+         round(ANY_VALUE(d.med), 6) AS med,
+         round(ANY_VALUE(m.mad), 6) AS mad,
+         CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.0 * m.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         COUNT(*) AS n_rows
+  FROM dev d JOIN mad m USING (event_type)
+  GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+VERIFIER_QUERIES["mad_outliers"] = q_mad_outliers
+VERIFIER_ORACLE_SQL["mad_outliers"] = _Q_MAD_OUTLIERS
+
+
+# ---------------------------------------------------------------------------
+# PSI drift between corpus snapshots
+# ---------------------------------------------------------------------------
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population stability index between the src0 and src1 document
+    slices over hashed-unigram buckets (operators/text.py psi_drift).
+    Each bucket's (p_a - p_b) ln(p_a/p_b) contribution rounds to
+    integer micros once, so the frame — and any total — replays
+    exactly."""
+    from slow_tortoise_spark.operators.text import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    out = psi_drift(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+        buckets=256,
+    )
+    return out.filter(F.col("contrib_micro") != 0).orderBy("b")
+
+
+_Q_PSI_DRIFT = f"""
+  WITH toks AS (
+    SELECT d.source,
+           unnest(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents d WHERE d.source IN ('src0', 'src1')
+  ),
+  tb AS (
+    SELECT source,
+           {_dsir_nib_sql("substr(md5('dsir:' || tok), 1, 4)")} % 256 AS b
+    FROM toks
+  ),
+  a AS (SELECT b, COUNT(*) AS c FROM tb WHERE source = 'src0' GROUP BY b),
+  bb AS (SELECT b, COUNT(*) AS c FROM tb WHERE source = 'src1' GROUP BY b),
+  tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM a) AS A,
+                 (SELECT COALESCE(SUM(c), 0) FROM bb) AS B),
+  dom AS (SELECT unnest(range(0, 256)) AS b),
+  contrib AS (
+    SELECT dom.b,
+           CAST(round((((COALESCE(a.c, 0) + 1.0) / (tot.A + 1.0 * 256))
+                       - ((COALESCE(bb.c, 0) + 1.0) / (tot.B + 1.0 * 256)))
+                      * ln(((COALESCE(a.c, 0) + 1.0) / (tot.A + 1.0 * 256))
+                           / ((COALESCE(bb.c, 0) + 1.0) / (tot.B + 1.0 * 256)))
+                      * 1e6) AS BIGINT) AS contrib_micro
+    FROM dom LEFT JOIN a ON dom.b = a.b LEFT JOIN bb ON dom.b = bb.b, tot
+  )
+  SELECT b, contrib_micro FROM contrib
+  WHERE contrib_micro <> 0 ORDER BY b
+"""
+
+
+VERIFIER_QUERIES["psi_drift"] = q_psi_drift
+VERIFIER_ORACLE_SQL["psi_drift"] = _Q_PSI_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis, keyed-hash RNG)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark, sf_dir):
+    """150 documents sampled without replacement with probability
+    proportional to length (n_chars) via the deterministic ES scheme
+    (operators/dedup.py weighted_sample).  The oracle replays the
+    hash-uniform and the ln(u)/w priority verbatim."""
+    from slow_tortoise_spark.operators.dedup import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, 150, "n_chars")
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+_Q_WEIGHTED_SAMPLE = f"""
+  WITH pri AS (
+    SELECT doc_id, n_chars,
+           ln(({_dsir_nib_sql("substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 12)", 12)} + 1.0)
+              / 281474976710656.0)
+           / CAST(n_chars AS DOUBLE) AS p
+    FROM documents WHERE n_chars > 0
+  )
+  SELECT doc_id, n_chars FROM pri
+  ORDER BY p DESC, doc_id LIMIT 150
+"""
+
+
+VERIFIER_QUERIES["weighted_sample"] = q_weighted_sample
+VERIFIER_ORACLE_SQL["weighted_sample"] = _Q_WEIGHTED_SAMPLE
+
+
+def q_resample_linear(spark, sf_dir):
+    """Daily regularization with LINEAR interpolation between the
+    bracketing observations (resample_timeseries fill="linear") —
+    completes the gap-fill family's oracle coverage."""
+    from slow_tortoise_spark.operators.temporal import resample_timeseries
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis("ts").alias("timestamp"),
+        "value",
+    )
+    out = resample_timeseries(
+        ev, ["event_type"], step_ms=86_400_000, fill="linear"
+    )
+    return out.select(
+        "event_type",
+        "tick",
+        F.round("value", 6).alias("value"),
+        "observed",
+    ).orderBy("event_type", "tick")
+
+
+_Q_RESAMPLE_LINEAR = """
+  WITH obs AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 86400000) * 86400000 AS tick,
+           SUM(value) AS v
+    FROM events GROUP BY 1, 2
+  ),
+  spans AS (SELECT event_type, MIN(tick) AS lo, MAX(tick) AS hi
+            FROM obs GROUP BY 1),
+  grid AS (SELECT event_type, unnest(range(lo, hi + 1, 86400000)) AS tick
+           FROM spans),
+  j AS (
+    SELECT g.event_type, g.tick, o.v
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.tick = o.tick
+  ),
+  br AS (
+    SELECT event_type, tick, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY tick
+             ROWS UNBOUNDED PRECEDING) AS v0,
+           last_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY tick
+                   ROWS UNBOUNDED PRECEDING) AS t0,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY tick
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+           first_value(CASE WHEN v IS NOT NULL THEN tick END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY tick
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+    FROM j
+  )
+  SELECT event_type, CAST(tick AS BIGINT) AS tick,
+         round(CASE WHEN v IS NOT NULL THEN v
+                    ELSE v0 + (v1 - v0) * (tick - t0) / (t1 - t0) END,
+               6) AS value,
+         CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM br ORDER BY event_type, tick
+"""
+
+
+VERIFIER_QUERIES["resample_linear"] = q_resample_linear
+VERIFIER_ORACLE_SQL["resample_linear"] = _Q_RESAMPLE_LINEAR
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative-pair sampling (contrastive training)
+# ---------------------------------------------------------------------------
+
+
+def q_negative_pairs(spark, sf_dir):
+    """Two pseudo-random negatives per document via the keyed-hash
+    permutation + fixed strides (operators/dedup.py negative_pairs).
+    The oracle replays the permutation with a plain ORDER BY md5 window
+    — equivalent to the bucketed order because the bucket is a prefix
+    of the hash."""
+    from slow_tortoise_spark.operators.dedup import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_pairs(docs, k=2).orderBy("doc_id", "neg_rank")
+
+
+_Q_NEGATIVE_PAIRS = """
+  WITH r AS (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('negpair:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS g
+    FROM documents
+  ),
+  nn AS (SELECT COUNT(*) AS n FROM r),
+  steps AS (
+    SELECT CAST(j AS INT) AS j,
+           GREATEST(1, (nn.n * j) // 3) AS s
+    FROM (SELECT unnest(range(1, 3)) AS j), nn
+  ),
+  p AS (
+    SELECT r.doc_id, st.j, (r.g + st.s) % nn.n AS pg
+    FROM r, steps st, nn
+  )
+  SELECT p.doc_id, r2.doc_id AS neg_id, p.j AS neg_rank
+  FROM p JOIN r r2 ON p.pg = r2.g
+  WHERE p.doc_id <> r2.doc_id
+  ORDER BY p.doc_id, p.j
+"""
+
+
+VERIFIER_QUERIES["negative_pairs"] = q_negative_pairs
+VERIFIER_ORACLE_SQL["negative_pairs"] = _Q_NEGATIVE_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (asymmetric grain combinations)
+# ---------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Asymmetric grouping sets — (flag, status), (flag), () but NOT
+    (status): the grain selection neither cube nor rollup expresses.
+    One Expand + one exchange, same physical shape as the cube; the
+    grouping-id distinguishes a genuine NULL key from a rolled-up one."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+             COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+             CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+               AS gid,
+             {_DSUM.format(x='l_quantity')} AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                              (l_returnflag), ())
+      ORDER BY gid, l_returnflag, l_linestatus
+    """)
+
+
+_Q_GROUPING_SETS = f"""
+  SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+         COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+         CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+              AS BIGINT) AS gid,
+         {_DSUM.format(x='l_quantity')} AS sum_qty,
+         COUNT(*) AS n
+  FROM lineitem
+  GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                          (l_returnflag), ())
+  ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+VERIFIER_QUERIES["grouping_sets"] = q_grouping_sets
+VERIFIER_ORACLE_SQL["grouping_sets"] = _Q_GROUPING_SETS
+
+
+# ---------------------------------------------------------------------------
+# Salted join (hot-key skew mitigation)
+# ---------------------------------------------------------------------------
+
+
+def q_salted_join(spark, sf_dir):
+    """Orders joined to nation-sized dims through the salted join
+    (operators/skew.py salted_join): big-side rows spread over 16
+    sub-keys, the dim replicates per salt.  Result must equal the plain
+    join — the oracle states exactly that."""
+    from slow_tortoise_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    out = salted_join(orders, cust, "o_custkey", salt_buckets=8)
+    return out.select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
+_Q_SALTED_JOIN = """
+  SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  ORDER BY o.o_orderkey
+"""
+
+
+VERIFIER_QUERIES["salted_join"] = q_salted_join
+VERIFIER_ORACLE_SQL["salted_join"] = _Q_SALTED_JOIN
+
+
+# ---------------------------------------------------------------------------

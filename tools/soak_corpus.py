@@ -1,0 +1,145 @@
+"""Scale soak for the curation DAG (round-5 verdict item 6).
+
+Runs ``run_corpus_pipeline`` with EVERY optional stage enabled (the
+run_local set-13 shape: blocklist → line dedup → span dedup → learned
+model gate → NFC normalize → minhash near-dedup → Bloom decontamination
+→ DSIR selection → splits → temperature mix) over a corpus ~10× the
+sf0.1 documents table, built by unioning salted copies (each copy gets
+a distinct doc_id range and a per-copy text perturbation so dedup tiers
+see realistic near-duplicate structure instead of 10 exact clones of
+everything).
+
+What this exercises that the e2e tests don't: lineage depth × data
+volume together — the plan-explosion and cache-memory paths.  A
+background thread samples executor storage memory so the manifest
+records PEAK storage, not just the end state (which the unpersist
+contract drives back to ~0).
+
+Usage: python tools/soak_corpus.py [copies] [sf_dir]
+Writes /tmp/soak_corpus_out/, prints one JSON summary line (also
+recorded in SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+    from slow_tortoise_spark.session import get_spark
+    from slow_tortoise_spark.sources.reader import read_table
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="soak_corpus", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+
+    base = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    n_base = base.count()
+
+    # 10 salted copies: copy 0 is pristine; later copies perturb the text
+    # head so near-dup tiers (MinHash/LSH + verify) do real work instead
+    # of exact-tier short-circuiting everything.
+    parts = []
+    for i in range(copies):
+        c = base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (F.concat(F.lit(f"copy{i} "), F.col("text"))
+             if i else F.col("text")).alias("text"),
+            "source",
+        )
+        parts.append(c)
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+
+    bench = base.filter("doc_id % 25 = 0").select("doc_id", "text")
+    staged = corpus.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter!\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("\nvisit http://spam.example.net/deals"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        "source",
+    )
+
+    # Peak storage-memory sampler (the unpersist contract empties storage
+    # by the end — the peak is the number that matters for sizing).
+    jsc = spark.sparkContext._jsc.sc()
+    peak = {"bytes": 0, "rdds": 0}
+    stop = threading.Event()
+
+    def sample():
+        while not stop.is_set():
+            infos = jsc.getRDDStorageInfo()
+            used = sum(i.memUsed() for i in infos)
+            if used > peak["bytes"]:
+                peak["bytes"] = used
+                peak["rdds"] = len(infos)
+            time.sleep(1.0)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+
+    out_dir = "/tmp/soak_corpus_out"
+    t0 = time.time()
+    manifest = run_corpus_pipeline(
+        spark,
+        staged,
+        CorpusParams(
+            out_dir=out_dir,
+            blocklist_domains=("spam.example.net",),
+            line_dedup_min_docs=2,
+            span_dedup_ngram=10,
+            model_gate_weights=(0.0, -40.0, 0.0, 0.0, 0.0, 4.0),
+            decontaminate_against=bench,
+            normalize_form="NFC",
+            dsir_target=base.filter("source = 'src0'").select(
+                "doc_id", "text"
+            ),
+            dsir_keep_fraction=0.8,
+            mix_budget=float(n_base * copies) * 0.06,
+        ),
+    )
+    wall = time.time() - t0
+    stop.set()
+    t.join(timeout=3)
+
+    residual = sum(i.memUsed() for i in jsc.getRDDStorageInfo())
+    summary = {
+        "input_docs": n_base * copies,
+        "copies": copies,
+        "wall_sec": round(wall, 1),
+        "peak_storage_mb": round(peak["bytes"] / 1048576, 1),
+        "peak_cached_rdds": peak["rdds"],
+        "residual_storage_mb": round(residual / 1048576, 2),
+        "output_docs": manifest.get("output_docs"),
+        "stage_counts": {k: v for k, v in manifest.items()
+                         if isinstance(v, (int, float))},
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
