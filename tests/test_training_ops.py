@@ -2371,3 +2371,356 @@ def test_negative_pairs_invariants(spark):
     two = negative_pairs(
         spark.createDataFrame([(1,), (2,)], "doc_id long"), k=1).collect()
     assert {(r["doc_id"], r["neg_id"]) for r in two} == {(1, 2), (2, 1)}
+
+
+def _jpeg_encode_for_test(planes, sampling, w, h, restart=0):
+    """Minimal baseline-JPEG ENCODER used only by the golden tests —
+    shares no code with the decoder under test.  ``planes`` is a list of
+    numpy uint8 component planes (1 = grayscale, 3 = YCbCr), ``sampling``
+    the (h_i, v_i) factor per component.  Flat quantization (all 1s),
+    synthetic fixed-length Huffman tables (DC: 12 symbols @ 4 bits; AC:
+    EOB/ZRL + all (run,1..10) @ 8 bits), optional restart interval."""
+    import struct
+
+    import numpy as np
+
+    xs = np.arange(8)
+    A = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    A[0] *= np.sqrt(1 / 2)
+    A *= 0.5
+
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    # canonical code assignment — same algorithm the spec defines
+    def canon(counts, syms):
+        table, code, it = {}, 0, iter(syms)
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[next(it)] = (length, code)
+                code += 1
+            code <<= 1
+        return table
+
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 11)]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    dc_codes, ac_codes = canon(dc_counts, dc_syms), canon(ac_counts, ac_syms)
+
+    out = bytearray()
+    acc = []
+
+    def put(length, value):
+        for i in range(length - 1, -1, -1):
+            acc.append((value >> i) & 1)
+
+    def flush(pad=1):
+        while len(acc) % 8:
+            acc.append(pad)
+        while acc:
+            b = 0
+            for bit in acc[:8]:
+                b = (b << 1) | bit
+            del acc[:8]
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def size_of(v):
+        return abs(v).bit_length()
+
+    def put_coeff(codes, sym_high, v):
+        s = size_of(v)
+        length, code = codes[(sym_high << 4) | s] if codes is ac_codes \
+            else codes[s]
+        put(length, code)
+        if s:
+            put(s, v if v > 0 else v + (1 << s) - 1)
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # headers
+    hdr = bytearray(b"\xff\xd8")
+    qt = bytes([0]) + bytes([1] * 64)
+    hdr += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, (hi, vi) in enumerate(sampling):
+        sof += bytes([i + 1, (hi << 4) | vi, 0])
+    hdr += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, counts, syms in ((0, dc_counts, dc_syms), (1, ac_counts, ac_syms)):
+        seg = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        hdr += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart:
+        hdr += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    hdr += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy: interleaved MCUs, flat q=1, exact same DCT the spec defines
+    pred = [0] * len(planes)
+    quantized = []  # per-plane dict (by,bx) -> zz coefficient list
+    for ci, (plane, (hi, vi)) in enumerate(zip(planes, sampling)):
+        ph, pw = mcuy * 8 * vi, mcux * 8 * hi
+        padded = np.zeros((ph, pw), np.float64)
+        padded[:plane.shape[0], :plane.shape[1]] = plane
+        # edge-replicate padding like real encoders
+        padded[plane.shape[0]:, :] = padded[plane.shape[0] - 1:plane.shape[0], :]
+        padded[:, plane.shape[1]:] = padded[:, plane.shape[1] - 1:plane.shape[1]]
+        blocks = {}
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                f = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                Fq = np.round(A @ f @ A.T).astype(int)
+                blocks[(by, bx)] = [int(Fq.flat[z]) for z in ZZ]
+        quantized.append(blocks)
+
+    mcu_n = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_n and mcu_n % restart == 0:
+                flush(pad=1)
+                out.append(0xFF)
+                out.append(0xD0 + rst)
+                rst = (rst + 1) & 7
+                pred = [0] * len(planes)
+            for ci, (hi, vi) in enumerate(sampling):
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = quantized[ci][(my * vi + by, mx * hi + bx)]
+                        put_coeff(dc_codes, 0, zz[0] - pred[ci])
+                        pred[ci] = zz[0]
+                        run = 0
+                        last = max((k for k in range(1, 64) if zz[k]),
+                                   default=0)
+                        for k in range(1, last + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                if run == 16:
+                                    length, code = ac_codes[0xF0]
+                                    put(length, code)
+                                    run = 0
+                                continue
+                            put_coeff(ac_codes, run, zz[k])
+                            run = 0
+                        if last < 63:
+                            length, code = ac_codes[0x00]
+                            put(length, code)
+            mcu_n += 1
+    flush(pad=1)
+    return bytes(hdr) + bytes(out) + b"\xff\xd9", quantized, (A, ZZ)
+
+
+def test_jpeg_flat_gray_hand_bytes():
+    """Analytic golden: an 8x8 flat-128 grayscale JPEG built byte-by-hand
+    (single 1-bit Huffman codes, all-zero coefficients) must decode to a
+    uniformly 128 image — every byte of this fixture is hand-derivable
+    from the spec, so it pins the marker parse, canonical Huffman
+    construction, and IDCT+level-shift end to end."""
+    import struct
+
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _jpeg_pixels
+
+    qt = bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC table: one 1-bit code "0" -> symbol 0; AC likewise -> EOB
+    dht_dc = bytes([0x00, 1] + [0] * 15 + [0])
+    dht_ac = bytes([0x10, 1] + [0] * 15 + [0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    jpg = (b"\xff\xd8"
+           + b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+           + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+           + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+           + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac
+           + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+           + bytes([0b00111111])  # DC cat0 "0" + EOB "0" + 1-pad
+           + b"\xff\xd9")
+    rgb = _jpeg_pixels(jpg)
+    assert rgb.shape == (8, 8, 3)
+    np.testing.assert_array_equal(rgb, np.full((8, 8, 3), 128, np.uint8))
+
+
+def test_jpeg_grayscale_roundtrip_via_independent_encoder():
+    """A 16x16 random grayscale image encoded by the TEST-SIDE encoder
+    (no shared code) decodes to exactly the reconstruction numpy
+    computes from the same quantized coefficients."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _jpeg_pixels
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16), dtype="uint8")
+    jpg, quantized, (A, ZZ) = _jpeg_encode_for_test(
+        [img.astype(np.float64)], [(1, 1)], 16, 16
+    )
+    got = _jpeg_pixels(jpg)
+
+    # independent reconstruction from the encoder's own coefficients
+    expect = np.zeros((16, 16))
+    for (by, bx), zz in quantized[0].items():
+        blk = np.zeros(64)
+        for k, z in enumerate(ZZ):
+            blk[z] = zz[k]
+        expect[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+            A.T @ blk.reshape(8, 8) @ A + 128.0
+        )
+    expect = np.round(np.clip(expect, 0, 255)).astype(np.uint8)
+    np.testing.assert_allclose(
+        got[:, :, 0].astype(int), expect.astype(int), atol=1
+    )  # float summation order may differ by 1 ulp at the rounding edge
+    np.testing.assert_array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_jpeg_420_flat_color_and_restart():
+    """4:2:0 chroma subsampling: a flat-color 16x16 image (Y=128,
+    Cb=200, Cr=100) decodes to the exact JFIF RGB conversion; and a
+    32x8 four-MCU grayscale stream with DRI=2 (one RST0 marker mid-
+    stream, DC predictors reset) reproduces its per-block values."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _jpeg_pixels
+
+    y = np.full((16, 16), 128.0)
+    cb = np.full((8, 8), 200.0)
+    cr = np.full((8, 8), 100.0)
+    jpg, _, _ = _jpeg_encode_for_test(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], 16, 16
+    )
+    rgb = _jpeg_pixels(jpg)
+    er = round(128 + 1.402 * (100 - 128))
+    eg = round(128 - 0.344136 * (200 - 128) - 0.714136 * (100 - 128))
+    eb = min(255, round(128 + 1.772 * (200 - 128)))
+    assert rgb.shape == (16, 16, 3)
+    np.testing.assert_array_equal(rgb[:, :, 0], np.full((16, 16), er))
+    np.testing.assert_array_equal(rgb[:, :, 1], np.full((16, 16), eg))
+    np.testing.assert_array_equal(rgb[:, :, 2], np.full((16, 16), eb))
+
+    # restart-interval stream: 4 MCUs of distinct flat values
+    vals = [40, 90, 160, 220]
+    gray = np.zeros((8, 32))
+    for i, v in enumerate(vals):
+        gray[:, i * 8:(i + 1) * 8] = v
+    jpg2, _, _ = _jpeg_encode_for_test([gray], [(1, 1)], 32, 8, restart=2)
+    assert b"\xff\xd0" in jpg2  # the marker is really in the stream
+    out = _jpeg_pixels(jpg2)
+    for i, v in enumerate(vals):
+        np.testing.assert_array_equal(
+            out[:, i * 8:(i + 1) * 8, 0], np.full((8, 8), v)
+        )
+
+
+def test_jpeg_features_through_spark_tier(spark):
+    """The JPEG tier is wired into extract_image_features: a real
+    baseline JPEG produces its true luma histogram (not the stub's
+    hash-derived fake), end to end through mapInPandas."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import (
+        _decode_image_stub,
+        extract_image_features,
+    )
+
+    gray = np.zeros((8, 16))
+    gray[:, :8] = 32.0   # bin 2
+    gray[:, 8:] = 240.0  # bin 15
+    jpg, _, _ = _jpeg_encode_for_test([gray], [(1, 1)], 16, 8)
+    df = spark.createDataFrame([(1, jpg)], "media_id long, content binary")
+    row = extract_image_features(df).collect()[0]
+    feats = list(row["features"])
+    assert abs(feats[2] - 0.5) < 1e-6 and abs(feats[15] - 0.5) < 1e-6
+    assert feats != _decode_image_stub(jpg)["features"]
+
+
+def test_mjpeg_avi_decodes_end_to_end_without_pil(spark):
+    """CODEC-level video decode for MJPEG is now REAL without PIL: a
+    hand-built AVI whose frames are baseline JPEGs (independent test
+    encoder) demuxes AND decodes to true per-frame luma histograms —
+    container demux (stdlib struct) composing with the stdlib+numpy
+    JPEG tier, end to end through the Spark plumbing."""
+    import struct
+
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import (
+        _decode_image_stub,
+        demux_avi_frames,
+        extract_image_features,
+    )
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", list_type + payload)
+
+    # two MJPEG frames: flat dark (bin 2) and flat bright (bin 14)
+    dark, _, _ = _jpeg_encode_for_test(
+        [np.full((8, 8), 40.0)], [(1, 1)], 8, 8
+    )
+    bright, _, _ = _jpeg_encode_for_test(
+        [np.full((8, 8), 230.0)], [(1, 1)], 8, 8
+    )
+    frames = [dark, bright]
+    avih = chunk(b"avih", struct.pack("<I", 40000) + b"\x00" * 52)
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + lst(b"hdrl", avih) + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame([(7, avi)], "media_id long, content binary")
+    feats = (
+        extract_image_features(
+            demux_avi_frames(df).select(
+                F.col("frame_idx").alias("media_id"),
+                F.col("frame_bytes").alias("content"),
+            )
+        )
+        .orderBy("media_id")
+        .collect()
+    )
+    assert len(feats) == 2
+    f0, f1 = list(feats[0]["features"]), list(feats[1]["features"])
+    assert abs(f0[40 >> 4] - 1.0) < 1e-6   # all pixels in luma bin 2
+    assert abs(f1[230 >> 4] - 1.0) < 1e-6  # all pixels in luma bin 14
+    # and these are REAL decodes, not the content-hash stub
+    assert f0 != _decode_image_stub(dark)["features"]
+    assert f1 != _decode_image_stub(bright)["features"]
+
+
+def test_jpeg_resize_real_without_pil(spark):
+    """JPEG blobs resize for real without PIL: decode via the stdlib
+    JPEG tier, nearest-neighbor sample, re-encode as PNG — the output
+    decodes back to the source's flat pixel values at the target size."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import (
+        _png_pixels,
+        apply_resize,
+        plan_resize,
+    )
+
+    gray = np.zeros((16, 16))
+    gray[:, :8] = 50.0
+    gray[:, 8:] = 200.0
+    jpg, _, _ = _jpeg_encode_for_test([gray], [(1, 1)], 16, 16)
+    df = spark.createDataFrame(
+        [(1, jpg, 16, 16, None, "image/jpeg", "image")],
+        "media_id long, content binary, width int, height int, "
+        "duration_ms long, mime string, kind string",
+    )
+    out = apply_resize(plan_resize(df, max_dim=8)).collect()[0]
+    assert (out["width"], out["height"]) == (8, 8)
+    w, h, bpp, rows = _png_pixels(bytes(out["content"]))
+    assert (w, h, bpp) == (8, 8, 3)
+    px = np.array([list(r) for r in rows], dtype=np.uint8).reshape(8, 8, 3)
+    assert np.all(px[:, :4, 0] == 50) and np.all(px[:, 4:, 0] == 200)
