@@ -254,7 +254,20 @@ def run_corpus_pipeline(
     gated = scored.filter(keep).select(
         *docs.columns, "n_tokens", "quality_score", "rep_ratio", "lang_pred"
     )
-    gated = gated.cache()
+    # TRUNCATE LINEAGE here, not just cache.  Everything downstream
+    # (exact-dedup window, LSH self-joins, anti-joins, Bloom scan, DSIR,
+    # mix, splits) references `gated` in MULTIPLE subtrees, and the
+    # logical plan above it multiplies per reference: an input corpus
+    # that is itself an N-way union (multi-source staging — the 10×
+    # soak's shape, and any real multi-corpus run) grows the tree
+    # N × 2^(pre-gate joins) × (downstream references) — measured to OOM
+    # the DRIVER merely stringifying the plan (generateTreeString) at
+    # the near-dedup count with N=10.  localCheckpoint materializes the
+    # gated partitions (the count below was already paying that) and
+    # hands every downstream plan a leaf.  On a cluster where executor
+    # loss must be survivable, write/read parquet here instead — same
+    # boundary, durable lineage cut.
+    gated = gated.localCheckpoint(eager=True)
     manifest["after_gates"] = gated.count()
 
     # --- dedup tiers ---------------------------------------------------
@@ -346,7 +359,12 @@ def run_corpus_pipeline(
     split.write.mode("overwrite").partitionBy("split").parquet(
         f"{params.out_dir}/corpus"
     )
-    out = spark.read.parquet(f"{params.out_dir}/corpus")
+    # Explicit schema on the read-back: a fully-filtered corpus writes
+    # only _SUCCESS, and schema inference on a part-less directory
+    # throws — an aggressive gate/dedup config must yield a 0-doc
+    # manifest, not a crash (found by tools/soak_corpus.py, where 10
+    # near-identical corpus copies let span-dedup remove ~everything).
+    out = spark.read.schema(split.schema).parquet(f"{params.out_dir}/corpus")
     counts = {r["split"]: r["n"]
               for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     manifest["splits"] = counts
@@ -361,7 +379,9 @@ def run_corpus_pipeline(
     )
     if cached_exact is not None:
         cached_exact.unpersist()
-    gated.unpersist()
+    # `gated` is localCheckpoint-ed, not cached: its blocks are freed by
+    # the ContextCleaner when the RDD is garbage-collected after this
+    # function returns (unpersist() has no handle on checkpoint blocks).
     for frame in _owned_caches:
         frame.unpersist()
     # Caches the invoked OPERATORS own (shingle frames, LSH band stacks,

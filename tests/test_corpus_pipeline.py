@@ -479,3 +479,29 @@ def test_operator_caches_release_to_baseline(spark, sf_dir):
     released = release_operator_caches()
     assert released >= tracked_count() == 0
     assert n_cached_rdds() <= baseline  # storage back to baseline
+
+
+def test_fully_filtered_corpus_yields_empty_manifest_not_crash(
+    spark, tmp_path
+):
+    """Regression (found by tools/soak_corpus.py): when every document
+    is filtered out — here an impossibly strict token gate — the split
+    write produces a part-less parquet directory, and the manifest
+    read-back used to crash with UNABLE_TO_INFER_SCHEMA.  An aggressive
+    config must yield a 0-doc manifest instead."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short text here", "s0"), (2, "tiny", "s0")],
+        "doc_id long, text string, source string",
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        docs,
+        CorpusParams(out_dir=str(tmp_path / "out"), min_tokens=10_000),
+    )
+    assert manifest["output_docs"] == 0
+    assert manifest["splits"] == {}

@@ -363,6 +363,24 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "asof_join": 2,
         "rolling_window": 2,
         "salted_agg": 3,
+        # Round-6 rotation wave — audited when these earned driver
+        # CORRECTNESS rows (broadcast exchanges count too: e.g.
+        # cms_token_counts broadcasts one counter table per sketch row,
+        # mad_outliers pairs two bounded percentile aggs with a join).
+        "bpe_encode": 5,
+        "zorder_stats": 3,
+        "latest_orders": 2,
+        "cms_token_counts": 10,
+        "nfc_normalize": 1,
+        "strip_html": 1,
+        "psi_drift": 4,
+        "mad_outliers": 8,
+        "resample_ffill": 4,
+        "resample_linear": 4,
+        "weighted_sample": 0,
+        "negative_pairs": 5,
+        "grouping_sets": 2,
+        "salted_join": 3,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

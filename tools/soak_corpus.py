@@ -53,15 +53,23 @@ def main() -> int:
     )
     n_base = base.count()
 
-    # 10 salted copies: copy 0 is pristine; later copies perturb the text
-    # head so near-dup tiers (MinHash/LSH + verify) do real work instead
-    # of exact-tier short-circuiting everything.
+    # N salted copies.  Each copy Caesar-shifts the text (translate is a
+    # cheap per-copy bijection), so copies are DISTINCT documents to the
+    # span/line dedup tiers — a first attempt that only prefixed a copy
+    # tag left every 10-gram duplicated 10×, span dedup removed ~all
+    # text, and the whole corpus gated out (a useful robustness find,
+    # now handled in run_corpus_pipeline, but an empty soak exercises
+    # nothing).  Within each copy the base corpus's own duplicate
+    # structure survives, so dedup tiers still do real work.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     parts = []
     for i in range(copies):
+        shift = i % 26
+        rot = alpha[shift:] + alpha[:shift]  # per-copy Caesar bijection
         c = base.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            (F.concat(F.lit(f"copy{i} "), F.col("text"))
-             if i else F.col("text")).alias("text"),
+            (F.translate(F.col("text"), alpha, rot)
+             if shift else F.col("text")).alias("text"),
             "source",
         )
         parts.append(c)
@@ -92,7 +100,7 @@ def main() -> int:
     def sample():
         while not stop.is_set():
             infos = jsc.getRDDStorageInfo()
-            used = sum(i.memUsed() for i in infos)
+            used = sum(i.memSize() for i in infos)
             if used > peak["bytes"]:
                 peak["bytes"] = used
                 peak["rdds"] = len(infos)
@@ -125,7 +133,7 @@ def main() -> int:
     stop.set()
     t.join(timeout=3)
 
-    residual = sum(i.memUsed() for i in jsc.getRDDStorageInfo())
+    residual = sum(i.memSize() for i in jsc.getRDDStorageInfo())
     summary = {
         "input_docs": n_base * copies,
         "copies": copies,
