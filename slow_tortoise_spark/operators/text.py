@@ -469,6 +469,65 @@ def bigram_logprob(
     return out
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    strata_col: str = "source",
+    n_buckets: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    stratum's documents by LM score and cut into ``n_buckets`` equal
+    tiles — head (best-scored), middle, tail.  CCNet trains per-language
+    KenLM models and keeps head+middle; here the LM is the corpus's own
+    bigram model (:func:`bigram_logprob`) and the stratum is any column
+    (language, source domain, crawl snapshot).
+
+    Buckets are NTILE tiles over (lp_micro DESC, doc_id), NOT value
+    thresholds: interpolated-percentile cuts produce engine-dependent
+    float boundaries, while NTILE over an integer key with a total-order
+    tiebreak is bit-deterministic on any engine and any partitioning —
+    the same determinism pattern as hash_split/temperature_mix.
+
+    Scale shape: the LM scoring is the dominant cost (see
+    bigram_logprob — in-row bigram extraction, vocab-sized marginals);
+    the bucketing itself adds ONE per-stratum window over doc-level
+    rows (corpus-reduced: one row per document), so a pathologically
+    large single stratum costs a single-task sort of its doc rows only
+    — range-partition the stratum if that ever bites.
+
+    Returns (doc_id, strata, lp_micro, n_bigrams, bucket, label);
+    ``label`` is head/middle/tail for 3 buckets, ``b{i}`` otherwise.
+    """
+    from pyspark.sql.window import Window
+
+    scored = bigram_logprob(df, text_col=text_col).select(
+        "doc_id",
+        F.round(F.col("mean_logprob") * 1e6).cast("bigint").alias(
+            "lp_micro"
+        ),
+        "n_bigrams",
+    )
+    joined = scored.join(
+        df.select("doc_id", F.col(strata_col).alias("strata")), "doc_id"
+    )
+    w = Window.partitionBy("strata").orderBy(
+        F.desc("lp_micro"), F.col("doc_id")
+    )
+    out = joined.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return out.select(
+        "doc_id", "strata", "lp_micro", "n_bigrams", "bucket",
+        label.alias("label"),
+    )
+
+
 def unigram_logprob_under(
     target: DataFrame,
     reference: DataFrame,

@@ -353,3 +353,73 @@ VERIFIER_ORACLE_SQL["salted_join"] = _Q_SALTED_JOIN
 
 
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head/middle/tail per stratum)
+# ---------------------------------------------------------------------------
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """Head/middle/tail LM-score tiles per source stratum
+    (operators/text.py perplexity_buckets — Wenzek et al. 2020 CCNet
+    pattern, with NTILE thirds instead of interpolated-percentile cuts
+    so the bucket boundary is bit-deterministic across engines)."""
+    from slow_tortoise_spark.operators.text import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, strata_col="source").orderBy("doc_id")
+
+
+_Q_PPL_BUCKETS = """
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS l
+    FROM documents
+  ),
+  flat AS (
+    SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM toks
+  ),
+  big AS (
+    SELECT doc_id,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           tok AS cur
+    FROM flat
+    QUALIFY prev IS NOT NULL
+  ),
+  c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+  c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+  scored AS (
+    SELECT b.doc_id, ln(c2.c2 / c1.c1) AS lp
+    FROM big b
+    JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+    JOIN c1 ON b.prev = c1.prev
+  ),
+  agg AS (
+    SELECT doc_id, AVG(lp) AS mean_logprob, COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+  ),
+  per_doc AS (
+    SELECT d.doc_id,
+           d.source AS strata,
+           CAST(round(COALESCE(a.mean_logprob, 0.0) * 1e6) AS BIGINT)
+             AS lp_micro,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+  )
+  SELECT doc_id, strata, lp_micro, n_bigrams,
+         CAST(ntile(3) OVER (PARTITION BY strata
+                             ORDER BY lp_micro DESC, doc_id) AS INT)
+           AS bucket,
+         CASE ntile(3) OVER (PARTITION BY strata
+                             ORDER BY lp_micro DESC, doc_id)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS label
+  FROM per_doc
+  ORDER BY doc_id
+"""
+
+
+VERIFIER_QUERIES["ppl_buckets"] = q_ppl_buckets
+VERIFIER_ORACLE_SQL["ppl_buckets"] = _Q_PPL_BUCKETS

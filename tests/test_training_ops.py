@@ -2724,3 +2724,45 @@ def test_jpeg_resize_real_without_pil(spark):
     assert (w, h, bpp) == (8, 8, 3)
     px = np.array([list(r) for r in rows], dtype=np.uint8).reshape(8, 8, 3)
     assert np.all(px[:, :4, 0] == 50) and np.all(px[:, 4:, 0] == 200)
+
+
+def test_perplexity_buckets_ntile_semantics(spark):
+    """CCNet-style bucketing: per-stratum NTILE thirds over the bigram
+    LM score — equal-sized tiles, frequently-patterned docs in 'head',
+    and the assignment is stable across repartitionings (total-order
+    determinism, no RNG).  Docs share one vocabulary: under the
+    corpus-trained MLE, a disjoint-vocab 'soup' would score a PERFECT
+    p=1 on its singleton contexts — the scrambles below reuse the
+    fluent docs' tokens so their rare bigrams compete against common
+    contexts (the same reason CCNet scores against a reference-corpus
+    LM rather than trusting self-MLE on unseen vocabulary)."""
+    from slow_tortoise_spark.operators.text import perplexity_buckets
+
+    fluent_text = "a b a b a b"
+    scrambles = ["b b a a b a", "a a b b a b", "b a a b b a"]
+    rows = [(i, fluent_text, "A") for i in range(3)]
+    rows += [(10 + i, s, "A") for i, s in enumerate(scrambles)]
+    rows += [(20, fluent_text, "B"), (21, fluent_text, "B"),
+             (22, "b b a a a b", "B")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = {r["doc_id"]: r for r in perplexity_buckets(df).collect()}
+    a_sizes = [sum(1 for r in out.values()
+                   if r["strata"] == "A" and r["bucket"] == b)
+               for b in (1, 2, 3)]
+    assert a_sizes == [2, 2, 2]  # NTILE equal tiles
+    fluent = {0, 1, 2}
+    heads_a = {d for d, r in out.items()
+               if r["strata"] == "A" and r["label"] == "head"}
+    tails_a = {d for d, r in out.items()
+               if r["strata"] == "A" and r["label"] == "tail"}
+    assert heads_a <= fluent          # scrambles never reach head
+    assert tails_a.isdisjoint(fluent)  # fluent docs never in tail
+    # stratum B: 3 docs -> one per tile; the scramble is the tail
+    assert out[22]["label"] == "tail"
+    assert {out[20]["label"], out[21]["label"]} == {"head", "middle"}
+
+    # determinism across physical layout
+    again = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(df.repartition(7)).collect()}
+    assert again == {d: r["bucket"] for d, r in out.items()}
