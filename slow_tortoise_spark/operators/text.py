@@ -1311,3 +1311,117 @@ def psi_drift(
     return joined.select(
         "b", F.round(contrib * 1e6).cast("bigint").alias("contrib_micro")
     )
+
+
+def kn_bigram_logprob_under(
+    target: DataFrame,
+    reference: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``target`` documents under a REFERENCE corpus's
+    interpolated Kneser-Ney bigram LM — the standard smoothing for
+    LM-based corpus filtering (a held-out document inevitably contains
+    bigrams, contexts, and words the reference never saw, where the MLE
+    of :func:`bigram_logprob` assigns zero and add-one over raw counts
+    over-weights frequent-word boilerplate).
+
+        p(w|v) = max(c(v,w) - D, 0)/c(v) + lam(v) * p_cont(w)
+        lam(v) = D * N1+(v.)/c(v)
+        p_cont(w) = (N1+(.w) + 1) / (N1+(..) + V + 1)
+
+    with D = ``discount`` (0.75, the textbook default).  The
+    continuation distribution takes an add-one floor over the bigram-
+    type space so unseen words score finitely (a documented deviation
+    from the textbook p_cont, which is zero on OOV — exactly the case a
+    filtering LM must handle); an unseen CONTEXT backs off fully to
+    p_cont(w), the Kneser-Ney construction's whole point.
+
+    Every model quantity derives from ONE reference bigram-count
+    aggregate (vocab-sized, not corpus-sized): c(v) and N1+(v.) roll up
+    by context, N1+(.w) by continuation, N1+(..) and V are two scalar
+    reads.  The target pays its own in-row bigram extraction plus two
+    vocab-table joins (AQE broadcasts when they fit) and a per-doc
+    average.  Same one-big-shuffle shape as :func:`bigram_logprob`.
+
+    Returns (doc_id, mean_logprob, n_bigrams, n_unseen) — ``n_unseen``
+    counts target bigrams absent from the reference (diagnostic for
+    how far out-of-domain the target sits).  Docs with <2 tokens keep
+    row parity with zeros.
+    """
+    def bigrams_of(df: DataFrame) -> DataFrame:
+        t = tokens_col(F.lower(F.col(text_col)))
+        idx = F.when(
+            F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(t, i - 1).alias("prev"),
+                        F.element_at(t, i).alias("cur"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.prev", "bg.cur")
+
+    c2 = bigrams_of(reference).groupBy("prev", "cur").agg(
+        F.count("*").alias("c2")
+    )
+    ctx = c2.groupBy("prev").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1fwd")
+    )
+    cont = c2.groupBy("cur").agg(F.count("*").alias("n1back"))
+    scal = c2.agg(
+        F.count("*").alias("nn"),
+        F.size(F.collect_set("prev")).alias("_unused"),
+    ).first()
+    nn = scal["nn"] or 0
+    # vocabulary = distinct tokens of the reference (unigram vocab)
+    v = (
+        reference.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+        )
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+        or 0
+    )
+    pc_den = float(nn + v + 1)
+
+    tb = bigrams_of(target)
+    joined = (
+        tb.join(c2, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .join(cont, "cur", "left")
+    )
+    d = F.lit(float(discount))
+    pc = (F.coalesce("n1back", F.lit(0)) + 1) / F.lit(pc_den)
+    seen_ctx = F.col("c1").isNotNull() & (F.col("c1") > 0)
+    p = F.when(
+        seen_ctx,
+        F.greatest(F.coalesce("c2", F.lit(0)) - d, F.lit(0.0))
+        / F.col("c1")
+        + (d * F.col("n1fwd") / F.col("c1")) * pc,
+    ).otherwise(pc)
+    scored = joined.select(
+        "doc_id",
+        F.log(p).alias("lp"),
+        F.col("c2").isNull().cast("int").alias("unseen"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.avg("lp").alias("mean_logprob"),
+        F.count("*").alias("n_bigrams"),
+        F.sum("unseen").alias("n_unseen"),
+    )
+    return (
+        target.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_unseen", F.lit(0)).alias("n_unseen"),
+        )
+    )

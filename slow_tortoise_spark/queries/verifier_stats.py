@@ -423,3 +423,112 @@ _Q_PPL_BUCKETS = """
 
 VERIFIER_QUERIES["ppl_buckets"] = q_ppl_buckets
 VERIFIER_ORACLE_SQL["ppl_buckets"] = _Q_PPL_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring under a reference corpus
+# ---------------------------------------------------------------------------
+
+
+def q_kn_logprob(spark, sf_dir):
+    """Every-7th document scored under the REST of the corpus's
+    interpolated Kneser-Ney bigram LM (operators/text.py
+    kn_bigram_logprob_under) — the smoothing a filtering LM needs on
+    held-out text, where the MLE scorer would emit -inf on any unseen
+    bigram.  Integer micro-logprob output (established float-parity
+    pattern)."""
+    from slow_tortoise_spark.operators.text import kn_bigram_logprob_under
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    reference = docs.filter(F.col("doc_id") % 7 != 0)
+    out = kn_bigram_logprob_under(target, reference)
+    return out.select(
+        "doc_id",
+        F.round(F.col("mean_logprob") * 1e6).cast("bigint").alias(
+            "mean_logprob_micro"
+        ),
+        "n_bigrams",
+        F.col("n_unseen").cast("bigint").alias("n_unseen"),
+    ).orderBy("doc_id")
+
+
+_Q_KN_LOGPROB = """
+  WITH tgt AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+  ref AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+  rtoks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS l
+    FROM ref
+  ),
+  rflat AS (
+    SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+    FROM rtoks
+  ),
+  rbig AS (
+    SELECT doc_id,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           tok AS cur
+    FROM rflat
+    QUALIFY prev IS NOT NULL
+  ),
+  c2 AS (SELECT prev, cur, COUNT(*) AS c2 FROM rbig GROUP BY 1, 2),
+  ctx AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1,
+                 COUNT(*) AS n1fwd FROM c2 GROUP BY 1),
+  cont AS (SELECT cur, COUNT(*) AS n1back FROM c2 GROUP BY 1),
+  nnv AS (
+    SELECT (SELECT COUNT(*) FROM c2) AS nn,
+           (SELECT COUNT(DISTINCT tok) FROM rflat) AS v
+  ),
+  ttoks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS l
+    FROM tgt
+  ),
+  tflat AS (
+    SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+    FROM ttoks
+  ),
+  tbig AS (
+    SELECT doc_id,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           tok AS cur
+    FROM tflat
+    QUALIFY prev IS NOT NULL
+  ),
+  scored AS (
+    SELECT b.doc_id,
+           ln(CASE WHEN x.c1 IS NOT NULL AND x.c1 > 0
+                   THEN greatest(COALESCE(c2.c2, 0) - 0.75, 0.0) / x.c1
+                        + (0.75 * x.n1fwd / x.c1)
+                          * ((COALESCE(n.n1back, 0) + 1)
+                             / (nnv.nn + nnv.v + 1))
+                   ELSE (COALESCE(n.n1back, 0) + 1)
+                        / (nnv.nn + nnv.v + 1)
+              END) AS lp,
+           CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+    FROM tbig b
+    LEFT JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+    LEFT JOIN ctx x ON b.prev = x.prev
+    LEFT JOIN cont n ON b.cur = n.cur
+    CROSS JOIN nnv
+  ),
+  agg AS (
+    SELECT doc_id, AVG(lp) AS mean_logprob, COUNT(*) AS n_bigrams,
+           CAST(SUM(unseen) AS BIGINT) AS n_unseen
+    FROM scored GROUP BY doc_id
+  )
+  SELECT t.doc_id,
+         CAST(round(COALESCE(a.mean_logprob, 0.0) * 1e6) AS BIGINT)
+           AS mean_logprob_micro,
+         COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         COALESCE(a.n_unseen, 0) AS n_unseen
+  FROM tgt t LEFT JOIN agg a ON t.doc_id = a.doc_id
+  ORDER BY t.doc_id
+"""
+
+
+VERIFIER_QUERIES["kn_logprob"] = q_kn_logprob
+VERIFIER_ORACLE_SQL["kn_logprob"] = _Q_KN_LOGPROB

@@ -2766,3 +2766,48 @@ def test_perplexity_buckets_ntile_semantics(spark):
     again = {r["doc_id"]: r["bucket"]
              for r in perplexity_buckets(df.repartition(7)).collect()}
     assert again == {d: r["bucket"] for d, r in out.items()}
+
+
+def test_kn_bigram_formula_hand_computed(spark):
+    """Pin the interpolated Kneser-Ney arithmetic itself against a
+    hand-derived value (the SQL oracle proves only engine parity).
+    Reference: 'a b' x3 and 'a c' x1 -> c(a,b)=3, c(a,c)=1, c(a)=4,
+    N1+(a.)=2, N1+(.b)=1, N1+(.c)=1, N1+(..)=2, V={a,b,c} so |V|=3.
+    p_cont(w) = (N1+(.w)+1)/(2+3+1)."""
+    import math
+
+    from slow_tortoise_spark.operators.text import kn_bigram_logprob_under
+
+    ref = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(10, "a b"),   # seen bigram
+         (11, "a z"),   # seen context, unseen word
+         (12, "q b"),   # unseen context -> pure continuation backoff
+         (13, "x")],    # <2 tokens -> zeros
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           kn_bigram_logprob_under(tgt, ref).collect()}
+
+    D = 0.75
+    pc = lambda n1back: (n1back + 1) / (2 + 3 + 1)
+    lam_a = D * 2 / 4
+    p_ab = (3 - D) / 4 + lam_a * pc(1)     # seen: discounted + backoff
+    p_az = 0.0 / 4 + lam_a * pc(0)         # unseen word under seen ctx
+    p_qb = pc(1)                           # unseen context: pure p_cont
+
+    assert math.isclose(out[10]["mean_logprob"], math.log(p_ab))
+    assert out[10]["n_unseen"] == 0
+    assert math.isclose(out[11]["mean_logprob"], math.log(p_az))
+    assert out[11]["n_unseen"] == 1
+    assert math.isclose(out[12]["mean_logprob"], math.log(p_qb))
+    assert out[12]["n_unseen"] == 1
+    assert out[13]["mean_logprob"] == 0.0 and out[13]["n_bigrams"] == 0
+    # ordering sanity: the fully in-domain bigram outscores both
+    # smoothed fallbacks
+    assert out[10]["mean_logprob"] > max(
+        out[11]["mean_logprob"], out[12]["mean_logprob"]
+    )
