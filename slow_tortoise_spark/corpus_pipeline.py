@@ -117,6 +117,14 @@ class CorpusParams:
     dsir_target: DataFrame | None = None
     dsir_keep_fraction: float = 0.5
     dsir_buckets: int = 1024
+    #: CCNet perplexity bucketing AFTER dedup (None = off): score docs
+    #: under the reference corpus's interpolated Kneser-Ney bigram LM
+    #: (text.kn_bigram_logprob_under), tile each ``ppl_strata_col``
+    #: stratum into head/middle/tail, keep ``ppl_keep`` labels — the
+    #: Wenzek 2020 recipe (CCNet keeps head+middle)
+    ppl_lm_reference: DataFrame | None = None
+    ppl_keep: tuple[str, ...] = ("head", "middle")
+    ppl_strata_col: str = "source"
 
 
 def _near_dup_drops(
@@ -303,6 +311,44 @@ def run_corpus_pipeline(
         ).select("doc_id")
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
         manifest["after_decontamination"] = deduped.count()
+
+    # --- optional CCNet perplexity filtering (post-dedup: a duplicated
+    # doc would otherwise vote its bigrams into the tile boundary
+    # twice; pre-DSIR/mix so those select over LM-fluent text) ----------
+    if params.ppl_lm_reference is not None:
+        from pyspark.sql.window import Window
+
+        from slow_tortoise_spark.operators.text import (
+            kn_bigram_logprob_under,
+        )
+
+        kn = kn_bigram_logprob_under(
+            deduped.select("doc_id", "text"), params.ppl_lm_reference
+        ).select(
+            "doc_id",
+            F.round(F.col("mean_logprob") * 1e6).cast("bigint").alias(
+                "_lp_micro"
+            ),
+        )
+        strata = deduped.select(
+            "doc_id", F.col(params.ppl_strata_col).alias("_strata")
+        )
+        w = Window.partitionBy("_strata").orderBy(
+            F.desc("_lp_micro"), F.col("doc_id")
+        )
+        tiled = kn.join(strata, "doc_id").withColumn(
+            "_tile", F.ntile(3).over(w)
+        )
+        label = (
+            F.when(F.col("_tile") == 1, "head")
+            .when(F.col("_tile") == 2, "middle")
+            .otherwise("tail")
+        )
+        keep_ids = tiled.filter(
+            label.isin(*params.ppl_keep)
+        ).select("doc_id")
+        deduped = deduped.join(keep_ids, "doc_id", "left_semi")
+        manifest["after_ppl_filter"] = deduped.count()
 
     # --- optional DSIR importance selection (post-dedup: selecting a
     # corpus that still contains duplicates over-weights their buckets;

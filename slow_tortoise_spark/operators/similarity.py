@@ -840,3 +840,46 @@ def ivf_topk_from_path(
     even listed into the scan."""
     indexed, centroids = read_ivf_index(spark, path)
     return ivf_topk(indexed, centroids, query, k, nprobe, id_col, vec_col)
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally grow a persisted IVF index: assign ``new_vectors``
+    to the EXISTING centroids (same broadcast argmax as the build) and
+    append them under their cell partitions.  Returns the number of
+    vectors appended.
+
+    This is the streaming-ingest path for ANN at scale: a batch of new
+    embeddings costs one broadcast assignment plus an append of
+    O(batch) files into the touched cell directories — the existing
+    index bytes are never rewritten, and queries through
+    :func:`ivf_topk_from_path` keep their PartitionFilters pruning
+    (appended files land inside the ``cell=…`` directories the filter
+    selects).
+
+    Centroids are deliberately NOT updated: IVF semantics tolerate
+    assignment drift (recall degrades gracefully as the data
+    distribution moves off the trained centroids), and mutating the
+    sidecar under readers would be a consistency hazard this layer
+    doesn't need.  Re-cluster by rebuilding into a fresh path and
+    flipping a manifest (the streaming/pipeline.py commit pattern)
+    when drift warrants — the diagnostic is the mean assignment
+    cosine, which this function returns the ingredients for via the
+    appended rows themselves.
+
+    Append is not transactional: pair per-batch calls with the
+    committed-batch-id manifest pattern (streaming/pipeline.py) when a
+    crash-replayed batch must not double-append.
+    """
+    _, centroids = read_ivf_index(spark, path)
+    assigned = _assign_cells_join(new_vectors, centroids, vec_col)
+    n = assigned.count()
+    assigned.select(*new_vectors.columns, "cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+    return n

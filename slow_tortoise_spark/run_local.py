@@ -368,6 +368,7 @@ def main() -> int:
                     "doc_id", "text"
                 ),
                 dsir_keep_fraction=0.8,
+                ppl_lm_reference=corpus.select("doc_id", "text"),
                 mix_budget=300.0,
             ),
         )

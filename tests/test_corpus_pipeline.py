@@ -505,3 +505,43 @@ def test_fully_filtered_corpus_yields_empty_manifest_not_crash(
     )
     assert manifest["output_docs"] == 0
     assert manifest["splits"] == {}
+
+
+def test_ppl_filter_stage_keeps_head_and_middle(spark, tmp_path):
+    """CCNet perplexity stage: docs are KN-scored under the reference
+    LM, tiled per stratum, and only ppl_keep labels survive — the
+    worst-scoring third of each stratum is dropped, with manifest
+    accounting."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent, "s0") for i in range(4)]
+    # two scrambles of the same vocabulary: rare bigrams, same words
+    rows += [(10, "mat the rug cat on sat dog the and on the sat", "s0"),
+             (11, "rug on the and mat sat the cat dog sat on the", "s0")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    reference = spark.createDataFrame(
+        [(100 + i, fluent) for i in range(5)], "doc_id long, text string"
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        docs,
+        CorpusParams(
+            out_dir=str(tmp_path / "out"),
+            min_tokens=1,
+            dedup="none",
+            ppl_lm_reference=reference,
+        ),
+    )
+    # 6 docs -> NTILE thirds of the s0 stratum: 2 head, 2 middle, 2 tail
+    assert manifest["after_ppl_filter"] == 4
+    assert manifest["output_docs"] == 4
+    out = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # the scrambles score worst under the fluent reference LM -> tail
+    assert kept == {0, 1, 2, 3}

@@ -2811,3 +2811,47 @@ def test_kn_bigram_formula_hand_computed(spark):
     assert out[10]["mean_logprob"] > max(
         out[11]["mean_logprob"], out[12]["mean_logprob"]
     )
+
+
+def test_ivf_append_grows_index_with_pruning_intact(spark, tmp_path):
+    """Incremental ANN ingest: vectors appended to a persisted IVF
+    index land in their nearest cell's partition, become findable by
+    ivf_topk_from_path, and the probe plan still partition-prunes."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        ivf_topk_from_path,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    base = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    indexed, centroids = build_ivf_index(df, n_cells=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(indexed, centroids, path)
+
+    # append a distinctive new vector: exactly the query direction
+    q = [float(x) for x in rng.normal(size=8)]
+    new = spark.createDataFrame(
+        [(1000, q), (1001, [float(x) for x in rng.normal(size=8)])],
+        "vec_id long, embedding array<double>",
+    )
+    appended = ivf_append(spark, path, new)
+    assert appended == 2
+
+    hits = ivf_topk_from_path(spark, path, q, k=3, nprobe=4).collect()
+    assert hits[0]["vec_id"] == 1000  # the appended exact match wins
+    assert abs(hits[0]["cosine"] - 1.0) < 1e-9
+
+    # appended rows live under cell partitions; pruning still applies
+    idx, cents = read_ivf_index(spark, path)
+    assert idx.count() == 66
+    plan = (
+        ivf_topk_from_path(spark, path, q, k=3, nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan

@@ -126,6 +126,7 @@ def main() -> int:
                 "doc_id", "text"
             ),
             dsir_keep_fraction=0.8,
+            ppl_lm_reference=base.select("doc_id", "text"),
             mix_budget=float(n_base * copies) * 0.06,
         ),
     )
