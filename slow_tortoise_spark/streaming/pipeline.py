@@ -684,3 +684,59 @@ def streaming_agg_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _ivf_append_merge_fn(spark: SparkSession, path: str):
+    """foreachBatch merge for :func:`streaming_ivf_append` (module-level
+    so the replay/no-op contract is directly testable).  Append-only
+    writes have no version directories to make idempotent by
+    overwrite, so the committed batch id lives in its own manifest
+    (``_IVF_COMMITTED``) and a replayed batch no-ops — without this, a
+    crash between the parquet append and the checkpoint commit would
+    double-insert the batch's vectors on restart."""
+    import json
+    import os
+
+    from slow_tortoise_spark.operators.similarity import ivf_append
+
+    manifest = os.path.join(path, "_IVF_COMMITTED")
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        committed = -1
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                committed = int(json.load(fh)["batch_id"])
+        if batch_id <= committed:
+            return  # replayed after a post-append crash — already in
+        ivf_append(spark, path, batch_df)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, manifest)
+
+    return merge
+
+
+def streaming_ivf_append(
+    stream_vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Continuously grow a persisted IVF ANN index from a vector
+    stream: each micro-batch runs :func:`operators.similarity.
+    ivf_append` (broadcast centroid argmax → append under cell
+    partitions) with the committed-batch-id manifest making crash
+    replays no-ops.  The index must already exist (built once via
+    ``build_ivf_index`` + ``write_ivf_index``); queries through
+    ``ivf_topk_from_path`` see new vectors after each commit and keep
+    partition-pruned scans.  This is the ingest half of a streaming
+    ANN service — centroid re-clustering stays an offline rebuild
+    (see ivf_append's docstring).
+    """
+    merge = _ivf_append_merge_fn(stream_vectors.sparkSession, path)
+    return (
+        stream_vectors.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -866,3 +866,43 @@ def test_streaming_agg_snapshot_converges_to_batch_aggregate(spark, tmp_path):
     }
     assert got == expect
     assert got["a"] == (7.0, 3) and got["b"] == (0.0, 2) and got["c"] == (7.0, 1)
+
+
+def test_streaming_ivf_append_is_replay_safe(spark, tmp_path):
+    """Streamed vectors land in the persisted IVF index exactly once:
+    a replayed batch id (post-append crash simulation) must not
+    double-insert, and the appended vectors are findable via the
+    partition-pruned probe path."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_from_path,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from slow_tortoise_spark.streaming.pipeline import _ivf_append_merge_fn
+
+    rng = np.random.default_rng(11)
+    base = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(32)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    indexed, centroids = build_ivf_index(df, n_cells=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(indexed, centroids, path)
+
+    q = [float(x) for x in rng.normal(size=6)]
+    b0 = spark.createDataFrame(
+        [(100, q)], "vec_id long, embedding array<double>"
+    )
+    b1 = spark.createDataFrame(
+        [(101, [float(x) for x in rng.normal(size=6)])],
+        "vec_id long, embedding array<double>",
+    )
+    merge = _ivf_append_merge_fn(spark, path)
+    merge(b0, 0)
+    merge(b1, 1)
+    assert read_ivf_index(spark, path)[0].count() == 34
+    merge(b1, 1)  # replay → no-op, not a duplicate append
+    assert read_ivf_index(spark, path)[0].count() == 34
+    hits = ivf_topk_from_path(spark, path, q, k=1, nprobe=4).collect()
+    assert hits[0]["vec_id"] == 100
