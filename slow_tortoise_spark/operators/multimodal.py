@@ -7,10 +7,11 @@ Arrow UDFs:
 
 * **images** — PIL when importable (any format), else REAL stdlib
   decoders for PNG (zlib inflate + full unfiltering), 24-bit BMP, and
-  baseline JPEG (Huffman entropy decode + IDCT + YCbCr, any sampling
-  factors, restart intervals; progressive stays gated); resize likewise
-  (PIL resample, else nearest-neighbor + PNG re-encode).  All tiers
-  emit the same 16-bin ITU-R 601-2 luma histogram, so features are
+  JPEG — both BASELINE (SOF0) and PROGRESSIVE (SOF2: spectral
+  selection, successive approximation incl. AC refinement, EOB runs) —
+  any sampling factors, restart intervals; resize likewise (PIL
+  resample, else nearest-neighbor + PNG re-encode).  All tiers emit
+  the same 16-bin ITU-R 601-2 luma histogram, so features are
   backend-invariant.
 * **audio** — RIFF/WAVE 16-bit PCM decodes for REAL (stdlib ``wave`` +
   numpy rFFT); compressed codecs fall back to the stub.
@@ -127,17 +128,20 @@ def _decode_bmp_stdlib(content: bytes) -> dict:
 
 
 def _jpeg_pixels(content: bytes):
-    """REAL baseline-JPEG decode with stdlib + numpy only (round-5
-    verdict item 8): marker parse → Huffman entropy decode → dequantize
-    → de-zigzag → 8×8 IDCT (orthonormal basis matmul) → sampling-factor
-    upsample → JFIF YCbCr→RGB.  Returns a (height, width, 3) uint8
-    array.
+    """REAL JPEG decode with stdlib + numpy only: marker parse → Huffman
+    entropy decode → dequantize → de-zigzag → 8×8 IDCT (orthonormal
+    basis matmul) → sampling-factor upsample → JFIF YCbCr→RGB.  Returns
+    a (height, width, 3) uint8 array.
 
-    Scope: sequential baseline DCT (SOF0), 8-bit precision, grayscale or
-    YCbCr with any h×v sampling factors (4:4:4 / 4:2:2 / 4:2:0 …),
-    optional restart intervals.  Progressive (SOF2), arithmetic coding,
-    and 12-bit precision raise ValueError so callers fall through to the
-    next tier — honestly gated, like the rest of the codec surface.
+    Scope: BASELINE sequential (SOF0) and PROGRESSIVE (SOF2, round 6)
+    — multi-scan accumulation into per-block coefficient state with
+    spectral selection (Ss..Se bands), successive approximation (DC
+    first + refinement, AC first with shared EOB runs + AC refinement
+    per T.81 §G.1.2), non-interleaved single-component scan geometry,
+    per-scan Huffman table redefinition, and restart intervals in both
+    modes.  8-bit precision, grayscale or YCbCr, any h×v sampling.
+    Arithmetic coding, hierarchical (SOF5+), and 12-bit precision raise
+    ValueError so callers fall through to the next tier.
 
     The JPEG spec's DCT, F(u,v) = ¼·C(u)C(v)·ΣΣ f·cos·cos with
     C(0)=1/√2, is exactly the orthonormal 8-point basis
@@ -151,13 +155,6 @@ def _jpeg_pixels(content: bytes):
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
 
-    qtables: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → code map
-    frame = None  # (h, w, comps) ; comps: list of (cid, hi, vi, tq)
-    scan_comps = None  # list of (comp_index, dc_table_id, ac_table_id)
-    restart_interval = 0
-    entropy = None
-
     # --- zigzag order (spec Figure A.6) ---
     ZZ = np.array([
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -165,6 +162,24 @@ def _jpeg_pixels(content: bytes):
         35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
         58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
     ])
+
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → codes
+    frame = None       # (h, w, comps, progressive)
+    restart_interval = 0
+    scans = []         # (scan_comps, Ss, Se, Ah, Al, entropy, tables, dri)
+
+    def _entropy_end(data: bytes, start: int) -> int:
+        """Index of the marker that terminates an entropy segment
+        (skipping stuffed 0xFF00 and RSTn)."""
+        j = start
+        while j + 1 < len(data):
+            if data[j] == 0xFF and data[j + 1] not in (0x00,) and not (
+                0xD0 <= data[j + 1] <= 0xD7
+            ):
+                return j
+            j += 1
+        return len(data)
 
     i = 2
     n = len(content)
@@ -182,7 +197,7 @@ def _jpeg_pixels(content: bytes):
         (seglen,) = struct.unpack(">H", content[i:i + 2])
         seg = content[i + 2:i + seglen]
         i += seglen
-        if marker == 0xDB:  # DQT — one or more tables per segment
+        if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
@@ -194,7 +209,7 @@ def _jpeg_pixels(content: bytes):
                     vals = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
                     p += 64
                 qtables[tq] = vals  # kept in zigzag order
-        elif marker == 0xC4:  # DHT — one or more tables per segment
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
@@ -209,7 +224,7 @@ def _jpeg_pixels(content: bytes):
                         code += 1
                     code <<= 1
                 huff[(tc, th)] = table
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported")
@@ -217,13 +232,13 @@ def _jpeg_pixels(content: bytes):
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = (fh, fw, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF 0x{marker:02x} unsupported")
+            raise ValueError(f"unsupported SOF 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — header, then entropy data to EOI
+        elif marker == 0xDA:  # SOS — collect this scan, keep walking
             ns = seg[0]
             scan_comps = []
             for c in range(ns):
@@ -232,13 +247,21 @@ def _jpeg_pixels(content: bytes):
                     k for k, comp in enumerate(frame[2]) if comp[0] == cs
                 )
                 scan_comps.append((idx, tdta >> 4, tdta & 15))
-            entropy = content[i:]
-            break
+            ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            end = _entropy_end(content, i)
+            scans.append((scan_comps, ss, se, ahl >> 4, ahl & 15,
+                          content[i:end], dict(huff), restart_interval))
+            i = end
         # APPn / COM / others: skipped
 
-    if frame is None or entropy is None:
-        raise ValueError("missing SOF0/SOS")
-    fh, fw, comps = frame
+    if frame is None or not scans:
+        raise ValueError("missing SOF/SOS")
+    fh, fw, comps, progressive = frame
+    if not progressive:
+        sc, ss, se, ah, al = (scans[0][0], scans[0][1], scans[0][2],
+                              scans[0][3], scans[0][4])
+        if (ss, se, ah, al) != (0, 63, 0, 0) or len(scans) != 1:
+            raise ValueError("baseline frame with progressive-style scans")
 
     # --- entropy-coded bit reader (0xFF00 stuffing, RSTn boundaries).
     # Byte-at-a-time: a marker byte is never consumed by bit reads (the
@@ -305,60 +328,192 @@ def _jpeg_pixels(content: bytes):
     def extend(v: int, t: int) -> int:
         return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    # per-component coefficient state, ZIGZAG order per block — scans
+    # accumulate into this (progressive), or one scan fills it (baseline)
+    geom = []   # per comp: (bw_mcu, bh_mcu, bw_real, bh_real)
+    coefs = []
+    for cid, hi, vi, tq in comps:
+        bw_mcu, bh_mcu = mcux * hi, mcuy * vi
+        cw = -(-fw * hi // hmax)   # ceil(w * hi / hmax)
+        ch = -(-fh * vi // vmax)
+        bw_real, bh_real = -(-cw // 8), -(-ch // 8)
+        geom.append((bw_mcu, bh_mcu, bw_real, bh_real))
+        coefs.append(np.zeros((bh_mcu, bw_mcu, 64), np.int32))
+
+    for (scan_comps, ss, se, ah, al, entropy, tables, dri) in scans:
+        bits = _Bits(entropy)
+        pred = [0] * len(comps)
+        eobrun = 0
+        interleaved = len(scan_comps) > 1
+
+        def decode_dc_first(ci, td, by, bx):
+            t = bits.huffman(tables[(0, td)])
+            pred[ci] += extend(bits.take(t), t)
+            coefs[ci][by, bx, 0] = pred[ci] << al
+
+        def decode_dc_refine(ci, by, bx):
+            if bits.take1():
+                coefs[ci][by, bx, 0] |= 1 << al
+
+        def decode_ac_first(ci, ta, by, bx):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            blk = coefs[ci][by, bx]
+            k = ss
+            while k <= se:
+                sym = bits.huffman(tables[(1, ta)])
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r < 15:  # EOBn: run of 2^r + extra blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.take(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                blk[k] = extend(bits.take(s), s) << al
+                k += 1
+
+        def decode_ac_refine(ci, ta, by, bx):
+            # T.81 §G.1.2.3: one correction bit per already-nonzero
+            # coefficient passed; new coefficients enter as ±1<<al.
+            nonlocal eobrun
+            p1, m1 = 1 << al, -1 << al
+            blk = coefs[ci][by, bx]
+
+            def correct(k):
+                if bits.take1() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+
+            k = ss
+            if eobrun > 0:
+                eobrun -= 1
+                for j in range(ss, se + 1):
+                    if blk[j]:
+                        correct(j)
+                return
+            while k <= se:
+                sym = bits.huffman(tables[(1, ta)])
+                r, s = sym >> 4, sym & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:  # EOBn: correct the rest, bank the run
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.take(r)
+                        for j in range(k, se + 1):
+                            if blk[j]:
+                                correct(j)
+                        return
+                    # ZRL: skip 16 zero-HISTORY positions
+                elif s == 1:
+                    newval = p1 if bits.take1() else m1
+                else:
+                    raise ValueError("AC refinement size must be 1")
+                # advance past r zero-history coefficients, correcting
+                # nonzero ones encountered on the way
+                while k <= se:
+                    if blk[k]:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+
+        def decode_block(ci, td, ta, by, bx):
+            if ss == 0 and se == 0:
+                if ah == 0:
+                    decode_dc_first(ci, td, by, bx)
+                else:
+                    decode_dc_refine(ci, by, bx)
+            elif progressive:
+                if ah == 0:
+                    decode_ac_first(ci, ta, by, bx)
+                else:
+                    decode_ac_refine(ci, ta, by, bx)
+            else:  # baseline: DC + full AC band in one pass
+                decode_dc_first(ci, td, by, bx)
+                blk = coefs[ci][by, bx]
+                k = 1
+                while k < 64:
+                    sym = bits.huffman(tables[(1, ta)])
+                    if sym == 0:
+                        break  # EOB
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    s = sym & 15
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    blk[k] = extend(bits.take(s), s)
+                    k += 1
+
+        def maybe_restart(unit_idx):
+            nonlocal pred, eobrun
+            if dri and unit_idx and unit_idx % dri == 0:
+                bits.sync_restart()
+                pred = [0] * len(comps)
+                eobrun = 0
+
+        if interleaved:
+            u = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(u)
+                    for ci, td, ta in scan_comps:
+                        _, hi, vi, _tq = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                decode_block(
+                                    ci, td, ta, my * vi + by, mx * hi + bx
+                                )
+                    u += 1
+        else:
+            # non-interleaved: raster over the component's REAL block
+            # grid (ceil(comp dims / 8)), not the MCU-padded grid
+            ci, td, ta = scan_comps[0]
+            _, _, bw_real, bh_real = geom[ci]
+            u = 0
+            for by in range(bh_real):
+                for bx in range(bw_real):
+                    maybe_restart(u)
+                    decode_block(ci, td, ta, by, bx)
+                    u += 1
+
     # orthonormal 8-point DCT basis
     xs = np.arange(8)
     A = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
     A[0] *= np.sqrt(1 / 2)
     A *= 0.5  # c(0)=√(1/8), c(u>0)=½
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), np.float64)
-        for c in comps
-    ]
-
-    bits = _Bits(entropy)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bits.sync_restart()
-                pred = [0] * len(comps)
-            for ci, td, ta in scan_comps:
-                _, hi, vi, tq = comps[ci]
-                dctab, actab = huff[(0, td)], huff[(1, ta)]
-                q = qtables[tq]
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = np.zeros(64, np.int32)
-                        t = bits.huffman(dctab)
-                        pred[ci] += extend(bits.take(t), t)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = bits.huffman(actab)
-                            if sym == 0:
-                                break  # EOB
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            s = sym & 15
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = extend(bits.take(s), s)
-                            k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[ZZ] = zz * q
-                        spatial = A.T @ blk.reshape(8, 8) @ A + 128.0
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
-            mcu_count += 1
+    planes = []
+    for (cid, hi, vi, tq), cf, (bw_mcu, bh_mcu, _, _) in zip(
+        comps, coefs, geom
+    ):
+        q = qtables[tq]
+        plane = np.zeros((bh_mcu * 8, bw_mcu * 8), np.float64)
+        for by in range(bh_mcu):
+            for bx in range(bw_mcu):
+                blk = np.zeros(64, np.float64)
+                blk[ZZ] = cf[by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    A.T @ blk.reshape(8, 8) @ A + 128.0
+                )
+        planes.append(plane)
 
     # upsample each plane to full frame resolution (pixel replication —
     # the JFIF-sanctioned nearest-neighbor expansion) and crop padding

@@ -2373,7 +2373,8 @@ def test_negative_pairs_invariants(spark):
     assert {(r["doc_id"], r["neg_id"]) for r in two} == {(1, 2), (2, 1)}
 
 
-def _jpeg_encode_for_test(planes, sampling, w, h, restart=0):
+def _jpeg_encode_for_test(planes, sampling, w, h, restart=0,
+                          progressive=False):
     """Minimal baseline-JPEG ENCODER used only by the golden tests —
     shares no code with the decoder under test.  ``planes`` is a list of
     numpy uint8 component planes (1 = grayscale, 3 = YCbCr), ``sampling``
@@ -2452,17 +2453,20 @@ def _jpeg_encode_for_test(planes, sampling, w, h, restart=0):
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for i, (hi, vi) in enumerate(sampling):
         sof += bytes([i + 1, (hi << 4) | vi, 0])
-    hdr += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    hdr += ((b"\xff\xc2" if progressive else b"\xff\xc0")
+            + struct.pack(">H", 2 + len(sof)) + sof)
     for tc, counts, syms in ((0, dc_counts, dc_syms), (1, ac_counts, ac_syms)):
         seg = bytes([tc << 4]) + bytes(counts) + bytes(syms)
         hdr += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
     if restart:
+        assert not progressive, "test encoder: restart only in baseline"
         hdr += b"\xff\xdd" + struct.pack(">HH", 4, restart)
-    sos = bytes([len(planes)])
-    for i in range(len(planes)):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    hdr += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if not progressive:
+        sos = bytes([len(planes)])
+        for i in range(len(planes)):
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        hdr += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     # entropy: interleaved MCUs, flat q=1, exact same DCT the spec defines
     pred = [0] * len(planes)
@@ -2481,6 +2485,61 @@ def _jpeg_encode_for_test(planes, sampling, w, h, restart=0):
                 Fq = np.round(A @ f @ A.T).astype(int)
                 blocks[(by, bx)] = [int(Fq.flat[z]) for z in ZZ]
         quantized.append(blocks)
+
+    if progressive:
+        # spectral-selection progressive: one interleaved DC scan, then
+        # one non-interleaved full-band AC scan per component (raster
+        # over the component's REAL block grid)
+        body = bytearray()
+
+        def emit_scan(sos_payload):
+            nonlocal body
+            flush(pad=1)
+            body += bytes(out)
+            out.clear()
+            body += b"\xff\xda" + struct.pack(
+                ">H", 2 + len(sos_payload)
+            ) + sos_payload
+
+        sos1 = bytes([len(planes)])
+        for i in range(len(planes)):
+            sos1 += bytes([i + 1, 0x00])
+        sos1 += bytes([0, 0, 0])
+        emit_scan(sos1)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(sampling):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = quantized[ci][(my * vi + by, mx * hi + bx)]
+                            put_coeff(dc_codes, 0, zz[0] - pred[ci])
+                            pred[ci] = zz[0]
+        for ci, (hi, vi) in enumerate(sampling):
+            emit_scan(bytes([1, ci + 1, 0x00, 1, 63, 0]))
+            cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    zz = quantized[ci][(by, bx)]
+                    run = 0
+                    last = max((k for k in range(1, 64) if zz[k]),
+                               default=0)
+                    for k in range(1, last + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            if run == 16:
+                                length, code = ac_codes[0xF0]
+                                put(length, code)
+                                run = 0
+                            continue
+                        put_coeff(ac_codes, run, zz[k])
+                        run = 0
+                    if last < 63:
+                        length, code = ac_codes[0x00]
+                        put(length, code)
+        flush(pad=1)
+        body += bytes(out)
+        out.clear()
+        return bytes(hdr) + bytes(body) + b"\xff\xd9", quantized, (A, ZZ)
 
     mcu_n = 0
     rst = 0
@@ -2855,3 +2914,141 @@ def test_ivf_append_grows_index_with_pruning_intact(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def _prog_jpeg_headers(w, h, q0=1):
+    """Shared header builder for the hand-constructed progressive JPEG
+    fixtures: grayscale SOF2, quant table with q[0]=q0 (rest 1), a DC
+    table of four 2-bit codes (categories 0-3) and an AC table with
+    EOB='0' (1 bit) and (r=0,s=1)='10' (2 bits) — small enough that
+    every entropy byte below is hand-derivable from T.81."""
+    import struct
+
+    qt = bytes([0]) + bytes([q0] + [1] * 63)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00, 0, 4] + [0] * 14 + [0, 1, 2, 3])
+    dht_ac = bytes([0x10, 1, 2] + [0] * 14 + [0x00, 0x01, 0x10])
+    out = (b"\xff\xd8"
+           + b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+           + b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+           + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+           + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac)
+    return out
+
+
+def _sos(ss, se, ah, al):
+    import struct
+
+    seg = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+
+def test_progressive_jpeg_dc_successive_approximation():
+    """Hand-built progressive grayscale 8x8, flat value 133 with
+    q[0]=8 so the DC coefficient is 5 (odd -> the refinement bit is
+    load-bearing; dequantized 40, spatial +40/8 = +5): DC-first at Al=1
+    codes 2, DC-refine adds the low bit, AC-first is one EOB.  Every
+    entropy byte hand-derived."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _jpeg_pixels
+
+    jpg = (_prog_jpeg_headers(8, 8, q0=8)
+           + _sos(0, 0, 0, 1) + bytes([0b10101111])   # cat2 '10' + bits '10'
+           + _sos(0, 0, 1, 0) + bytes([0xFF, 0x00])   # refine bit 1 (stuffed)
+           + _sos(1, 63, 0, 0) + bytes([0b01111111])  # EOB
+           + b"\xff\xd9")
+    rgb = _jpeg_pixels(jpg)
+    np.testing.assert_array_equal(rgb, np.full((8, 8, 3), 133, np.uint8))
+
+
+def test_progressive_jpeg_eobrun_spans_blocks():
+    """EOB runs are shared state across blocks: a 16x8 two-block image
+    whose AC-first scan is a single EOB1 (run of 2) — both blocks end
+    with zero AC; DC values 8 and 16 come from diffs 1 and +1."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _jpeg_pixels
+
+    # DC first (Al=0): block0 diff 1 -> cat1 '01' + bit '1';
+    # block1 diff 1 -> '01' + '1'  => bits 011011 + pad 11 -> 0x6F
+    # AC first: ONE EOB1 ('11' + 1 extra bit '0' -> run of 2) covers
+    # BOTH blocks -> bits 110 + pad 11111 -> 0xDF
+    jpg = (_prog_jpeg_headers(16, 8, q0=8)
+           + _sos(0, 0, 0, 0) + bytes([0b01101111])
+           + _sos(1, 63, 0, 0) + bytes([0b11011111])
+           + b"\xff\xd9")
+    rgb = _jpeg_pixels(jpg)
+    # spatial DC contribution = coeff*q/8: 1*8/8 = +1 and 2*8/8 = +2
+    np.testing.assert_array_equal(
+        rgb[:, :8, 0], np.full((8, 8), 129, np.uint8)
+    )
+    np.testing.assert_array_equal(
+        rgb[:, 8:, 0], np.full((8, 8), 130, np.uint8)
+    )
+
+
+def test_progressive_jpeg_ac_refinement_and_new_coefficient():
+    """AC successive approximation, the hard path: the first AC scan
+    (Al=1) codes coefficient zigzag-1 as 1 (true value 3); the
+    refinement scan (Al=0) must (a) emit a correction bit turning 2
+    into 3 and (b) introduce a NEW coefficient at zigzag-2 (+1) in the
+    same pass.  Expected pixels computed independently via the
+    orthonormal IDCT."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _jpeg_pixels
+
+    jpg = (_prog_jpeg_headers(8, 8, q0=1)
+           + _sos(0, 0, 0, 0) + bytes([0b00111111])   # DC cat0 '00'
+           # AC first Al=1: (0,1)='10' + value '1'  then EOB '0'
+           + _sos(1, 63, 0, 1) + bytes([0b10101111])
+           # AC refine Al=0: '10' (new coef) + sign '1' + correction '1'
+           # (zigzag-1: 2->3) then EOB '0' -> bits 10110 + pad
+           + _sos(1, 63, 1, 0) + bytes([0b10110111])
+           + b"\xff\xd9")
+    rgb = _jpeg_pixels(jpg)
+
+    xs = np.arange(8)
+    A = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    A[0] *= np.sqrt(1 / 2)
+    A *= 0.5
+    blk = np.zeros(64)
+    blk[1] = 3.0   # natural position of zigzag index 1
+    blk[8] = 1.0   # natural position of zigzag index 2
+    expect = np.round(
+        np.clip(A.T @ blk.reshape(8, 8) @ A + 128.0, 0, 255)
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(rgb[:, :, 0], expect)
+    assert rgb[:, :, 0].std() > 0  # genuinely non-flat content decoded
+
+
+def test_progressive_jpeg_matches_baseline_on_real_content():
+    """Spectral-selection progressive (independent test encoder: one
+    interleaved DC scan + per-component non-interleaved AC scans) must
+    decode to EXACTLY the same pixels as the baseline encoding of the
+    same quantized coefficients — grayscale random content and 4:2:0
+    color, multi-scan accumulation against single-scan ground truth."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _jpeg_pixels
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    base, _, _ = _jpeg_encode_for_test([img], [(1, 1)], 16, 16)
+    prog, _, _ = _jpeg_encode_for_test([img], [(1, 1)], 16, 16,
+                                       progressive=True)
+    assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 2
+    np.testing.assert_array_equal(_jpeg_pixels(prog), _jpeg_pixels(base))
+
+    y = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    cb = rng.integers(0, 256, size=(8, 8)).astype(np.float64)
+    cr = rng.integers(0, 256, size=(8, 8)).astype(np.float64)
+    base3, _, _ = _jpeg_encode_for_test(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], 16, 16
+    )
+    prog3, _, _ = _jpeg_encode_for_test(
+        [y, cb, cr], [(2, 2), (1, 1), (1, 1)], 16, 16, progressive=True
+    )
+    assert prog3.count(b"\xff\xda") == 4  # DC + three AC scans
+    np.testing.assert_array_equal(_jpeg_pixels(prog3), _jpeg_pixels(base3))
