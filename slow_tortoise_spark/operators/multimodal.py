@@ -6,13 +6,14 @@ production-grade part.  Decode is TIERED per blob, probed inside the
 Arrow UDFs:
 
 * **images** — PIL when importable (any format), else REAL stdlib
-  decoders for PNG (zlib inflate + full unfiltering), 24-bit BMP, and
+  decoders for PNG (zlib inflate + full unfiltering), 24-bit BMP,
   JPEG — both BASELINE (SOF0) and PROGRESSIVE (SOF2: spectral
-  selection, successive approximation incl. AC refinement, EOB runs) —
-  any sampling factors, restart intervals; resize likewise (PIL
-  resample, else nearest-neighbor + PNG re-encode).  All tiers emit
-  the same 16-bin ITU-R 601-2 luma histogram, so features are
-  backend-invariant.
+  selection, successive approximation incl. AC refinement, EOB runs,
+  any sampling factors, restart intervals) — and GIF87a/89a first
+  frames (variable-width LZW, interlace, local color tables); resize
+  likewise (PIL resample, else nearest-neighbor + PNG re-encode).
+  All tiers emit the same 16-bin ITU-R 601-2 luma histogram, so
+  features are backend-invariant.
 * **audio** — RIFF/WAVE 16-bit PCM decodes for REAL (stdlib ``wave`` +
   numpy rFFT); compressed codecs fall back to the stub.
 * **video** — RIFF/AVI containers DEMUX for real (exact frame bytes +
@@ -533,6 +534,162 @@ def _jpeg_pixels(content: bytes):
     return np.round(rgb).astype(np.uint8)
 
 
+def _gif_pixels(content: bytes):
+    """REAL GIF decode with stdlib only — first frame of GIF87a/GIF89a:
+    logical screen + global/local color table, extension-block skipping,
+    variable-width LZW (clear/end codes, 12-bit cap, sub-block
+    reassembly, little-endian bit packing), and four-pass interlace
+    reassembly.  Returns a (height, width, 3) uint8 RGB array.
+
+    Transparency is ignored (the transparent index renders as its
+    palette color): the consumer is the luma-histogram feature tier,
+    where compositing against an undefined background would invent
+    data.  Animated GIFs decode their FIRST image descriptor only.
+    """
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"GIF8" or content[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = content[pos:pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p):
+        while True:
+            sz = content[p]
+            p += 1
+            if sz == 0:
+                return p
+            p += sz
+
+    # walk blocks to the first image descriptor
+    while True:
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            pos = skip_subblocks(pos)
+            continue
+        if b == 0x2C:  # image descriptor
+            break
+        raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", content[pos:pos + 9])
+    pos += 9
+    if iflags & 0x80:  # local color table wins
+        n = 2 << (iflags & 7)
+        palette = content[pos:pos + 3 * n]
+        pos += 3 * n
+    else:
+        palette = gct
+    if palette is None:
+        raise ValueError("GIF image without a color table")
+    interlaced = bool(iflags & 0x40)
+
+    min_code = content[pos]
+    pos += 1
+    # reassemble the LZW stream from sub-blocks
+    data = bytearray()
+    while True:
+        sz = content[pos]
+        pos += 1
+        if sz == 0:
+            break
+        data += content[pos:pos + sz]
+        pos += sz
+
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = 0
+    nbits = 0
+    bi = 0
+    npix = iw * ih
+    while len(out) < npix:
+        while nbits < width:
+            if bi >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[bi] << nbits  # GIF packs LSB-first
+            bi += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid LZW code")
+        out += entry
+        prev = entry
+        # decoder table growth bumps the code width at 2^width (cap 12)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < npix:
+        raise ValueError("GIF pixel data incomplete")
+
+    idx = np.frombuffer(bytes(out[:npix]), np.uint8).reshape(ih, iw)
+    if interlaced:
+        deint = np.empty_like(idx)
+        rows = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+        for src_row, dst_row in enumerate(rows):
+            deint[dst_row] = idx[src_row]
+        idx = deint
+    pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+    frame = pal[np.minimum(idx, len(pal) - 1)]
+    # place the (possibly smaller) frame on the logical screen
+    if (iw, ih) != (sw, sh) or ix or iy:
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        canvas[iy:iy + ih, ix:ix + iw] = frame
+        return canvas
+    return frame.astype(np.uint8)
+
+
+def _decode_gif_stdlib(content: bytes) -> dict:
+    """REAL GIF decode — same sha + 16-bin ITU-R 601-2 luma histogram
+    contract as the other image tiers."""
+    import hashlib
+
+    import numpy as np
+
+    rgb = _gif_pixels(content)
+    luma = (
+        rgb[:, :, 0].astype("int64") * 299
+        + rgb[:, :, 1].astype("int64") * 587
+        + rgb[:, :, 2].astype("int64") * 114
+    ) // 1000
+    hist = np.bincount((luma >> 4).ravel(), minlength=16).astype(float)
+    total = hist.sum() or 1.0
+    digest = hashlib.sha256(content).digest()
+    return {
+        "sha": digest.hex()[:16],
+        "features": [h / total for h in hist],
+    }
+
+
 def _decode_jpeg_stdlib(content: bytes) -> dict:
     """REAL baseline-JPEG decode — same sha + 16-bin ITU-R 601-2 luma
     histogram contract as the PNG/BMP/PIL tiers."""
@@ -777,9 +934,15 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                     pass
             if c is not None and c[:2] == b"\xff\xd8":
                 try:
-                    # baseline JPEGs decode for real via the stdlib+numpy
-                    # tier (progressive/12-bit raise → stub fallback)
+                    # baseline + progressive JPEGs decode for real via
+                    # the stdlib+numpy tier (12-bit/arith raise → stub)
                     return _decode_jpeg_stdlib(c)
+                except Exception:
+                    pass
+            if c is not None and c[:4] == b"GIF8":
+                try:
+                    # GIF87a/89a first frame: stdlib LZW tier
+                    return _decode_gif_stdlib(c)
                 except Exception:
                     pass
             return _decode_image_stub(c)

@@ -3052,3 +3052,128 @@ def test_progressive_jpeg_matches_baseline_on_real_content():
     )
     assert prog3.count(b"\xff\xda") == 4  # DC + three AC scans
     np.testing.assert_array_equal(_jpeg_pixels(prog3), _jpeg_pixels(base3))
+
+
+def _gif_encode_for_test(idx_rows, palette, min_code=2, interlaced=False,
+                         clears="always"):
+    """Minimal GIF ENCODER for the golden tests — shares no code with
+    the decoder.  Emits every pixel as a ROOT code (no compression,
+    legal LZW): with ``clears='always'`` a CLEAR before each pixel
+    keeps the code width constant; with ``clears='none'`` the decoder's
+    own table growth forces width bumps at 2^width — exercising the
+    variable-width path without a real LZW compressor."""
+    import struct
+
+    h = len(idx_rows)
+    w = len(idx_rows[0])
+    out = bytearray(b"GIF89a")
+    gct_bits = max(1, (len(palette) - 1).bit_length())
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    for r, g, b in palette + [(0, 0, 0)] * ((2 << (gct_bits - 1))
+                                            - len(palette)):
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlaced else 0)
+    out += bytes([min_code])
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = []
+
+    def put(code, width):
+        for i in range(width):
+            bits.append((code >> i) & 1)  # GIF packs LSB-first
+
+    width = min_code + 1
+    if interlaced:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = [idx_rows[r] for r in order]
+    else:
+        rows = idx_rows
+    put(clear, width)
+    table_size = end + 1
+    fresh = True  # decoder adds NO entry for the first code after clear
+    for row in rows:
+        for px in row:
+            if clears == "always":
+                put(px, width)
+                put(clear, width)  # table reset: width stays put
+            else:
+                put(px, width)
+                if fresh:
+                    fresh = False
+                    continue
+                table_size += 1  # decoder adds an entry per later code
+                if table_size == (1 << width) and width < 12:
+                    width += 1
+    put(end, width)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decodes_first_frame_with_lzw_width_growth():
+    """A 16x4 two-color GIF whose pixels are all root codes with NO
+    clear codes: the decoder's own table growth must bump the code
+    width at exactly 2^width, and the decoded indexes must map through
+    the palette to the source pattern.  A second fixture uses
+    clear-per-pixel (constant width) and must decode identically."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import _gif_pixels
+
+    rows = [[(x + y) % 2 for x in range(16)] for y in range(4)]
+    pal = [(10, 20, 30), (200, 150, 100)]
+    for clears in ("none", "always"):
+        gif = _gif_encode_for_test(rows, pal, clears=clears)
+        rgb = _gif_pixels(gif)
+        assert rgb.shape == (4, 16, 3)
+        for y in range(4):
+            for x in range(16):
+                assert tuple(rgb[y, x]) == pal[rows[y][x]], (clears, y, x)
+
+
+def test_gif_interlaced_and_extension_blocks():
+    """Interlaced GIF (four-pass row order) with a graphic-control
+    extension before the image descriptor: rows must land deinterlaced
+    and the extension must be skipped cleanly."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.multimodal import (
+        _decode_image_stub,
+        _gif_pixels,
+        extract_image_features,
+    )
+
+    # 8 distinct rows so any interlace mistake misplaces a row
+    rows = [[y % 4] * 8 for y in range(8)]
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    gif = _gif_encode_for_test(rows, pal, interlaced=True)
+    # splice a GCE extension (0x21 0xF9, 4-byte block) after the GCT
+    ix = gif.index(b"\x2c")
+    gif = gif[:ix] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + gif[ix:]
+    rgb = _gif_pixels(gif)
+    for y in range(8):
+        assert tuple(rgb[y, 0]) == pal[y % 4], y
+
+    # end-to-end through the Spark tier: real histogram, not the stub
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        df = spark.createDataFrame(
+            [(1, gif)], "media_id long, content binary"
+        )
+        feats = list(extract_image_features(df).collect()[0]["features"])
+        assert feats != _decode_image_stub(gif)["features"]
+        assert abs(sum(feats) - 1.0) < 1e-6
