@@ -1374,11 +1374,7 @@ def kn_bigram_logprob_under(
         F.sum("c2").alias("c1"), F.count("*").alias("n1fwd")
     )
     cont = c2.groupBy("cur").agg(F.count("*").alias("n1back"))
-    scal = c2.agg(
-        F.count("*").alias("nn"),
-        F.size(F.collect_set("prev")).alias("_unused"),
-    ).first()
-    nn = scal["nn"] or 0
+    nn = c2.agg(F.count("*").alias("nn")).first()["nn"] or 0
     # vocabulary = distinct tokens of the reference (unigram vocab)
     v = (
         reference.select(
