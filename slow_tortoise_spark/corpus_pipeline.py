@@ -125,6 +125,11 @@ class CorpusParams:
     ppl_lm_reference: DataFrame | None = None
     ppl_keep: tuple[str, ...] = ("head", "middle")
     ppl_strata_col: str = "source"
+    #: label for docs with zero scoreable bigrams (empty / one-token):
+    #: they are excluded from the NTILE (their coalesced 0.0 logprob
+    #: would otherwise outrank all fluent text) and kept only when this
+    #: label is in ``ppl_keep``
+    ppl_degenerate_label: str = "tail"
 
 
 def _near_dup_drops(
@@ -329,24 +334,39 @@ def run_corpus_pipeline(
             F.round(F.col("mean_logprob") * 1e6).cast("bigint").alias(
                 "_lp_micro"
             ),
+            "n_bigrams",
         )
         strata = deduped.select(
             "doc_id", F.col(params.ppl_strata_col).alias("_strata")
         )
+        # Docs with no bigrams (empty / one-token) carry a coalesced
+        # mean_logprob of 0.0 — the best possible score under DESC —
+        # so tiling them would rank degenerate docs "head" ahead of
+        # all fluent text (round-7 verdict).  They are filtered OUT of
+        # the NTILE frame entirely (so they neither rank "head" nor
+        # occupy tile slots that would shift the head/middle/tail
+        # boundaries for real docs) and labeled
+        # ``ppl_degenerate_label`` directly.
         w = Window.partitionBy("_strata").orderBy(
             F.desc("_lp_micro"), F.col("doc_id")
         )
-        tiled = kn.join(strata, "doc_id").withColumn(
-            "_tile", F.ntile(3).over(w)
+        tiled = (
+            kn.filter(F.col("n_bigrams") > 0)
+            .join(strata, "doc_id")
+            .withColumn("_tile", F.ntile(3).over(w))
         )
         label = (
             F.when(F.col("_tile") == 1, "head")
             .when(F.col("_tile") == 2, "middle")
             .otherwise("tail")
         )
-        keep_ids = tiled.filter(
-            label.isin(*params.ppl_keep)
-        ).select("doc_id")
+        keep_ids = tiled.filter(label.isin(*params.ppl_keep)).select(
+            "doc_id"
+        )
+        if params.ppl_degenerate_label in params.ppl_keep:
+            keep_ids = keep_ids.unionByName(
+                kn.filter(F.col("n_bigrams") == 0).select("doc_id")
+            )
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         manifest["after_ppl_filter"] = deduped.count()
 

@@ -26,19 +26,36 @@ def _salt_expr(df: DataFrame, salt_buckets: int) -> Column:
     A content-only salt (``hash(*columns)``) is degenerate on the exact
     shape salting exists for: a hot key whose rows are *identical in
     every column* (dominant (feature, value) pairs in exact-dup-heavy
-    corpora) would map to ONE bucket and stay in one reducer.  Mixing in
-    ``monotonically_increasing_id()`` — partition ordinal in the high
-    bits, per-partition row offset in the low bits — spreads even a
-    single-partition run of identical rows across all ``salt_buckets``.
-    The salt never appears in the output, so determinism of the id
-    across repartitionings is irrelevant; phase 2 re-combines partials
-    regardless of how rows were bucketed.
+    corpora) would map to ONE bucket and stay in one reducer.  So the
+    salt mixes three terms, each reduced mod ``salt_buckets`` BEFORE
+    the final add (both addends sit in ``[0, salt_buckets)``, so the
+    sum is at most ``2*salt_buckets - 2`` — no int64 overflow, and no
+    ``ArithmeticException`` under ``spark.sql.ansi.enabled``, unlike a
+    raw ``xxhash64 + monotonically_increasing_id`` long add):
+
+    - ``xxhash64(row columns, spark_partition_id())`` — the PRIMARY
+      mixer.  Row content is order-independent and the partition id is
+      stable across task retries, so distinct-content rows rebucket
+      identically on a partial stage retry;
+    - ``monotonically_increasing_id() % salt_buckets`` — the
+      per-partition row ordinal, which is what spreads a
+      single-partition run of IDENTICAL rows across buckets.
+
+    The ordinal term is row-ORDER dependent: if a shuffle feeds this
+    operator and a partial stage retry replays input rows in a
+    different order (the SPARK-23207 class of hazard), identical rows
+    may land in different phase-1 buckets across attempts.  That is
+    benign HERE — the salt never appears in the output and phase 2
+    re-combines partials regardless of bucketing — but it is why this
+    expression must never be reused as a persisted bucketing/split key
+    (use a pure content hash for those, e.g. ``dedup.hash_split``).
     """
-    return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns])
-        + F.monotonically_increasing_id(),
+    content = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.spark_partition_id()),
         F.lit(salt_buckets),
-    ).cast("int")
+    )
+    ordinal = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    return F.pmod(content + ordinal, F.lit(salt_buckets)).cast("int")
 
 #: (partial expr builder, final expr builder) per supported aggregate.
 _ALGEBRAIC = {
@@ -58,10 +75,11 @@ def salted_aggregation(
     """Two-phase aggregation: ``aggs`` maps output name → (fn, column),
     fn ∈ {sum, count, min, max, mean}.
 
-    ``mean`` decomposes into sum+count internally. The salt is
-    ``pmod(xxhash64(row) + monotonically_increasing_id(), salt_buckets)``
-    (see ``_salt_expr``) — identical-row hot keys still spread across
-    phase-1 buckets; the salt never appears in the output.
+    ``mean`` decomposes into sum+count internally. The salt is an
+    overflow-free mix of the row-content hash, the partition id, and
+    the per-partition row ordinal (see ``_salt_expr``) — identical-row
+    hot keys still spread across phase-1 buckets; the salt never
+    appears in the output.
     """
     partials = []
     finals = []

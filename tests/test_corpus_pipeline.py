@@ -545,3 +545,63 @@ def test_ppl_filter_stage_keeps_head_and_middle(spark, tmp_path):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     # the scrambles score worst under the fluent reference LM -> tail
     assert kept == {0, 1, 2, 3}
+
+
+def test_ppl_filter_routes_degenerate_docs_to_tail(spark, tmp_path):
+    """Regression (round-7 verdict): docs with <2 tokens have no
+    bigrams, and their coalesced mean_logprob of 0.0 is the BEST score
+    under the DESC ordering — the old tiling ranked empty/one-token
+    docs "head" ahead of all fluent text.  They must now be excluded
+    from the NTILE (not shifting real docs' tile boundaries either) and
+    labeled ``ppl_degenerate_label`` ("tail" by default), so the
+    default head+middle keep drops them; adding the degenerate label to
+    ``ppl_keep`` readmits them."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent, "s0") for i in range(4)]
+    rows += [(10, "mat the rug cat on sat dog the and on the sat", "s0"),
+             (11, "rug on the and mat sat the cat dog sat on the", "s0")]
+    # planted degenerates: empty and one-token — zero bigrams each
+    rows += [(20, "", "s0"), (21, "hello", "s0")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    reference = spark.createDataFrame(
+        [(100 + i, fluent) for i in range(5)], "doc_id long, text string"
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        docs,
+        CorpusParams(
+            out_dir=str(tmp_path / "out"),
+            min_tokens=0,
+            dedup="none",
+            ppl_lm_reference=reference,
+        ),
+    )
+    # degenerates are NOT head: default keep=(head, middle) drops them,
+    # and the 6 scoreable docs still tile 2/2/2 exactly as without the
+    # planted docs (degenerates don't occupy tile slots)
+    assert manifest["after_ppl_filter"] == 4
+    out = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {0, 1, 2, 3}
+
+    # readmitting "tail" readmits the degenerates too (they carry the
+    # degenerate label, which defaults to "tail")
+    manifest2 = run_corpus_pipeline(
+        spark,
+        docs,
+        CorpusParams(
+            out_dir=str(tmp_path / "out2"),
+            min_tokens=0,
+            dedup="none",
+            ppl_lm_reference=reference,
+            ppl_keep=("head", "middle", "tail"),
+        ),
+    )
+    assert manifest2["after_ppl_filter"] == 8

@@ -281,3 +281,56 @@ def test_salted_agg_spreads_identical_row_hot_key(spark):
     joined = salted_join(hot, small, "k", salt_buckets=8)
     assert joined.count() == 5000
     assert joined.select("name").distinct().collect()[0][0] == "dim"
+
+
+def test_salt_expr_is_ansi_safe_and_retry_stable(spark):
+    """Regression (round-7 verdict): the old salt was a raw int64 add of
+    ``xxhash64(row)`` and ``monotonically_increasing_id()`` — silent
+    wraparound under default config, ``ArithmeticException`` under
+    ``spark.sql.ansi.enabled``.  The mix now pmods each term before the
+    add, so ANSI mode must evaluate it cleanly, and the result must
+    still be exact and hot-key-spreading under ANSI.  Also pins the
+    repartitioning-invariance of the AGGREGATE (the salt itself is
+    allowed to move rows between buckets across partitionings — phase 2
+    re-combines regardless)."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.skew import (
+        _salt_expr,
+        salted_aggregation,
+    )
+
+    hot = spark.range(4000).select(
+        F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        n_salts = (
+            hot.select(_salt_expr(hot, 16).alias("s")).distinct().count()
+        )
+        assert n_salts > 1
+        row = (
+            salted_aggregation(
+                hot, ["k"], {"n": ("count", "v"), "s": ("sum", "v")},
+                salt_buckets=16,
+            )
+            .collect()[0]
+            .asDict()
+        )
+        assert row == {"k": "hot", "n": 4000, "s": 4000.0}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+    # aggregate invariance across partitionings: 1-partition and
+    # 32-partition inputs produce the identical exact result
+    for parts in (1, 32):
+        out = (
+            salted_aggregation(
+                hot.repartition(parts), ["k"],
+                {"n": ("count", "v"), "s": ("sum", "v")},
+                salt_buckets=8,
+            )
+            .collect()[0]
+            .asDict()
+        )
+        assert out == {"k": "hot", "n": 4000, "s": 4000.0}
