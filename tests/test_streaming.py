@@ -902,7 +902,54 @@ def test_streaming_ivf_append_is_replay_safe(spark, tmp_path):
     merge(b0, 0)
     merge(b1, 1)
     assert read_ivf_index(spark, path)[0].count() == 34
-    merge(b1, 1)  # replay → no-op, not a duplicate append
+    merge(b1, 1)  # committed replay → manifest fast-path no-op
     assert read_ivf_index(spark, path)[0].count() == 34
     hits = ivf_topk_from_path(spark, path, q, k=1, nprobe=4).collect()
     assert hits[0]["vec_id"] == 100
+
+
+def test_streaming_ivf_append_replay_inside_crash_window(spark, tmp_path):
+    """Regression (round-7 verdict): a crash BETWEEN the parquet write
+    and the ``_IVF_COMMITTED`` manifest flip used to double-insert the
+    batch's vectors on replay (the manifest still named the previous
+    batch, so the replay re-appended).  With the deterministic
+    ``batch={id}`` overwrite layout the replay must REPLACE the
+    uncommitted batch directory — same final count, no duplicates."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_append,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from slow_tortoise_spark.streaming.pipeline import _ivf_append_merge_fn
+
+    rng = np.random.default_rng(23)
+    base = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(32)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    indexed, centroids = build_ivf_index(df, n_cells=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(indexed, centroids, path)
+
+    b0 = spark.createDataFrame(
+        [(200, [float(x) for x in rng.normal(size=6)]),
+         (201, [float(x) for x in rng.normal(size=6)])],
+        "vec_id long, embedding array<double>",
+    )
+    # simulate the crash window: the batch-0 data is fully written but
+    # the process dies before the manifest flip records batch 0
+    ivf_append(spark, path, b0, batch_id=0)
+    assert read_ivf_index(spark, path)[0].count() == 34
+
+    # restart replays batch 0 through the merge fn (manifest says -1,
+    # so it does NOT take the committed fast path) — the overwrite must
+    # leave exactly one copy of each vector
+    merge = _ivf_append_merge_fn(spark, path)
+    merge(b0, 0)
+    idx = read_ivf_index(spark, path)[0]
+    assert idx.count() == 34
+    assert idx.filter("vec_id >= 200").count() == 2
+    # and the manifest now records the commit, so a second replay no-ops
+    merge(b0, 0)
+    assert read_ivf_index(spark, path)[0].count() == 34
