@@ -167,6 +167,49 @@ def main() -> None:
                           ("metric", "value", "unit", "queries", "sf")}))
         return
 
+    if "--scale-section" in sys.argv:
+        # One suite pass at a SCALED dataset (tools/make_sf_scale.py;
+        # argv value after the flag, default /tmp/sfdata/sf1) merged
+        # into BENCH_LOCAL.json as a "scale" section — the >sf0.1
+        # datapoint the 100×-scale claims rest on.  Ratios vs the
+        # isolated sf0.1 composite are recorded per query so SCALE.md
+        # can name anything growing super-linearly (data grew 10×;
+        # a ratio well above ~15 means the plan is not scaling).
+        i = sys.argv.index("--scale-section")
+        scale_dir = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                     else "/tmp/sfdata/sf1")
+        spark.stop()
+        spark = _make_session(scale_dir)
+        load_before = os.getloadavg()[0]
+        t0 = time.time()
+        timings = run_suite(spark, scale_dir, report_rows=False)
+        wall = round(time.time() - t0, 3)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json")
+        with open(out) as fh:
+            sidecar = json.load(fh)
+        base = sidecar.get("queries", {})
+        section = {
+            "sf_dir": scale_dir,
+            "total": round(sum(timings.values()), 3),
+            "queries": timings,
+            "ratio_vs_sf0_1": {
+                q: round(timings[q] / base[q], 1)
+                for q in timings if base.get(q)
+            },
+            "suite_wall_sec": wall,
+            "load_1m_before": round(load_before, 2),
+            "load_1m_after": round(os.getloadavg()[0], 2),
+            "generated_unix": int(time.time()),
+        }
+        sidecar["scale"] = section
+        with open(out, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+        print(json.dumps({"metric": "headline_queries_total_scaled",
+                          "value": section["total"], "unit": "sec",
+                          "queries": timings, "sf_dir": scale_dir}))
+        return
+
     timings = run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(

@@ -34,6 +34,10 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from slow_tortoise_spark.operators.cachectl import (
+    release_local_checkpoints,
+    tracked_local_checkpoint,
+)
 from slow_tortoise_spark.operators.dedup import (
     bloom_contamination,
     connected_components,
@@ -280,7 +284,7 @@ def run_corpus_pipeline(
     # hands every downstream plan a leaf.  On a cluster where executor
     # loss must be survivable, write/read parquet here instead — same
     # boundary, durable lineage cut.
-    gated = gated.localCheckpoint(eager=True)
+    gated = tracked_local_checkpoint(gated)
     manifest["after_gates"] = gated.count()
 
     # --- dedup tiers ---------------------------------------------------
@@ -385,7 +389,7 @@ def run_corpus_pipeline(
         # node.  (On a cluster where executor loss must be survivable,
         # write/read an intermediate parquet here instead — same
         # boundary, durable lineage cut.)
-        deduped = deduped.localCheckpoint(eager=True)
+        deduped = tracked_local_checkpoint(deduped)
         w = dsir_weights(
             deduped, params.dsir_target, buckets=params.dsir_buckets
         ).cache()  # consumed by the quantile agg AND the join below
@@ -445,9 +449,6 @@ def run_corpus_pipeline(
     )
     if cached_exact is not None:
         cached_exact.unpersist()
-    # `gated` is localCheckpoint-ed, not cached: its blocks are freed by
-    # the ContextCleaner when the RDD is garbage-collected after this
-    # function returns (unpersist() has no handle on checkpoint blocks).
     for frame in _owned_caches:
         frame.unpersist()
     # Caches the invoked OPERATORS own (shingle frames, LSH band stacks,
@@ -460,4 +461,11 @@ def run_corpus_pipeline(
     )
 
     release_operator_caches()
+    # Checkpointed stage boundaries (`gated`, the dedup-window frame,
+    # connected-components rounds) went through tracked_local_checkpoint;
+    # everything derived from them is written out above, so free their
+    # blocks explicitly — a long-lived driver returns to ZERO storage
+    # after every pipeline run instead of waiting on JVM GC to collect
+    # the internal checkpoint RDDs (the residual ~28 MB of old).
+    release_local_checkpoints()
     return manifest

@@ -63,3 +63,66 @@ def release_operator_caches() -> int:
 def tracked_count() -> int:
     """How many operator caches are currently registered (test hook)."""
     return len(_TRACKED)
+
+
+# ---------------------------------------------------------------------------
+# Local checkpoints (lineage-truncating, NOT recomputable after release)
+# ---------------------------------------------------------------------------
+
+#: Checkpointed frames whose blocks have not been explicitly freed yet.
+_TRACKED_CHECKPOINTS: list[DataFrame] = []
+
+
+def tracked_local_checkpoint(frame: DataFrame, eager: bool = True) -> DataFrame:
+    """``frame.localCheckpoint(eager)`` + registration for explicit
+    block release.  ``unpersist()`` on the returned DataFrame has no
+    handle on checkpoint blocks — without this registry they linger
+    until the JVM garbage-collects the internal RDD (the residual
+    ~28 MB a corpus-pipeline run used to leave behind)."""
+    out = frame.localCheckpoint(eager=eager)
+    _TRACKED_CHECKPOINTS.append(out)
+    return out
+
+
+def free_local_checkpoint(frame: DataFrame) -> bool:
+    """Free ONE checkpointed frame's blocks immediately (and deregister
+    it).  For iterative operators: round N's checkpoint can be freed as
+    soon as round N+1 is materialized and the convergence check has
+    consumed both — keeping live checkpoint storage O(1) in rounds
+    instead of O(iterations).
+
+    CONTRACT — stronger than a cache release: a localCheckpoint
+    truncates lineage, so the frame is NOT recomputable afterwards.
+    Only free a frame every consumer is finished with."""
+    try:
+        frame._jdf.queryExecution().logical().rdd().unpersist(False)
+        ok = True
+    except Exception:
+        ok = False  # non-LogicalRDD plan or stopped session
+    for i, f in enumerate(_TRACKED_CHECKPOINTS):
+        if f is frame:
+            del _TRACKED_CHECKPOINTS[i]
+            break
+    return ok
+
+
+def release_local_checkpoints() -> int:
+    """Free every tracked checkpoint's blocks; returns how many frames
+    were released.  Same call site as :func:`release_operator_caches`
+    (stage boundary, AFTER the consuming action) but a harder contract:
+    released frames cannot be recomputed — callers must be done with
+    every result derived from them."""
+    n = 0
+    for f in list(_TRACKED_CHECKPOINTS):
+        try:
+            f._jdf.queryExecution().logical().rdd().unpersist(False)
+            n += 1
+        except Exception:
+            pass  # session stopped — nothing left to free
+    _TRACKED_CHECKPOINTS.clear()
+    return n
+
+
+def tracked_checkpoint_count() -> int:
+    """How many checkpoints are currently registered (test hook)."""
+    return len(_TRACKED_CHECKPOINTS)

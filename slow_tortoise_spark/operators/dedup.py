@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from slow_tortoise_spark.operators.cachectl import tracked_cache
+from slow_tortoise_spark.operators.cachectl import (
+    free_local_checkpoint,
+    tracked_cache,
+    tracked_local_checkpoint,
+)
 from slow_tortoise_spark.operators.text import fingerprint, tokens_col
 
 
@@ -924,14 +928,13 @@ def _star_components(
     Converges when the small-star output equals its input, at which point
     every edge is (node, component-min).
     """
-    edges = (
+    edges = tracked_local_checkpoint(
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
             F.least(F.col(id_a), F.col(id_b)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         # Large-star: for every node, connect its LARGER neighbors to the
@@ -952,20 +955,23 @@ def _star_components(
         # Small-star over the large-star output (edges directed big→small):
         # connect each node and its smaller neighbors to their min.
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small = tracked_local_checkpoint(
             large.join(mins2, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         changed = (
             small.unionByName(edges).distinct().count() - edges.count()
             if small.count() == edges.count()
             else 1
         )
+        # this round's eager checkpoint and the convergence counts were
+        # the last consumers of the previous round — free its blocks
+        # now, keeping live checkpoint storage O(1) in rounds
+        free_local_checkpoint(edges)
         edges = small
         if changed == 0:
             return edges.select(
@@ -1025,11 +1031,10 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = (
+    labels = tracked_local_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iters):
@@ -1043,7 +1048,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("_nl").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = tracked_local_checkpoint(
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 "id",
@@ -1051,7 +1056,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -1059,6 +1063,9 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the eager round checkpoint and the changed-count join were
+        # the last consumers of the previous labels — free them now
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             converged = True

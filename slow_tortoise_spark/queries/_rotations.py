@@ -165,3 +165,77 @@ for _name in _ROTATE_OUT_4:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Round-8 rotation (round-6/7 verdict item 1, two rounds overdue).  The
+# twenty verifier-tier queries the judge listed as never driver-hash-
+# checked rotate IN, alongside the new agg_snapshot_incremental (which
+# registers directly in queries/snapshot.py and brings the pre-rotation
+# catalog to 51).  Twenty-one multi-round-green catalog entries step
+# down to the verifier tier, each leaving sibling driver coverage for
+# its operator family:
+#
+#   out bigram_logprob     -> xcorpus_logprob + incoming kn_logprob (LM
+#                             scoring — kn is the freshest code)
+#   out blocklist_filter   -> incoming semi_join (filter-join family)
+#   out bloom_contamination-> bloom_join (Bloom family)
+#   out cms_token_counts   -> percentiles (approx/statistical aggs)
+#   out dedup_components   -> dedup_lines / dup_span_removal /
+#                             simhash_near_dups (dedup family keeps 5+
+#                             driver rows)
+#   out dsir_weights       -> xcorpus_logprob (cross-corpus weighting)
+#   out global_timeseries  -> weighted_timeseries (A4/A5 spatial-agg)
+#   out gopher_rules       -> incoming quality_score +
+#                             repetition_ratio (quality-rule family)
+#   out grouping_sets      -> regional_rollup (ROLLUP/sets family)
+#   out dup_ngram_stats    -> dup_span_removal + incoming
+#                             doc_fingerprints (n-gram stats family)
+#   out latest_orders      -> window_topn + snapshot_time_travel
+#                             (latest-wins family)
+#   out logreg_weights     -> kmeans_assign + incoming
+#                             embedding_gramian (linear-algebra family)
+#   out mad_outliers       -> incoming skew_report + percentiles
+#                             (robust-stats family)
+#   out negative_pairs     -> weighted_sample + incoming
+#                             stratified_sample / shuffle_rows /
+#                             hash_split (keyed-hash sampling family)
+#   out nfc_normalize      -> strip_html + incoming string_funcs
+#                             (string-scalar family)
+#   out psi_drift          -> incoming profile_table (distribution
+#                             stats family)
+#   out resample_ffill     -> resample_linear (gap-fill family)
+#   out bpe_encode         -> token_stats (tokenizer family)
+#   out tfidf_terms        -> token_stats (term-stats family)
+#   out sq_topk            -> ivf_topk (embedding top-k family)
+#   out stream_stream_join -> streaming_index_dedup (streaming tier)
+#
+# salted_agg/salted_join deliberately stay IN (the salt expression was
+# hardened this round — ANSI-safe pmod mix — and needs a green driver
+# row proving it), as do ppl_buckets-adjacent kn_logprob (rotating in)
+# and snapshot_time_travel.  Every query keeps its full-value DuckDB
+# oracle on whichever tier it sits; bench.py reads the merged dict, so
+# the measured set is rotation-invariant.
+_ROTATE_IN_8 = [
+    "ppl_buckets", "kn_logprob", "winnow_fp", "embedding_gramian",
+    "shuffle_rows", "stratified_sample", "edit_distance_verify",
+    "domain_counts", "quality_score", "repetition_ratio",
+    "doc_fingerprints", "hash_split", "profile_table", "skew_report",
+    "window_lag_lead", "semi_join", "set_ops", "unpivot_melt",
+    "string_funcs", "date_parts",
+]
+_ROTATE_OUT_8 = [
+    "bigram_logprob", "blocklist_filter", "bloom_contamination",
+    "cms_token_counts", "dedup_components", "dsir_weights",
+    "global_timeseries", "gopher_rules", "grouping_sets",
+    "dup_ngram_stats", "latest_orders", "logreg_weights",
+    "mad_outliers", "negative_pairs", "nfc_normalize", "psi_drift",
+    "resample_ffill", "bpe_encode", "tfidf_terms", "sq_topk",
+    "stream_stream_join",
+]
+for _name in _ROTATE_IN_8:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_8:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -84,3 +84,77 @@ QUERIES["snapshot_time_travel"] = q_snapshot_time_travel
 ORACLE_SQL["snapshot_time_travel"] = _Q_SNAPSHOT_TIME_TRAVEL
 
 
+
+
+# Incremental aggregate snapshot, driver-checked (round-7 verdict item
+# 6: the algebraic-state maintenance layer — streaming_agg_snapshot —
+# was only ever tested against itself).  Three micro-batch commits,
+# each a disjoint third of `orders`, run through the exact foreachBatch
+# merge the stream uses (_agg_merge_fn; the streaming wrapper adds only
+# the trigger), with one batch REPLAYED mid-sequence to exercise the
+# no-double-count contract.  The oracle is DuckDB's one-shot aggregate
+# over all of `orders` — a hash match proves three incremental
+# (previous snapshot + batch partial) merges plus a replay are
+# byte-equivalent to aggregating the whole table at once.  Sums run in
+# integer cents: float addition is order-sensitive, bigint addition is
+# exact in any merge order, so the equivalence is bit-level.
+# ---------------------------------------------------------------------------
+
+
+def q_agg_snapshot_incremental(spark, sf_dir):
+    """Stage three agg-snapshot commits (orders thirds by o_orderkey%3,
+    batch 1 replayed once after commit) under a fresh temp root, then
+    read the final snapshot: per-status lifetime totals in cents plus
+    the maintained _n row count.  localCheckpoint-ed so the temp root
+    can be removed before the driver evaluates the frame."""
+    import shutil
+    import tempfile
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        _agg_merge_fn,
+        read_snapshot,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="snap_agg_")
+    try:
+        merge = _agg_merge_fn(spark, root, ["o_orderstatus"], ["cents"])
+        for b in range(3):
+            merge(orders.filter(F.col("o_orderkey") % 3 == b), b)
+            if b == 1:
+                # committed replay — must no-op, not double-count
+                merge(orders.filter(F.col("o_orderkey") % 3 == 1), 1)
+        snap = read_snapshot(spark, root, live_only=False)
+        out = (
+            snap.select(
+                "o_orderstatus",
+                F.col("cents").alias("total_cents"),
+                F.col("_n").alias("n_orders"),
+            )
+            .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_Q_AGG_SNAPSHOT_INCREMENTAL = """
+  SELECT o_orderstatus,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS total_cents,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY o_orderstatus
+  ORDER BY o_orderstatus
+"""
+
+
+QUERIES["agg_snapshot_incremental"] = q_agg_snapshot_incremental
+ORACLE_SQL["agg_snapshot_incremental"] = _Q_AGG_SNAPSHOT_INCREMENTAL

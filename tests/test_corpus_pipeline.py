@@ -605,3 +605,55 @@ def test_ppl_filter_routes_degenerate_docs_to_tail(spark, tmp_path):
         ),
     )
     assert manifest2["after_ppl_filter"] == 8
+
+
+def test_pipeline_returns_storage_to_zero_including_checkpoints(
+    spark, tmp_path
+):
+    """Round-7 verdict item 7: a corpus-pipeline run used to leave
+    ~28 MB of localCheckpoint blocks behind (freed only when the JVM
+    GC'd the internal RDDs).  Stage-boundary checkpoints — including
+    every connected-components round — now go through
+    tracked_local_checkpoint, and the pipeline's exit release frees
+    them explicitly: total RDD storage returns to the pre-run level
+    immediately, the long-lived-driver contract."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+    from slow_tortoise_spark.operators.cachectl import (
+        release_local_checkpoints,
+        release_operator_caches,
+        tracked_checkpoint_count,
+    )
+
+    spark.catalog.clearCache()
+    release_operator_caches()
+    release_local_checkpoints()  # drop anything earlier tests left
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def storage_bytes():
+        return sum(i.memSize() + i.diskSize()
+                   for i in jsc.getRDDStorageInfo())
+
+    baseline = storage_bytes()
+    base = "the quick brown fox jumps over the lazy dog near the river "
+    rows = [(i, base + f"variant {i % 7}", f"s{i % 3}") for i in range(300)]
+    # a near-dup chain so minhash_cc actually runs the CC loop
+    rows += [(1000 + j, base * 3 + " tail" * j, "s0") for j in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    manifest = run_corpus_pipeline(
+        spark,
+        docs,
+        CorpusParams(
+            out_dir=str(tmp_path / "out"),
+            min_tokens=1,
+            dedup="minhash_cc",
+        ),
+    )
+    assert manifest["output_docs"] > 0
+    assert tracked_checkpoint_count() == 0  # pipeline released its own
+    assert storage_bytes() <= baseline
