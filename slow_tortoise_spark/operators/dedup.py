@@ -256,20 +256,59 @@ def _rescore_pairs(
 
 
 def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
-    docsets = _doc_shingle_sets(sh)
+    """Prefix-filter (PPJoin-style) candidate generation + exact rescore.
 
+    The prefix theorem holds for ANY consistent global token order, but
+    the ORDER DECIDES THE COST: each doc's prefix is its first
+    ⌊(1-t)·n⌋+1 tokens under the order, and candidates are every doc
+    pair sharing a prefix token — so prefixes must hold each doc's
+    RAREST shingles.  An earlier version sliced the lexicographically
+    sorted shingle array; common shingles (shared sentence openings,
+    boilerplate n-grams) then landed in prefixes and the candidate
+    self-join degenerated toward Σ df² over those hot shingles —
+    invisible at 5 k docs, a quadratic blow-up at 50 k (found by the
+    round-8 10× scale bench, where this query wedged for >10 min).
+    Ordering by ascending global document frequency (ties by shingle,
+    so the order is total and identical for every doc) restores the
+    published candidate bound.  The join also applies the PPJoin length
+    filter — J(A,B) ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|) — which
+    prunes cross-size candidates before the exchange.
+    """
+    sh = tracked_cache(sh)  # consumed by docsets, dfreq, and the join
+    docsets = _doc_shingle_sets(sh)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias(
+                "_oset"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("_oset.shingle").alias("_osh"),
+            F.size("_oset").alias("n_shingles"),
+        )
+    )
     prefix_len = (F.floor(F.lit(1 - threshold) * F.col("n_shingles")) + 1).cast(
         "int"
     )
-    prefix = docsets.select(
-        "doc_id", F.explode(F.slice("shset", 1, prefix_len)).alias("shingle")
+    prefix = ordered.select(
+        "doc_id",
+        F.col("n_shingles").alias("_n"),
+        F.explode(F.slice("_osh", F.lit(1), prefix_len)).alias("shingle"),
     )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a._n", "b._n")
+                >= F.lit(threshold) * F.greatest("a._n", "b._n")
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
