@@ -1624,14 +1624,20 @@ def remove_duplicate_spans(
     no windows and pass through unchanged (lowercased).
 
     Shape: windows are built IN-ROW (transform over a sequence — no
-    (doc, pos) shuffle to enumerate them); occurrence counts are a
-    partially-aggregated ``groupBy(w)`` — map-side combine collapses a
-    pathologically hot n-gram (a corpus-wide license header) inside
-    every map task, so no single reducer ever materializes a hot key's
-    row set (a ``Window.partitionBy(w)`` count was measured equal-speed
-    at sf0.1 but puts a hot key's ENTIRE partition in one task, and AQE
-    cannot split windows the way it skew-splits joins).  The duplicated
-    head (Zipf-small) joins back against a re-enumerated window frame —
+    (doc, pos) shuffle to enumerate them) and FINGERPRINTED IN-ROW to a
+    128-bit pair of salted ``xxhash64`` values over the token slice —
+    the window's ~80-byte text never enters an exchange (the round-8
+    500 k-doc soak measured the raw-string version shuffling ~10×
+    corpus bytes TWICE: count + join; hashed windows cut that to 16
+    bytes/window, and collision odds at 128 bits are ~1e-15 even at
+    10^12 windows).  Occurrence counts are a partially-aggregated
+    ``groupBy(h1, h2)`` — map-side combine collapses a pathologically
+    hot n-gram (a corpus-wide license header) inside every map task, so
+    no single reducer ever materializes a hot key's row set (a
+    ``Window.partitionBy`` count was measured equal-speed at sf0.1 but
+    puts a hot key's ENTIRE partition in one task, and AQE cannot split
+    windows the way it skew-splits joins).  The duplicated head
+    (Zipf-small) joins back against a re-enumerated window frame —
     re-running the map-only explode is deliberate: caching rows x
     windows at 100 TB costs more than recomputing a generate stage.
     Duplicated starts collapse per doc (collect_set, bounded by the
@@ -1656,16 +1662,22 @@ def remove_duplicate_spans(
                 starts_idx,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.array_join(F.slice("t", i, n), " ").alias("w"),
+                    F.xxhash64(F.slice("t", i, n)).alias("h1"),
+                    F.xxhash64(F.lit(1), F.slice("t", i, n)).alias("h2"),
                 ),
             )
         ).alias("pw"),
-    ).select("doc_id", F.col("pw.pos").alias("pos"), F.col("pw.w").alias("w"))
-    dup = win.groupBy("w").agg(F.count("*").alias("c")).where(
+    ).select(
+        "doc_id",
+        F.col("pw.pos").alias("pos"),
+        F.col("pw.h1").alias("h1"),
+        F.col("pw.h2").alias("h2"),
+    )
+    dup = win.groupBy("h1", "h2").agg(F.count("*").alias("c")).where(
         F.col("c") > 1
-    ).select("w")
+    ).select("h1", "h2")
     dup_starts = (
-        win.join(dup, "w")
+        win.join(dup, ["h1", "h2"])
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("ss"))
     )

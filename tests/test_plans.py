@@ -285,8 +285,12 @@ def test_dup_span_removal_jvm_side_skew_safe_count(spark, sf_dir):
     plan = _plan(remove_duplicate_spans(docs, n=10))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan  # the skew-unsafe shape is banned
+    # the exchange keys on the 128-bit IN-ROW window fingerprint (h1,
+    # h2) — the window's raw text must never be a shuffle key (round-8
+    # soak: string keys shuffled ~10x corpus bytes twice)
+    assert "Exchange hashpartitioning(w" not in plan
     # partial aggregate below the count exchange (map-side combine)
-    below = plan.split("Exchange hashpartitioning(w", 1)[1]
+    below = plan.split("Exchange hashpartitioning(h1", 1)[1]
     assert "HashAggregate" in below and "partial_count" in below
 
 

@@ -45,31 +45,49 @@ def main() -> int:
     from slow_tortoise_spark.sources.reader import read_table
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle partitions scale WITH the soak factor (then AQE coalesces
+    # what turns out small): at 100x, 32 partitions put ~1M exploded
+    # span/line rows in each task and the single-JVM heap OOMs at the
+    # gate checkpoint — exactly the partition-sizing rule SCALE.md
+    # prescribes for real clusters, applied to the soak harness.  The
+    # heap default also rises for this one-JVM 100x case (a cluster
+    # would spread the same partitions over many executors).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="soak_corpus", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=max(int(cpus), 2 * copies))
 
     base = read_table(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source"
     )
     n_base = base.count()
 
-    # N salted copies.  Each copy Caesar-shifts the text (translate is a
-    # cheap per-copy bijection), so copies are DISTINCT documents to the
-    # span/line dedup tiers — a first attempt that only prefixed a copy
-    # tag left every 10-gram duplicated 10×, span dedup removed ~all
-    # text, and the whole corpus gated out (a useful robustness find,
-    # now handled in run_corpus_pipeline, but an empty soak exercises
-    # nothing).  Within each copy the base corpus's own duplicate
+    # N salted copies.  Each copy substitutes the alphabet through its
+    # own SEEDED PERMUTATION (translate is a cheap per-copy bijection),
+    # so copies are DISTINCT documents to the span/line dedup tiers — a
+    # first attempt that only prefixed a copy tag left every 10-gram
+    # duplicated 10×, span dedup removed ~all text, and the whole
+    # corpus gated out (a useful robustness find, now handled in
+    # run_corpus_pipeline, but an empty soak exercises nothing).  A
+    # second attempt used Caesar shifts — only 26 distinct bijections,
+    # so the 100-copy soak made copies i and i+26 byte-IDENTICAL,
+    # line-dedup (shared-by-≥2) stripped every line of every doc, and
+    # the whole corpus again gated to zero (the pipeline handled it
+    # gracefully; the soak measured nothing downstream).  Seeded
+    # permutations give 26! distinct bijections — any copy count stays
+    # distinct.  Within each copy the base corpus's own duplicate
     # structure survives, so dedup tiers still do real work.
+    import random
+
     alpha = "abcdefghijklmnopqrstuvwxyz"
     parts = []
     for i in range(copies):
-        shift = i % 26
-        rot = alpha[shift:] + alpha[:shift]  # per-copy Caesar bijection
+        letters = list(alpha)
+        random.Random(i).shuffle(letters)
+        perm = "".join(letters)
         c = base.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            (F.translate(F.col("text"), alpha, rot)
-             if shift else F.col("text")).alias("text"),
+            (F.translate(F.col("text"), alpha, perm)
+             if i else F.col("text")).alias("text"),
             "source",
         )
         parts.append(c)
