@@ -169,12 +169,28 @@ def run_corpus_pipeline(
     """Run the gates over ``docs`` (doc_id, text, …); returns the stage
     manifest and writes the split corpus to ``out_dir``."""
     manifest: dict[str, Any] = {}
+    # Per-stage wall seconds (each manifest count is the ACTION that
+    # drives its stage, so inter-count elapsed ≈ stage cost): the
+    # observability that locates a scale cliff without a UI — the
+    # round-8 500k soak burned an hour finding one stuck stage by
+    # jstack before this existed.
+    import time as _time
+
+    _stage_t = {"last": _time.time()}
+    _stage_seconds: dict[str, float] = {}
+    manifest["stage_seconds"] = _stage_seconds
+
+    def _mark(key: str) -> None:
+        now = _time.time()
+        _stage_seconds[key] = round(now - _stage_t["last"], 1)
+        _stage_t["last"] = now
     # Frames this pipeline cache()s and therefore owns: unpersisted after
     # the final write so repeated runs in one driver don't accumulate
     # executor-memory pins (operator-INTERNAL caches are the operators'
     # documented short-lived frames — see SCALE.md "cache lifecycle").
     _owned_caches: list[DataFrame] = []
     manifest["input_docs"] = docs.count()
+    _mark("input")
 
     # --- optional Unicode canonicalization (before ANY hashing: the
     # dedup fingerprints, line hashes, and shingles downstream must see
@@ -192,6 +208,7 @@ def run_corpus_pipeline(
         )
         docs = filter_blocklisted_domains(docs, bl)
         manifest["after_blocklist"] = docs.count()
+        _mark("blocklist")
     if params.line_dedup_min_docs is not None:
         # Coalesce NULL text to '' first: posexplode(split(NULL)) emits no
         # row, so a null-text doc would produce no dedup_lines output and
@@ -205,6 +222,7 @@ def run_corpus_pipeline(
         manifest["boilerplate_lines_dropped"] = (
             cleaned.agg(F.sum("n_dropped")).first()[0] or 0
         )
+        _mark("line_dedup")
         docs = docs.drop("text").join(
             cleaned.select("doc_id", "text"), "doc_id"
         )
@@ -219,6 +237,7 @@ def run_corpus_pipeline(
         manifest["dup_span_tokens_removed"] = (
             spans.agg(F.sum("n_removed")).first()[0] or 0
         )
+        _mark("span_dedup")
         docs = docs.drop("text").join(
             spans.select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
@@ -286,6 +305,7 @@ def run_corpus_pipeline(
     # boundary, durable lineage cut.
     gated = tracked_local_checkpoint(gated)
     manifest["after_gates"] = gated.count()
+    _mark("gates")
 
     # --- dedup tiers ---------------------------------------------------
     deduped = gated
@@ -298,6 +318,7 @@ def run_corpus_pipeline(
         # The count doubles as the materialization action.
         deduped = cached_exact = drop_exact_duplicates(deduped).cache()
         manifest["after_exact_dedup"] = deduped.count()
+        _mark("exact_dedup")
     if params.dedup in ("minhash", "minhash_cc"):
         drops = _near_dup_drops(
             deduped.select("doc_id", "text"),
@@ -305,7 +326,16 @@ def run_corpus_pipeline(
             policy="components" if params.dedup == "minhash_cc" else "greedy",
         )
         deduped = deduped.join(drops, "doc_id", "left_anti")
+        # Checkpoint BEFORE the count (the materialization pays the
+        # near-dedup pass the count was going to pay anyway): LSH
+        # candidate generation + verification is the most expensive
+        # stage in the back half, and without a leaf here EVERY
+        # downstream action (decon/ppl/dsir manifest counts, their
+        # multi-subtree operator internals) re-executes it — measured
+        # O(stages²) re-execution that wedged the 500k soak (round 8).
+        deduped = tracked_local_checkpoint(deduped)
         manifest["after_near_dedup"] = deduped.count()
+        _mark("near_dedup")
 
     # --- optional benchmark decontamination (post-dedup: probe only
     # survivors; the Bloom side collapses the benchmark to <=1 MiB) ----
@@ -319,7 +349,10 @@ def run_corpus_pipeline(
             F.col("hit_ratio") > params.decontam_threshold
         ).select("doc_id")
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
+        # same checkpoint-then-count contract as near-dedup above
+        deduped = tracked_local_checkpoint(deduped)
         manifest["after_decontamination"] = deduped.count()
+        _mark("decontamination")
 
     # --- optional CCNet perplexity filtering (post-dedup: a duplicated
     # doc would otherwise vote its bigrams into the tile boundary
@@ -372,7 +405,10 @@ def run_corpus_pipeline(
                 kn.filter(F.col("n_bigrams") == 0).select("doc_id")
             )
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
+        # same checkpoint-then-count contract as near-dedup above
+        deduped = tracked_local_checkpoint(deduped)
         manifest["after_ppl_filter"] = deduped.count()
+        _mark("ppl_filter")
 
     # --- optional DSIR importance selection (post-dedup: selecting a
     # corpus that still contains duplicates over-weights their buckets;
@@ -404,6 +440,7 @@ def run_corpus_pipeline(
         keep_ids = w.filter(F.col("w_micro") >= cut).select("doc_id")
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         manifest["after_dsir"] = deduped.count()
+        _mark("dsir")
 
     # --- optional temperature mixing (post-dedup, pre-split: mixing a
     # corpus that still contains duplicates double-counts their mass) ---
@@ -421,6 +458,7 @@ def run_corpus_pipeline(
             weight_col=params.mix_weight_col,
         )
         manifest["after_mix"] = deduped.count()
+        _mark("mix")
 
     # --- deterministic splits + partitioned write ----------------------
     split = hash_split(
@@ -439,6 +477,7 @@ def run_corpus_pipeline(
               for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     manifest["splits"] = counts
     manifest["output_docs"] = sum(counts.values())
+    _mark("write_splits")
 
     import json
 
