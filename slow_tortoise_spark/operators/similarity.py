@@ -350,11 +350,12 @@ def lsh_near_duplicates(
 
 def semantic_dedup_pairs(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     threshold: float | None = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    target_cell_rows: int = 256,
 ) -> DataFrame:
     """Cluster-bucketed semantic near-dup pairs (SemDeDup-style, public
     method: Abbas et al. 2023, arXiv:2303.09540 — cluster embeddings,
@@ -377,7 +378,19 @@ def semantic_dedup_pairs(
     callers filtering on a rounded score, e.g. the SQL-parity query).
     ``n_cells=1`` degenerates to the exact all-pairs tier (pytest pins
     equality with :func:`embedding_near_duplicates`).
+
+    ``n_cells=None`` auto-scales the cell count to
+    ``ceil(n / target_cell_rows)`` (one count() scan).  A FIXED cell
+    count is quadratic in corpus growth — at 10× the vectors each cell
+    holds 10× the rows and Σ|cell|² pays 100× (measured: the sf0.1→sf1
+    probe scored 250k→25M candidate pairs at n_cells=8).  Auto-scaling
+    pins the expected cell size instead, so candidate cost grows
+    linearly (Σ|cell|² ≈ n · target_cell_rows) — the default to reach
+    for at 100 TB, where any hardcoded cell count is wrong.
     """
+    if n_cells is None:
+        n = df.count()
+        n_cells = max(1, -(-n // max(1, target_cell_rows)))
     indexed, _ = build_ivf_index(
         df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
         kmeans_iters=kmeans_iters,
@@ -406,11 +419,12 @@ def semantic_dedup_pairs(
 
 def semantic_dedup_drop(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    target_cell_rows: int = 256,
 ) -> DataFrame:
     """Rows surviving semantic dedup: drop a vector iff a LOWER-id
     vector in its cell is cosine-similar above ``threshold``.
@@ -423,7 +437,8 @@ def semantic_dedup_drop(
     ``drop_by_components`` — the pair frame is policy-agnostic.
     """
     pairs = semantic_dedup_pairs(
-        df, n_cells, threshold, id_col, vec_col, kmeans_iters
+        df, n_cells, threshold, id_col, vec_col, kmeans_iters,
+        target_cell_rows,
     )
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, id_col, "left_anti")

@@ -912,6 +912,35 @@ def test_semantic_dedup_drop_removes_planted_dups(spark, sf_dir):
     }
 
 
+def test_semantic_dedup_auto_cells_scale_with_corpus(spark, sf_dir):
+    """n_cells=None pins the expected CELL SIZE, not the cell count:
+    ceil(n / target_cell_rows) cells, so Σ|cell|² grows linearly with
+    the corpus instead of quadratically (the sf1 probe measured 100×
+    candidate growth at a fixed count).  Auto mode must equal the
+    explicit call with the same derived count."""
+    from slow_tortoise_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    derived = -(-n // 100)
+    assert derived > 1  # the fixture must actually exercise multi-cell
+    auto = {(r["id_a"], r["id_b"]) for r in semantic_dedup_pairs(
+        emb, n_cells=None, threshold=0.3, target_cell_rows=100).collect()}
+    explicit = {(r["id_a"], r["id_b"]) for r in semantic_dedup_pairs(
+        emb, n_cells=derived, threshold=0.3).collect()}
+    assert auto == explicit
+    # a 3× corpus at the same target_cell_rows derives 3× the cells
+    tripled = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    ).unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(2_000_000))
+    )
+    assert -(-tripled.count() // 100) == 3 * derived
+
+
 def test_semantic_dedup_join_is_equi_not_all_pairs(spark, sf_dir):
     """The candidate join must be a hash/merge equi-join on the cell id —
     never a nested-loop over all vector pairs."""
