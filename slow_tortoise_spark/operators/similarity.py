@@ -397,8 +397,27 @@ def semantic_dedup_pairs(
     )
     # cache(): same self-join double-execution hazard — the IVF cell
     # assignment (centroid argmax per vector) would otherwise run twice.
-    side = tracked_cache(indexed.select(id_col, "cell", vec_col))
-    a, b = side.alias("a"), side.alias("b")
+    # The double cast and the vector NORM are hoisted to the n-row side
+    # (they were previously re-evaluated per PAIR — Σ|cell|² times); the
+    # pair projection pays one interpreted-HOF dot instead of three
+    # array loops.  sqrt(Σv²) per vector then na·nb per pair is the
+    # same float-op sequence cosine_col emits, so rounded oracle
+    # parity is preserved bit-for-bit.
+    side = tracked_cache(
+        indexed.select(
+            id_col, "cell", F.col(vec_col).cast("array<double>").alias("_v")
+        ).withColumn("_n", norm_col(F.col("_v")))
+    )
+    # The pair output explodes Σ|cell|²/n-fold relative to its ~KB-sized
+    # input, so AQE's byte-based coalescing collapses the streamed side
+    # of the broadcast join to one task and the whole rescore runs on a
+    # single core (measured: 7.7 s serial at sf0.1).  An explicit
+    # numPartitions repartition (REPARTITION_BY_NUM is exempt from AQE
+    # coalescing) spreads the n-row stream — cheap at any scale — and
+    # the compute-heavy projection parallelizes with it.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = side.repartition(n_parts, F.col(id_col)).alias("a")
+    b = side.alias("b")
     pairs = a.join(
         b,
         (F.col("a.cell") == F.col("b.cell"))
@@ -407,10 +426,8 @@ def semantic_dedup_pairs(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.col("a.cell").alias("cell"),
-        cosine_col(
-            F.col(f"a.{vec_col}").cast("array<double>"),
-            F.col(f"b.{vec_col}").cast("array<double>"),
-        ).alias("cosine"),
+        (dot_col(F.col("a._v"), F.col("b._v"))
+         / (F.col("a._n") * F.col("b._n"))).alias("cosine"),
     )
     if threshold is None:
         return pairs
