@@ -329,18 +329,26 @@ def lsh_near_duplicates(
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # Cast + norm are hoisted to the n-row vector sides — the rescore
+    # projection previously re-ran both interpreted array loops per
+    # CANDIDATE.  sqrt(Σv²) per vector then na·nb per pair is the same
+    # float-op sequence cosine_col emits: rounded parity is unchanged.
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    ).withColumn("_na", norm_col(F.col("_va")))
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    ).withColumn("_nb", norm_col(F.col("_vb")))
     scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            cosine_col(
-                F.col("_va").cast("array<double>"),
-                F.col("_vb").cast("array<double>"),
-            ).alias("cosine"),
+            (dot_col(F.col("_va"), F.col("_vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("cosine"),
         )
     )
     if threshold is None:
@@ -472,15 +480,23 @@ def embedding_near_duplicates(
     At scale, bucket by IVF cell (or hyperplane-LSH signature) first and
     compare only within buckets.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Same hoist as the bucketed tiers: cast + norm on the n-row sides,
+    # one dot per pair — identical float-op sequence to cosine_col.
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    ).withColumn("_na", norm_col(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("_nb", norm_col(F.col("vb")))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            cosine_col(F.col("va").cast("array<double>"),
-                       F.col("vb").cast("array<double>")).alias("cosine"),
+            (dot_col(F.col("va"), F.col("vb"))
+             / (F.col("_na") * F.col("_nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
