@@ -1367,23 +1367,50 @@ def kn_bigram_logprob_under(
             ).alias("bg"),
         ).select("doc_id", "bg.prev", "bg.cur")
 
-    c2 = bigrams_of(reference).groupBy("prev", "cur").agg(
-        F.count("*").alias("c2")
+    # ONE reference scan builds every model quantity: the explode emits
+    # each doc's bigram structs PLUS a (token, NULL) marker per token,
+    # so the bigram-type counts and the unigram vocabulary fall out of
+    # the same map-side-combined aggregate (real bigrams always have a
+    # non-null cur, so NULL is a safe sentinel).  tracked_cache: the
+    # aggregate feeds four consumers (ctx, cont, two scalar counts, and
+    # the target join) — uncached, every one would re-tokenize the
+    # corpus.  The cache is bigram-type + vocab sized, not corpus sized.
+    from slow_tortoise_spark.operators.cachectl import tracked_cache
+
+    t_ref = tokens_col(F.lower(F.col(text_col)))
+    bi = F.when(
+        F.size(t_ref) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(t_ref)),
+            lambda i: F.struct(
+                F.element_at(t_ref, i - 1).alias("prev"),
+                F.element_at(t_ref, i).alias("cur"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<prev:string,cur:string>>")
     )
+    uni = F.transform(
+        t_ref,
+        lambda w: F.struct(
+            w.alias("prev"), F.lit(None).cast("string").alias("cur")
+        ),
+    )
+    all_counts = tracked_cache(
+        reference.select(F.explode(F.concat(bi, uni)).alias("bg"))
+        .select("bg.prev", "bg.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    c2 = all_counts.filter(F.col("cur").isNotNull())
     ctx = c2.groupBy("prev").agg(
         F.sum("c2").alias("c1"), F.count("*").alias("n1fwd")
     )
     cont = c2.groupBy("cur").agg(F.count("*").alias("n1back"))
-    nn = c2.agg(F.count("*").alias("nn")).first()["nn"] or 0
-    # vocabulary = distinct tokens of the reference (unigram vocab)
-    v = (
-        reference.select(
-            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
-        )
-        .agg(F.countDistinct("tok"))
-        .first()[0]
-        or 0
-    )
+    nn = c2.count() or 0
+    # vocabulary = distinct tokens of the reference (unigram vocab):
+    # the count of NULL-cur marker groups.
+    v = all_counts.filter(F.col("cur").isNull()).count() or 0
     pc_den = float(nn + v + 1)
 
     tb = bigrams_of(target)
