@@ -353,28 +353,58 @@ def verify_pairs_edit_distance(
 
     Shape: two equi-joins attach the pair texts (each a hash join on
     doc_id; only docs appearing in pairs are scanned twice), then the
-    native ``levenshtein`` expression scores JVM-side. Returns
-    (doc_a, doc_b, edit_distance, edit_ratio) for pairs at or under
-    ``max_ratio``.
+    native ``levenshtein`` expression scores JVM-side — once per pair
+    (referenced, not re-emitted, for the ratio), behind a length-gap
+    prune (``|len_a − len_b|`` lower-bounds the distance, so pairs that
+    cannot pass never pay the DP), and BANDED: the threshold argument
+    caps the DP at ``ceil(max_ratio·maxlen)+1``, O(k·len) instead of
+    O(len²).  The band is a safe overestimate of the keep cutoff, so
+    every pair that can pass gets its exact distance and the final
+    float ratio filter is unchanged — pairs the band abandons (−1)
+    were already above the cutoff.  Returns (doc_a, doc_b,
+    edit_distance, edit_ratio) for pairs at or under ``max_ratio``.
     """
     texts = df.select("doc_id", F.col(text_col).alias("_t"))
     a = texts.select(F.col("doc_id").alias("doc_a"), F.col("_t").alias("_ta"))
     b = texts.select(F.col("doc_id").alias("doc_b"), F.col("_t").alias("_tb"))
+    la, lb = F.length("_ta"), F.length("_tb")
+    maxlen = F.greatest(la, lb, F.lit(1))
+    r = float(max_ratio)
+    dist = F.expr(
+        f"levenshtein(_ta, _tb, cast(ceil({r!r} * "
+        "greatest(length(_ta), length(_tb), 1)) as int) + 1)"
+    )
+    # The explode(array(struct(...))) wrapper is a deliberate Generate
+    # barrier: a bare withColumn+filter gets pushed into the JOIN
+    # CONDITION by Catalyst, which re-evaluates the levenshtein once per
+    # filter reference (join conditions get no subexpression
+    # elimination — observed 3 evaluations per pair in the plan).
+    # Predicates cannot push through a generator's output, so the DP
+    # runs exactly once and the filters read the materialized value.
+    # Catalyst broadcasts the id-only pair list and streams the text
+    # sides — the right build choice at scale (candidate lists are small
+    # next to the corpus), so the DP stage inherits the corpus scan's
+    # partitioning.
     scored = (
         pairs.select("doc_a", "doc_b")
         .join(a, "doc_a")
         .join(b, "doc_b")
+        .filter(F.abs(la - lb) <= F.lit(r) * maxlen)
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("_ta", "_tb").alias("edit_distance"),
-            (
-                F.levenshtein("_ta", "_tb").cast("double")
-                / F.greatest(
-                    F.length("_ta"), F.length("_tb"), F.lit(1)
-                )
-            ).alias("edit_ratio"),
+            maxlen.alias("_ml"),
+            F.explode(F.array(F.struct(dist.alias("d")))).alias("_e"),
         )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_e.d").alias("edit_distance"),
+            (F.col("_e.d").cast("double") / F.col("_ml")).alias(
+                "edit_ratio"
+            ),
+        )
+        .filter(F.col("edit_distance") >= 0)
     )
     return scored.filter(F.col("edit_ratio") <= max_ratio)
 
