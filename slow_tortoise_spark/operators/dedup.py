@@ -240,16 +240,30 @@ def _rescore_pairs(
         F.col("shset").alias("_sb"),
         F.col("n_shingles").alias("_nb"),
     )
-    n_common = F.size(F.array_intersect("_sa", "_sb"))
-    denom = F.col("_na") + F.col("_nb") - n_common
+    # explode(array(struct(...))) is a Generate barrier (same device as
+    # verify_pairs_edit_distance): the threshold filter would otherwise
+    # be pushed into the join CONDITION, where the jaccard expression's
+    # three array_intersect references get no subexpression elimination
+    # — the linear-time set intersection is the whole rescore cost, so
+    # it must run exactly once per candidate.
+    n_common_once = F.explode(
+        F.array(
+            F.struct(
+                F.size(F.array_intersect("_sa", "_sb")).alias("nc")
+            )
+        )
+    )
+    nc = F.col("_e.nc")
+    denom = F.col("_na") + F.col("_nb") - nc
     # Guard the empty∩empty case (denominator 0 → NaN, and NaN >= t is
     # TRUE in Spark): unreachable via LSH candidates (shingle-less docs
     # emit no signatures) but verify_candidate_pairs is a public API that
     # accepts arbitrary explicit pairs, so score them 0.0 instead.
-    jaccard = F.when(denom > 0, n_common / denom).otherwise(F.lit(0.0))
+    jaccard = F.when(denom > 0, nc / denom).otherwise(F.lit(0.0))
     return (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
+        .select("doc_a", "doc_b", "_na", "_nb", n_common_once.alias("_e"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
