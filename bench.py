@@ -161,6 +161,11 @@ def main() -> None:
         }
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json")
+        if os.path.exists(out):  # keep the recorded scale section across
+            with open(out) as fh:  # sidecar refreshes
+                prev = json.load(fh)
+            if "scale" in prev:
+                sidecar["scale"] = prev["scale"]
         with open(out, "w") as fh:
             json.dump(sidecar, fh, indent=1)
         print(json.dumps({k: sidecar[k] for k in
