@@ -29,7 +29,11 @@ from slow_tortoise_spark.operators.cachectl import (
     tracked_cache,
     tracked_local_checkpoint,
 )
-from slow_tortoise_spark.operators.text import fingerprint, tokens_col
+from slow_tortoise_spark.operators.text import (
+    fan_out as _fan_out,
+    fingerprint,
+    tokens_col,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -51,19 +55,6 @@ def shingles_col(text: Column, n: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan across the cluster before CPU-heavy explodes.
-
-    Small single-row-group parquet files scan as one partition, which
-    would serialize the shingle/hash work onto one core; at real scale
-    inputs arrive as many files and this is a no-op.
-    """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(parallelism // 2, 2):
-        return df.repartition(parallelism)
-    return df
 
 
 def doc_shingles(

@@ -51,6 +51,21 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), _TOKEN_SPLIT), lambda t: t != "")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy explodes.
+
+    Small single-row-group parquet files scan as one partition, which
+    would serialize tokenize/explode/hash work onto one core (measured:
+    the whole bigram-LM scoring pass ran as a 1-task stage on the
+    single-file sf0.1 documents table); at real scale inputs arrive as
+    many files and this is a no-op.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(parallelism // 2, 2):
+        return df.repartition(parallelism)
+    return df
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens_col(text))
@@ -187,7 +202,9 @@ def unigram_logprob(
     ``round_to`` rounds the mean (engine-portable float parity for
     oracles); None keeps full precision.
     """
-    toks = df.select("doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"))
+    toks = fan_out(df.select("doc_id", text_col)).select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt")).first()[0]
     scored = toks.join(vocab, "tok").select(
@@ -218,7 +235,7 @@ def top_tfidf_terms(
     """
     import math
 
-    toks = df.select(
+    toks = fan_out(df.select("doc_id", text_col)).select(
         "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -390,7 +407,7 @@ def bpe_pair_counts(
 
     Returns (pair, cnt) — ``top_k`` rows.
     """
-    toks = df.select(
+    toks = fan_out(df.select(text_col)).select(
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
     )
     offs = F.when(
@@ -430,7 +447,7 @@ def bigram_logprob(
     idx = F.when(
         F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
     ).otherwise(F.array().cast("array<int>"))  # sequence(2,1) DESCENDS
-    big = df.select(
+    big = fan_out(df.select("doc_id", text_col)).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -548,7 +565,7 @@ def unigram_logprob_under(
     it (AQE broadcasts a fitting vocab), one per-doc average.  Docs with
     zero tokens keep row parity with zeros.
     """
-    ref_toks = reference.select(
+    ref_toks = fan_out(reference.select(text_col)).select(
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
     )
     vocab = ref_toks.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -557,7 +574,7 @@ def unigram_logprob_under(
     ).first()
     denom = float((stats["n"] or 0) + (stats["v"] or 0) + 1)
 
-    toks = target.select(
+    toks = fan_out(target.select("doc_id", text_col)).select(
         "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
     )
     scored = toks.join(vocab, "tok", "left").select(
@@ -678,7 +695,7 @@ def bpe_word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
     regex: Java and RE2 engines never enter the picture, so a DuckDB
     oracle replays merges exactly.
     """
-    toks = df.select(
+    toks = fan_out(df.select(text_col)).select(
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
     )
     return toks.groupBy("tok").agg(F.count("*").alias("wc")).select(
@@ -895,7 +912,7 @@ def dsir_bucket_logratios(
     spark = raw_df.sparkSession
 
     def bucket_counts(df: DataFrame):
-        toks = df.select(
+        toks = fan_out(df.select(text_col)).select(
             F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
         )
         b = (
@@ -970,7 +987,7 @@ def dsir_weights(
     lr = dsir_bucket_logratios(
         raw_df, target_df, text_col, buckets, alpha, salt
     )
-    toks = raw_df.select(
+    toks = fan_out(raw_df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
     )
@@ -1028,7 +1045,7 @@ def bpe_encode(
     tokens keep zeros.
     """
     merges = bpe_train(df, num_merges, text_col).collect()
-    toks = df.select(
+    toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
     )
@@ -1270,7 +1287,7 @@ def psi_drift(
     spark = df_a.sparkSession
 
     def bucket_counts(df: DataFrame):
-        toks = df.select(
+        toks = fan_out(df.select(text_col)).select(
             F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
         )
         b = (
@@ -1354,7 +1371,7 @@ def kn_bigram_logprob_under(
         idx = F.when(
             F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
         ).otherwise(F.array().cast("array<int>"))
-        return df.select(
+        return fan_out(df.select("doc_id", text_col)).select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -1397,7 +1414,8 @@ def kn_bigram_logprob_under(
         ),
     )
     all_counts = tracked_cache(
-        reference.select(F.explode(F.concat(bi, uni)).alias("bg"))
+        fan_out(reference.select(text_col))
+        .select(F.explode(F.concat(bi, uni)).alias("bg"))
         .select("bg.prev", "bg.cur")
         .groupBy("prev", "cur")
         .agg(F.count("*").alias("c2"))

@@ -371,7 +371,11 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # CORRECTNESS rows (broadcast exchanges count too: e.g.
         # cms_token_counts broadcasts one counter table per sketch row,
         # mad_outliers pairs two bounded percentile aggs with a join).
-        "bpe_encode": 5,
+        # +2 round-8: fan_out round-robins before the vocab and encode
+        # tokenize/explode passes (no-ops on multi-file real inputs;
+        # on the single-row-group test parquet they buy 32x scan
+        # parallelism for the CPU-heavy stages)
+        "bpe_encode": 7,
         "zorder_stats": 3,
         "latest_orders": 2,
         "cms_token_counts": 10,
