@@ -53,17 +53,23 @@ def cms_build(
     w = (
         F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     )
-    per_row = [
-        df.select(
-            F.lit(r).alias("row"),
-            _cms_bucket(key, r, width).alias("bucket"),
-            w.alias("w"),
-        )
-        for r in range(depth)
-    ]
-    stacked = per_row[0]
-    for p in per_row[1:]:
-        stacked = stacked.unionAll(p)
+    # One pass, in-row: each input row explodes into its depth (row,
+    # bucket) entries.  The former unionAll of depth per-row selects
+    # re-evaluated the input subtree depth times — when the key column
+    # rides on an upstream tokenize/explode, that multiplied the whole
+    # scan cost by depth.
+    stacked = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_bucket(key, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("e"),
+        w.alias("w"),
+    ).select("e.row", "e.bucket", "w")
     return stacked.groupBy("row", "bucket").agg(F.sum("w").alias("cnt"))
 
 

@@ -300,14 +300,17 @@ def q_cms_token_counts(spark, sf_dir):
     shuffle, probe each candidate with an integer MIN over its four
     counters (operators/sketch.py).  Deterministic salted-md5 buckets,
     so the oracle rebuilds the identical sketch."""
+    from slow_tortoise_spark.operators.cachectl import tracked_cache
     from slow_tortoise_spark.operators.sketch import cms_build, cms_estimate
-    from slow_tortoise_spark.operators.text import tokens_col
+    from slow_tortoise_spark.operators.text import fan_out, tokens_col
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = fan_out(docs.select("text")).select(
         F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
     )
-    cms = cms_build(toks, "tok", width=64, depth=4)
+    # cache the <=depth*width-row sketch: cms_estimate's per-row
+    # broadcast sides would otherwise each re-run the whole build scan
+    cms = tracked_cache(cms_build(toks, "tok", width=64, depth=4))
     cand = toks.distinct()
     return cms_estimate(cms, cand, "tok", width=64, depth=4).orderBy("tok")
 

@@ -378,7 +378,13 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "bpe_encode": 7,
         "zorder_stats": 3,
         "latest_orders": 2,
-        "cms_token_counts": 10,
+        # 15 TEXTUAL round-8: the build is now cached (<=d*w rows) so
+        # cms_estimate's four broadcast sides stop re-running the corpus
+        # scan — but explain() re-prints the cached build subtree (its
+        # fan_out + groupBy exchanges) under each InMemoryTableScan, so
+        # the text count rises while executed exchanges fall to 9
+        # (build 2, candidate fan_out+distinct 2, 4 broadcasts, sort 1)
+        "cms_token_counts": 15,
         "nfc_normalize": 1,
         "strip_html": 1,
         "psi_drift": 4,
