@@ -1560,7 +1560,7 @@ def dedup_lines(
     norm = F.lower(F.trim(F.col("line")))
     # cache(): feeds BOTH the document-frequency aggregate and the dup
     # join — uncached, the line explode would run twice.
-    lines = df.select(
+    lines = _fan_out(df.select("doc_id", text_col)).select(
         "doc_id",
         F.posexplode(
             F.split(F.col(text_col), _re.escape(sep))
