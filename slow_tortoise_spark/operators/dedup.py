@@ -41,20 +41,33 @@ from slow_tortoise_spark.operators.text import (
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of whitespace-normalized, lowercased text.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column.  ``toks`` must be an attribute reference (a projected
+    column), not an inline tokenizer expression: higher-order-function
+    lambdas are interpreted, so an expression captured from outside the
+    lambda re-evaluates per ELEMENT — an inline tokenizer would re-split
+    the text once per shingle (measured 4-6x on the n-gram passes).
 
     Docs with fewer than ``n`` tokens yield an empty array.  NB: the
     guard must be a ``when``, not ``greatest(count, 0)`` — Spark's
     ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``, not empty, which
     would feed ``slice`` a zero start and throw on short docs.
     """
-    toks = tokens_col(F.lower(text))
     count = F.size(toks) - F.lit(n - 1)
     idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of whitespace-normalized, lowercased text —
+    the single-expression form.  Prefer projecting ``tokens_col`` into
+    its own column and calling :func:`shingles_from_tokens` on the
+    attribute: used inline, the captured tokenizer re-runs per shingle
+    (see that function's docstring)."""
+    return shingles_from_tokens(tokens_col(F.lower(text)), n)
 
 
 def doc_shingles(
@@ -67,9 +80,12 @@ def doc_shingles(
     min over the set) — set semantics (Jaccard sizes/intersections) must
     keep the default.
     """
-    df = _fan_out(df.select("doc_id", text_col))
-    out = df.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    tokd = _fan_out(df.select("doc_id", text_col)).select(
+        "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_toks")
+    )
+    out = tokd.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
     )
     return out.distinct() if distinct else out
 

@@ -379,14 +379,24 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     over the in-row array — so the whole metric runs at scan throughput
     with NO shuffle at all.
     """
-    from slow_tortoise_spark.operators.dedup import shingles_col
+    from slow_tortoise_spark.operators.dedup import shingles_from_tokens
 
-    sh = shingles_col(F.col(text_col), n)
+    # token + shingle arrays land in their own projections so the
+    # in-lambda slice never re-tokenizes and the two size() consumers
+    # share one shingle build (lambda capture re-evaluates per element;
+    # see shingles_from_tokens)
+    sh = F.col("_sh")
     total = F.size(sh)
     distinct = F.size(F.array_distinct(sh))
-    return df.withColumn("n_shingles", total).withColumn(
-        "rep_ratio",
-        ((total - distinct).cast("double") / F.greatest(total, F.lit(1))),
+    return (
+        df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
+        .withColumn("_sh", shingles_from_tokens(F.col("_toks"), n))
+        .withColumn("n_shingles", total)
+        .withColumn(
+            "rep_ratio",
+            ((total - distinct).cast("double") / F.greatest(total, F.lit(1))),
+        )
+        .drop("_toks", "_sh")
     )
 
 
@@ -443,11 +453,19 @@ def bigram_logprob(
     fewer than 2 tokens surface with n_bigrams=0 and mean 0.0 (row
     parity with the LEFT join, per the repetition_ratio lesson).
     """
-    t = tokens_col(F.lower(F.col(text_col)))
+    # Materialize the token array in its own projection FIRST: a
+    # higher-order-function lambda is interpreted, so an expression
+    # captured from outside (here the split+filter tokenizer) re-runs
+    # per ELEMENT — per-row cost O(tokens x text length).  An attribute
+    # reference is O(1) per element (measured 4-6x on the bigram pass).
+    tokd = fan_out(df.select("doc_id", text_col)).select(
+        "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_t")
+    )
+    t = F.col("_t")
     idx = F.when(
         F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
     ).otherwise(F.array().cast("array<int>"))  # sequence(2,1) DESCENDS
-    big = fan_out(df.select("doc_id", text_col)).select(
+    big = tokd.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1367,11 +1385,16 @@ def kn_bigram_logprob_under(
     row parity with zeros.
     """
     def bigrams_of(df: DataFrame) -> DataFrame:
-        t = tokens_col(F.lower(F.col(text_col)))
+        # token array materialized first — lambda-captured expressions
+        # re-evaluate per element (see bigram_logprob)
+        tokd = fan_out(df.select("doc_id", text_col)).select(
+            "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_t")
+        )
+        t = F.col("_t")
         idx = F.when(
             F.size(t) >= 2, F.sequence(F.lit(2), F.size(t))
         ).otherwise(F.array().cast("array<int>"))
-        return fan_out(df.select("doc_id", text_col)).select(
+        return tokd.select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -1394,7 +1417,7 @@ def kn_bigram_logprob_under(
     # corpus.  The cache is bigram-type + vocab sized, not corpus sized.
     from slow_tortoise_spark.operators.cachectl import tracked_cache
 
-    t_ref = tokens_col(F.lower(F.col(text_col)))
+    t_ref = F.col("_t")  # materialized below — see bigrams_of
     bi = F.when(
         F.size(t_ref) >= 2,
         F.transform(
@@ -1415,6 +1438,7 @@ def kn_bigram_logprob_under(
     )
     all_counts = tracked_cache(
         fan_out(reference.select(text_col))
+        .select(tokens_col(F.lower(F.col(text_col))).alias("_t"))
         .select(F.explode(F.concat(bi, uni)).alias("bg"))
         .select("bg.prev", "bg.cur")
         .groupBy("prev", "cur")
