@@ -538,3 +538,41 @@ def test_ivf_partitioned_index_prunes_at_the_scan(spark, sf_dir, tmp_path):
     assert got[0] == 0
     exact = [r["vec_id"] for r in brute_force_topk(emb, query, k=5).collect()]
     assert len(set(got) & set(exact)) >= 3
+
+
+def test_text_tier_fans_out_narrow_scans(spark, sf_dir):
+    """The CPU-heavy tokenize/explode passes must spread a narrow
+    (single-row-group) scan across the cluster before the explode: the
+    plan carries a round-robin exchange on the test parquet (a no-op
+    guard on real multi-file inputs).  Round-8 find: without it the
+    whole bigram-LM pass ran as ONE task."""
+    from slow_tortoise_spark.operators.text import bigram_logprob
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    plan = _plan(bigram_logprob(docs))
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_hof_token_arrays_are_materialized(spark, sf_dir):
+    """HOF lambdas are interpreted with no subexpression elimination, so
+    a tokenizer captured from outside the lambda re-runs per ELEMENT
+    (per-row cost O(tokens x text length)).  The bigram and shingle
+    builders must index a PRE-PROJECTED token-array attribute instead:
+    the split() tokenizer may appear in the plan's projections but
+    never inside a LambdaFunction body."""
+    from slow_tortoise_spark.operators.dedup import doc_shingles
+    from slow_tortoise_spark.operators.text import bigram_logprob
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    # the bad shape indexes the INLINE tokenizer (filter(split(...)))
+    # per element; the good shape indexes a projected attribute, so the
+    # tokenizer only ever appears as a projection alias
+    for df in (bigram_logprob(docs), doc_shingles(docs)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for bad in ("element_at(filter(split(", "slice(filter(split("):
+            assert bad not in plan, (
+                "tokenizer captured inside an HOF lambda "
+                f"(re-evaluates per element): {bad}"
+            )
