@@ -254,13 +254,25 @@ def run_corpus_pipeline(
     if params.langs:
         keep = keep & F.col("lang_pred").isin(*params.langs)
     if params.gopher_gate:
-        # the Gopher bitmask is a pure Column — folds into this same
-        # projection+filter pass, zero additional scans
-        from slow_tortoise_spark.operators.text import gopher_mask_col
-
-        keep = keep & (
-            gopher_mask_col(F.coalesce(F.col("text"), F.lit(""))) == 0
+        # the Gopher bitmask folds into this same projection+filter
+        # pass (zero additional scans); its token array is projected
+        # first so the three HOF consumers inside the mask share one
+        # tokenizer evaluation (CodegenFallback gets no CSE)
+        from slow_tortoise_spark.operators.text import (
+            gopher_mask_from_tokens,
+            tokens_col,
         )
+
+        gtext = F.coalesce(F.col("text"), F.lit(""))
+        scored = (
+            scored.withColumn("_gop_toks", tokens_col(gtext))
+            .withColumn(
+                "_gmask",
+                gopher_mask_from_tokens(gtext, F.col("_gop_toks")),
+            )
+            .drop("_gop_toks")
+        )
+        keep = keep & (F.col("_gmask") == 0)
     if params.model_gate_weights is not None:
         # learned gate composes with the heuristics in the SAME scan:
         # the feature columns already sit on `scored` (projected away
@@ -287,6 +299,18 @@ def run_corpus_pipeline(
         keep = keep & (
             F.col("model_score") >= params.model_gate_threshold
         )
+    # Generate barrier before the filter: predicate pushdown
+    # substitutes projection aliases INTO the filter condition
+    # (replaceAlias), so without it every gate feature — tokenizer
+    # included — is re-derived a second time inside the interpreted
+    # predicate.  explode(array(struct(*))) pins each feature to ONE
+    # evaluation per row (the _rescore_pairs device); measured ~1.8x
+    # on the whole gate pass at 50k docs.
+    scored = scored.select(
+        F.explode(
+            F.array(F.struct(*[F.col(c) for c in scored.columns]))
+        ).alias("_r")
+    ).select("_r.*")
     gated = scored.filter(keep).select(
         *docs.columns, "n_tokens", "quality_score", "rep_ratio", "lang_pred"
     )

@@ -83,7 +83,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio, digit_ratio, upper_ratio, stopword_ratio, quality_score.
     """
     text = F.col(text_col)
-    toks = tokens_col(text)
+    # tokens materialized once per row: each HOF consumer (size, the
+    # stopword filter) is CodegenFallback and re-evaluates an inline
+    # tokenizer subtree on every use — an attribute costs one eval
+    toks = F.col("_qf_toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -95,7 +98,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(toks, _match_any(en, lower=True)))
 
     out = (
-        df.withColumn("n_chars_computed", n_chars)
+        df.withColumn("_qf_toks", tokens_col(text))
+        .withColumn("n_chars_computed", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("n_bpe_tokens", bpe_ish_token_count(text))
         .withColumn(
@@ -118,7 +122,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
         * (F.lit(1.0) - F.least(F.col("punct_ratio") * 2, F.lit(1.0)))
         * (F.lit(0.5) + F.least(F.col("stopword_ratio") * 2, F.lit(0.5))),
-    )
+    ).drop("_qf_toks")
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -128,8 +132,13 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     argmax wins, with 'und' (undetermined) when nothing hits. Ties break
     by language-code order for determinism.
     """
-    toks = tokens_col(F.lower(F.col(text_col)))
-    out = df
+    # lowered tokens materialized ONCE: the per-language stopword
+    # filters are CodegenFallback HOFs — inline, each language would
+    # re-run the whole tokenizer per row
+    toks = F.col("_lid_toks")
+    out = df.withColumn(
+        "_lid_toks", tokens_col(F.lower(F.col(text_col)))
+    )
     for lang, words in LANG_STOPWORDS.items():
         out = out.withColumn(
             f"hits_{lang}", F.size(F.filter(toks, _match_any(words)))
@@ -139,7 +148,9 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier langs win ties → apply last
         pred = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(pred)
-    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
+    return out.withColumn(
+        "lang_pred", F.when(best > 0, pred).otherwise(F.lit("und"))
+    ).drop("_lid_toks")
 
 
 def fingerprint(
@@ -1126,12 +1137,20 @@ def gopher_rules(
     Returns (id_col, n_words bigint, rule_mask bigint, passed int).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    mask = gopher_mask_col(text)
-    return df.select(
-        F.col(id_col),
-        F.size(tokens_col(text)).cast("bigint").alias("n_words"),
-        mask.alias("rule_mask"),
-        F.when(mask == 0, F.lit(1)).otherwise(F.lit(0)).alias("passed"),
+    return (
+        df.select(F.col(id_col), text.alias("_gop_text"))
+        .withColumn("_gop_toks", tokens_col(F.col("_gop_text")))
+        .select(
+            F.col(id_col),
+            F.size(F.col("_gop_toks")).cast("bigint").alias("n_words"),
+            gopher_mask_from_tokens(F.col("_gop_text"), F.col("_gop_toks"))
+            .alias("rule_mask"),
+        )
+        .withColumn(
+            "passed",
+            F.when(F.col("rule_mask") == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
     )
 
 
@@ -1139,8 +1158,18 @@ def gopher_mask_col(text: Column) -> Column:
     """The Gopher violation bitmask as a pure Column over a (non-null)
     text expression — composable into any existing scan (the corpus
     pipeline folds it into the one-pass gate projection, zero extra
-    shuffles)."""
-    toks = tokens_col(text)
+    shuffles).  NB: inlines the tokenizer into three HOF consumers —
+    when the caller can project the token array first, prefer
+    :func:`gopher_mask_from_tokens` (per-use re-evaluation, see
+    shingles_from_tokens)."""
+    return gopher_mask_from_tokens(text, tokens_col(text))
+
+
+def gopher_mask_from_tokens(text: Column, toks: Column) -> Column:
+    """The Gopher bitmask with the token array supplied as an (ideally
+    pre-projected attribute) column — the HOF consumers (sum_len's
+    aggregate, the alpha-word filter, the stopword transform) then cost
+    one token-array evaluation instead of three."""
     n = F.size(toks).cast("bigint")
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("bigint")),
