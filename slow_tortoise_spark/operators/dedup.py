@@ -1699,8 +1699,20 @@ def remove_duplicate_spans(
     Returns (doc_id, n_tokens, n_removed, clean_text).
     """
     toks = tokens_col(F.lower(F.col(text_col)))
-    base = _fan_out(df.select("doc_id", text_col)).select(
-        "doc_id", toks.alias("t")
+    # The tokenized frame feeds THREE subtrees (the window count, the
+    # dup join's re-enumeration, and the rebuild) and Spark never
+    # ReuseExchanges across a self-reference: uncached, each subtree
+    # re-runs the ENTIRE upstream plan — at the 500 k-doc soak, where
+    # the input is a 100-way union behind a blocklist filter and a
+    # line-dedup join, that tripled the stage (~300 s, ~200 s of it
+    # upstream re-execution).  The cache is tokens ≈ one corpus copy
+    # (MEMORY_AND_DISK, released via cachectl); the rows×windows frame
+    # stays deliberately UNCACHED — re-running that generate from the
+    # cached tokens is the part that beats materializing it.
+    base = tracked_cache(
+        _fan_out(df.select("doc_id", text_col)).select(
+            "doc_id", toks.alias("t")
+        )
     )
     n_win = F.size("t") - F.lit(n - 1)
     starts_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
@@ -1739,14 +1751,20 @@ def remove_duplicate_spans(
             ss, lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(n - 1))
         ),
     )
+    # rebuild from the cached base (same rows, already tokenized) —
+    # re-tokenizing from `df` here was a third full upstream pass; the
+    # O(tokens × dup-starts) filter lands in its own projection so the
+    # two consumers (size, concat_ws) share ONE evaluation
     return (
-        df.select("doc_id", toks.alias("t"))
-        .join(dup_starts, "doc_id", "left")
+        base.join(dup_starts, "doc_id", "left")
+        .withColumn("_kept", kept)
         .select(
             "doc_id",
             F.size("t").cast("long").alias("n_tokens"),
-            (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
-            F.concat_ws(" ", kept).alias("clean_text"),
+            (F.size("t") - F.size(F.col("_kept")))
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
         )
     )
 
