@@ -239,3 +239,22 @@ for _name in _ROTATE_OUT_8:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Round-8 late rotation: bucketed_merge_upsert (new this round — the
+# bucket-level merge-on-write layer's first independent-engine witness)
+# earns its driver hash row THIS round instead of waiting out a
+# rotation cycle.  strip_html steps down after two green driver rounds
+# (r6–r7); the string-scalar family keeps the string_funcs driver row
+# (rotated in above) with nfc_normalize oracle-green in the verifier
+# tier.  bench.py reads the merged dict, so the measured set is
+# unchanged.
+_ROTATE_IN_8L = ["bucketed_merge_upsert"]
+_ROTATE_OUT_8L = ["strip_html"]
+for _name in _ROTATE_IN_8L:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_8L:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
