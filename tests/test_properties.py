@@ -617,3 +617,64 @@ def test_weighted_sample_matches_python_reference_property(
         )[:n]
     )
     assert got == ref
+
+
+_bkt_batches = st.lists(  # batches of (key, payload, deleted)
+    st.lists(
+        st.tuples(
+            st.integers(0, 12),  # small key space → bucket collisions
+            st.integers(-100, 100),
+            st.booleans(),
+        ),
+        min_size=0, max_size=8,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(batches=_bkt_batches, replay=st.integers(0, 3))
+@settings(max_examples=5, deadline=None)
+def test_bucketed_merge_matches_dict_replay(spark_session, batches, replay):
+    """Bucket-level merge-on-write == a Python dict replay: any batch
+    sequence (random keys/payloads/tombstones, versions globally unique
+    by construction so resolution is total), with one batch REPLAYED
+    after commit, must produce the same live view as last-version-wins
+    over the once-applied stream — tombstones retained for resolution,
+    hidden from the live read."""
+    import shutil
+    import tempfile
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        _bucketed_merge_fn,
+        read_bucketed_snapshot,
+    )
+
+    spark = spark_session
+    root = tempfile.mkdtemp(prefix="prop_bkt_")
+    try:
+        merge = _bucketed_merge_fn(spark, root, ["k"], ["ver"], 4, "deleted")
+        state: dict[int, tuple[int, int, bool]] = {}
+        ver = 0
+        for bid, rows in enumerate(batches):
+            data = []
+            for (k, payload, deleted) in rows:
+                ver += 1
+                data.append((k, ver, payload, deleted))
+                state[k] = (ver, payload, deleted)
+            df = spark.createDataFrame(
+                data, "k int, ver int, payload int, deleted boolean"
+            )
+            merge(df, bid)
+            if bid == replay:
+                merge(df, bid)  # committed replay — must no-op
+        snap = read_bucketed_snapshot(spark, root, live_only=True)
+        got = (
+            {r["k"]: (r["ver"], r["payload"]) for r in snap.collect()}
+            if snap is not None else {}
+        )
+        want = {
+            k: (v, p) for k, (v, p, deleted) in state.items() if not deleted
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
