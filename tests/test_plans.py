@@ -576,3 +576,25 @@ def test_hof_token_arrays_are_materialized(spark, sf_dir):
                 "tokenizer captured inside an HOF lambda "
                 f"(re-evaluates per element): {bad}"
             )
+
+
+def test_blanket_plan_audit_is_clean():
+    """Repo-wide sweep: EVERY catalog + verifier query plan must be free
+    of CartesianProduct, row-at-a-time Python, and undocumented Arrow
+    Python stages (tools/plan_audit.py; the per-query pins above catch
+    known shapes — this catches a NEW query regressing the blanket
+    guarantees)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "plan_audit.py")],
+        capture_output=True, text=True, timeout=900, cwd=root,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    audit = json.loads(line)
+    assert audit["queries"] >= 100  # both tiers actually enumerated
+    assert audit["flagged"] == {}, audit["flagged"]
