@@ -464,13 +464,22 @@ def bigram_logprob(
     fewer than 2 tokens surface with n_bigrams=0 and mean 0.0 (row
     parity with the LEFT join, per the repetition_ratio lesson).
     """
+    from slow_tortoise_spark.operators.cachectl import tracked_cache
+
     # Materialize the token array in its own projection FIRST: a
     # higher-order-function lambda is interpreted, so an expression
     # captured from outside (here the split+filter tokenizer) re-runs
     # per ELEMENT — per-row cost O(tokens x text length).  An attribute
     # reference is O(1) per element (measured 4-6x on the bigram pass).
-    tokd = fan_out(df.select("doc_id", text_col)).select(
-        "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_t")
+    # tracked_cache: the bigram stream feeds the count aggregate AND
+    # the scoring join — uncached, both subtrees re-tokenize the corpus
+    # (Spark never reuses exchanges across a self-reference); the cache
+    # is tokens ≈ one corpus copy, the exploded bigram stream itself
+    # stays deliberately uncached.
+    tokd = tracked_cache(
+        fan_out(df.select("doc_id", text_col)).select(
+            "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_t")
+        )
     )
     t = F.col("_t")
     idx = F.when(
