@@ -213,8 +213,17 @@ def unigram_logprob(
     ``round_to`` rounds the mean (engine-portable float parity for
     oracles); None keeps full precision.
     """
-    toks = fan_out(df.select("doc_id", text_col)).select(
-        "doc_id", F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+    from slow_tortoise_spark.operators.cachectl import tracked_cache
+
+    # tracked_cache: the token stream feeds the vocab aggregate (paid
+    # immediately by the total-count collect below), the scoring join's
+    # stream side, AND the vocab's re-derivation inside that join —
+    # uncached, the corpus would tokenize three times
+    toks = tracked_cache(
+        fan_out(df.select("doc_id", text_col)).select(
+            "doc_id",
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+        )
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt")).first()[0]
@@ -603,10 +612,17 @@ def unigram_logprob_under(
     it (AQE broadcasts a fitting vocab), one per-doc average.  Docs with
     zero tokens keep row parity with zeros.
     """
+    from slow_tortoise_spark.operators.cachectl import tracked_cache
+
     ref_toks = fan_out(reference.select(text_col)).select(
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
     )
-    vocab = ref_toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # tracked_cache the VOCAB-sized aggregate (not the token stream):
+    # the N/V collect below materializes it once; without the cache the
+    # scoring join would re-tokenize the whole reference to rebuild it
+    vocab = tracked_cache(
+        ref_toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    )
     stats = vocab.agg(
         F.sum("cnt").alias("n"), F.count("*").alias("v")
     ).first()
