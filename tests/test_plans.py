@@ -350,6 +350,18 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
     justify itself.  Budgets are the audited counts, not aspirations —
     lower is fine, higher is a review flag."""
     from slow_tortoise_spark import queries as Q
+    from slow_tortoise_spark.operators.cachectl import (
+        release_operator_caches,
+    )
+
+    # Deterministic baseline: frames cached by EARLIER tests substitute
+    # into these plans via CacheManager logical-plan matching, and
+    # explain() re-prints each cached subtree (its exchanges included)
+    # under every InMemoryTableScan — inflating the TEXTUAL count for
+    # reasons that are actually runtime wins.  Audit against a clean
+    # cache state, as the driver's fresh session would.
+    release_operator_caches()
+    spark.catalog.clearCache()
 
     budgets = {
         "pricing_summary": 2,
