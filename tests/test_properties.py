@@ -678,3 +678,77 @@ def test_bucketed_merge_matches_dict_replay(spark_session, batches, replay):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Banded Levenshtein: the band is a safe overestimate of the keep cutoff
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    """Reference edit distance — full O(len²) DP, no banding."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_edit_ops = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 59),
+              st.sampled_from("abcde ")),
+    max_size=18,
+)
+
+
+@given(
+    base=st.text(alphabet="abcde ", min_size=0, max_size=60),
+    ops=_edit_ops,
+    ratio=st.sampled_from([0.1, 0.2, 0.3]),
+)
+@settings(max_examples=10, deadline=None)
+def test_banded_edit_distance_matches_python_dp(
+    spark_session, base, ops, ratio
+):
+    """verify_pairs_edit_distance must agree with an UNBANDED Python DP
+    at and around the ratio cutoff: a pair survives iff its exact
+    distance ratio is ≤ max_ratio, and every surviving pair carries the
+    EXACT distance — i.e. the banded JVM DP (cap ceil(r·maxlen)+1) and
+    the length-gap prune never abandon a pair that could pass, on
+    arbitrary edit scripts whose true distance straddles the band."""
+    from slow_tortoise_spark.operators.dedup import verify_pairs_edit_distance
+
+    other = base
+    for op, pos, ch in ops:
+        if not other and op != 1:
+            continue
+        p = pos % max(len(other), 1)
+        if op == 0:      # substitute
+            other = other[:p] + ch + other[p + 1:]
+        elif op == 1:    # insert
+            p = pos % (len(other) + 1)
+            other = other[:p] + ch + other[p:]
+        else:            # delete
+            other = other[:p] + other[p + 1:]
+
+    dist = _lev(base, other)
+    maxlen = max(len(base), len(other), 1)
+
+    docs = spark_session.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    pairs = spark_session.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long"
+    )
+    got = verify_pairs_edit_distance(docs, pairs,
+                                     max_ratio=ratio).collect()
+    if dist / maxlen <= ratio:
+        assert len(got) == 1
+        assert got[0]["edit_distance"] == dist
+        assert got[0]["edit_ratio"] == dist / maxlen
+    else:
+        assert got == []
