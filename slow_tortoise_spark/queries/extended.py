@@ -49,48 +49,89 @@ _Q_CUBE_AGG = f"""
 """
 
 
-def _stream_events(spark, sf_dir):
-    """Encoding-aware streaming source for the ``events`` table.
+def _events_ts_encoding(events_path: str) -> str:
+    """How ``ts`` is stored, from one footer probe (directories probe
+    their first part file): ``"nanos"`` = INT64 TIMESTAMP(NANOS) (needs
+    the nanosAsLong flag + DIV re-typing), ``"int96"`` = legacy INT96
+    (Spark's default ``outputTimestampType`` — decodes as TimestampType
+    directly, and is what OUR OWN re-staged copies of the table carry),
+    ``"micros_ntz"`` = INT64 micro-precision NTZ (the driver
+    generator's other historical encoding)."""
+    from slow_tortoise_spark.sources.reader import (
+        _nanos_timestamp_columns,
+        _probe_parquet_file,
+    )
 
-    The test generator has emitted ``ts`` both as parquet TIMESTAMP(NANOS)
-    and as plain micro-precision NTZ across rounds.  Probe the footer once
-    on the driver (the same probe the batch reader uses,
-    ``sources/reader.py``) and pick the decode, so ``event_time`` carries
-    identical values under either encoding.  The file stream source wants
-    a directory: scope the ``sf_dir`` scan to the single events file with
-    ``pathGlobFilter`` — no symlinks, no filesystem side-effects.
+    if "ts" in _nanos_timestamp_columns(events_path):
+        return "nanos"
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = pq.read_schema(_probe_parquet_file(events_path)).field("ts")
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            return "int96"
+    except Exception:
+        pass
+    return "micros_ntz"
+
+
+def _stream_events(spark, sf_dir):
+    """Encoding- and layout-aware streaming source for the ``events``
+    table.
+
+    The test generator has emitted ``ts`` both as parquet
+    TIMESTAMP(NANOS) and as plain micro-precision NTZ across rounds,
+    and any re-staged copy (cluster writers, the layout sweep) arrives
+    as a DIRECTORY of INT96 part files.  Probe the footer once on the
+    driver (the same probe the batch reader uses,
+    ``sources/reader.py``) and pick the decode, so ``event_time``
+    carries identical values under every encoding.  Layout: a
+    directory streams directly; the single-file testdata layout scopes
+    the ``sf_dir`` scan with ``pathGlobFilter`` (the file stream
+    source wants a directory) — no symlinks, no filesystem
+    side-effects.
     """
+    import os
+
     from pyspark.sql import types as T
 
-    from slow_tortoise_spark.sources.reader import _nanos_timestamp_columns
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    nanos = "ts" in _nanos_timestamp_columns(f"{sf_dir}/events.parquet")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    enc = _events_ts_encoding(events_path)
+    ts_type = {
+        "nanos": T.LongType(),
+        "int96": T.TimestampType(),
+        "micros_ntz": T.TimestampNTZType(),
+    }[enc]
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField(
-                "ts", T.LongType() if nanos else T.TimestampNTZType()
-            ),
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
             T.StructField("props", T.StringType()),
         ]
     )
-    if nanos:
+    if enc == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         event_time = F.timestamp_micros(F.expr("ts DIV 1000"))
+    elif enc == "int96":
+        # Already TimestampType micros under the UTC session pin.
+        event_time = F.col("ts")
     else:
         # Session tz is UTC above, so NTZ → TimestampType is value-identity
         # on the underlying micros (matches read_table's normalization).
         event_time = F.col("ts").cast("timestamp")
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("event_time", event_time)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(events_path):
+        src = reader.parquet(events_path)
+    else:
+        src = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
+    return src.withColumn("event_time", event_time)
 
 
 def q_streaming_window_counts(spark, sf_dir):

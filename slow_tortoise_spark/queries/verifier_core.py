@@ -305,13 +305,20 @@ def q_streaming_index_dedup(spark, sf_dir):
         T.StructField("source", T.StringType()),
         T.StructField("n_chars", T.LongType()),
     ])
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter("doc_id % 5 = 0")
-        .select("doc_id", "text")
-    )
+    # Layout-aware source: a re-staged documents table is a DIRECTORY
+    # of part files (cluster-writer layout) and streams directly; the
+    # single-file testdata layout needs the pathGlobFilter scoping.
+    import os as _os
+
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+    reader = spark.readStream.schema(schema)
+    if _os.path.isdir(docs_path):
+        reader = reader.parquet(docs_path)
+    else:
+        reader = reader.option(
+            "pathGlobFilter", "documents.parquet"
+        ).parquet(sf_dir)
+    sdf = reader.filter("doc_id % 5 = 0").select("doc_id", "text")
     out = run_to_memory(
         streaming_index_dedup(sdf, index), f"sid_{tag}", spark
     )

@@ -110,17 +110,47 @@ STAR_TABLES = (
 )
 
 
+def _probe_parquet_file(path: str) -> str:
+    """A footer-probe-able part file: ``path`` itself, or — for a
+    multi-file parquet DIRECTORY (the layout every cluster writer
+    produces) — its first ``*.parquet`` part.  All parts of one table
+    share a schema, so one footer speaks for the directory."""
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                return os.path.join(path, name)
+    return path
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only inspection)."""
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only inspection).
+
+    NANOS means the INT64 logical type — the encoding
+    ``spark.sql.legacy.parquet.nanosAsLong`` applies to.  Arrow ALSO
+    reports legacy INT96 timestamps (Spark's default
+    ``outputTimestampType``) as ``timestamp[ns]``, but those decode as
+    plain TimestampType regardless of the flag, so the physical type
+    must gate the answer — classifying INT96 as "nanos" would send the
+    caller down the long+DIV re-typing path against a timestamp column.
+    Directories are probed via their first part file.
+    """
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa
 
-        schema = pq.read_schema(path)
+        probe = _probe_parquet_file(path)
+        schema = pq.read_schema(probe)
+        pq_schema = pq.ParquetFile(probe).schema
+        int64_cols = {
+            pq_schema.column(i).name
+            for i in range(len(pq_schema))
+            if pq_schema.column(i).physical_type == "INT64"
+        }
         return [
             f.name
             for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            and f.name in int64_cols
         ]
     except Exception:
         return []
