@@ -953,3 +953,51 @@ def test_streaming_ivf_append_replay_inside_crash_window(spark, tmp_path):
     # and the manifest now records the commit, so a second replay no-ops
     merge(b0, 0)
     assert read_ivf_index(spark, path)[0].count() == 34
+
+
+def test_streaming_sources_read_directory_layout(spark, sf_dir, tmp_path):
+    """Layout invariance for the streaming sources (the layout-sweep
+    find): a table re-staged as a multi-file parquet DIRECTORY — the
+    layout every cluster writer produces — must stream the same rows
+    as the single-file testdata layout.  The original pathGlobFilter
+    scoping matched FILENAMES only, so a directory-layout table
+    streamed EMPTY (zero part files matched) while staying green on
+    testdata.  Also pins the footer-probe branches: the re-staged
+    copy is legacy INT96 (arrow reports timestamp[ns]), which must
+    NOT be classified as int64-nanos."""
+    from slow_tortoise_spark.queries.extended import _events_ts_encoding
+    from slow_tortoise_spark.queries.verifier_base import (
+        q_stream_stream_join,
+    )
+    from slow_tortoise_spark.queries.verifier_core import (
+        q_streaming_index_dedup,
+    )
+    from slow_tortoise_spark.sources.reader import (
+        _nanos_timestamp_columns,
+        read_table,
+    )
+
+    staged = str(tmp_path / "staged")
+    for t in ("events", "documents"):
+        (
+            read_table(spark, f"{sf_dir}/{t}.parquet")
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(f"{staged}/{t}.parquet")
+        )
+
+    # INT96 probe: re-staged ts is INT96 (timestamp[ns] to arrow) and
+    # must be detected as such, not as the nanosAsLong int64 encoding
+    assert _events_ts_encoding(f"{staged}/events.parquet") == "int96"
+    assert _nanos_timestamp_columns(f"{staged}/events.parquet") == []
+
+    def rows(fn, d):
+        return sorted(tuple(r) for r in fn(spark, d).collect())
+
+    base = rows(q_stream_stream_join, sf_dir)
+    assert rows(q_stream_stream_join, staged) == base
+    assert len(base) > 0  # the guard that makes the equality meaningful
+
+    base = rows(q_streaming_index_dedup, sf_dir)
+    assert rows(q_streaming_index_dedup, staged) == base
+    assert len(base) > 0
