@@ -3206,3 +3206,56 @@ def test_gif_interlaced_and_extension_blocks():
         feats = list(extract_image_features(df).collect()[0]["features"])
         assert feats != _decode_image_stub(gif)["features"]
         assert abs(sum(feats) - 1.0) < 1e-6
+
+
+def test_sampling_family_is_partitioning_invariant(spark, sf_dir):
+    """Every keyed-hash sampling/splitting operator promises results
+    independent of cluster layout — the property that makes training
+    pipelines reproducible across re-runs and re-partitions.  Pin it:
+    the same corpus fed as-read vs. repartition(7) (row→partition
+    assignment scrambled) and under a different shuffle-partition
+    count must produce IDENTICAL rows from hash_split,
+    stratified_sample, shuffle_rows (full total order), weighted_sample,
+    negative_pairs, and temperature_mix."""
+    from slow_tortoise_spark.operators.dedup import (
+        hash_split,
+        negative_pairs,
+        shuffle_rows,
+        stratified_sample,
+        temperature_mix,
+        weighted_sample,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+
+    def outputs(d):
+        return [
+            sorted((r["doc_id"], r["split"])
+                   for r in hash_split(d).collect()),
+            sorted(r["doc_id"] for r in stratified_sample(
+                d, "source", {"web": 0.25}, default_fraction=0.5
+            ).collect()),
+            sorted((r["doc_id"], r["bucket"], r["bucket_rank"])
+                   for r in shuffle_rows(d).collect()),
+            sorted(r["doc_id"] for r in weighted_sample(
+                d, 50, "n_chars"
+            ).collect()),
+            sorted((r["doc_id"], r["neg_id"])
+                   for r in negative_pairs(d, k=2).collect()),
+            sorted(r["doc_id"] for r in temperature_mix(
+                d, "source", budget=500, alpha=0.5
+            ).collect()),
+        ]
+
+    base = outputs(docs)
+    assert all(len(o) > 0 for o in base)
+    assert outputs(docs.repartition(7)) == base
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert outputs(docs.repartition(11)) == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
