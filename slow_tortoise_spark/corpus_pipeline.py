@@ -209,6 +209,22 @@ def run_corpus_pipeline(
         docs = filter_blocklisted_domains(docs, bl)
         manifest["after_blocklist"] = docs.count()
         _mark("blocklist")
+    if (params.line_dedup_min_docs is not None
+            or params.span_dedup_ngram is not None):
+        # TRUNCATE LINEAGE at the pre-gate boundary.  Each pre-gate
+        # stage joins its output back on doc_id, so the input plan
+        # appears TWICE in the next stage's tree — after k such stages
+        # a staging union of N sources appears N·2^k times.  The gate
+        # checkpoint below cuts everything DOWNSTREAM of it, but the
+        # line/span stat counts and joins run UPSTREAM, on the raw
+        # multiplied tree: at the 1M-doc soak (200-source union) the
+        # driver OOM'd merely STRINGIFYING that plan for the span
+        # count's execution event (generateTreeString, 8g heap) — the
+        # same failure class the gate boundary already guards.  One
+        # cut here makes every pre-gate stage start from a leaf.
+        # (On a cluster needing executor-loss durability: write/read
+        # parquet instead — same boundary, durable lineage cut.)
+        docs = tracked_local_checkpoint(docs)
     if params.line_dedup_min_docs is not None:
         # Coalesce NULL text to '' first: posexplode(split(NULL)) emits no
         # row, so a null-text doc would produce no dedup_lines output and

@@ -55,6 +55,17 @@ def get_spark(
         # by default; read them as long (ns) and re-type at the source layer.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Plan strings are diagnostics, but Spark builds one for EVERY
+        # action (SparkListenerSQLExecutionStart carries the full
+        # explain string even with the UI off).  The default cap is
+        # ~Int.MaxValue, so a deep plan — a 200-way staging union
+        # multiplied through self-referencing stages — can OOM the
+        # driver inside generateTreeString before a single task runs
+        # (observed: 1M-doc soak, 8g heap).  16 MB keeps every sane
+        # plan readable and bounds the pathological ones; lineage
+        # truncation at stage boundaries remains the real fix, this is
+        # the engine-wide safety net.
+        .config("spark.sql.maxPlanStringLength", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if master:

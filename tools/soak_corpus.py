@@ -163,6 +163,7 @@ def main() -> int:
         "output_docs": manifest.get("output_docs"),
         "stage_counts": {k: v for k, v in manifest.items()
                          if isinstance(v, (int, float))},
+        "stage_seconds": manifest.get("stage_seconds", {}),
     }
     print(json.dumps(summary))
     return 0
