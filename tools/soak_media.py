@@ -122,9 +122,16 @@ def main() -> int:
                 {"media_id": pdf["id"].astype("int64"), "content": out}
             )
 
+    # Partition count scales with blob count (the corpus-soak sizing
+    # rule): a fixed cpus-wide layout puts n/cpus blobs in ONE task's
+    # Arrow batches — at 200k blobs that is ~6 k blobs × (bytes +
+    # decode buffers) per task, × cpus concurrent tasks in local
+    # mode's single shared heap.  ~1.5 k blobs per task keeps every
+    # batch a few MB; real multi-file inputs arrive pre-split anyway.
+    parts = max(cpus, n_media // 1500)
     media = (
         spark.range(n_media)
-        .repartition(cpus)
+        .repartition(parts)
         .mapInPandas(gen, schema="media_id long, content binary")
         .withColumn("path", F.concat(F.lit("mem://bmp/"),
                                      F.col("media_id").cast("string")))
