@@ -23,7 +23,8 @@ Every query's result is reduced to the same canonical form the oracle
 harness hashes (column-name-sorted, stringified, row-sorted multiset)
 and compared to baseline.  A mismatch names the query and the config.
 
-Usage: python tools/config_sweep.py [sf_dir]
+Usage: python tools/config_sweep.py [sf_dir] [query ...]
+(no query names = the whole catalog)
 Prints one JSON line: {"queries": N, "configs": [...], "failed": {...},
 "mismatched": {...}} — both maps empty is a clean sweep.  Exit 1 else.
 """
@@ -72,7 +73,10 @@ def _canon_hash(df) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else \
+        "/root/testdata/sf0.001"
+    only = set(args)
 
     from slow_tortoise_spark.operators.cachectl import (
         release_local_checkpoints,
@@ -85,6 +89,8 @@ def main() -> int:
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     cat = {**VERIFIER_QUERIES, **QUERIES}
+    if only:
+        cat = {k: v for k, v in cat.items() if k in only}
 
     hashes: dict[str, dict[str, str]] = {}
     failed: dict[str, str] = {}
