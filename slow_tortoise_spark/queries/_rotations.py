@@ -258,3 +258,47 @@ for _name in _ROTATE_OUT_8L:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Round-9 rotation (round-8 verdict item 1).  The eight queries the judge
+# cross-checked as never having had a driver-side CORRECTNESS row in ANY
+# of r01-r08 rotate IN; after this round every query in the engine has a
+# driver row on record.  Eight multi-round-green catalog entries step
+# down to the verifier tier, each leaving sibling driver coverage for
+# its operator family:
+#
+#   out resample_linear -> weighted_timeseries (temporal gap-fill family;
+#                          resample_ffill oracle-green in verifier tier)
+#   out weighted_sample -> stratified_sample / shuffle_rows / hash_split
+#                          (keyed-hash sampling family, all driver-green r8)
+#   out zorder_stats    -> tile_rollup (tile/layout family)
+#   out kmeans_assign   -> ivf_topk (kmeans is IVF's training pass) +
+#                          embedding_gramian (linear-algebra family)
+#   out dedup_lines     -> dup_span_removal + incoming containment_pairs
+#                          (line/span dedup family keeps 2 driver rows)
+#   out bloom_join      -> semi_join (filter-join family; bloom_contamination
+#                          oracle-green in verifier tier)
+#   out json_extract    -> string_funcs (string-scalar family)
+#   out percentiles     -> profile_table + skew_report (statistical-agg
+#                          family, both driver-green r8)
+#
+# salted_agg/salted_join stay IN one more round (second driver row on the
+# ANSI-hardened salt).  Every query keeps its full-value DuckDB oracle on
+# whichever tier it sits; bench.py reads the merged dict, so the measured
+# set is rotation-invariant.
+_ROTATE_IN_9 = [
+    "bpe_train", "containment_pairs", "incremental_dedup",
+    "jaccard_pairs_naive", "lsh_edit_funnel", "simhash16", "source_cap",
+    "window_rank_surface",
+]
+_ROTATE_OUT_9 = [
+    "resample_linear", "weighted_sample", "zorder_stats", "kmeans_assign",
+    "dedup_lines", "bloom_join", "json_extract", "percentiles",
+]
+for _name in _ROTATE_IN_9:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_9:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
