@@ -134,6 +134,12 @@ class CorpusParams:
     #: would otherwise outrank all fluent text) and kept only when this
     #: label is in ``ppl_keep``
     ppl_degenerate_label: str = "tail"
+    #: how stage-boundary lineage cuts persist: "local" (localCheckpoint
+    #: blocks — fastest, LOST on executor failure) or "parquet"
+    #: (write/read under ``{out_dir}/_ckpt`` — one extra scan per
+    #: boundary, survives executor loss; the mode for multi-hour cluster
+    #: soaks where a lost executor must not restart the run from zero)
+    checkpoint_mode: str = "local"
 
 
 def _near_dup_drops(
@@ -167,7 +173,30 @@ def run_corpus_pipeline(
     spark: SparkSession, docs: DataFrame, params: CorpusParams
 ) -> dict[str, Any]:
     """Run the gates over ``docs`` (doc_id, text, …); returns the stage
-    manifest and writes the split corpus to ``out_dir``."""
+    manifest and writes the split corpus to ``out_dir``.
+
+    ``params.checkpoint_mode="parquet"`` routes every stage-boundary
+    lineage cut (the pre-gate cut, the gate/dedup boundaries, and the
+    connected-components round checkpoints inside the dedup operators)
+    through durable parquet under ``{out_dir}/_ckpt`` instead of
+    executor-local blocks; the mode is process-global for the duration
+    of the run and restored on exit."""
+    from slow_tortoise_spark.operators.cachectl import set_checkpoint_mode
+
+    prev = set_checkpoint_mode(
+        params.checkpoint_mode,
+        f"{params.out_dir}/_ckpt"
+        if params.checkpoint_mode == "parquet" else None,
+    )
+    try:
+        return _run_corpus_pipeline(spark, docs, params)
+    finally:
+        set_checkpoint_mode(*prev)
+
+
+def _run_corpus_pipeline(
+    spark: SparkSession, docs: DataFrame, params: CorpusParams
+) -> dict[str, Any]:
     manifest: dict[str, Any] = {}
     # Per-stage wall seconds (each manifest count is the ACTION that
     # drives its stage, so inter-count elapsed ≈ stage cost): the

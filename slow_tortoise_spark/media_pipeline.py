@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from slow_tortoise_spark.operators.multimodal import extract_image_features
-from slow_tortoise_spark.operators.similarity import lsh_near_duplicates
+from slow_tortoise_spark.operators.similarity import (
+    lsh_near_duplicates,
+    star_collapse_drops,
+)
 
 
 @dataclass
@@ -39,6 +42,15 @@ class MediaParams:
     lsh_planes: int = 8
     lsh_bands: int = 4
     seed: int = 42
+    #: hot-family pre-pass before the pairwise tier (see
+    #: ``star_collapse_drops``): vectors sharing the FULL plane signature
+    #: collapse against their group's min-id representative in O(|group|)
+    #: instead of feeding the pairwise join Σ|bucket|² candidates.  The
+    #: keep-set is identical on triangle-free data (every star drop is a
+    #: pairwise drop); on boundary triangles the pinned policy keeps a
+    #: vector iff it is within threshold of NO surviving vector.  Off
+    #: reproduces the pure pairwise DROP policy bit-for-bit.
+    star_collapse: bool = True
 
 
 def run_media_pipeline(
@@ -73,6 +85,28 @@ def run_media_pipeline(
                 F.col("media_id").alias("vec_id"),
                 F.col("features").alias("embedding"),
             )
+            if params.star_collapse:
+                # Hot-family pre-pass: near-identical families share the
+                # FULL signature, so they collapse here in O(|family|);
+                # only the (few) survivors reach the Σ|bucket|² pairwise
+                # join.  cache(): the drops feed one anti-join + the
+                # survivor anti-join + the manifest count.
+                from slow_tortoise_spark.operators.cachectl import (
+                    tracked_cache,
+                )
+
+                star = tracked_cache(
+                    star_collapse_drops(
+                        emb, planes,
+                        threshold=params.near_dup_threshold,
+                    )
+                )
+                manifest["star_collapse_dropped"] = star.count()
+                emb = emb.join(star, "vec_id", "left_anti")
+                kept = kept.join(
+                    star.select(F.col("vec_id").alias("media_id")),
+                    "media_id", "left_anti",
+                )
             pairs = lsh_near_duplicates(
                 emb,
                 planes,

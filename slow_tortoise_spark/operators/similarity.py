@@ -286,6 +286,94 @@ def hyperplane_band_buckets(
     ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
+def hyperplane_signature(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "_sig",
+) -> DataFrame:
+    """Append the FULL sign-bit signature (every plane, one '0'/'1' string)
+    to ``df``.  Two vectors share the signature iff they share EVERY band
+    bucket of any banding of the same planes, so a signature group is
+    exactly the id set that would meet in ALL of the pairwise tier's band
+    joins — the worst-case Σ|bucket|² contributors.  String packing (not a
+    bigint) sidesteps the bit-63 sign hazard for any plane count.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mat = F.array(*[
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes
+    ])
+    bits = F.transform(
+        mat, lambda p: F.when(dot_col(v, p) > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return df.withColumn(out_col, F.array_join(bits, ""))
+
+
+def star_collapse_drops(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hot-family pre-pass for the pairwise LSH tier: one (id_col) row per
+    vector verified near-duplicate of its full-signature group's min-id
+    representative.
+
+    The pairwise tier pays Σ|bucket|² candidates; a family of m
+    near-identical vectors shares EVERY band bucket, so m² candidates per
+    band — 1.7G pairs at a 200k-blob soak with ~4.2k-member families.
+    Here each full-signature group is verified against ONE representative
+    (the group's min id) by exact cosine: an equi-join on the signature,
+    O(|group|) comparisons per group, O(n) total, one shuffle.  Members
+    scoring ≥ ``threshold`` against the representative are returned as
+    drops; survivors (representatives + below-threshold members) are few
+    enough for the pairwise tier.
+
+    Keep policy (pinned): a star-dropped member does NOT transitively
+    vote.  On a boundary triangle rep < m < x with cos(rep,m) ≥ θ,
+    cos(m,x) ≥ θ but cos(rep,x) < θ, the pure pairwise DROP policy
+    drops x (via the (m,x) pair, even though m is itself dropped) while
+    the star pre-pass keeps x — every survivor here is within θ of NO
+    surviving vector, which is the keep-set a curator actually wants
+    (pytest pins both the equality on triangle-free data and the
+    planted-triangle divergence).  Drops are always a subset of the
+    pairwise tier's: rep is the group minimum, so for every drop m the
+    pair (rep, m) exists in the pairwise tier with rep < m and the same
+    cosine.
+    """
+    sig = tracked_cache(
+        hyperplane_signature(df, planes, id_col, vec_col)
+        .select(
+            F.col(id_col),
+            "_sig",
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("_n", norm_col(F.col("_v")))
+    )
+    # min-id per signature group, then the representative's vector back —
+    # both sides of this join are one row per group/vector (never pairs).
+    reps = sig.groupBy("_sig").agg(F.min(id_col).alias("_rep_id"))
+    rep_vecs = reps.join(
+        sig.select(
+            F.col(id_col).alias("_rep_id"),
+            F.col("_v").alias("_rv"),
+            F.col("_n").alias("_rn"),
+        ),
+        "_rep_id",
+    ).select("_sig", "_rep_id", "_rv", "_rn")
+    return (
+        sig.join(rep_vecs, "_sig")
+        .filter(F.col(id_col) != F.col("_rep_id"))
+        .filter(
+            dot_col(F.col("_v"), F.col("_rv")) / (F.col("_n") * F.col("_rn"))
+            >= F.lit(threshold)
+        )
+        .select(id_col)
+    )
+
+
 def lsh_near_duplicates(
     df: DataFrame,
     planes: list[list[float]],

@@ -6,6 +6,7 @@ import glob
 import json
 import os
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -267,10 +268,13 @@ def test_corpus_pipeline_model_gate(spark, tmp_path):
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
 
 
-def test_media_pipeline_end_to_end(spark, tmp_path):
+@pytest.mark.parametrize("star", [True, False])
+def test_media_pipeline_end_to_end(spark, tmp_path, star):
     """Media curation e2e with REAL decode: a byte-identical copy falls
     to exact sha dedup, a one-pixel-nudged recolor falls to the LSH
-    near-dup tier, distinct images all survive."""
+    near-dup tier, distinct images all survive.  Parametrized over the
+    star-collapse pre-pass: the keep-set is identical with it on or off
+    (this fixture is boundary-triangle-free)."""
     import struct
     import zlib
 
@@ -311,7 +315,7 @@ def test_media_pipeline_end_to_end(spark, tmp_path):
     manifest = run_media_pipeline(
         spark, df,
         MediaParams(out_dir=str(tmp_path / "media"),
-                    near_dup_threshold=0.98),
+                    near_dup_threshold=0.98, star_collapse=star),
     )
     assert manifest["input_media"] == 5
     assert manifest["after_exact_dedup"] == 4      # 1 drops (same sha)
@@ -657,3 +661,74 @@ def test_pipeline_returns_storage_to_zero_including_checkpoints(
     assert manifest["output_docs"] > 0
     assert tracked_checkpoint_count() == 0  # pipeline released its own
     assert storage_bytes() <= baseline
+
+
+def test_corpus_pipeline_checkpoint_modes_identical(spark, sf_dir, tmp_path):
+    """checkpoint_mode="parquet" (executor-loss-durable lineage cuts)
+    must produce a byte-identical corpus to the default local mode, use
+    the parquet path at every boundary (subdirs appear under _ckpt),
+    and free every checkpoint directory at release."""
+    import glob as _glob
+
+    from slow_tortoise_spark.operators.cachectl import checkpoint_mode
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(300)
+    outs = {}
+    for mode in ("local", "parquet"):
+        out = str(tmp_path / f"c_{mode}")
+        manifest = run_corpus_pipeline(
+            spark, docs,
+            CorpusParams(
+                out_dir=out, min_tokens=5, dedup="minhash_cc",
+                near_dup_threshold=0.9, span_dedup_ngram=8,
+                checkpoint_mode=mode,
+            ),
+        )
+        manifest.pop("stage_seconds")
+        rows = sorted(
+            (r["doc_id"], r["text"], r["split"])
+            for r in spark.read.parquet(f"{out}/corpus").collect()
+        )
+        outs[mode] = (manifest, rows)
+        if mode == "parquet":
+            # every boundary went through parquet and was freed at exit
+            assert _glob.glob(f"{out}/_ckpt/ckpt_*") == []
+        else:
+            assert not os.path.exists(f"{out}/_ckpt")
+    # the global mode is restored after each run
+    assert checkpoint_mode() == ("local", None)
+    assert outs["local"] == outs["parquet"]
+
+
+def test_parquet_checkpoint_roundtrip_and_free(spark, tmp_path):
+    """cachectl parquet mode: tracked_local_checkpoint writes+reads a
+    parquet dir, free_local_checkpoint deletes exactly that dir, and
+    restoring the previous mode reverts to localCheckpoint blocks."""
+    import glob as _glob
+
+    from slow_tortoise_spark.operators.cachectl import (
+        free_local_checkpoint,
+        set_checkpoint_mode,
+        tracked_local_checkpoint,
+    )
+
+    ckdir = str(tmp_path / "ck")
+    prev = set_checkpoint_mode("parquet", ckdir)
+    try:
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        cp1 = tracked_local_checkpoint(df)
+        cp2 = tracked_local_checkpoint(df.filter("id < 10"))
+        assert sorted(r["v"] for r in cp1.collect()) == [2 * i for i in range(100)]
+        assert cp2.count() == 10
+        dirs = sorted(_glob.glob(f"{ckdir}/ckpt_*"))
+        assert len(dirs) == 2
+        assert free_local_checkpoint(cp1)
+        remaining = sorted(_glob.glob(f"{ckdir}/ckpt_*"))
+        assert len(remaining) == 1
+        assert cp2.count() == 10  # untouched checkpoint still readable
+        assert free_local_checkpoint(cp2)
+        assert _glob.glob(f"{ckdir}/ckpt_*") == []
+    finally:
+        set_checkpoint_mode(*prev)

@@ -3259,3 +3259,90 @@ def test_sampling_family_is_partitioning_invariant(spark, sf_dir):
         assert outputs(docs.repartition(11)) == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_star_collapse_matches_pairwise_on_triangle_free_data(spark):
+    """Star pre-pass + pairwise tier keeps EXACTLY the pure pairwise
+    keep-set when no boundary triangle exists: every star drop is a
+    pairwise drop (the representative is the group minimum), and every
+    remaining pairwise drop still forms against a survivor."""
+    import numpy as np
+
+    from slow_tortoise_spark.operators.similarity import (
+        lsh_near_duplicates,
+        star_collapse_drops,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    # six hot families of 40 near-identical vectors (the Σ|bucket|²
+    # degeneracy shape) + 60 isolated vectors
+    for _ in range(6):
+        base = rng.randn(16)
+        for _ in range(40):
+            v = base + rng.randn(16) * 1e-3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(60):
+        rows.append((vid, [float(x) for x in rng.randn(16)]))
+        vid += 1
+    all_ids = {r[0] for r in rows}
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[float(x) for x in r] for r in rng.randn(8, 16)]
+    thr = 0.98
+
+    pure_drops = {
+        r["id_b"]
+        for r in lsh_near_duplicates(df, planes, bands=4, threshold=thr)
+        .select("id_b").distinct().collect()
+    }
+    star = star_collapse_drops(df, planes, threshold=thr)
+    star_drops = {r["vec_id"] for r in star.collect()}
+    # the pre-pass must actually absorb the hot families, and only emit
+    # drops the pairwise tier would also have emitted
+    assert len(star_drops) >= 6 * 30
+    assert star_drops <= pure_drops
+    survivors = df.join(star, "vec_id", "left_anti")
+    tail_drops = {
+        r["id_b"]
+        for r in lsh_near_duplicates(survivors, planes, bands=4, threshold=thr)
+        .select("id_b").distinct().collect()
+    }
+    assert all_ids - (star_drops | tail_drops) == all_ids - pure_drops
+
+
+def test_star_collapse_boundary_triangle_policy(spark):
+    """Pinned keep policy on a boundary triangle rep<m<x (cos(rep,m)≥θ,
+    cos(m,x)≥θ, cos(rep,x)<θ): the pure pairwise DROP policy lets the
+    already-dropped m vote x out; the star pre-pass keeps x — a survivor
+    is within θ of NO surviving vector."""
+    import math
+
+    from slow_tortoise_spark.operators.similarity import (
+        lsh_near_duplicates,
+        star_collapse_drops,
+    )
+
+    a = 0.3  # cos(0.3)=0.955 ≥ 0.9; cos(0.6)=0.825 < 0.9
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [math.cos(a), math.sin(a)]),
+        (2, [math.cos(2 * a), math.sin(2 * a)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1.0, 0.0]] * 4  # every vector shares every bit
+    thr = 0.9
+
+    pure_drops = {
+        r["id_b"]
+        for r in lsh_near_duplicates(df, planes, bands=4, threshold=thr)
+        .select("id_b").distinct().collect()
+    }
+    assert pure_drops == {1, 2}  # 2 voted out by the dropped 1
+
+    star = star_collapse_drops(df, planes, threshold=thr)
+    assert {r["vec_id"] for r in star.collect()} == {1}
+    survivors = df.join(star, "vec_id", "left_anti")
+    tail = lsh_near_duplicates(survivors, planes, bands=4, threshold=thr)
+    assert tail.count() == 0  # cos(0,2) < θ: x survives under the pin
