@@ -289,8 +289,24 @@ def _run_corpus_pipeline(
         )
 
     # --- one-pass quality / repetition / language gates ----------------
-    scored = repetition_ratio(quality_features(docs))
-    scored = language_id(scored)
+    # ONE tokenizer evaluation feeds the whole gate stage: the raw token
+    # array is projected once, its lowercased form derived per TOKEN
+    # (transform(toks, lower) ≡ tokens_col(lower(text)) — lowercasing
+    # never creates or removes whitespace), and quality/repetition/
+    # language/Gopher all index the two attributes.  Before this every
+    # gate operator re-tokenized the text (~4 splits per row).
+    from slow_tortoise_spark.operators.text import tokens_col
+
+    scored = docs.withColumn(
+        "_gate_toks", tokens_col(F.col("text"))
+    ).withColumn(
+        "_gate_ltoks", F.transform(F.col("_gate_toks"), F.lower)
+    )
+    scored = repetition_ratio(
+        quality_features(scored, toks_col="_gate_toks"),
+        ltoks_col="_gate_ltoks",
+    )
+    scored = language_id(scored, ltoks_col="_gate_ltoks")
     keep = (
         (F.col("n_tokens") >= params.min_tokens)
         & (F.col("rep_ratio") <= params.max_rep_ratio)
@@ -300,24 +316,23 @@ def _run_corpus_pipeline(
         keep = keep & F.col("lang_pred").isin(*params.langs)
     if params.gopher_gate:
         # the Gopher bitmask folds into this same projection+filter
-        # pass (zero additional scans); its token array is projected
-        # first so the three HOF consumers inside the mask share one
-        # tokenizer evaluation (CodegenFallback gets no CSE)
+        # pass (zero additional scans) and reads the shared gate token
+        # array (null text coalesces to the constant-folded empty
+        # array, matching tokens_col(coalesce(text, '')))
         from slow_tortoise_spark.operators.text import (
             gopher_mask_from_tokens,
-            tokens_col,
         )
 
         gtext = F.coalesce(F.col("text"), F.lit(""))
-        scored = (
-            scored.withColumn("_gop_toks", tokens_col(gtext))
-            .withColumn(
-                "_gmask",
-                gopher_mask_from_tokens(gtext, F.col("_gop_toks")),
-            )
-            .drop("_gop_toks")
+        scored = scored.withColumn(
+            "_gmask",
+            gopher_mask_from_tokens(
+                gtext,
+                F.coalesce(F.col("_gate_toks"), tokens_col(F.lit(""))),
+            ),
         )
         keep = keep & (F.col("_gmask") == 0)
+    scored = scored.drop("_gate_toks", "_gate_ltoks")
     if params.model_gate_weights is not None:
         # learned gate composes with the heuristics in the SAME scan:
         # the feature columns already sit on `scored` (projected away

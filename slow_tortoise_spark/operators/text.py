@@ -76,17 +76,23 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH), F.lit(0)))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Per-document quality metrics: lengths, ratios, stopword density.
 
     Columns added: n_chars_computed, n_tokens, n_bpe_tokens, avg_token_len,
     punct_ratio, digit_ratio, upper_ratio, stopword_ratio, quality_score.
+
+    ``toks_col`` names an already-projected whitespace-token-array
+    attribute to read instead of tokenizing here — the corpus gate
+    materializes ONE token array shared by every gate operator.
     """
     text = F.col(text_col)
     # tokens materialized once per row: each HOF consumer (size, the
     # stopword filter) is CodegenFallback and re-evaluates an inline
     # tokenizer subtree on every use — an attribute costs one eval
-    toks = F.col("_qf_toks")
+    toks = F.col(toks_col or "_qf_toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -97,9 +103,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     en = LANG_STOPWORDS["en"]
     n_stop = F.size(F.filter(toks, _match_any(en, lower=True)))
 
+    if toks_col is None:
+        df = df.withColumn("_qf_toks", tokens_col(text))
     out = (
-        df.withColumn("_qf_toks", tokens_col(text))
-        .withColumn("n_chars_computed", n_chars)
+        df.withColumn("n_chars_computed", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("n_bpe_tokens", bpe_ish_token_count(text))
         .withColumn(
@@ -117,26 +124,34 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # A simple monotone score: long-enough docs with modest punctuation and
     # some stopwords score high. Deterministic; tune per corpus.
-    return out.withColumn(
+    out = out.withColumn(
         "quality_score",
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
         * (F.lit(1.0) - F.least(F.col("punct_ratio") * 2, F.lit(1.0)))
         * (F.lit(0.5) + F.least(F.col("stopword_ratio") * 2, F.lit(0.5))),
-    ).drop("_qf_toks")
+    )
+    return out if toks_col else out.drop("_qf_toks")
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame, text_col: str = "text", ltoks_col: str | None = None
+) -> DataFrame:
     """Stopword-hit language heuristic → ``lang_pred`` + per-lang hit counts.
 
     For each language, count tokens that are in its stopword set; the
     argmax wins, with 'und' (undetermined) when nothing hits. Ties break
     by language-code order for determinism.
+
+    ``ltoks_col`` names an already-projected LOWERCASED token-array
+    attribute to read instead of tokenizing here (the shared gate array;
+    ``transform(tokens_col(text), lower)`` ≡ ``tokens_col(lower(text))``
+    — lowercasing never creates or removes whitespace).
     """
     # lowered tokens materialized ONCE: the per-language stopword
     # filters are CodegenFallback HOFs — inline, each language would
     # re-run the whole tokenizer per row
-    toks = F.col("_lid_toks")
-    out = df.withColumn(
+    toks = F.col(ltoks_col or "_lid_toks")
+    out = df if ltoks_col else df.withColumn(
         "_lid_toks", tokens_col(F.lower(F.col(text_col)))
     )
     for lang, words in LANG_STOPWORDS.items():
@@ -390,14 +405,19 @@ def pack_chunks(
     return prepared.mapInPandas(pack, schema=out_schema)
 
 
-def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3,
+    ltoks_col: str | None = None,
+) -> DataFrame:
     """Intra-document repetition: fraction of n-gram shingles that are
     repeats of an earlier shingle in the same doc (the Gopher/Rae-style
     repetitiveness quality signal).
 
     Pure per-row column math — ``size(shingles) - size(array_distinct)``
     over the in-row array — so the whole metric runs at scan throughput
-    with NO shuffle at all.
+    with NO shuffle at all.  ``ltoks_col`` names an already-projected
+    LOWERCASED token-array attribute (the shared gate array) to use
+    instead of tokenizing here.
     """
     from slow_tortoise_spark.operators.dedup import shingles_from_tokens
 
@@ -408,9 +428,10 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     sh = F.col("_sh")
     total = F.size(sh)
     distinct = F.size(F.array_distinct(sh))
+    if ltoks_col is None:
+        df = df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
     return (
-        df.withColumn("_toks", tokens_col(F.lower(F.col(text_col))))
-        .withColumn("_sh", shingles_from_tokens(F.col("_toks"), n))
+        df.withColumn("_sh", shingles_from_tokens(F.col(ltoks_col or "_toks"), n))
         .withColumn("n_shingles", total)
         .withColumn(
             "rep_ratio",

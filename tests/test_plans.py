@@ -610,3 +610,40 @@ def test_blanket_plan_audit_is_clean():
     audit = json.loads(line)
     assert audit["queries"] >= 100  # both tiers actually enumerated
     assert audit["flagged"] == {}, audit["flagged"]
+
+
+def test_gate_stage_single_tokenizer_eval(spark, sf_dir, tmp_path,
+                                          monkeypatch):
+    """The corpus gate (quality + repetition + language + Gopher) must
+    evaluate the whitespace tokenizer EXACTLY once per row: one
+    projected raw token array, a per-token lowercased sibling, and every
+    gate operator indexing the attributes.  Before round 9 each operator
+    re-tokenized (~4 split(trim(...)) per row in the gate plan)."""
+    import re
+
+    import slow_tortoise_spark.corpus_pipeline as cp
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    plans = []
+    orig = cp.tracked_local_checkpoint
+
+    def spy(frame, eager=True):
+        plans.append(frame._jdf.queryExecution().optimizedPlan().toString())
+        return orig(frame, eager=eager)
+
+    monkeypatch.setattr(cp, "tracked_local_checkpoint", spy)
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(out_dir=str(tmp_path / "gate"), dedup="exact",
+                     gopher_gate=True),
+    )
+    # first checkpoint boundary = the gate stage (no pre-gate stages on)
+    gate_plan = plans[0]
+    assert len(re.findall(r"split\(trim", gate_plan)) == 1, gate_plan[:4000]
