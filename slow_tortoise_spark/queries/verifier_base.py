@@ -906,6 +906,86 @@ _Q_SEMDEDUP_PAIRS = """
 """
 
 
+def q_semdedup_auto(spark, sf_dir):
+    """The 100 TB SemDeDup calling convention: ``n_cells=None`` pins the
+    expected CELL SIZE (here 128 rows) instead of the cell count, so
+    candidate cost grows linearly with the corpus (Σ|cell|² ≈
+    n · target_cell_rows) — the convention a fixed-cell catalog row
+    cannot exercise (``semdedup_pairs`` pins n_cells=8 for parity).
+    The oracle replays the dynamic cell count as
+    ``rn <= ceil(count(*) / 128)`` over the identical md5-ordered
+    seeding, so the auto-scaling itself is value-checked."""
+    from slow_tortoise_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = semantic_dedup_pairs(
+        emb, n_cells=None, threshold=None, target_cell_rows=128
+    )
+    return (
+        scored.select(
+            "id_a", "id_b", "cell", F.round("cosine", 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q_SEMDEDUP_AUTO = """
+  WITH v AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+  ),
+  norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM v GROUP BY vec_id),
+  seeds AS (
+    SELECT vec_id AS seed_id, rn - 1 AS cell FROM (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS rn
+      FROM embeddings
+    )
+    WHERE rn <= (SELECT CAST(ceil(COUNT(*) / 128.0) AS BIGINT)
+                 FROM embeddings)
+  ),
+  sv AS (SELECT s.cell, v.i, v.x FROM seeds s JOIN v ON v.vec_id = s.seed_id),
+  snorm AS (SELECT cell, sqrt(SUM(x * x)) AS n FROM sv GROUP BY cell),
+  vc AS (
+    SELECT v.vec_id, sv.cell, SUM(v.x * sv.x) AS dot
+    FROM v JOIN sv ON v.i = sv.i
+    GROUP BY 1, 2
+  ),
+  assign AS (
+    SELECT vec_id, cell FROM (
+      SELECT vc.vec_id, vc.cell,
+             row_number() OVER (
+               PARTITION BY vc.vec_id
+               ORDER BY vc.dot / (nv.n * sn.n) DESC, vc.cell) AS rn
+      FROM vc
+      JOIN norms nv ON vc.vec_id = nv.vec_id
+      JOIN snorm sn ON vc.cell = sn.cell
+    ) WHERE rn = 1
+  ),
+  cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  ),
+  dots AS (
+    SELECT c.id_a, c.id_b, c.cell, SUM(va.x * vb.x) AS dot
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b AND va.i = vb.i
+    GROUP BY 1, 2, 3
+  )
+  SELECT d.id_a, d.id_b, d.cell, round(d.dot / (na.n * nb.n), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.id_a = na.vec_id
+  JOIN norms nb ON d.id_b = nb.vec_id
+  WHERE round(d.dot / (na.n * nb.n), 6) >= 0.35
+  ORDER BY id_a, id_b
+"""
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-doc cross-corpus duplicated-10-gram fraction (span-level
     duplication signal; docs shorter than n surface with zeros — the

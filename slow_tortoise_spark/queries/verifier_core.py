@@ -71,6 +71,7 @@ from slow_tortoise_spark.queries.verifier_base import (
     _Q_HASH_SPLIT,
     _Q_INCREMENTAL_DEDUP,
     _Q_REPETITION_RATIO,
+    _Q_SEMDEDUP_AUTO,
     _Q_SEMDEDUP_PAIRS,
     _Q_SESSIONIZE_BATCH,
     _Q_STRATIFIED_SAMPLE,
@@ -92,6 +93,7 @@ from slow_tortoise_spark.queries.verifier_base import (
     q_hash_split,
     q_incremental_dedup,
     q_jaccard_pairs_naive,
+    q_semdedup_auto,
     q_pii_redact,
     q_quality_score,
     q_repetition_ratio,
@@ -689,6 +691,9 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xcorpus_logprob": q_xcorpus_logprob,
     "profile_table": q_profile_table,
     "skew_report": q_skew_report,
+    # the 100 TB auto-scaled SemDeDup convention (round-8 verdict item 5):
+    # n_cells=None pins cell SIZE, oracle replays the dynamic cell count
+    "semdedup_auto": q_semdedup_auto,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -733,6 +738,7 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "xcorpus_logprob": _Q_XCORPUS_LOGPROB,
     "profile_table": _profile_sql(),
     "skew_report": _Q_SKEW_REPORT,
+    "semdedup_auto": _Q_SEMDEDUP_AUTO,
 }
 
 
