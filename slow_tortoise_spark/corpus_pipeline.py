@@ -192,6 +192,15 @@ def run_corpus_pipeline(
         return _run_corpus_pipeline(spark, docs, params)
     finally:
         set_checkpoint_mode(*prev)
+        if params.checkpoint_mode == "parquet":
+            # release_local_checkpoints (called at the pipeline's final
+            # write) deletes each ckpt_NNNNN dir; remove the now-empty
+            # parent so the published out_dir carries no residue
+            import contextlib
+            import os
+
+            with contextlib.suppress(OSError):
+                os.rmdir(f"{params.out_dir}/_ckpt")
 
 
 def _run_corpus_pipeline(
@@ -251,8 +260,9 @@ def _run_corpus_pipeline(
         # count's execution event (generateTreeString, 8g heap) — the
         # same failure class the gate boundary already guards.  One
         # cut here makes every pre-gate stage start from a leaf.
-        # (On a cluster needing executor-loss durability: write/read
-        # parquet instead — same boundary, durable lineage cut.)
+        # (On a cluster needing executor-loss durability, pass
+        # checkpoint_mode="parquet" — this same call site then writes
+        # and reads durable parquet under {out_dir}/_ckpt.)
         docs = tracked_local_checkpoint(docs)
     if params.line_dedup_min_docs is not None:
         # Coalesce NULL text to '' first: posexplode(split(NULL)) emits no
@@ -385,8 +395,8 @@ def _run_corpus_pipeline(
     # the near-dedup count with N=10.  localCheckpoint materializes the
     # gated partitions (the count below was already paying that) and
     # hands every downstream plan a leaf.  On a cluster where executor
-    # loss must be survivable, write/read parquet here instead — same
-    # boundary, durable lineage cut.
+    # loss must be survivable, checkpoint_mode="parquet" makes this
+    # same boundary a durable parquet write/read.
     gated = tracked_local_checkpoint(gated)
     manifest["after_gates"] = gated.count()
     _mark("gates")

@@ -245,6 +245,20 @@ def ivf_topk(
     )
 
 
+def _sign_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Per-plane sign bits (int 0/1 array) of ``vec`` against the literal
+    plane matrix — ONE transform, one pass over the planes.  The single
+    shared ``dot > 0`` convention is load-bearing: the star-collapse
+    pre-pass's drops-are-a-subset-of-pairwise-drops guarantee holds only
+    while :func:`hyperplane_signature` and
+    :func:`hyperplane_band_buckets` derive bits identically."""
+    v = vec.cast("array<double>")
+    mat = F.array(*[
+        F.array(*[F.lit(float(x)) for x in p]) for p in planes
+    ])
+    return F.transform(mat, lambda p: F.when(dot_col(v, p) > 0, 1).otherwise(0))
+
+
 def hyperplane_band_buckets(
     df: DataFrame,
     planes: list[list[float]],
@@ -262,14 +276,7 @@ def hyperplane_band_buckets(
     rows = len(planes) // bands
     if rows * bands != len(planes):
         raise ValueError("len(planes) must be divisible by bands")
-    v = F.col(vec_col).cast("array<double>")
-    # One transform over the literal plane matrix computes every sign bit
-    # in a single pass (materialized via withColumn so the band packing
-    # below reads the bit array instead of re-running the dot products).
-    mat = F.array(*[
-        F.array(*[F.lit(float(x)) for x in p]) for p in planes
-    ])
-    bits = F.transform(mat, lambda p: F.when(dot_col(v, p) > 0, 1).otherwise(0))
+    bits = _sign_bits(F.col(vec_col), planes)
     with_bits = df.select(F.col(id_col), bits.alias("_bits"))
     entries = [
         F.struct(
@@ -300,12 +307,8 @@ def hyperplane_signature(
     joins — the worst-case Σ|bucket|² contributors.  String packing (not a
     bigint) sidesteps the bit-63 sign hazard for any plane count.
     """
-    v = F.col(vec_col).cast("array<double>")
-    mat = F.array(*[
-        F.array(*[F.lit(float(x)) for x in p]) for p in planes
-    ])
     bits = F.transform(
-        mat, lambda p: F.when(dot_col(v, p) > 0, F.lit("1")).otherwise(F.lit("0"))
+        _sign_bits(F.col(vec_col), planes), lambda b: b.cast("string")
     )
     return df.withColumn(out_col, F.array_join(bits, ""))
 

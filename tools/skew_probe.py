@@ -49,7 +49,6 @@ def _build(spark, sf_dir: str, copies: int) -> dict[str, float]:
     stats = {}
 
     ev = read_table(spark, f"{sf_dir}/events.parquet")
-    n_ev = ev.count()
     parts = []
     for i in range(copies):
         c = ev.withColumn("event_id", F.col("event_id") + F.lit(i * (10 ** 9)))
@@ -164,10 +163,13 @@ def main() -> int:
     def salted():
         return salted_join(orders, cust, "o_custkey", salt_buckets=int(cpus))
 
-    # equality on aggregates (the full result is copies× orders rows)
+    # equality on aggregates (the full result is copies× orders rows);
+    # cast to decimal BEFORE summing — a double sum is accumulation-order
+    # dependent across join strategies and would flake the equality
     def sig(df):
         r = df.agg(
-            F.count("*"), F.sum("o_totalprice").cast("decimal(25,2)"),
+            F.count("*"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")),
             F.countDistinct("c_mktsegment"),
         ).first()
         return tuple(r)
