@@ -335,12 +335,15 @@ def _run_corpus_pipeline(
 
         gtext = F.coalesce(F.col("text"), F.lit(""))
         scored = scored.withColumn(
+            "_gate_lines", F.split(gtext, "\n")
+        ).withColumn(
             "_gmask",
             gopher_mask_from_tokens(
                 gtext,
                 F.coalesce(F.col("_gate_toks"), tokens_col(F.lit(""))),
+                lines=F.col("_gate_lines"),
             ),
-        )
+        ).drop("_gate_lines")
         keep = keep & (F.col("_gmask") == 0)
     scored = scored.drop("_gate_toks", "_gate_ltoks")
     if params.model_gate_weights is not None:

@@ -1186,11 +1186,14 @@ def gopher_rules(
     return (
         df.select(F.col(id_col), text.alias("_gop_text"))
         .withColumn("_gop_toks", tokens_col(F.col("_gop_text")))
+        .withColumn("_gop_lines", F.split(F.col("_gop_text"), "\n"))
         .select(
             F.col(id_col),
             F.size(F.col("_gop_toks")).cast("bigint").alias("n_words"),
-            gopher_mask_from_tokens(F.col("_gop_text"), F.col("_gop_toks"))
-            .alias("rule_mask"),
+            gopher_mask_from_tokens(
+                F.col("_gop_text"), F.col("_gop_toks"),
+                lines=F.col("_gop_lines"),
+            ).alias("rule_mask"),
         )
         .withColumn(
             "passed",
@@ -1211,11 +1214,16 @@ def gopher_mask_col(text: Column) -> Column:
     return gopher_mask_from_tokens(text, tokens_col(text))
 
 
-def gopher_mask_from_tokens(text: Column, toks: Column) -> Column:
+def gopher_mask_from_tokens(
+    text: Column, toks: Column, lines: Column | None = None
+) -> Column:
     """The Gopher bitmask with the token array supplied as an (ideally
     pre-projected attribute) column — the HOF consumers (sum_len's
     aggregate, the alpha-word filter, the stopword transform) then cost
-    one token-array evaluation instead of three."""
+    one token-array evaluation instead of three.  ``lines`` optionally
+    supplies a pre-projected ``split(text, '\\n')`` attribute; inline,
+    the three line consumers (count, bullet filter, ellipsis filter)
+    each re-split per row."""
     n = F.size(toks).cast("bigint")
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("bigint")),
@@ -1226,7 +1234,7 @@ def gopher_mask_from_tokens(text: Column, toks: Column) -> Column:
     ellipses = (
         (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
     ).cast("bigint")
-    lines = F.split(text, "\n")
+    lines = F.split(text, "\n") if lines is None else lines
     nlines = F.size(lines).cast("bigint")
     bullet_first = lambda l: (  # noqa: E731
         (F.substring(F.ltrim(l), 1, 1) == "-")
