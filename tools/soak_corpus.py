@@ -15,7 +15,7 @@ background thread samples executor storage memory so the manifest
 records PEAK storage, not just the end state (which the unpersist
 contract drives back to ~0).
 
-Usage: python tools/soak_corpus.py [copies] [sf_dir]
+Usage: python tools/soak_corpus.py [copies] [sf_dir] [--checkpoint-mode local|parquet]
 Writes /tmp/soak_corpus_out/, prints one JSON summary line (also
 recorded in SCALE.md).
 """
@@ -32,8 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    ckpt_mode = "local"
+    if "--checkpoint-mode" in args:
+        i = args.index("--checkpoint-mode")
+        ckpt_mode = args[i + 1]
+        del args[i:i + 2]
+    copies = int(args[0]) if len(args) > 0 else 10
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
 
     from pyspark.sql import functions as F
 
@@ -146,6 +152,7 @@ def main() -> int:
             dsir_keep_fraction=0.8,
             ppl_lm_reference=base.select("doc_id", "text"),
             mix_budget=float(n_base * copies) * 0.06,
+            checkpoint_mode=ckpt_mode,
         ),
     )
     wall = time.time() - t0
@@ -156,6 +163,7 @@ def main() -> int:
     summary = {
         "input_docs": n_base * copies,
         "copies": copies,
+        "checkpoint_mode": ckpt_mode,
         "wall_sec": round(wall, 1),
         "peak_storage_mb": round(peak["bytes"] / 1048576, 1),
         "peak_cached_rdds": peak["rdds"],
