@@ -51,6 +51,16 @@ class MediaParams:
     #: vector iff it is within threshold of NO surviving vector.  Off
     #: reproduces the pure pairwise DROP policy bit-for-bit.
     star_collapse: bool = True
+    #: star-collapse passes, each with an INDEPENDENT plane draw.  One
+    #: pass leaves every member that straddles a plane boundary in its
+    #: own signature fragment — fragment reps are near-identical to each
+    #: other, so pass-1 survivors grow O(n) and the pairwise tier pays
+    #: O(survivors²/families) (measured: the 400k-blob soak went
+    #: superlinear, 4.2× wall for 2× blobs).  A member straddles two
+    #: independent plane sets with ~squared probability, so each extra
+    #: pass shrinks survivors geometrically at O(n) cost; passes stop
+    #: early when a pass drops nothing.
+    star_passes: int = 2
 
 
 def run_media_pipeline(
@@ -89,24 +99,42 @@ def run_media_pipeline(
                 # Hot-family pre-pass: near-identical families share the
                 # FULL signature, so they collapse here in O(|family|);
                 # only the (few) survivors reach the Σ|bucket|² pairwise
-                # join.  cache(): the drops feed one anti-join + the
-                # survivor anti-join + the manifest count.
+                # join.  Later passes draw INDEPENDENT planes so a
+                # boundary-straddling fragment member gets a second
+                # chance to share its family's signature (see
+                # star_passes).  cache(): each pass's drops feed two
+                # anti-joins + the manifest count.
                 from slow_tortoise_spark.operators.cachectl import (
                     tracked_cache,
                 )
 
-                star = tracked_cache(
-                    star_collapse_drops(
-                        emb, planes,
-                        threshold=params.near_dup_threshold,
+                star_total = 0
+                for p_i in range(max(1, params.star_passes)):
+                    pass_planes = planes if p_i == 0 else [
+                        [float(x) for x in row]
+                        for row in np.round(
+                            rs.randn(params.lsh_planes, dim), 6
+                        )
+                    ]
+                    star = tracked_cache(
+                        star_collapse_drops(
+                            emb, pass_planes,
+                            threshold=params.near_dup_threshold,
+                        )
                     )
-                )
-                manifest["star_collapse_dropped"] = star.count()
-                emb = emb.join(star, "vec_id", "left_anti")
-                kept = kept.join(
-                    star.select(F.col("vec_id").alias("media_id")),
-                    "media_id", "left_anti",
-                )
+                    n_drop = star.count()
+                    star_total += n_drop
+                    if n_drop:
+                        emb = emb.join(star, "vec_id", "left_anti")
+                        kept = kept.join(
+                            star.select(
+                                F.col("vec_id").alias("media_id")
+                            ),
+                            "media_id", "left_anti",
+                        )
+                    else:
+                        break
+                manifest["star_collapse_dropped"] = star_total
             pairs = lsh_near_duplicates(
                 emb,
                 planes,

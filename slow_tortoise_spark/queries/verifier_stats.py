@@ -532,3 +532,88 @@ _Q_KN_LOGPROB = """
 
 VERIFIER_QUERIES["kn_logprob"] = q_kn_logprob
 VERIFIER_ORACLE_SQL["kn_logprob"] = _Q_KN_LOGPROB
+
+
+# ---------------------------------------------------------------------------
+# JSONL / CSV ingest round-trips (sources/textio.py)
+# ---------------------------------------------------------------------------
+
+_DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+_Q_DOCS_IDENTITY = """
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """documents → JSON-lines shards → explicit-schema read
+    (sources/textio.py) → identity vs the parquet originals.  The
+    oracle is the parquet table itself, so ANY fidelity loss in the
+    JSONL writer/reader (encoding, newline escaping, numeric width,
+    null handling) hash-mismatches.  Zero rows may be corrupt."""
+    import shutil
+    import tempfile
+
+    from slow_tortoise_spark.sources.textio import (
+        bad_record_count,
+        drop_bad_records,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        write_jsonl(docs, root)
+        back = read_jsonl(spark, root, _DOCS_DDL)
+        assert bad_record_count(back) == 0
+        out = (
+            drop_bad_records(back)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """documents → fully-quoted CSV shards (embedded newlines, the \\N
+    null marker) → explicit-schema multiLine read → identity vs the
+    parquet originals.  Exercises exactly the CSV hazards that corrupt
+    corpora in the wild: quoted embedded newlines, quotes-in-text, and
+    the null/empty-string ambiguity."""
+    import shutil
+    import tempfile
+
+    from slow_tortoise_spark.sources.textio import (
+        bad_record_count,
+        drop_bad_records,
+        read_csv,
+        write_csv,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        write_csv(docs, root)
+        back = read_csv(spark, root, _DOCS_DDL)
+        assert bad_record_count(back) == 0
+        out = (
+            drop_bad_records(back)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+VERIFIER_QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+VERIFIER_ORACLE_SQL["jsonl_roundtrip"] = _Q_DOCS_IDENTITY
+VERIFIER_QUERIES["csv_roundtrip"] = q_csv_roundtrip
+VERIFIER_ORACLE_SQL["csv_roundtrip"] = _Q_DOCS_IDENTITY

@@ -733,3 +733,67 @@ def test_parquet_checkpoint_roundtrip_and_free(spark, tmp_path):
         assert _glob.glob(f"{ckdir}/ckpt_*") == []
     finally:
         set_checkpoint_mode(*prev)
+
+
+def test_jsonl_csv_ingest_fidelity_and_bad_records(spark, tmp_path):
+    """textio round-trips: embedded newlines/quotes/commas, null vs
+    EMPTY STring survive both formats; a planted malformed JSONL line
+    lands in _corrupt_record (PERMISSIVE) instead of killing the read,
+    and drop_bad_records removes exactly it; gzip output reads back."""
+    from slow_tortoise_spark.sources.textio import (
+        bad_record_count,
+        drop_bad_records,
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, 'line one\nline "two", with comma', "s1"),
+        (2, "", "s1"),          # empty string, NOT null
+        (3, None, "s2"),        # null text
+        (4, "unicode: café — naïve 中文", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    want = sorted(rows, key=lambda r: r[0])
+
+    jdir = str(tmp_path / "j")
+    write_jsonl(df, jdir, compression="gzip")
+    back = read_jsonl(spark, jdir, "doc_id long, text string, source string")
+    assert bad_record_count(back) == 0
+    got = sorted(
+        (r["doc_id"], r["text"], r["source"])
+        for r in drop_bad_records(back).collect()
+    )
+    assert got == want  # null stayed null, "" stayed ""
+
+    cdir = str(tmp_path / "c")
+    write_csv(df, cdir)
+    backc = read_csv(spark, cdir, "doc_id long, text string, source string")
+    assert bad_record_count(backc) == 0
+    gotc = sorted(
+        (r["doc_id"], r["text"], r["source"])
+        for r in drop_bad_records(backc).collect()
+    )
+    assert gotc == want
+
+    # plant a malformed line among valid shards
+    bad = tmp_path / "j2"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 7, "text": "ok", "source": "s"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 8, "text": "also ok", "source": "s"}\n'
+    )
+    pb = read_jsonl(spark, str(bad),
+                    "doc_id long, text string, source string")
+    assert bad_record_count(pb) == 1
+    clean = drop_bad_records(pb)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [7, 8]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, str(bad),
+                   "doc_id long, text string, source string",
+                   mode="FAILFAST").collect()

@@ -52,6 +52,14 @@ def main() -> int:
     from slow_tortoise_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Single-JVM heap sizing (the soak_corpus rule applied to blobs):
+    # local mode runs driver + all 32 executor threads in ONE heap, so
+    # n blobs × ~3 KB × in-flight Arrow copies all land together — at
+    # 400k blobs the default 8g heap starved even the 32-row survivor
+    # broadcast build ("Not enough memory to build and broadcast").  A
+    # real cluster spreads the same batches over many executors and the
+    # driver holds only the tiny broadcast.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="soak_media", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
