@@ -1051,3 +1051,302 @@ def ivf_append(
         "overwrite"
     ).partitionBy("cell").parquet(os.path.join(path, f"batch={batch_id}"))
     return n
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression tier beyond int8 SQ
+# ---------------------------------------------------------------------------
+#
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split each d-dim vector into m subvectors of
+# d/m dims, learn a ksub-centroid codebook PER SUBSPACE (k-means, L2),
+# store each vector as m small-int codes (log2(ksub) bits each), and
+# answer queries by Asymmetric Distance Computation (ADC): precompute
+# the m×ksub table of squared L2 distances from the RAW query subvectors
+# to every centroid, then score a database vector as the sum of m table
+# lookups.  At bits=8/m=16 a 1024-dim float32 corpus compresses 256×
+# (4 KB → 16 B per vector) — the standard way a 100 TB vector corpus
+# becomes scannable, complementary to IVF (which prunes WHICH vectors
+# are scanned; PQ shrinks WHAT is read per vector).
+#
+# Engine portability: training is deterministic (md5-ordered seed pick,
+# Lloyd rounds with argmin ties to the LOWEST code, empty clusters carry
+# the previous centroid forward), so a SQL oracle can replay every round
+# — the same contract as build_ivf_index/_kmeans_sql.
+
+
+def _l2sq_col(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<double> columns.
+
+    ``F.aggregate`` sums IN ARRAY ORDER (sequential fold), so the same
+    inputs produce bit-identical doubles on every executor."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _mk_l2_to(sub: Column):
+    """One-parameter HOF lambda factory: distance from ``sub`` to the
+    lambda's element (arity matters — see note in _pq_codes_expr)."""
+    return lambda c: _l2sq_col(sub, c)
+
+
+def _pq_codes_expr(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """``array<int>`` of per-subspace argmin-L2 codes (literal strategy).
+
+    The full codebook ships in the plan as m×ksub literal double arrays
+    — fine for the m·ksub·dsub ≤ ~10k values of a parity fixture or a
+    small index, but a production 16×256×64 book belongs in a broadcast
+    join (:func:`_pq_encode_join`, dispatched by ``pq_encode``'s
+    ``auto`` strategy).  Argmin ties break first-wins = lowest code
+    (``array_position`` of the min), matching a SQL
+    ``row_number() OVER (ORDER BY dist, code)`` replay."""
+    v = F.col(vec_col).cast("array<double>")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]
+        ])
+        # NB: no default-arg capture (``lambda c, _s=sub``) — PySpark
+        # reads a 2-arity lambda as the (element, index) HOF form and
+        # would bind the subvector name to the INT index
+        dists = F.transform(cents, _mk_l2_to(sub))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+# literal-strategy bound, in total codebook doubles (m * ksub * dsub);
+# beyond it pq_encode auto-dispatches to the broadcast-join path
+PQ_LITERAL_VALUE_LIMIT = 16384
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: ``codebooks[s][j]`` = centroid j of subspace s.
+
+    Seeding is the IVF convention (top-``ksub`` ids by md5(id), each
+    seed's m subvectors seeding code j of every subspace — one
+    TakeOrderedAndProject job, replayable in SQL verbatim).  Each Lloyd
+    round is ONE map-only assignment (the codes expression) plus ONE
+    partially-aggregated shuffle of at most m·ksub·dsub rows per map
+    task (posexplode → groupBy(subspace, code, dim) avg) — corpus size
+    only affects scan CPU, and the collected result is driver-tiny.
+    Empty clusters keep their previous centroid (never renumbered, so
+    code identity is stable across rounds — the property the SQL replay
+    relies on)."""
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_train: empty input")
+    d = int(dim_row["d"])
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    seeds = (
+        df.select(id_col, vec_col,
+                  F.md5(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(ksub)
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r[vec_col]][s * dsub:(s + 1) * dsub]
+         for r in seeds]
+        for s in range(m)
+    ]
+
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        assigned = df.withColumn("_pqc", _pq_codes_expr(vec_col, codebooks))
+        pos = F.col("_pos")
+        s_expr = F.floor(pos / F.lit(dsub)).cast("int")
+        means = (
+            assigned.select("_pqc", F.posexplode(v).alias("_pos", "_x"))
+            .select(
+                s_expr.alias("s"),
+                F.element_at("_pqc", s_expr + 1).alias("j"),
+                (pos % F.lit(dsub)).cast("int").alias("p"),
+                F.col("_x"),
+            )
+            .groupBy("s", "j", "p")
+            .agg(F.avg("_x").alias("x"))
+            .collect()
+        )
+        mu: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            mu.setdefault((r["s"], r["j"]), {})[r["p"]] = r["x"]
+        codebooks = [
+            [
+                [mu[(s, j)][p] for p in range(dsub)]
+                if (s, j) in mu else codebooks[s][j]
+                for j in range(ksub)
+            ]
+            for s in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Add ``out_col``: the vector's m PQ codes (``array<int>``).
+
+    ``literal`` is map-only / zero-shuffle (codebook in the plan);
+    ``join`` broadcasts the codebook as a DataFrame and keeps the plan
+    O(1) size for production-scale books (see :func:`_pq_encode_join`).
+    ``auto`` dispatches on total codebook values — both strategies are
+    parity-pinned bit-identical in pytest."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if strategy == "auto":
+        strategy = ("join" if m * ksub * dsub > PQ_LITERAL_VALUE_LIMIT
+                    else "literal")
+    if strategy == "join":
+        return _pq_encode_join(df, codebooks, vec_col, out_col)
+    return df.withColumn(out_col, _pq_codes_expr(vec_col, codebooks))
+
+
+def _pq_encode_join(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Broadcast-join PQ encode (the large-codebook strategy).
+
+    Each row posexplodes into its m subvectors (ONE Generate), joins the
+    broadcast (s, j, centroid) codebook rows (ksub candidates per
+    subvector), and two partially-aggregated shuffles reduce back: the
+    per-(row, subspace) ``min_by`` argmin (ties to lowest code, matching
+    the literal strategy's first-wins), then a per-row
+    ``array_sort(collect_list(struct(s, code)))`` reassembly.  The row
+    payload rides through both aggregates via ``first()`` on a
+    ``monotonically_increasing_id`` group key — never a self-join, which
+    would re-evaluate the nondeterministic ids on each side (the
+    _assign_cells_join hazard)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(s, j, [float(x) for x in c])
+         for s, book in enumerate(codebooks) for j, c in enumerate(book)],
+        "s int, j int, _c array<double>",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    tagged = df.withColumn("_row", F.monotonically_increasing_id())
+    subs = tagged.select(
+        *df.columns, "_row",
+        F.posexplode(
+            F.array(*[F.slice(v, s * dsub + 1, dsub) for s in range(m)])
+        ).alias("s", "_sub"),
+    )
+    cand = subs.join(F.broadcast(cdf), "s")
+    dist = _l2sq_col(F.col("_sub"), F.col("_c"))
+    per = cand.groupBy("_row", "s").agg(
+        *[F.first(c).alias(c) for c in df.columns],
+        F.min_by("j", F.struct(dist.alias("_d"), F.col("j").alias("_t")))
+        .alias("_code"),
+    )
+    out = per.groupBy("_row").agg(
+        *[F.first(c).alias(c) for c in df.columns],
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "_code"))),
+            lambda x: x["_code"],
+        ).alias(out_col),
+    )
+    return out.drop("_row")
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-encoded corpus.
+
+    The m×ksub distance table (RAW query subvector → each centroid,
+    squared L2, summed in subvector order — the same sequential fold the
+    engine-side ``_l2sq_col`` uses) is computed driver-side (bounded:
+    m·ksub doubles) and ships as one literal nested array; scoring is a
+    map-only ``zip_with`` table lookup + sequential sum over the m
+    codes, then a TakeOrdered top-k.  No join, no full-width shuffle —
+    the scan reads codes (m small ints), never the float vectors.
+
+    Returns (id_col, adc_dist_micros): BIGINT micro-distance
+    (``round(d*1e6)``), ascending, ties by id — the engine-portable
+    integer convention the other float-scoring queries use."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(f"query dim {len(query)} != {m * dsub}")
+    q = [float(x) for x in query]
+    dtab = [
+        [
+            sum((q[s * dsub + p] - c[p]) ** 2 for p in range(dsub))
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lit_dtab = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in dtab
+    ])
+    score = F.aggregate(
+        F.zip_with(F.col(codes_col), lit_dtab,
+                   lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(
+            F.col(id_col),
+            F.round(score * F.lit(1e6), 0).cast("bigint")
+            .alias("adc_dist_micros"),
+        )
+        .orderBy("adc_dist_micros", id_col)
+        .limit(k)
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end PQ ANN: train → encode → ADC top-k for one corpus row
+    as the query (asymmetric: the query side stays un-quantized)."""
+    codebooks = pq_train(df, m=m, ksub=ksub, iters=iters,
+                         id_col=id_col, vec_col=vec_col)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found in {id_col}")
+    encoded = pq_encode(df, codebooks, vec_col)
+    return pq_adc_topk(encoded, codebooks, [float(x) for x in qrow[vec_col]],
+                       k=k, id_col=id_col)

@@ -1573,3 +1573,83 @@ def kn_bigram_logprob_under(
             F.coalesce("n_unseen", F.lit(0)).alias("n_unseen"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query terms —
+    the retrieval-scoring sibling of :func:`top_tfidf_terms` (ranked
+    decontamination lookups, quality-by-query triage, seed-doc
+    expansion for targeted corpus mining).
+
+    Robertson/Lucene formulation with the always-positive idf:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Shape: ONE corpus scan materializes the token array (the shared-
+    tokenizer discipline — size() and explode() both read the same
+    projected array); term filtering happens BEFORE the (doc, term)
+    count, so the grouped aggregate carries only query-term hits;
+    per-term document frequencies reduce from that frame (never a
+    second scan); N and avgdl are exact-integer driver scalars
+    (sum(dl)/N divides two exact BIGINTs — bit-identical in any
+    engine); the per-doc score is one more partially-aggregated
+    groupBy.  No window, no join wider than the |query|-row broadcast.
+
+    Returns (doc_id, bm25_micros) — BIGINT ``round(score·1e6)``,
+    descending, ties by doc_id, top ``k`` — the engine-portable integer
+    convention the other float-scoring queries use.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: empty query")
+    terms = sorted({t.lower() for t in query_terms})
+
+    base = fan_out(df.select("doc_id", text_col)).select(
+        "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_toks")
+    )
+    docs = base.select("doc_id", F.size("_toks").alias("dl"), "_toks")
+    totals = docs.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sdl")
+    ).first()
+    n_docs = int(totals["n"])
+    avgdl = float(totals["sdl"]) / n_docs if n_docs else 1.0
+
+    hits = docs.select(
+        "doc_id", "dl", F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("_s"))
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(F.col("_s") * F.lit(1e6), 0).cast("bigint")
+            .alias("bm25_micros"),
+        )
+        .orderBy(F.desc("bm25_micros"), "doc_id")
+        .limit(k)
+    )

@@ -1197,3 +1197,48 @@ _Q_INCREMENTAL_DEDUP = f"""
   ORDER BY d.doc_id
 """
 
+
+
+def q_bm25_rank(spark, sf_dir):
+    """Okapi BM25 top-20 for a three-term query over the documents
+    corpus (Robertson always-positive idf, k1=1.2, b=0.75) — the
+    retrieval-ranking completion of the term-stats family (tfidf_terms
+    ranks terms per doc; this ranks docs per query)."""
+    from slow_tortoise_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, ["join", "vector", "scan"], k=20)
+
+
+_Q_BM25_RANK = """
+  WITH toks AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+  ),
+  docs AS MATERIALIZED (SELECT doc_id, len(t) AS dl, t FROM toks),
+  totals AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM docs),
+  hits AS (
+    SELECT doc_id, dl, unnest(t) AS term FROM docs
+  ),
+  tf AS (
+    SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+    WHERE term IN ('join', 'scan', 'vector')
+    GROUP BY 1, 2, 3
+  ),
+  dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+  scored AS (
+    SELECT tf.doc_id,
+           SUM(
+             ln(1.0 + (totals.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                               / (CAST(totals.sdl AS DOUBLE) / totals.n)))
+           ) AS s
+    FROM tf JOIN dfreq USING (term), totals
+    GROUP BY 1
+  )
+  SELECT doc_id, CAST(round(s * 1e6) AS BIGINT) AS bm25_micros
+  FROM scored ORDER BY bm25_micros DESC, doc_id LIMIT 20
+"""

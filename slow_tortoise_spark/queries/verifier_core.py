@@ -62,6 +62,7 @@ from slow_tortoise_spark.queries.extended import (
 )
 
 from slow_tortoise_spark.queries.verifier_base import (
+    _Q_BM25_RANK,
     _Q_BPE_PAIRS,
     _Q_CONTAINMENT_PAIRS,
     _Q_DEDUP_COMPONENTS,
@@ -84,6 +85,7 @@ from slow_tortoise_spark.queries.verifier_base import (
     _Q_WINDOW_RANK_SURFACE,
     _pii_redact_sql,
     _quality_score_sql,
+    q_bm25_rank,
     q_bpe_pairs,
     q_containment_pairs,
     q_dedup_components,
@@ -694,6 +696,9 @@ VERIFIER_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the 100 TB auto-scaled SemDeDup convention (round-8 verdict item 5):
     # n_cells=None pins cell SIZE, oracle replays the dynamic cell count
     "semdedup_auto": q_semdedup_auto,
+    # BM25 retrieval ranking (round 9) — the term-stats family's
+    # doc-ranking completion
+    "bm25_rank": q_bm25_rank,
 }
 
 VERIFIER_ORACLE_SQL: dict[str, str] = {
@@ -736,6 +741,7 @@ VERIFIER_ORACLE_SQL: dict[str, str] = {
     "string_funcs": _Q_STRING_FUNCS,
     "incremental_dedup": _Q_INCREMENTAL_DEDUP,
     "xcorpus_logprob": _Q_XCORPUS_LOGPROB,
+    "bm25_rank": _Q_BM25_RANK,
     "profile_table": _profile_sql(),
     "skew_report": _Q_SKEW_REPORT,
     "semdedup_auto": _Q_SEMDEDUP_AUTO,

@@ -516,3 +516,134 @@ VERIFIER_QUERIES["logreg_weights"] = q_logreg_weights
 VERIFIER_ORACLE_SQL["logreg_weights"] = _logreg_sql(8, 5, 0.5)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (verifier tier — the oracle replays every Lloyd
+# round in every subspace; Jégou et al. 2011 ADC convention)
+# ---------------------------------------------------------------------------
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ code assignment after one distributed Lloyd round per subspace
+    (m=4 subspaces × 16 dims, ksub=4, md5-ordered seeding).  Long-format
+    (vec_id, s, code) output — all integers, so the hash compare carries
+    no float representation at all; the float centroids influence only
+    the argmin, exactly like kmeans_assign."""
+    from slow_tortoise_spark.operators.similarity import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, ksub=4, iters=1)
+    enc = pq_encode(emb, cb)
+    return enc.select(
+        "vec_id", F.posexplode("pq_codes").alias("s", "code")
+    ).orderBy("vec_id", "s")
+
+
+def _pq_ctes(m: int, ksub: int, dsub: int, iters: int) -> list[str]:
+    """Shared chained-CTE Lloyd replay per subspace: sv = (vec_id,
+    subspace, local dim, value), cents{r} = codebooks entering round r
+    (empty clusters carry the previous centroid forward — the engine's
+    contract), assign{r} = argmin-L2 codes under them (lowest code on
+    ties — array_position first-wins order)."""
+    ctes = [
+        f"""v AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings)""",
+        f"""sv AS MATERIALIZED (
+        SELECT vec_id, i // {dsub} AS s, i % {dsub} AS p, x FROM v)""",
+        f"""seeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS j
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {ksub})""",
+        """cents0 AS MATERIALIZED (
+        SELECT sd.j, sv.s, sv.p, sv.x
+        FROM seeds sd JOIN sv ON sv.vec_id = sd.seed_id)""",
+    ]
+    for r in range(iters + 1):
+        ctes.append(
+            f"""assign{r} AS MATERIALIZED (
+            SELECT vec_id, s, j AS code FROM (
+              SELECT d.vec_id, d.s, d.j,
+                     row_number() OVER (
+                       PARTITION BY d.vec_id, d.s
+                       ORDER BY d.dist, d.j) AS rn
+              FROM (SELECT sv.vec_id, sv.s, c.j,
+                           SUM((sv.x - c.x) * (sv.x - c.x)) AS dist
+                    FROM sv JOIN cents{r} c ON sv.s = c.s AND sv.p = c.p
+                    GROUP BY 1, 2, 3) d
+            ) WHERE rn = 1)"""
+        )
+        if r < iters:
+            ctes.append(
+                f"""cents{r + 1} AS MATERIALIZED (
+                SELECT c0.j, c0.s, c0.p, COALESCE(mu.x, c0.x) AS x
+                FROM cents{r} c0 LEFT JOIN (
+                  SELECT a.code AS j, a.s, sv.p, AVG(sv.x) AS x
+                  FROM assign{r} a
+                  JOIN sv ON sv.vec_id = a.vec_id AND sv.s = a.s
+                  GROUP BY 1, 2, 3) mu
+                ON c0.j = mu.j AND c0.s = mu.s AND c0.p = mu.p)"""
+            )
+    return ctes
+
+
+def _pq_codes_sql(m: int = 4, ksub: int = 4, dsub: int = 16,
+                  iters: int = 1) -> str:
+    ctes = _pq_ctes(m, ksub, dsub, iters)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS INT) AS code"
+          f" FROM assign{iters} ORDER BY vec_id, s"
+    )
+
+
+VERIFIER_QUERIES["pq_codes"] = q_pq_codes
+VERIFIER_ORACLE_SQL["pq_codes"] = _pq_codes_sql(4, 4, 16, 1)
+
+
+def q_pq_topk(spark, sf_dir):
+    """Asymmetric-distance PQ top-10 for corpus vector 0 as the query:
+    the raw query subvectors score against the trained codebooks through
+    the m×ksub distance table; output is the BIGINT micro-distance
+    (ties by vec_id).  Compressed-domain scan — the ranking pass reads
+    m small-int codes per vector, never the floats."""
+    from slow_tortoise_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, query_id=0, k=10, m=4, ksub=4, iters=1)
+
+
+def _pq_topk_sql(m: int = 4, ksub: int = 4, dsub: int = 16,
+                 iters: int = 1, query_id: int = 0, k: int = 10) -> str:
+    ctes = _pq_ctes(m, ksub, dsub, iters)
+    ctes.append(
+        f"""q AS MATERIALIZED (
+        SELECT s, p, x FROM sv WHERE vec_id = {query_id})"""
+    )
+    ctes.append(
+        f"""dtab AS MATERIALIZED (
+        SELECT c.s, c.j, SUM((q.x - c.x) * (q.x - c.x)) AS d
+        FROM cents{iters} c JOIN q ON q.s = c.s AND q.p = c.p
+        GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"""scored AS (
+        SELECT a.vec_id, SUM(t.d) AS dist
+        FROM assign{iters} a JOIN dtab t ON a.s = t.s AND a.code = t.j
+        GROUP BY 1)"""
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT)"
+          f" AS adc_dist_micros FROM scored"
+          f" ORDER BY adc_dist_micros, vec_id LIMIT {k}"
+    )
+
+
+VERIFIER_QUERIES["pq_topk"] = q_pq_topk
+VERIFIER_ORACLE_SQL["pq_topk"] = _pq_topk_sql(4, 4, 16, 1, 0, 10)

@@ -3346,3 +3346,208 @@ def test_star_collapse_boundary_triangle_policy(spark):
     survivors = df.join(star, "vec_id", "left_anti")
     tail = lsh_near_duplicates(survivors, planes, bands=4, threshold=thr)
     assert tail.count() == 0  # cos(0,2) < θ: x survives under the pin
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codes, strategies, ADC
+# ---------------------------------------------------------------------------
+
+
+def _pq_reference(vectors, m, ksub, iters):
+    """Pure-Python PQ trainer mirroring the engine contract: md5-ordered
+    seeding, argmin-L2 with lowest-code ties, empty clusters carrying the
+    previous centroid forward.  vectors: {vec_id: [floats]}."""
+    import hashlib
+
+    ids = sorted(vectors)
+    d = len(vectors[ids[0]])
+    dsub = d // m
+    seed_ids = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:ksub]
+    books = [
+        [vectors[sid][s * dsub:(s + 1) * dsub] for sid in seed_ids]
+        for s in range(m)
+    ]
+
+    def assign(books):
+        codes = {}
+        for i in ids:
+            cs = []
+            for s in range(m):
+                sub = vectors[i][s * dsub:(s + 1) * dsub]
+                dists = [
+                    sum((a - b) ** 2 for a, b in zip(sub, c))
+                    for c in books[s]
+                ]
+                cs.append(dists.index(min(dists)))
+            codes[i] = cs
+        return codes
+
+    for _ in range(iters):
+        codes = assign(books)
+        nxt = []
+        for s in range(m):
+            book = []
+            for j in range(ksub):
+                members = [vectors[i][s * dsub:(s + 1) * dsub]
+                           for i in ids if codes[i][s] == j]
+                if members:
+                    book.append([sum(col) / len(members)
+                                 for col in zip(*members)])
+                else:
+                    book.append(books[s][j])
+            nxt.append(book)
+        books = nxt
+    return books, assign(books)
+
+
+def test_pq_codes_match_python_reference(spark, sf_dir):
+    """Engine PQ (train + encode) matches a pure-Python reference
+    implementation code-for-code across iteration counts — seeding,
+    Lloyd updates, argmin tie order, and the carry-forward contract all
+    value-checked, not just shapes."""
+    from slow_tortoise_spark.operators.similarity import pq_encode, pq_train
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet").filter(
+        "vec_id < 60"
+    )
+    vectors = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    for iters in (0, 1, 2):
+        cb = pq_train(emb, m=4, ksub=4, iters=iters)
+        _, want = _pq_reference(vectors, m=4, ksub=4, iters=iters)
+        got = {
+            r["vec_id"]: list(r["pq_codes"])
+            for r in pq_encode(emb, cb).select("vec_id", "pq_codes").collect()
+        }
+        assert got == want, f"codes diverge at iters={iters}"
+
+
+def test_pq_encode_strategies_identical(spark, sf_dir):
+    """Broadcast-join encode must agree code-for-code with the literal
+    plan (including argmin ties to the lowest code), and the literal
+    plan must stay map-only — zero exchanges."""
+    from slow_tortoise_spark.operators.similarity import (
+        _pq_encode_join,
+        pq_encode,
+        pq_train,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, m=4, ksub=4, iters=1)
+    lit_df = pq_encode(emb, cb, strategy="literal")
+    lit = {r["vec_id"]: list(r["pq_codes"])
+           for r in lit_df.select("vec_id", "pq_codes").collect()}
+    jn = {r["vec_id"]: list(r["pq_codes"])
+          for r in _pq_encode_join(emb, cb)
+          .select("vec_id", "pq_codes").collect()}
+    assert lit == jn and len(lit) == emb.count()
+    plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: codebook ships in the plan
+
+
+def test_pq_adc_matches_python_recompute(spark, sf_dir):
+    """ADC micro-distances equal a driver-side recompute from the same
+    codes and codebooks (table lookup + sequential sum), and the result
+    is the true top-k of the full recomputed ranking."""
+    from slow_tortoise_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, m=4, ksub=4, iters=1)
+    enc = pq_encode(emb, cb)
+    q = [float(x)
+         for x in emb.filter("vec_id = 3").first()["embedding"]]
+    dsub = len(cb[0][0])
+    dtab = [
+        [sum((q[s * dsub + p] - c[p]) ** 2 for p in range(dsub))
+         for c in cb[s]]
+        for s in range(len(cb))
+    ]
+    want = {}
+    for r in enc.select("vec_id", "pq_codes").collect():
+        d = 0.0
+        for s, code in enumerate(r["pq_codes"]):
+            d = d + dtab[s][code]
+        want[r["vec_id"]] = round(d * 1e6)
+    got = pq_adc_topk(enc, cb, q, k=8).collect()
+    for r in got:
+        assert r["adc_dist_micros"] == want[r["vec_id"]]
+    cutoff = sorted((v, i) for i, v in want.items())[:8]
+    assert [(r["adc_dist_micros"], r["vec_id"]) for r in got] == cutoff
+
+
+def test_pq_validation_errors(spark):
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.similarity import pq_topk, pq_train
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0, 3.0])]
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, ksub=1, iters=0)
+    with pytest.raises(ValueError, match="not found"):
+        pq_topk(df.withColumn("embedding",
+                              F.expr("array(1.0d, 2.0d, 3.0d, 4.0d)")),
+                query_id=99, m=2, ksub=1, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval ranking
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_derived(spark):
+    """Three-doc corpus with hand-derivable BM25 factors (Robertson
+    always-positive idf, k1=1.2, b=0.75)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="cat dog cat"),
+        Row(doc_id=1, text="dog dog dog dog"),
+        Row(doc_id=2, text="bird"),
+    ])
+    out = {r["doc_id"]: r["bm25_micros"]
+           for r in bm25_scores(docs, ["cat", "dog"], k=10).collect()}
+    n, avgdl = 3, 8.0 / 3.0
+    idf = {"cat": math.log(1.0 + (n - 1 + 0.5) / 1.5),
+           "dog": math.log(1.0 + (n - 2 + 0.5) / 2.5)}
+
+    def term(tf, dl, t):
+        return idf[t] * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    want = {
+        0: round((term(2, 3, "cat") + term(1, 3, "dog")) * 1e6),
+        1: round(term(4, 4, "dog") * 1e6),
+    }
+    assert out == want  # doc 2 has no query term → no row
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_scores(docs, [])
+
+
+def test_bm25_ranking_order_and_k(spark, sf_dir):
+    """Top-k is descending with doc_id tiebreak and respects k."""
+    from slow_tortoise_spark.operators.text import bm25_scores
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = bm25_scores(docs, ["join", "vector", "scan"], k=15).collect()
+    assert len(rows) == 15
+    keys = [(-r["bm25_micros"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
