@@ -1128,6 +1128,11 @@ def _pq_codes_expr(
 # beyond it pq_encode auto-dispatches to the broadcast-join path
 PQ_LITERAL_VALUE_LIMIT = 16384
 
+# literal distance-table bound for ivfpq_topk (nprobe * m * ksub doubles);
+# beyond it the tables ship as an nprobe-row broadcast instead of plan
+# literals
+IVFPQ_LITERAL_VALUE_LIMIT = 4096
+
 
 def pq_train(
     df: DataFrame,
@@ -1350,3 +1355,243 @@ def pq_topk(
     encoded = pq_encode(df, codebooks, vec_col)
     return pq_adc_topk(encoded, codebooks, [float(x) for x in qrow[vec_col]],
                        k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — IVF cell pruning × residual PQ (Jégou et al. 2011, §IV.B)
+# ---------------------------------------------------------------------------
+#
+# The composition is the standard production ANN layout: IVF decides
+# WHICH vectors a query reads (nprobe of C cells → at disk level,
+# partition pruning); PQ decides HOW MANY BYTES each read vector costs
+# (m code bytes instead of 4·d float bytes).  Encoding quantizes the
+# RESIDUAL x − centroid(cell): residuals concentrate near zero, so the
+# same ksub codes quantize far finer than raw-vector PQ — the reason
+# IVFADC beats IVF-then-PQ-on-raw at equal bits.  Scoring follows the
+# ADC convention per probed cell: the query's residual against THAT
+# cell's centroid builds the cell's own m×ksub distance table.
+
+
+def _residual_expr(
+    vec_col: str, centroids: list[tuple[int, list[float]]],
+    cell_col: str = "cell",
+) -> Column:
+    """``array<double>`` residual x − centroid[cell] (map-only; the C×d
+    centroid matrix ships as one literal, same budget note as
+    ``_assign_cells``).  The lookup is keyed by CELL ID, not list
+    position — a Lloyd round can drop an empty cell from the centroid
+    list, after which positional indexing would subtract the wrong
+    centroid."""
+    v = F.col(vec_col).cast("array<double>")
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(cid)) for cid, _ in centroids]),
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cvec])
+            for _, cvec in centroids
+        ]),
+    )
+    return F.zip_with(
+        v, F.element_at(cmap, F.col(cell_col)), lambda a, b: a - b
+    )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    m: int = 4,
+    ksub: int = 4,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Build an IVFADC index: IVF assignment (cosine, md5-seeded k-means)
+    → residuals → PQ codebooks trained ON the residuals → encoded frame
+    (id, cell, pq_codes).  Returns (encoded, centroids, codebooks).
+
+    Costs: the IVF build's jobs, plus one map-only residual projection,
+    plus pq_train's one-shuffle-per-round — nothing quadratic, nothing
+    collected beyond the two driver-bounded codebooks."""
+    indexed, centroids = build_ivf_index(
+        df, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        kmeans_iters=kmeans_iters,
+    )
+    with_res = indexed.withColumn(
+        "_res", _residual_expr(vec_col, centroids)
+    )
+    codebooks = pq_train(with_res, m=m, ksub=ksub, iters=pq_iters,
+                         id_col=id_col, vec_col="_res")
+    encoded = pq_encode(with_res, codebooks, vec_col="_res").drop("_res")
+    return encoded, centroids, codebooks
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """IVFADC query: rank the ``nprobe`` cosine-nearest cells (the
+    ivf_topk probe convention — driver-side over the bounded centroid
+    list, ties to the lower cell id), build each probed cell's OWN
+    m×ksub distance table from the query's residual against that cell's
+    centroid (driver-side: nprobe·m·ksub doubles), and scan ONLY the
+    probed cells' codes — the cell filter is a partition filter when the
+    index is read from a cell-partitioned path.  Map-only scoring
+    (literal cell→dtab map, zip_with lookup, sequential sum) + one
+    TakeOrdered.
+
+    Returns (id_col, adc_dist_micros) ascending, ties by id."""
+    import math
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qn = math.sqrt(sum(x * x for x in query))
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        return sum(a * b for a, b in zip(query, c)) / (qn * cn or 1.0)
+
+    probe = [
+        cid for cid, c in sorted(centroids, key=lambda t: -cos(t[1]))[:nprobe]
+    ]
+    cent = dict(centroids)
+    dtabs = []
+    for cid in probe:
+        qres = [q - c for q, c in zip(query, cent[cid])]
+        dtabs.append([
+            [
+                sum((qres[s * dsub + p] - cb[p]) ** 2 for p in range(dsub))
+                for cb in codebooks[s]
+            ]
+            for s in range(m)
+        ])
+    pruned = encoded.filter(F.col("cell").isin([int(c) for c in probe]))
+    if nprobe * m * len(codebooks[0]) <= IVFPQ_LITERAL_VALUE_LIMIT:
+        # small tables: one literal cell→table map, zero joins
+        dtab_col = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(c)) for c in probe]),
+                F.array(*[
+                    F.array(*[
+                        F.array(*[F.lit(float(x)) for x in row])
+                        for row in tab
+                    ])
+                    for tab in dtabs
+                ]),
+            ),
+            F.col("cell"),
+        )
+        scored = pruned
+    else:
+        # production codebooks (ksub=256): nprobe·m·ksub literals would
+        # bloat analysis/codegen past the scan cost (measured: 18 s/query
+        # at 32k literals) — ship the tables once via a broadcast of
+        # nprobe rows instead
+        ddf = encoded.sparkSession.createDataFrame(
+            [(int(c), [[float(x) for x in row] for row in tab])
+             for c, tab in zip(probe, dtabs)],
+            "cell int, _dtab array<array<double>>",
+        )
+        scored = pruned.join(F.broadcast(ddf), "cell")
+        dtab_col = F.col("_dtab")
+    score = F.aggregate(
+        F.zip_with(F.col(codes_col), dtab_col,
+                   lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(score * F.lit(1e6), 0).cast("bigint")
+            .alias("adc_dist_micros"),
+        )
+        .orderBy("adc_dist_micros", id_col)
+        .limit(k)
+    )
+
+
+def write_ivfpq_index(
+    encoded: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    files_per_write: int = 32,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVFADC index cell-partitioned (the write_ivf_index
+    layout — ``batch=-1/cell=…`` so :func:`ivf_append`-style batch
+    growth stays available) with BOTH codebooks in the JSON sidecar.
+    The parquet rows carry only (ids, cell, pq_codes) — at bits=8/m=4 a
+    64-dim float corpus stores 16× smaller than the raw-vector IVF
+    index, and a query reads nprobe/C of THAT.
+
+    Three storage details matter at scale (all measured by
+    tools/soak_ann.py — the naive write was LARGER than the raw floats):
+    ``vec_col`` is DROPPED if still present (the whole point of the
+    index is that the float vectors stay behind), codes store as
+    ``array<smallint>`` (2 B elements; ksub ≤ 32768 — parquet dict/RLE
+    shrinks them further), and the frame is repartitioned BY CELL into
+    ``files_per_write`` shuffle partitions before the partitioned
+    write, so each cell directory holds ~1 file per overlapping
+    partition instead of one file per (task × cell) — footer overhead
+    was dominating the index bytes."""
+    import json
+    import os
+
+    (
+        encoded.drop(vec_col)
+        .withColumn("batch", F.lit(-1))
+        .withColumn("pq_codes", F.col("pq_codes").cast("array<smallint>"))
+        .repartition(files_per_write, F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("batch", "cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivfpq.json"), "w") as fh:
+        json.dump(
+            {"centroids": [[cid, cvec] for cid, cvec in centroids],
+             "codebooks": codebooks},
+            fh,
+        )
+
+
+def read_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Load a persisted IVFADC index (lazy frame + both codebooks)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq.json")) as fh:
+        meta = json.load(fh)
+    centroids = [(int(cid), [float(x) for x in cvec])
+                 for cid, cvec in meta["centroids"]]
+    codebooks = [[[float(x) for x in c] for c in book]
+                 for book in meta["codebooks"]]
+    df = (
+        spark.read.parquet(path).drop("batch")
+        .withColumn("pq_codes", F.col("pq_codes").cast("array<int>"))
+    )
+    return df, centroids, codebooks
+
+
+def ivfpq_topk_from_path(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`ivfpq_topk` against a persisted index — the probed-cell
+    filter lands in PartitionFilters, so unprobed cells are never listed
+    into the scan (pinned by test, same property as ivf_topk_from_path)."""
+    encoded, centroids, codebooks = read_ivfpq_index(spark, path)
+    return ivfpq_topk(encoded, centroids, codebooks, query,
+                      k=k, nprobe=nprobe, id_col=id_col)

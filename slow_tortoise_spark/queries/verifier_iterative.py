@@ -647,3 +647,174 @@ def _pq_topk_sql(m: int = 4, ksub: int = 4, dsub: int = 16,
 
 VERIFIER_QUERIES["pq_topk"] = q_pq_topk
 VERIFIER_ORACLE_SQL["pq_topk"] = _pq_topk_sql(4, 4, 16, 1, 0, 10)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (verifier tier — IVF cosine k-means + residual-PQ Lloyd + probe
+# + per-cell ADC tables, ALL replayed by the oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFADC top-10 for corpus vector 0: 4-cell IVF (one cosine Lloyd
+    round), PQ trained on the residuals (m=4, ksub=4, one L2 Lloyd
+    round), nprobe=2 — the scan touches only the two probed cells' codes.
+    The oracle replays the ENTIRE composition round by round."""
+    from slow_tortoise_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    enc, cents, books = ivfpq_build(
+        emb, n_cells=4, kmeans_iters=1, m=4, ksub=4, pq_iters=1
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+         .first()["embedding"]]
+    return ivfpq_topk(enc, cents, books, q, k=10, nprobe=2)
+
+
+def _ivfpq_sql(
+    n_cells: int = 4,
+    kmeans_iters: int = 1,
+    m: int = 4,
+    ksub: int = 4,
+    dsub: int = 16,
+    pq_iters: int = 1,
+    nprobe: int = 2,
+    query_id: int = 0,
+    k: int = 10,
+) -> str:
+    """Chained-CTE replay of the full IVFADC build+query: the _kmeans_sql
+    cosine rounds (icents/iassign), residuals under the final assignment,
+    the _pq_ctes L2 rounds over the residuals (pcents/passign, empty
+    clusters carried forward), the driver's cosine probe ranking (zero
+    guard mirrored), per-probed-cell query-residual distance tables, and
+    the micro-integer ADC sum."""
+    ctes = [
+        """v AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings)""",
+        f"""iseeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS cell
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {n_cells})""",
+        """icents0 AS MATERIALIZED (
+        SELECT s.cell, v.i, v.x FROM iseeds s JOIN v ON v.vec_id = s.seed_id)""",
+    ]
+    for r in range(kmeans_iters + 1):
+        ctes.append(
+            f"""icnorm{r} AS MATERIALIZED (
+            SELECT cell, sqrt(SUM(x * x)) AS n FROM icents{r} GROUP BY cell)"""
+        )
+        ctes.append(
+            f"""iassign{r} AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+              SELECT d.vec_id, d.cell,
+                     row_number() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.dot / cn.n DESC, d.cell) AS rn
+              FROM (SELECT v.vec_id, c.cell, SUM(v.x * c.x) AS dot
+                    FROM v JOIN icents{r} c ON v.i = c.i
+                    GROUP BY 1, 2) d
+              JOIN icnorm{r} cn ON d.cell = cn.cell
+            ) WHERE rn = 1)"""
+        )
+        if r < kmeans_iters:
+            ctes.append(
+                f"""icents{r + 1} AS MATERIALIZED (
+                SELECT a.cell, v.i, AVG(v.x) AS x
+                FROM iassign{r} a JOIN v ON v.vec_id = a.vec_id
+                GROUP BY 1, 2)"""
+            )
+    ki = kmeans_iters
+    ctes += [
+        f"""cellof AS MATERIALIZED (SELECT vec_id, cell FROM iassign{ki})""",
+        f"""res AS MATERIALIZED (
+        SELECT v.vec_id, v.i, v.x - c.x AS x
+        FROM v JOIN cellof a ON v.vec_id = a.vec_id
+        JOIN icents{ki} c ON c.cell = a.cell AND c.i = v.i)""",
+        f"""rsv AS MATERIALIZED (
+        SELECT vec_id, i // {dsub} AS s, i % {dsub} AS p, x FROM res)""",
+        f"""pseeds AS MATERIALIZED (
+        SELECT vec_id AS seed_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS j
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {ksub})""",
+        """pcents0 AS MATERIALIZED (
+        SELECT sd.j, rsv.s, rsv.p, rsv.x
+        FROM pseeds sd JOIN rsv ON rsv.vec_id = sd.seed_id)""",
+    ]
+    for r in range(pq_iters + 1):
+        ctes.append(
+            f"""passign{r} AS MATERIALIZED (
+            SELECT vec_id, s, j AS code FROM (
+              SELECT d.vec_id, d.s, d.j,
+                     row_number() OVER (
+                       PARTITION BY d.vec_id, d.s
+                       ORDER BY d.dist, d.j) AS rn
+              FROM (SELECT rsv.vec_id, rsv.s, c.j,
+                           SUM((rsv.x - c.x) * (rsv.x - c.x)) AS dist
+                    FROM rsv JOIN pcents{r} c ON rsv.s = c.s AND rsv.p = c.p
+                    GROUP BY 1, 2, 3) d
+            ) WHERE rn = 1)"""
+        )
+        if r < pq_iters:
+            ctes.append(
+                f"""pcents{r + 1} AS MATERIALIZED (
+                SELECT c0.j, c0.s, c0.p, COALESCE(mu.x, c0.x) AS x
+                FROM pcents{r} c0 LEFT JOIN (
+                  SELECT a.code AS j, a.s, rsv.p, AVG(rsv.x) AS x
+                  FROM passign{r} a
+                  JOIN rsv ON rsv.vec_id = a.vec_id AND rsv.s = a.s
+                  GROUP BY 1, 2, 3) mu
+                ON c0.j = mu.j AND c0.s = mu.s AND c0.p = mu.p)"""
+            )
+    pi = pq_iters
+    ctes += [
+        f"""q AS MATERIALIZED (SELECT i, x FROM v WHERE vec_id = {query_id})""",
+        """qn AS MATERIALIZED (SELECT sqrt(SUM(x * x)) AS n FROM q)""",
+        f"""probe AS MATERIALIZED (
+        SELECT cell FROM (
+          SELECT d.cell,
+                 row_number() OVER (
+                   ORDER BY d.dot / (CASE WHEN qn.n * d.cn = 0 THEN 1.0
+                                          ELSE qn.n * d.cn END) DESC,
+                            d.cell) AS rn
+          FROM (SELECT c.cell, SUM(q.x * c.x) AS dot,
+                       sqrt(SUM(c.x * c.x)) AS cn
+                FROM icents{ki} c JOIN q ON q.i = c.i
+                GROUP BY c.cell) d, qn
+        ) WHERE rn <= {nprobe})""",
+        f"""qres AS MATERIALIZED (
+        SELECT c.cell, c.i // {dsub} AS s, c.i % {dsub} AS p, q.x - c.x AS x
+        FROM icents{ki} c JOIN q ON q.i = c.i
+        WHERE c.cell IN (SELECT cell FROM probe))""",
+        f"""dtab AS MATERIALIZED (
+        SELECT r.cell, pc.s, pc.j, SUM((r.x - pc.x) * (r.x - pc.x)) AS d
+        FROM qres r JOIN pcents{pi} pc ON pc.s = r.s AND pc.p = r.p
+        GROUP BY 1, 2, 3)""",
+        f"""scored AS (
+        SELECT a.vec_id, SUM(t.d) AS dist
+        FROM passign{pi} a
+        JOIN cellof cf ON cf.vec_id = a.vec_id
+        JOIN dtab t ON t.cell = cf.cell AND t.s = a.s AND t.j = a.code
+        WHERE cf.cell IN (SELECT cell FROM probe)
+        GROUP BY 1)""",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT)"
+          f" AS adc_dist_micros FROM scored"
+          f" ORDER BY adc_dist_micros, vec_id LIMIT {k}"
+    )
+
+
+VERIFIER_QUERIES["ivfpq_topk"] = q_ivfpq_topk
+VERIFIER_ORACLE_SQL["ivfpq_topk"] = _ivfpq_sql()

@@ -3551,3 +3551,107 @@ def test_bm25_ranking_order_and_k(spark, sf_dir):
     assert len(rows) == 15
     keys = [(-r["bm25_micros"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (IVF × residual PQ)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_persisted_pruning_and_parity(spark, sf_dir, tmp_path):
+    """Persisted IVFADC index: from-path results equal the in-memory
+    query, the probed-cell filter lands in PartitionFilters (unprobed
+    cells never listed into the scan), and the scan reads ONLY
+    (vec_id, pq_codes) — never the float vectors."""
+    from slow_tortoise_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+        ivfpq_topk_from_path,
+        write_ivfpq_index,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    enc, cents, books = ivfpq_build(
+        emb, n_cells=4, kmeans_iters=1, m=4, ksub=4, pq_iters=1
+    )
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    mem = [(r["vec_id"], r["adc_dist_micros"])
+           for r in ivfpq_topk(enc, cents, books, q, k=10, nprobe=2)
+           .collect()]
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(enc, cents, books, path)
+    disk_df = ivfpq_topk_from_path(spark, path, q, k=10, nprobe=2)
+    disk = [(r["vec_id"], r["adc_dist_micros"]) for r in disk_df.collect()]
+    assert mem == disk and len(mem) == 10
+    assert mem[0][0] == 0  # self ranks first (its cell is always probed)
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+        "cell #", "cell#") or "PartitionFilters" in plan
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in scan_line.split("PartitionFilters")[1][:40]
+    assert "embedding" not in scan_line.split("ReadSchema")[-1]
+
+
+def test_ivfpq_adc_matches_python_recompute(spark, sf_dir):
+    """ADC micro-distances over the probed cells equal a pure-Python
+    recompute: per-cell query residual → distance table → code lookups."""
+    from slow_tortoise_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    enc, cents, books = ivfpq_build(
+        emb, n_cells=4, kmeans_iters=1, m=4, ksub=4, pq_iters=1
+    )
+    q = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
+    import math
+
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        return sum(a * b for a, b in zip(q, c)) / (qn * cn or 1.0)
+
+    probe = [cid for cid, c in sorted(cents, key=lambda t: -cos(t[1]))[:2]]
+    cent = dict(cents)
+    dsub = len(books[0][0])
+    want = {}
+    for r in enc.select("vec_id", "cell", "pq_codes").collect():
+        if r["cell"] not in probe:
+            continue
+        qres = [a - b for a, b in zip(q, cent[r["cell"]])]
+        d = 0.0
+        for s, code in enumerate(r["pq_codes"]):
+            cb = books[s][code]
+            d = d + sum(
+                (qres[s * dsub + p] - cb[p]) ** 2 for p in range(dsub)
+            )
+        want[r["vec_id"]] = round(d * 1e6)
+    got = ivfpq_topk(enc, cents, books, q, k=10, nprobe=2).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["adc_dist_micros"] == want[r["vec_id"]]
+    cutoff = sorted((v, i) for i, v in want.items())[:10]
+    assert [(r["adc_dist_micros"], r["vec_id"]) for r in got] == cutoff
+
+
+def test_residual_expr_is_cell_id_keyed(spark):
+    """The residual lookup keys by CELL ID, not centroid-list position —
+    a centroid list with a gap (an empty cell dropped by a Lloyd round)
+    must still subtract the right centroid."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.similarity import _residual_expr
+
+    df = spark.createDataFrame([
+        Row(vec_id=0, embedding=[10.0, 20.0], cell=2),
+        Row(vec_id=1, embedding=[5.0, 5.0], cell=0),
+    ])
+    gappy = [(0, [1.0, 1.0]), (2, [10.0, 10.0])]  # cell 1 vanished
+    out = {r["vec_id"]: r["res"] for r in df.withColumn(
+        "res", _residual_expr("embedding", gappy)).collect()}
+    assert out[0] == [0.0, 10.0]   # 10-10, 20-10 (cell 2's centroid)
+    assert out[1] == [4.0, 4.0]    # 5-1, 5-1 (cell 0's centroid)
