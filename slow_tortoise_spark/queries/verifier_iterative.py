@@ -818,3 +818,92 @@ def _ivfpq_sql(
 
 VERIFIER_QUERIES["ivfpq_topk"] = q_ivfpq_topk
 VERIFIER_ORACLE_SQL["ivfpq_topk"] = _ivfpq_sql()
+
+
+# ---------------------------------------------------------------------------
+# PageRank (verifier tier — the oracle replays every power iteration)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_graph(spark, sf_dir):
+    """Three PageRank power iterations over the bidirectional
+    customer↔supplier graph (an edge per distinct customer/supplier
+    trading pair from orders ⋈ lineitem) — the link-centrality tier a
+    web-corpus pipeline gates crawl hosts on.  Micro-integer ranks:
+    values sit near 1/N ≈ 6e-4, so the micros rounding carries no float
+    ordering hazard."""
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        "node",
+        F.round(F.col("rank") * 1e6, 0).cast("bigint").alias("rank_micros"),
+    ).orderBy("node")
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Chained-CTE power-iteration replay: r{i} = ranks entering round
+    i, dang{i} = that round's dangling mass (0 on this bidirectional
+    graph, but replayed anyway — the operator contract includes it).
+    Float shapes mirror the engine exactly: (1 - 0.85)/n, r/d shares,
+    damping × (contrib + dangling/n)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS MATERIALIZED (
+        SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs)""",
+        """deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS d FROM edges GROUP BY src)""",
+        """nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges
+          UNION ALL SELECT dst AS node FROM edges))""",
+        """nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""",
+        """r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS r FROM nodes, nn)""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""dang{i} AS MATERIALIZED (
+            SELECT COALESCE(SUM(r), 0.0) AS s FROM r{i}
+            WHERE node NOT IN (SELECT src FROM deg))"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   (1 - 0.85) / nn.n
+                   + 0.85 * (COALESCE(c.c, 0.0) + dang{i}.s / nn.n) AS r
+            FROM nodes n
+            LEFT JOIN (SELECT e.dst AS node, SUM(r.r / deg.d) AS c
+                       FROM edges e
+                       JOIN deg ON e.src = deg.src
+                       JOIN r{i} r ON r.node = e.src
+                       GROUP BY e.dst) c ON n.node = c.node,
+            nn, dang{i})"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, CAST(round(r * 1e6) AS BIGINT) AS rank_micros"
+          f" FROM r{iters} ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["pagerank_graph"] = q_pagerank_graph
+VERIFIER_ORACLE_SQL["pagerank_graph"] = _pagerank_sql(3)

@@ -3655,3 +3655,90 @@ def test_residual_expr_is_cell_id_keyed(spark):
         "res", _residual_expr("embedding", gappy)).collect()}
     assert out[0] == [0.0, 10.0]   # 10-10, 20-10 (cell 2's centroid)
     assert out[1] == [4.0, 4.0]    # 5-1, 5-1 (cell 0's centroid)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_reference(edges, iters=3, d=0.85):
+    """Pure-Python power iteration mirroring the operator contract:
+    multiplicity counts, dangling mass redistributes uniformly."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if v not in deg)
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += r[a] / deg[a]
+        r = {
+            v: (1.0 - d) / n + d * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_hand_derived_with_dangling(spark):
+    """Cycle + dangling sink: engine micros equal the Python reference,
+    total mass stays 1 (the dangling redistribution's whole point),
+    and the sink's inbound share shows up."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    want = _pagerank_reference(edges, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert round(got[v] * 1e6) == round(want[v] * 1e6), v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_edge_multiplicity_counts(spark):
+    """A doubled edge sends twice the share — multiplicity is weight."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    single = [("a", "b"), ("a", "c")]
+    double = [("a", "b"), ("a", "b"), ("a", "c")]
+    g1 = {r["node"]: r["rank"] for r in pagerank(
+        spark.createDataFrame([Row(src=s, dst=t) for s, t in single]),
+        iters=2).collect()}
+    g2 = {r["node"]: r["rank"] for r in pagerank(
+        spark.createDataFrame([Row(src=s, dst=t) for s, t in double]),
+        iters=2).collect()}
+    assert g2["b"] > g1["b"] and g2["c"] < g1["c"]
+    for g, ed in ((g1, single), (g2, double)):
+        want = _pagerank_reference(ed, iters=2)
+        for v in want:
+            assert round(g[v] * 1e6) == round(want[v] * 1e6)
+
+
+def test_pagerank_releases_storage(spark):
+    """Per-round checkpoints free: after collecting, cached storage
+    returns to baseline (the CC-loop discipline)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    base = len([i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = pagerank(df, iters=2)
+    out.collect()
+    from slow_tortoise_spark.operators.cachectl import (
+        free_local_checkpoint,
+    )
+
+    free_local_checkpoint(out)
+    after = len([i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    assert after <= base + 1  # the returned frame itself was the last holder
