@@ -747,3 +747,53 @@ def streaming_ivf_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_snapshot(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> str | None:
+    """Rewrite the CURRENT snapshot version into ``target_files``
+    parquet files and atomically re-point the manifest — the
+    small-files compaction every merge-on-write table needs at scale
+    (a long-running upsert stream leaves each version with one file
+    per shuffle partition; scans then pay per-file open/footer cost
+    that dwarfs the bytes).
+
+    Contract:
+
+    * Content is row-identical INCLUDING tombstones — compaction is a
+      layout change, never a semantic one (``read_snapshot`` before ==
+      after, pinned by test).
+    * The new version directory is ``{current}c{n}`` — the ``c`` suffix
+      sorts lexicographically AFTER its base version and BEFORE the
+      next batch id, so ``snapshot_versions`` order stays commit order
+      and time travel to pre-compaction versions still works.
+    * The manifest flip reuses :func:`_flip_latest` with the SAME
+      committed batch id, so a concurrently-replayed micro-batch still
+      no-ops (``batch_id <= committed``) and the next live batch
+      simply commits the next id on top.
+    * Idempotent per call site: a crash between write and flip leaves
+      a dangling ``c{n}`` dir that the retry OVERWRITES (deterministic
+      name, mode=overwrite) before flipping.
+    * The pre-compaction version stays on disk for time travel until
+      :func:`vacuum_snapshot` collects it.
+
+    Returns the new version name, or None if there is no snapshot yet.
+    """
+    import os
+
+    version, committed = _load_latest(root)
+    if version is None:
+        return None
+    base = version.split("c")[0]
+    n = 1 + sum(
+        1 for v in snapshot_versions(root)
+        if v.startswith(base + "c")
+    )
+    new_version = f"{base}c{n}"
+    df = spark.read.parquet(os.path.join(root, version))
+    df.repartition(target_files).write.mode("overwrite").parquet(
+        os.path.join(root, new_version)
+    )
+    _flip_latest(root, new_version, committed)
+    return new_version

@@ -1001,3 +1001,76 @@ def test_streaming_sources_read_directory_layout(spark, sf_dir, tmp_path):
     base = rows(q_streaming_index_dedup, sf_dir)
     assert rows(q_streaming_index_dedup, staged) == base
     assert len(base) > 0
+
+
+def test_compact_snapshot_layout_only(spark, tmp_path):
+    """Compaction shrinks the file count, changes NO row (tombstones
+    included), keeps time travel to the pre-compaction version, keeps
+    replayed batches no-ops, lets the next live batch commit on top,
+    and vacuums the fat version once unreferenced."""
+    import glob
+    import os
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        _load_latest,
+        _upsert_merge_fn,
+        compact_snapshot,
+        read_snapshot,
+        read_snapshot_at,
+        snapshot_versions,
+        vacuum_snapshot,
+    )
+
+    schema = "k long, v long, payload string, deleted boolean"
+    b0 = spark.createDataFrame(
+        [(i, 1, f"p{i}", False) for i in range(40)] + [(99, 1, "x", True)],
+        schema,
+    )
+    b1 = spark.createDataFrame([(1, 2, "p1b", False)], schema)
+    root = str(tmp_path / "snap")
+    os.makedirs(root)
+    merge = _upsert_merge_fn(spark, root, ["k"], ["v"], "deleted")
+    merge(b0, 0)
+    merge(b1, 1)
+    before_version, committed = _load_latest(root)
+    live_before = sorted(
+        tuple(r) for r in read_snapshot(spark, root).collect())
+    all_before = sorted(tuple(r) for r in read_snapshot(
+        spark, root, live_only=False).collect())
+    # widen to 5 files first (AQE coalesces this tiny corpus to one
+    # file on its own), then compact to 1 — both directions are layout
+    # control through the same code path
+    wide = compact_snapshot(spark, root, target_files=5)
+    assert wide == f"{before_version}c1"
+    assert len(glob.glob(os.path.join(root, wide, "*.parquet"))) == 5
+    new_version = compact_snapshot(spark, root, target_files=1)
+    assert new_version == f"{before_version}c2"
+    assert _load_latest(root) == (new_version, committed)
+    assert len(
+        glob.glob(os.path.join(root, new_version, "*.parquet"))) == 1
+    # rows identical, tombstone retained
+    assert sorted(
+        tuple(r) for r in read_snapshot(spark, root).collect()
+    ) == live_before
+    assert sorted(tuple(r) for r in read_snapshot(
+        spark, root, live_only=False).collect()) == all_before
+    assert any(r[0] == 99 for r in all_before)
+    # version order: base version still time-travels; order is commit order
+    assert snapshot_versions(root)[-1] == new_version
+    assert sorted(tuple(r) for r in read_snapshot_at(
+        spark, root, before_version, live_only=False).collect()
+    ) == all_before
+    # replayed batch still no-ops against the compacted manifest
+    merge(b1, 1)
+    assert _load_latest(root) == (new_version, committed)
+    # next live batch commits on top
+    b2 = spark.createDataFrame([(2, 3, "p2c", False)], schema)
+    merge(b2, 2)
+    v2, c2 = _load_latest(root)
+    assert c2 == 2 and v2 > new_version
+    live = {r["k"]: r["payload"] for r in read_snapshot(spark, root).collect()}
+    assert live[2] == "p2c" and live[1] == "p1b"
+    # vacuum drops the fat pre-compaction version once out of keep range
+    removed = vacuum_snapshot(root, keep=1)
+    assert before_version in removed
+    assert not os.path.exists(os.path.join(root, before_version))
