@@ -407,6 +407,19 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "negative_pairs": 5,
         "grouping_sets": 2,
         "salted_join": 3,
+        # Round-9 additions, audited at first landing.  pq_topk /
+        # ivfpq_topk are ZERO-exchange: training/probing collect their
+        # driver-bounded codebooks eagerly, then the ranked scan is
+        # map-only scoring + TakeOrderedAndProject.  pq_codes' one
+        # exchange is the output posexplode ordering; pagerank's one is
+        # the final orderBy (rounds are pre-materialized checkpoints);
+        # bm25's seven: fan_out, tf/dfreq/score groupBys, the |query|-row
+        # broadcast, the top-k sort.
+        "pq_codes": 1,
+        "pq_topk": 0,
+        "ivfpq_topk": 0,
+        "pagerank_graph": 1,
+        "bm25_rank": 7,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)
