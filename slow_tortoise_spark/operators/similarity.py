@@ -1595,3 +1595,44 @@ def ivfpq_topk_from_path(
     encoded, centroids, codebooks = read_ivfpq_index(spark, path)
     return ivfpq_topk(encoded, centroids, codebooks, query,
                       k=k, nprobe=nprobe, id_col=id_col)
+
+
+def ivfpq_rerank_topk(
+    raw: DataFrame,
+    encoded: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Two-stage retrieval: ADC over the compressed index proposes
+    ``rerank`` candidates (default 10·k), then ONLY those rows' raw
+    vectors are read for an exact cosine re-rank — the standard fix for
+    per-rank parity where quantized distances can't separate
+    near-equidistant neighbors (measured in tools/soak_ann.py: ADC
+    recall@10 collapses inside huge clusters; exact re-rank of the ADC
+    candidate set restores it at the cost of reading rerank/N of the
+    raw corpus).
+
+    The candidate ids collect to the driver (bounded: ``rerank`` longs)
+    and push into the raw scan as an IN filter — on an id-partitioned
+    or stats-clustered corpus that is file-level pruning, and in any
+    layout it reads vectors for ~rerank rows instead of N.
+
+    Returns (id_col, cosine) descending, ties by id."""
+    if rerank is None:
+        rerank = 10 * k
+    cand = ivfpq_topk(
+        encoded, centroids, codebooks, query,
+        k=rerank, nprobe=nprobe, id_col=id_col, codes_col=codes_col,
+    )
+    ids = [r[id_col] for r in cand.select(id_col).collect()]
+    return brute_force_topk(
+        raw.filter(F.col(id_col).isin(ids)), query,
+        k=k, id_col=id_col, vec_col=vec_col,
+    )

@@ -302,3 +302,37 @@ for _name in _ROTATE_OUT_9:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+# --- Round-9 second-session wave: the SEVEN operators built this session
+# (PQ codes/topk, IVFADC topk + exact re-rank, BM25, PageRank) plus
+# semdedup_auto (built earlier in round 9) rotate IN immediately so
+# CORRECTNESS_r09 witnesses every new operator in the round it landed —
+# no new query waits a round for its first driver row.  Out: seven
+# round-8 rotate-ins, each holding a driver-green r08 row and an
+# in-catalog family sibling:
+#   out shuffle_rows         -> hash_split (keyed-hash sampling family)
+#   out stratified_sample    -> source_cap + hash_split (sampling family)
+#   out edit_distance_verify -> lsh_edit_funnel (the funnel RUNS the
+#                               banded edit-distance verify as its
+#                               final stage)
+#   out window_lag_lead      -> window_rank_surface + window_topn
+#   out semi_join            -> set_ops (set-op/join-shape family)
+#   out date_parts           -> validate_coercion + weighted_timeseries
+#                               (temporal-scalar family)
+#   out quality_score        -> token_stats + repetition_ratio
+#                               (text-feature family)
+_ROTATE_IN_9B = [
+    "semdedup_auto", "pq_codes", "pq_topk", "ivfpq_topk", "ivfpq_rerank",
+    "bm25_rank", "pagerank_graph",
+]
+_ROTATE_OUT_9B = [
+    "shuffle_rows", "stratified_sample", "edit_distance_verify",
+    "window_lag_lead", "semi_join", "date_parts", "quality_score",
+]
+for _name in _ROTATE_IN_9B:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_9B:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

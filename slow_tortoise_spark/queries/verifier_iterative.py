@@ -674,7 +674,7 @@ def q_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(enc, cents, books, q, k=10, nprobe=2)
 
 
-def _ivfpq_sql(
+def _ivfpq_ctes(
     n_cells: int = 4,
     kmeans_iters: int = 1,
     m: int = 4,
@@ -683,8 +683,7 @@ def _ivfpq_sql(
     pq_iters: int = 1,
     nprobe: int = 2,
     query_id: int = 0,
-    k: int = 10,
-) -> str:
+) -> list[str]:
     """Chained-CTE replay of the full IVFADC build+query: the _kmeans_sql
     cosine rounds (icents/iassign), residuals under the final assignment,
     the _pq_ctes L2 rounds over the residuals (pcents/passign, empty
@@ -808,6 +807,11 @@ def _ivfpq_sql(
         WHERE cf.cell IN (SELECT cell FROM probe)
         GROUP BY 1)""",
     ]
+    return ctes
+
+
+def _ivfpq_sql(k: int = 10, **kw) -> str:
+    ctes = _ivfpq_ctes(**kw)
     return (
         "WITH " + ", ".join(ctes)
         + f" SELECT vec_id, CAST(round(dist * 1e6) AS BIGINT)"
@@ -907,3 +911,53 @@ def _pagerank_sql(iters: int = 3) -> str:
 
 VERIFIER_QUERIES["pagerank_graph"] = q_pagerank_graph
 VERIFIER_ORACLE_SQL["pagerank_graph"] = _pagerank_sql(3)
+
+
+def q_ivfpq_rerank(spark, sf_dir):
+    """Two-stage IVFADC retrieval: ADC proposes 40 candidates over the
+    compressed codes, then ONLY those rows' raw vectors are read for an
+    exact cosine top-10 — per-rank parity where quantized distances
+    can't separate near-equidistant neighbors, at rerank/N of the raw
+    scan.  The oracle replays build, probe, ADC candidate cut, and the
+    exact re-rank."""
+    from slow_tortoise_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_rerank_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    enc, cents, books = ivfpq_build(
+        emb, n_cells=4, kmeans_iters=1, m=4, ksub=4, pq_iters=1
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+         .first()["embedding"]]
+    out = ivfpq_rerank_topk(emb, enc, cents, books, q,
+                            k=10, nprobe=2, rerank=40)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ivfpq_rerank_sql(rerank: int = 40, k: int = 10) -> str:
+    ctes = _ivfpq_ctes()
+    ctes.append(
+        f"""cand AS MATERIALIZED (
+        SELECT vec_id FROM scored
+        ORDER BY CAST(round(dist * 1e6) AS BIGINT), vec_id
+        LIMIT {rerank})"""
+    )
+    ctes.append(
+        """rdots AS MATERIALIZED (
+        SELECT v.vec_id, SUM(v.x * q2.x) AS dot, sqrt(SUM(v.x * v.x)) AS nv
+        FROM v JOIN q q2 ON v.i = q2.i
+        WHERE v.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY v.vec_id)"""
+    )
+    ctes.append("""qn2 AS (SELECT sqrt(SUM(x * x)) AS nq FROM q)""")
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, round(dot / (nv * qn2.nq), 6) AS cosine"
+          f" FROM rdots, qn2 ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+VERIFIER_QUERIES["ivfpq_rerank"] = q_ivfpq_rerank
+VERIFIER_ORACLE_SQL["ivfpq_rerank"] = _ivfpq_rerank_sql()

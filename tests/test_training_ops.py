@@ -3742,3 +3742,40 @@ def test_pagerank_releases_storage(spark):
     free_local_checkpoint(out)
     after = len([i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
     assert after <= base + 1  # the returned frame itself was the last holder
+
+
+def test_ivfpq_rerank_recall_and_exactness(spark, sf_dir):
+    """Re-rank returns EXACT cosines for its candidates (bitwise equal
+    to brute force on the same ids), improves or matches raw-ADC
+    recall@10, and with rerank >= N it equals brute force exactly."""
+    from slow_tortoise_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_build,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    enc, cents, books = ivfpq_build(
+        emb, n_cells=4, kmeans_iters=1, m=4, ksub=4, pq_iters=1
+    )
+    q = [float(x) for x in emb.filter("vec_id = 9").first()["embedding"]]
+    exact = [(r["vec_id"], r["cosine"])
+             for r in brute_force_topk(emb, q, k=10).collect()]
+    exact_ids = {i for i, _ in exact}
+    adc_ids = {r["vec_id"] for r in ivfpq_topk(
+        enc, cents, books, q, k=10, nprobe=4).collect()}
+    rr = [(r["vec_id"], r["cosine"]) for r in ivfpq_rerank_topk(
+        emb, enc, cents, books, q, k=10, nprobe=4, rerank=100).collect()]
+    assert len(set(i for i, _ in rr) & exact_ids) >= len(adc_ids & exact_ids)
+    bf = {i: c for i, c in
+          ((r["vec_id"], r["cosine"])
+           for r in brute_force_topk(emb, q, k=n).collect())}
+    for i, c in rr:
+        assert c == bf[i]  # exact cosine, not quantized
+    # full-probe + full-rerank degenerates to brute force exactly
+    full = [(r["vec_id"], r["cosine"]) for r in ivfpq_rerank_topk(
+        emb, enc, cents, books, q, k=10, nprobe=4, rerank=n).collect()]
+    assert full == exact
