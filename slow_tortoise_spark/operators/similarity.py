@@ -1636,3 +1636,52 @@ def ivfpq_rerank_topk(
         raw.filter(F.col(id_col).isin(ids)), query,
         k=k, id_col=id_col, vec_col=vec_col,
     )
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> int:
+    """Incrementally grow a persisted IVFADC index: assign new vectors
+    to the EXISTING centroids, encode their residuals under the
+    EXISTING codebooks, and write codes under ``batch={id}/cell=…`` —
+    the compressed-index mirror of :func:`ivf_append`, with the same
+    idempotence-by-construction (deterministic batch directory +
+    mode=overwrite: a crash-replayed batch REPLACES itself) and the
+    same immutability contract (neither centroids nor codebooks move
+    under readers; quantization error drifts gracefully as the data
+    distribution moves off the training sample — re-train by rebuilding
+    into a fresh path and flipping a manifest when drift warrants).
+
+    Cells keep partition-pruned reads through
+    :func:`ivfpq_topk_from_path`; appended rows store codes-only
+    smallints exactly like the base build.  Returns rows written."""
+    import os
+    import re
+
+    if batch_id is None:
+        existing = [
+            int(mm.group(1))
+            for d in os.listdir(path)
+            if (mm := re.fullmatch(r"batch=(-?\d+)", d))
+        ]
+        batch_id = max(existing, default=-1) + 1
+    _, centroids, codebooks = read_ivfpq_index(spark, path)
+    assigned = _assign_cells_join(new_vectors, centroids, vec_col)
+    with_res = assigned.withColumn(
+        "_res", _residual_expr(vec_col, centroids)
+    )
+    encoded = pq_encode(with_res, codebooks, vec_col="_res").drop("_res")
+    n = encoded.count()
+    (
+        encoded.drop(vec_col)
+        .withColumn("pq_codes", F.col("pq_codes").cast("array<smallint>"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, f"batch={batch_id}"))
+    )
+    return n

@@ -749,6 +749,56 @@ def streaming_ivf_append(
     )
 
 
+def _ivfpq_append_merge_fn(spark: SparkSession, path: str):
+    """foreachBatch merge for :func:`streaming_ivfpq_append` — the
+    compressed-index mirror of :func:`_ivf_append_merge_fn`, with the
+    identical idempotence structure (deterministic ``batch={id}``
+    overwrite; ``_IVFPQ_COMMITTED`` manifest as the fast-path no-op and
+    observability high-water mark)."""
+    import json
+    import os
+
+    from slow_tortoise_spark.operators.similarity import ivfpq_append
+
+    manifest = os.path.join(path, "_IVFPQ_COMMITTED")
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        committed = -1
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                committed = int(json.load(fh)["batch_id"])
+        if batch_id <= committed:
+            return  # committed replay — nothing to redo
+        ivfpq_append(spark, path, batch_df, batch_id=batch_id)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, manifest)
+
+    return merge
+
+
+def streaming_ivfpq_append(
+    stream_vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """Continuously grow a persisted IVFADC index from a vector stream:
+    per micro-batch, assignment to the frozen centroids + residual
+    encode under the frozen codebooks + deterministic batch-directory
+    overwrite (see :func:`operators.similarity.ivfpq_append`).  Queries
+    through ``ivfpq_topk_from_path`` see new vectors after each commit
+    with partition-pruned, codes-only scans.  Re-clustering/re-training
+    stays an offline rebuild, exactly like the uncompressed tier."""
+    merge = _ivfpq_append_merge_fn(stream_vectors.sparkSession, path)
+    return (
+        stream_vectors.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_snapshot(
     spark: SparkSession, root: str, target_files: int = 1
 ) -> str | None:

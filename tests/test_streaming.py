@@ -1074,3 +1074,66 @@ def test_compact_snapshot_layout_only(spark, tmp_path):
     removed = vacuum_snapshot(root, keep=1)
     assert before_version in removed
     assert not os.path.exists(os.path.join(root, before_version))
+
+
+def test_ivfpq_append_grows_index_idempotently(spark, sf_dir, tmp_path):
+    """IVFADC incremental growth mirrors ivf_append's contract: appended
+    vectors are queryable from the path with cell pruning intact, codes
+    match a batch encode under the frozen codebooks, a replayed batch id
+    REPLACES its directory (row count unchanged), and the committed
+    manifest fast-path no-ops."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        pq_encode,
+        read_ivfpq_index,
+        write_ivfpq_index,
+        _assign_cells_join,
+        _residual_expr,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+    from slow_tortoise_spark.streaming.pipeline import _ivfpq_append_merge_fn
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    base = emb.filter("vec_id < 400")
+    extra = emb.filter("vec_id >= 400").withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    enc, cents, books = ivfpq_build(
+        base, n_cells=4, kmeans_iters=1, m=4, ksub=4, pq_iters=1
+    )
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(enc, cents, books, path)
+
+    n = ivfpq_append(spark, path, extra)
+    assert n == extra.count()
+    idx, icents, ibooks = read_ivfpq_index(spark, path)
+    assert icents == cents and ibooks == books  # frozen under append
+    assert idx.count() == base.count() + extra.count()
+    # appended codes == batch encode of residuals under the same books
+    want_enc = pq_encode(
+        _assign_cells_join(extra, cents, "embedding").withColumn(
+            "_res", _residual_expr("embedding", cents)),
+        books, vec_col="_res").drop("_res")
+    want = {r["vec_id"]: (r["cell"], list(r["pq_codes"]))
+            for r in want_enc.select("vec_id", "cell", "pq_codes").collect()}
+    got = {r["vec_id"]: (r["cell"], list(r["pq_codes"]))
+           for r in idx.filter("vec_id >= 10000")
+           .select("vec_id", "cell", "pq_codes").collect()}
+    assert got == want
+    # replay of the SAME batch id replaces, never duplicates
+    existing = [d for d in os.listdir(path) if d.startswith("batch=")]
+    bid = max(int(d.split("=")[1]) for d in existing)
+    ivfpq_append(spark, path, extra, batch_id=bid)
+    idx2, _, _ = read_ivfpq_index(spark, path)
+    assert idx2.count() == base.count() + extra.count()
+    # streaming merge: committed manifest no-ops a replayed batch
+    merge = _ivfpq_append_merge_fn(spark, path)
+    merge(extra, 7)
+    n_after = read_ivfpq_index(spark, path)[0].count()
+    merge(extra, 7)  # replay — fast-path no-op
+    assert read_ivfpq_index(spark, path)[0].count() == n_after
