@@ -418,6 +418,9 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "pq_codes": 1,
         "pq_topk": 0,
         "ivfpq_topk": 0,
+        # the returned frame is the exact re-rank over the collected
+        # ADC candidate ids: an IN-filtered scan + TakeOrdered
+        "ivfpq_rerank": 0,
         "pagerank_graph": 1,
         "bm25_rank": 7,
     }
