@@ -69,7 +69,12 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        # the early return must not leak the three (empty) caches
+        e.unpersist()
+        deg.unpersist()
+        nodes.unpersist()
+        return out
 
     ranks = tracked_local_checkpoint(
         nodes.withColumn("rank", F.lit(1.0 / n))

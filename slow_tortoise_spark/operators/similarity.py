@@ -1021,8 +1021,13 @@ def ivf_append(
     of appending a second copy of the vectors.  Assignment is also
     deterministic (same centroids, same argmax), so a replay touches
     exactly the cells the first attempt did.  When ``batch_id`` is None
-    (ad-hoc non-streaming use) the next unused id is taken from the
-    existing ``batch=…`` directory names.
+    (ad-hoc non-streaming use) ids DESCEND from the base build's -1
+    (first manual append -2, then -3, …) — a namespace disjoint from
+    Spark's foreachBatch ids (0, 1, 2, …), so a manual append followed
+    by a stream on the SAME index path can never silently overwrite
+    (streaming batch 0 used to collide with the first manual auto-id).
+    Callers passing an explicit non-negative ``batch_id`` own that
+    invariant themselves.
 
     Centroids are deliberately NOT updated: IVF semantics tolerate
     assignment drift (recall degrades gracefully as the data
@@ -1043,7 +1048,9 @@ def ivf_append(
             for d in os.listdir(path)
             if (m := re.fullmatch(r"batch=(-?\d+)", d))
         ]
-        batch_id = max(existing, default=-1) + 1
+        # manual ids descend below the base build's -1: disjoint from
+        # Spark streaming foreachBatch ids (0, 1, …) on the same path
+        batch_id = min(existing, default=-1) - 1
     _, centroids = read_ivf_index(spark, path)
     assigned = _assign_cells_join(new_vectors, centroids, vec_col)
     n = assigned.count()
@@ -1252,10 +1259,12 @@ def _pq_encode_join(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     spark = df.sparkSession
+    # internal columns are underscore-prefixed (module convention) so a
+    # user frame that already has columns named "s"/"j" can't collide
     cdf = spark.createDataFrame(
         [(s, j, [float(x) for x in c])
          for s, book in enumerate(codebooks) for j, c in enumerate(book)],
-        "s int, j int, _c array<double>",
+        "_s int, _j int, _c array<double>",
     )
     v = F.col(vec_col).cast("array<double>")
     tagged = df.withColumn("_row", F.monotonically_increasing_id())
@@ -1263,19 +1272,19 @@ def _pq_encode_join(
         *df.columns, "_row",
         F.posexplode(
             F.array(*[F.slice(v, s * dsub + 1, dsub) for s in range(m)])
-        ).alias("s", "_sub"),
+        ).alias("_s", "_sub"),
     )
-    cand = subs.join(F.broadcast(cdf), "s")
+    cand = subs.join(F.broadcast(cdf), "_s")
     dist = _l2sq_col(F.col("_sub"), F.col("_c"))
-    per = cand.groupBy("_row", "s").agg(
+    per = cand.groupBy("_row", "_s").agg(
         *[F.first(c).alias(c) for c in df.columns],
-        F.min_by("j", F.struct(dist.alias("_d"), F.col("j").alias("_t")))
+        F.min_by("_j", F.struct(dist.alias("_d"), F.col("_j").alias("_t")))
         .alias("_code"),
     )
     out = per.groupBy("_row").agg(
         *[F.first(c).alias(c) for c in df.columns],
         F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "_code"))),
+            F.array_sort(F.collect_list(F.struct("_s", "_code"))),
             lambda x: x["_code"],
         ).alias(out_col),
     )
@@ -1659,7 +1668,10 @@ def ivfpq_append(
 
     Cells keep partition-pruned reads through
     :func:`ivfpq_topk_from_path`; appended rows store codes-only
-    smallints exactly like the base build.  Returns rows written."""
+    smallints exactly like the base build.  Manual auto-ids DESCEND
+    from the base build's -1 (-2, -3, …) so they can never collide
+    with Spark streaming foreachBatch ids (0, 1, …) on the same index
+    path — see :func:`ivf_append`.  Returns rows written."""
     import os
     import re
 
@@ -1669,7 +1681,7 @@ def ivfpq_append(
             for d in os.listdir(path)
             if (mm := re.fullmatch(r"batch=(-?\d+)", d))
         ]
-        batch_id = max(existing, default=-1) + 1
+        batch_id = min(existing, default=-1) - 1
     _, centroids, codebooks = read_ivfpq_index(spark, path)
     assigned = _assign_cells_join(new_vectors, centroids, vec_col)
     with_res = assigned.withColumn(

@@ -814,36 +814,49 @@ def compact_snapshot(
     * Content is row-identical INCLUDING tombstones — compaction is a
       layout change, never a semantic one (``read_snapshot`` before ==
       after, pinned by test).
-    * The new version directory is ``{current}c{n}`` — the ``c`` suffix
-      sorts lexicographically AFTER its base version and BEFORE the
-      next batch id, so ``snapshot_versions`` order stays commit order
-      and time travel to pre-compaction versions still works.
+    * The new version directory is ``{base}c{n:04d}`` — the zero-padded
+      ``c`` suffix sorts lexicographically AFTER its base version,
+      AFTER every earlier compaction of the same base (``c0010`` >
+      ``c0002``), and BEFORE the next batch id, so ``snapshot_versions``
+      order stays commit order and time travel to pre-compaction
+      versions still works.
     * The manifest flip reuses :func:`_flip_latest` with the SAME
       committed batch id, so a concurrently-replayed micro-batch still
       no-ops (``batch_id <= committed``) and the next live batch
       simply commits the next id on top.
-    * Idempotent per call site: a crash between write and flip leaves
-      a dangling ``c{n}`` dir that the retry OVERWRITES (deterministic
-      name, mode=overwrite) before flipping.
+    * Crash-safe: ``n`` derives from the MANIFEST's current version
+      (its ``c``-suffix + 1), never from a directory listing, so a
+      retry after a crash recomputes the SAME name and overwrites the
+      dangling attempt.  The parquet write itself goes to a hidden
+      ``_compact.tmp`` staging dir and renames into place, so a
+      partially-written compaction is never visible to
+      ``snapshot_versions`` / ``read_snapshot_at`` in the crash window.
     * The pre-compaction version stays on disk for time travel until
       :func:`vacuum_snapshot` collects it.
 
     Returns the new version name, or None if there is no snapshot yet.
     """
     import os
+    import re
+    import shutil
 
     version, committed = _load_latest(root)
     if version is None:
         return None
-    base = version.split("c")[0]
-    n = 1 + sum(
-        1 for v in snapshot_versions(root)
-        if v.startswith(base + "c")
-    )
-    new_version = f"{base}c{n}"
+    m = re.fullmatch(r"(v\d+)(?:c(\d+))?", version)
+    if m is None:  # pragma: no cover - foreign version naming
+        raise ValueError(f"unrecognized snapshot version {version!r}")
+    base, suffix = m.group(1), m.group(2)
+    n = (int(suffix) + 1) if suffix is not None else 1
+    new_version = f"{base}c{n:04d}"
     df = spark.read.parquet(os.path.join(root, version))
-    df.repartition(target_files).write.mode("overwrite").parquet(
-        os.path.join(root, new_version)
-    )
+    staging = os.path.join(root, "_compact.tmp")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    final = os.path.join(root, new_version)
+    if os.path.exists(final):  # dangling dir from a crashed prior attempt
+        shutil.rmtree(final)
+    os.rename(staging, final)
     _flip_latest(root, new_version, committed)
     return new_version

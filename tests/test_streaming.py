@@ -1041,10 +1041,10 @@ def test_compact_snapshot_layout_only(spark, tmp_path):
     # file on its own), then compact to 1 — both directions are layout
     # control through the same code path
     wide = compact_snapshot(spark, root, target_files=5)
-    assert wide == f"{before_version}c1"
+    assert wide == f"{before_version}c0001"
     assert len(glob.glob(os.path.join(root, wide, "*.parquet"))) == 5
     new_version = compact_snapshot(spark, root, target_files=1)
-    assert new_version == f"{before_version}c2"
+    assert new_version == f"{before_version}c0002"
     assert _load_latest(root) == (new_version, committed)
     assert len(
         glob.glob(os.path.join(root, new_version, "*.parquet"))) == 1
@@ -1074,6 +1074,67 @@ def test_compact_snapshot_layout_only(spark, tmp_path):
     removed = vacuum_snapshot(root, keep=1)
     assert before_version in removed
     assert not os.path.exists(os.path.join(root, before_version))
+
+
+def test_compact_snapshot_crash_retry_reuses_name(spark, tmp_path):
+    """A crash between the compaction write and the manifest flip must
+    not poison the table: the dangling directory never shows up in
+    snapshot_versions (staged under a hidden tmp name or fully written
+    but pre-flip), and the retry recomputes the SAME deterministic
+    c-suffix from the MANIFEST — overwriting the dangling attempt
+    instead of committing a possibly-partial sibling.  Suffixes are
+    zero-padded so the 10th compaction still sorts after the 2nd."""
+    import os
+    import shutil
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        _load_latest,
+        _upsert_merge_fn,
+        compact_snapshot,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    schema = "k long, v long, deleted boolean"
+    root = str(tmp_path / "snap")
+    os.makedirs(root)
+    merge = _upsert_merge_fn(spark, root, ["k"], ["v"], "deleted")
+    merge(spark.createDataFrame(
+        [(i, 1, False) for i in range(20)], schema), 0)
+    base_version, committed = _load_latest(root)
+    live = sorted(tuple(r) for r in read_snapshot(spark, root).collect())
+
+    # Simulate crash AFTER the rename but BEFORE the flip: write a
+    # dangling (empty ⇒ corrupt-to-read) dir under the name the next
+    # compaction will pick.  The old counting logic would have skipped
+    # to c0002 and left this garbage as a "committed" version.
+    dangling = os.path.join(root, f"{base_version}c0001")
+    os.makedirs(dangling)
+    v1 = compact_snapshot(spark, root, target_files=1)
+    assert v1 == f"{base_version}c0001"  # same name, overwritten
+    assert _load_latest(root) == (v1, committed)
+    assert sorted(
+        tuple(r) for r in read_snapshot(spark, root).collect()) == live
+
+    # Simulate crash DURING the staged write: a leftover _compact.tmp
+    # is invisible to snapshot_versions and silently replaced.
+    tmp = os.path.join(root, "_compact.tmp")
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"\x00garbage")
+    assert not any("_compact" in v for v in snapshot_versions(root))
+    v2 = compact_snapshot(spark, root, target_files=1)
+    assert v2 == f"{base_version}c0002"
+    assert not os.path.exists(tmp)
+    # zero-padding: drive to c0010 and check order stays commit order
+    for _ in range(8):
+        last = compact_snapshot(spark, root, target_files=1)
+    assert last == f"{base_version}c0010"
+    vs = snapshot_versions(root)
+    assert vs == sorted(vs) and vs[-1] == last
+    assert sorted(
+        tuple(r) for r in read_snapshot(spark, root).collect()) == live
+    shutil.rmtree(root)
 
 
 def test_ivfpq_append_grows_index_idempotently(spark, sf_dir, tmp_path):
@@ -1125,15 +1186,21 @@ def test_ivfpq_append_grows_index_idempotently(spark, sf_dir, tmp_path):
            for r in idx.filter("vec_id >= 10000")
            .select("vec_id", "cell", "pq_codes").collect()}
     assert got == want
+    # manual auto-id descends below the base build (-2): disjoint from
+    # streaming foreachBatch ids, so a later stream's batch 0 can never
+    # silently overwrite this manual append
+    existing = [int(d.split("=")[1])
+                for d in os.listdir(path) if d.startswith("batch=")]
+    assert sorted(existing) == [-2, -1]
     # replay of the SAME batch id replaces, never duplicates
-    existing = [d for d in os.listdir(path) if d.startswith("batch=")]
-    bid = max(int(d.split("=")[1]) for d in existing)
-    ivfpq_append(spark, path, extra, batch_id=bid)
+    ivfpq_append(spark, path, extra, batch_id=-2)
     idx2, _, _ = read_ivfpq_index(spark, path)
     assert idx2.count() == base.count() + extra.count()
-    # streaming merge: committed manifest no-ops a replayed batch
+    # streaming merge: batch 0 lands in its own directory (no clash
+    # with the manual append) and the committed manifest no-ops replays
     merge = _ivfpq_append_merge_fn(spark, path)
-    merge(extra, 7)
+    merge(extra, 0)
     n_after = read_ivfpq_index(spark, path)[0].count()
-    merge(extra, 7)  # replay — fast-path no-op
+    assert n_after == base.count() + 2 * extra.count()
+    merge(extra, 0)  # replay — fast-path no-op
     assert read_ivfpq_index(spark, path)[0].count() == n_after

@@ -3744,6 +3744,52 @@ def test_pagerank_releases_storage(spark):
     assert after <= base + 1  # the returned frame itself was the last holder
 
 
+def test_pagerank_empty_graph_releases_storage(spark):
+    """The n == 0 early return must not leave the edge/degree/node
+    caches registered for the session's lifetime."""
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty, iters=2)
+    assert out.count() == 0
+    assert list(out.columns) == ["node", "rank"]
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base
+
+
+def test_pq_encode_join_survives_user_s_j_columns(spark, sf_dir):
+    """The broadcast-join encode's internal columns are underscore-
+    prefixed: a user frame already carrying columns named 's' and 'j'
+    must encode identically to the literal strategy and keep its own
+    columns intact (the old unprefixed names produced duplicate columns
+    and ambiguous-reference failures)."""
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.similarity import (
+        _pq_encode_join,
+        pq_encode,
+        pq_train,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = (
+        read_table(spark, f"{sf_dir}/embeddings.parquet")
+        .withColumn("s", F.col("vec_id") * 2)
+        .withColumn("j", F.lit("user-j"))
+    )
+    cb = pq_train(emb, m=4, ksub=4, iters=1)
+    lit = {r["vec_id"]: list(r["pq_codes"])
+           for r in pq_encode(emb, cb, strategy="literal")
+           .select("vec_id", "pq_codes").collect()}
+    got = _pq_encode_join(emb, cb)
+    assert sorted(got.columns) == sorted(emb.columns + ["pq_codes"])
+    rows = got.select("vec_id", "pq_codes", "s", "j").collect()
+    assert {r["vec_id"]: list(r["pq_codes"]) for r in rows} == lit
+    assert all(r["s"] == r["vec_id"] * 2 and r["j"] == "user-j"
+               for r in rows)
+
+
 def test_ivfpq_rerank_recall_and_exactness(spark, sf_dir):
     """Re-rank returns EXACT cosines for its candidates (bitwise equal
     to brute force on the same ids), improves or matches raw-ADC
