@@ -215,6 +215,11 @@ def main() -> None:
                           "queries": timings, "sf_dir": scale_dir}))
         return
 
+    # 1-min load average before/after makes contamination self-
+    # documenting: a driver run overlapping other work (the r07/r09
+    # pattern — +22% "regressions" that vanished on a quiet box) now
+    # carries its own adjudication in the recorded JSON line.
+    load_before = round(os.getloadavg()[0], 2)
     timings = run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(
@@ -225,6 +230,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "load_1m_before": load_before,
+                "load_1m_after": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -1628,10 +1628,17 @@ def ivfpq_rerank_topk(
     candidate set restores it at the cost of reading rerank/N of the
     raw corpus).
 
-    The candidate ids collect to the driver (bounded: ``rerank`` longs)
-    and push into the raw scan as an IN filter — on an id-partitioned
-    or stats-clustered corpus that is file-level pruning, and in any
-    layout it reads vectors for ~rerank rows instead of N.
+    The candidate ids collect to the driver (bounded: ``rerank`` longs).
+    Up to ``IVFPQ_LITERAL_VALUE_LIMIT`` ids they push into the raw scan
+    as a literal IN filter — on an id-partitioned or stats-clustered
+    corpus that is file-level pruning.  Past the limit (production
+    rerank ≈ 10k) a literal IN list would recreate the analysis/codegen
+    blow-up measured at 32k dtab literals (18 s/query before any data
+    moved), so the ids ship ONCE as a broadcast frame and the raw scan
+    is LEFT-SEMI joined against it — same thresholded dispatch as the
+    ADC distance tables and the PQ encode strategies; runtime filters /
+    DPP keep file pruning available on clustered layouts.  Either way
+    vectors are read for ~rerank rows instead of N.
 
     Returns (id_col, cosine) descending, ties by id."""
     if rerank is None:
@@ -1641,9 +1648,18 @@ def ivfpq_rerank_topk(
         k=rerank, nprobe=nprobe, id_col=id_col, codes_col=codes_col,
     )
     ids = [r[id_col] for r in cand.select(id_col).collect()]
+    if len(ids) <= IVFPQ_LITERAL_VALUE_LIMIT:
+        filtered = raw.filter(F.col(id_col).isin(ids))
+    else:
+        from pyspark.sql.types import StructField, StructType
+
+        idf = raw.sparkSession.createDataFrame(
+            [(i,) for i in ids],
+            StructType([StructField(id_col, raw.schema[id_col].dataType)]),
+        )
+        filtered = raw.join(F.broadcast(idf), id_col, "left_semi")
     return brute_force_topk(
-        raw.filter(F.col(id_col).isin(ids)), query,
-        k=k, id_col=id_col, vec_col=vec_col,
+        filtered, query, k=k, id_col=id_col, vec_col=vec_col,
     )
 
 

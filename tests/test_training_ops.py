@@ -3825,3 +3825,42 @@ def test_ivfpq_rerank_recall_and_exactness(spark, sf_dir):
     full = [(r["vec_id"], r["cosine"]) for r in ivfpq_rerank_topk(
         emb, enc, cents, books, q, k=10, nprobe=4, rerank=n).collect()]
     assert full == exact
+
+
+def test_ivfpq_rerank_candidate_broadcast_dispatch(spark, sf_dir,
+                                                   monkeypatch):
+    """Past IVFPQ_LITERAL_VALUE_LIMIT candidate ids, the re-rank stage
+    must ship them as a broadcast semi-join instead of a literal IN
+    list (production rerank ≈ 10k literals would blow up analysis/
+    codegen exactly like the 32k-dtab case) — and the two strategies
+    must return identical rows."""
+    from slow_tortoise_spark.operators import similarity
+    from slow_tortoise_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_rerank_topk,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    enc, cents, books = ivfpq_build(
+        emb, n_cells=4, kmeans_iters=1, m=4, ksub=4, pq_iters=1
+    )
+    q = [float(x) for x in emb.filter("vec_id = 9").first()["embedding"]]
+    lit_rows = ivfpq_rerank_topk(
+        emb, enc, cents, books, q, k=10, nprobe=4, rerank=64).collect()
+    lit_plan = (
+        ivfpq_rerank_topk(emb, enc, cents, books, q,
+                          k=10, nprobe=4, rerank=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" not in lit_plan  # small rerank keeps the IN path
+
+    monkeypatch.setattr(similarity, "IVFPQ_LITERAL_VALUE_LIMIT", 4)
+    bc = ivfpq_rerank_topk(
+        emb, enc, cents, books, q, k=10, nprobe=4, rerank=64)
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in bc_plan and "BroadcastExchange" in bc_plan
+    # no 64-literal IN predicate survives in the broadcast plan
+    assert " IN (" not in bc_plan.replace("dynamicpruning", "")
+    assert [tuple(r) for r in bc.collect()] == [
+        tuple(r) for r in lit_rows]
