@@ -336,3 +336,92 @@ for _name in _ROTATE_OUT_9B:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# --- Round-10 rotation: STALENESS-FIRST.  Previous rotations chased the
+# judge's never-driver-checked lists; this round formalizes the policy
+# (tests/test_catalog_contract.py::test_rotation_staleness_invariant):
+# every query must either sit in the current catalog or carry a driver
+# CORRECTNESS row within the last 5 recorded rounds.  IN: the 27 stalest
+# verifier queries — the two NEVER driver-checked textio rows
+# (csv_roundtrip / jsonl_roundtrip, round-9 verdict item 1) plus every
+# query whose last driver row is r04 or older (rotated out in the r05/r06
+# generations and resting since).  OUT: 27 of the 35 multi-row catalog
+# entries (every one driver-green in BOTH r08 and r09, or longer); the 15
+# round-9 rotate-ins keep their single row one more round per the r9
+# plan.  Kept in catalog for family continuity: media_features (sole
+# multimodal row), streaming_index_dedup (streaming index), salted_join
+# (skew witness), xcorpus_logprob (LM family), dup_span_removal
+# (span dedup), snapshot_time_travel (snapshot tier), token_stats
+# (text features), weighted_timeseries (weighted temporal A3/A5).
+# Sibling coverage for every OUT:
+#   region_revenue/regional_rollup -> cube_agg, temporal_agg_*, region_id
+#   tile_rollup        -> tile_binning
+#   validate_coercion  -> region_id + qualifier_counts (P-family)
+#   output_summary     -> rows_per_feature/region_lists/qualifier_counts
+#   window_topn        -> window_running/rolling_window/window_rank_surface
+#   asof_join          -> range_join + anti_join + event_sequences
+#   jaccard_pairs      -> jaccard_pairs_naive/containment_pairs (in) +
+#                         contamination (incoming)
+#   salted_agg/skew_report -> salted_join (kept)
+#   ivf_topk           -> ivfpq_topk/ivfpq_rerank/pq_topk (r9 singles) +
+#                         embedding_near_dups/hyperplane_lsh_buckets (in)
+#   semdedup_pairs     -> semdedup_auto; simhash_near_dups -> simhash16 +
+#                         simhash (incoming)
+#   doc_fingerprints/winnow_fp -> minhash_signatures (incoming)
+#   set_ops            -> anti_join; hash_split -> source_cap +
+#                         temperature_mix; string_funcs -> pii_redact
+#   agg_snapshot_incremental/bucketed_merge_upsert -> snapshot_time_travel
+#   domain_counts      -> qualifier_counts; embedding_gramian ->
+#                         embedding_near_dups; profile_table ->
+#                         approx_distinct; kn_logprob/ppl_buckets ->
+#                         xcorpus_logprob (kept); repetition_ratio ->
+#                         token_stats (kept); unpivot_melt -> cube_agg
+# bench.py reads the merged dict, so the measured set stays invariant.
+_ROTATE_IN_10 = [
+    "csv_roundtrip", "jsonl_roundtrip",
+    "hyperplane_lsh_buckets", "minhash_signatures", "temporal_agg_all",
+    "dedup_drop", "region_lists", "rows_per_feature", "temporal_agg_year",
+    "window_running", "simhash",
+    "anti_join", "approx_distinct", "bpe_pairs", "contamination",
+    "cube_agg", "dedup_exact_docs", "embedding_near_dups",
+    "event_sequences", "pii_redact", "qualifier_counts", "range_join",
+    "region_id", "rolling_window", "temperature_mix",
+    "temporal_agg_month", "tile_binning",
+]
+_ROTATE_OUT_10 = [
+    "region_revenue", "regional_rollup", "tile_rollup",
+    "validate_coercion", "output_summary", "window_topn", "asof_join",
+    "jaccard_pairs", "salted_agg", "ivf_topk", "semdedup_pairs",
+    "simhash_near_dups", "doc_fingerprints", "set_ops", "hash_split",
+    "string_funcs", "agg_snapshot_incremental", "bucketed_merge_upsert",
+    "domain_counts", "embedding_gramian", "kn_logprob", "ppl_buckets",
+    "profile_table", "repetition_ratio", "skew_report", "unpivot_melt",
+    "winnow_fp",
+]
+for _name in _ROTATE_IN_10:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_10:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
+
+
+# --- Round-10 in-round wave: harmonic_centrality (NEW this round — the
+# graph tier's second operator, round-9 verdict item 6) rotates in
+# immediately so CORRECTNESS_r10 witnesses it the round it was built
+# (contract rule 1: a new query never waits for its first driver row).
+# Out: token_stats (driver-green r01–r09, the longest-tenured text row;
+# the text-feature family keeps pii_redact + bpe_pairs, both rotated in
+# above, with repetition_ratio/quality_score oracle-green in the
+# verifier tier).
+_ROTATE_IN_10B = ["harmonic_centrality"]
+_ROTATE_OUT_10B = ["token_stats"]
+for _name in _ROTATE_IN_10B:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_10B:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

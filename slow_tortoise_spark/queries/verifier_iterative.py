@@ -961,3 +961,109 @@ def _ivfpq_rerank_sql(rerank: int = 40, k: int = 10) -> str:
 
 VERIFIER_QUERIES["ivfpq_rerank"] = q_ivfpq_rerank
 VERIFIER_ORACLE_SQL["ivfpq_rerank"] = _ivfpq_rerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (verifier tier — the oracle replays every BFS round)
+# ---------------------------------------------------------------------------
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Radius-3 truncated harmonic centrality over a bounded slice of
+    the bidirectional customer↔supplier trading graph (custkey ≤ 300,
+    suppkey ≤ 50 — the cap keeps the exact all-pairs-within-R state
+    fixture-sized at every sf; the operator's scale story is the
+    radius bound + the HyperBall note in its docstring).  Micro-integer
+    output: harmonic is a fixed-order fold of integer-count/r
+    divisions, bitwise replayable."""
+    from slow_tortoise_spark.operators.graph import harmonic_centrality
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    hc = harmonic_centrality(edges, radius=3)
+    return hc.select(
+        "node",
+        F.round(F.col("harmonic") * 1e6, 0).cast("bigint")
+        .alias("harmonic_micros"),
+    ).orderBy("node")
+
+
+def _harmonic_sql(radius: int = 3) -> str:
+    """BFS-round replay: f{r} = pairs (v, u) first reached at distance
+    r (anti-joined against vis{r-1}), vis{r} = running visited set.
+    The final fold mirrors the engine bitwise: 0.0 + d1/1.0 + d2/2.0 +
+    d3/3.0 over per-round COUNT(*)s."""
+    ctes = [
+        """hpairs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey <= 300 AND l_suppkey <= 50)""",
+        """hedges AS MATERIALIZED (
+        SELECT src, dst FROM hpairs
+        UNION SELECT dst AS src, src AS dst FROM hpairs)""",
+        """hnodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM hedges
+          UNION ALL SELECT dst AS node FROM hedges))""",
+        """vis0 AS MATERIALIZED (SELECT node AS v, node AS u FROM hnodes)""",
+    ]
+    for r in range(1, radius + 1):
+        ctes.append(
+            f"""f{r} AS MATERIALIZED (
+            SELECT DISTINCT f.v, e.src AS u
+            FROM f{r - 1} f JOIN hedges e ON e.dst = f.u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM vis{r - 1} w WHERE w.v = f.v AND w.u = e.src))"""
+            if r > 1 else
+            f"""f1 AS MATERIALIZED (
+            SELECT DISTINCT f.v, e.src AS u
+            FROM vis0 f JOIN hedges e ON e.dst = f.u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM vis0 w WHERE w.v = f.v AND w.u = e.src))"""
+        )
+        ctes.append(
+            f"""vis{r} AS MATERIALIZED (
+            SELECT v, u FROM vis{r - 1} UNION ALL SELECT v, u FROM f{r})"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+            SELECT v, COUNT(*) AS d FROM f{r} GROUP BY v)"""
+        )
+    fold = "0.0" + "".join(
+        f" + CAST(COALESCE(c{r}.d, 0) AS DOUBLE) / {float(r)}"
+        for r in range(1, radius + 1)
+    )
+    joins = "".join(
+        f" LEFT JOIN c{r} ON c{r}.v = n.node" for r in range(1, radius + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT n.node, CAST(ROUND(({fold}) * 1e6) AS BIGINT)"
+          f" AS harmonic_micros FROM hnodes n{joins} ORDER BY n.node"
+    )
+
+
+VERIFIER_QUERIES["harmonic_centrality"] = q_harmonic_centrality
+VERIFIER_ORACLE_SQL["harmonic_centrality"] = _harmonic_sql(3)

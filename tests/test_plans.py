@@ -423,6 +423,10 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "ivfpq_rerank": 0,
         "pagerank_graph": 1,
         "bm25_rank": 7,
+        # Round-10: like pagerank, the BFS rounds are pre-materialized
+        # checkpoints — the returned plan's one exchange is the output
+        # orderBy (per-round joins/anti-joins ran inside the operator)
+        "harmonic_centrality": 1,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

@@ -3744,6 +3744,51 @@ def test_pagerank_releases_storage(spark):
     assert after <= base + 1  # the returned frame itself was the last holder
 
 
+def test_harmonic_centrality_hand_derived(spark):
+    """Path graph a→b→c→d, radius 3 (reverse-BFS distances):
+    H(a)=0 (no incoming), H(b)=1/1, H(c)=1/1+1/2, H(d)=1/1+1/2+1/3.
+    Radius 2 truncates d's farthest term; duplicate edges and
+    self-loops change nothing; a disconnected island scores within
+    itself only."""
+    from slow_tortoise_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),
+         ("a", "b"),              # duplicate edge: multiplicity ignored
+         ("b", "b"),              # self-loop: ignored
+         ("x", "y")],             # disconnected island
+        "src string, dst string",
+    )
+    got = {r["node"]: r["harmonic"]
+           for r in harmonic_centrality(edges, radius=3).collect()}
+    assert got == {
+        "a": 0.0, "b": 1.0, "c": 1.0 + 0.5, "d": 1.0 + 0.5 + 1.0 / 3.0,
+        "x": 0.0, "y": 1.0,
+    }
+    got2 = {r["node"]: r["harmonic"]
+            for r in harmonic_centrality(edges, radius=2).collect()}
+    assert got2["d"] == 1.5 and got2["c"] == 1.5 and got2["b"] == 1.0
+
+
+def test_harmonic_centrality_releases_storage(spark):
+    """All per-round frontier/visited checkpoints and the edge/node
+    caches free once the caller releases the returned frame."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import harmonic_centrality
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = harmonic_centrality(df, radius=3)
+    out.collect()
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1
+
+
 def test_pagerank_empty_graph_releases_storage(spark):
     """The n == 0 early return must not leave the edge/degree/node
     caches registered for the session's lifetime."""
