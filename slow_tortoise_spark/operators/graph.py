@@ -198,3 +198,138 @@ def harmonic_centrality(
     e.unpersist()
     nodes.unpersist()
     return result
+
+
+# HyperBall constants: 16 registers (b=4) keyed by md5 nibble 1; the
+# rank field reads nibbles 2-7 (24 bits), so register values live in
+# [0, 25].  alpha_16 = 0.673 (Flajolet et al. 2007, Table 1).
+_HB_M = 16
+_HB_ALPHA = 0.673
+_HB_RANK_BITS = 24
+
+
+def _hb_nibble(h, i: int):
+    """Hex nibble i (1-based) of an md5 string as an int — the same
+    value DuckDB's ``strpos('0123456789abcdef', substr(h, i, 1)) - 1``
+    parses (the simhash oracle pattern)."""
+    return F.conv(F.substring(h, i, 1), 16, 10).cast("int")
+
+
+def _hb_estimate(prefix: str = ""):
+    """HLL cardinality estimate over register columns ``{prefix}r0`` …
+    ``{prefix}r15`` as ONE fixed-shape expression: S folds
+    pow(2, -M_j) left-to-right in register order, E_raw =
+    0.673 * 256.0 / S, and the small-range branch switches to linear
+    counting 16·ln(16/V) when E_raw ≤ 2.5m and zero registers exist —
+    the classic HyperLogLog estimator, written so a SQL engine
+    replaying the identical expression text matches bit-for-bit (pow
+    of 2 to integer exponents is exact; ln is the one library call,
+    shared formula shape)."""
+    regs = [F.col(f"{prefix}r{k}") for k in range(_HB_M)]
+    s = F.lit(0.0)
+    for rk in regs:
+        s = s + F.pow(F.lit(2.0), -rk.cast("double"))
+    v = sum(
+        (F.when(rk == 0, F.lit(1)).otherwise(F.lit(0)) for rk in regs),
+        start=F.lit(0),
+    )
+    e_raw = F.lit(_HB_ALPHA) * F.lit(256.0) / s
+    return F.when(
+        (e_raw <= F.lit(2.5 * _HB_M)) & (v > 0),
+        F.lit(float(_HB_M)) * F.log(F.lit(float(_HB_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, harmonic_est) — HyperBall approximate harmonic
+    centrality, the SCALE path :func:`harmonic_centrality`'s docstring
+    points at (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", 2013).
+
+    Where the exact operator carries the visited PAIR set (Σ ball
+    sizes — quadratic on dense graphs), this one carries a fixed
+    16-register HLL sketch of each node's in-ball: state is exactly
+    |V| × 17 small ints regardless of density, and each round is ONE
+    partially-aggregated shuffle — edges join the sketch frame on
+    ``src``, route registers to ``dst``, and ``groupBy(node).max`` per
+    register merges map-side (register max is algebraic, so the hot
+    hub node that makes power iteration skew is combined before the
+    exchange).  Per-round checkpoint + free, same as :func:`pagerank`.
+
+    H_est(v) = Σ_r max(0, |B̂(v,r)| − |B̂(v,r−1)|)/r over the HLL ball
+    estimates.  With m = 16 the per-ball standard error is
+    1.04/√16 ≈ 26% — HyperBall is a RANKING instrument (hubs vs
+    periphery over billions of nodes), not a counter; use the exact
+    operator when the radius-bounded pair set fits.  Determinism:
+    register placement hashes md5(node) nibbles (engine-portable), so
+    the estimate is bit-reproducible across runs, partitionings, and
+    replaying engines — max() and the fixed-order estimate fold have
+    no accumulation-order freedom.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    h = F.md5(F.col("node").cast("string"))
+    j = _hb_nibble(h, 1)
+    w = sum(
+        (_hb_nibble(h, i).cast("long") * F.lit(16 ** (7 - i))
+         for i in range(3, 8)),
+        start=_hb_nibble(h, 2).cast("long") * F.lit(16 ** 5),
+    )
+    rank = F.when(w == 0, F.lit(_HB_RANK_BITS + 1)).otherwise(
+        F.lit(_HB_RANK_BITS + 1) - F.length(F.bin(w))
+    )
+    sketches = tracked_local_checkpoint(
+        nodes.select(
+            "node",
+            *[
+                F.when(j == k, rank).otherwise(F.lit(0)).alias(f"r{k}")
+                for k in range(_HB_M)
+            ],
+        )
+    )
+    rounds = [sketches]  # kept live: the estimate frames read them
+    for _ in range(radius):
+        contrib = e.join(sketches, e["src"] == sketches["node"]).select(
+            e["dst"].alias("node"), *[f"r{k}" for k in range(_HB_M)]
+        )
+        sketches = tracked_local_checkpoint(
+            sketches.unionByName(contrib)
+            .groupBy("node")
+            .agg(*[F.max(f"r{k}").alias(f"r{k}") for k in range(_HB_M)])
+        )
+        rounds.append(sketches)
+    out = nodes
+    for r, sk in enumerate(rounds):
+        est = sk.select(
+            F.col("node").alias("_v"), _hb_estimate().alias(f"_e{r}")
+        )
+        out = out.join(est, out["node"] == est["_v"], "left").drop("_v")
+    harmonic = F.lit(0.0)
+    for r in range(1, radius + 1):
+        harmonic = harmonic + (
+            F.greatest(F.lit(0.0), F.col(f"_e{r}") - F.col(f"_e{r - 1}"))
+            / F.lit(float(r))
+        )
+    result = tracked_local_checkpoint(
+        out.select("node", harmonic.alias("harmonic_est"))
+    )
+    for sk in rounds:
+        free_local_checkpoint(sk)
+    e.unpersist()
+    nodes.unpersist()
+    return result

@@ -425,3 +425,22 @@ for _name in _ROTATE_OUT_10B:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# --- Round-10 second wave: hyperball_harmonic (NEW — the sketch-based
+# scale path for the exact harmonic operator; |V|x17 small-int state
+# and one partial-agg shuffle per round where the exact tier carries
+# the visited pair set) rotates in the round it was built (contract
+# rule 1).  Out: streaming_index_dedup (driver-green r04-r09; the
+# persisted-index dedup family keeps incremental_dedup, rotated in with
+# the r9 wave, and the streaming writers keep csv/jsonl_roundtrip +
+# snapshot_time_travel rows this round).
+_ROTATE_IN_10C = ["hyperball_harmonic"]
+_ROTATE_OUT_10C = ["streaming_index_dedup"]
+for _name in _ROTATE_IN_10C:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_10C:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -1067,3 +1067,133 @@ def _harmonic_sql(radius: int = 3) -> str:
 
 VERIFIER_QUERIES["harmonic_centrality"] = q_harmonic_centrality
 VERIFIER_ORACLE_SQL["harmonic_centrality"] = _harmonic_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality (verifier tier — the oracle replays the
+# exact balls, recomputes every register max, and folds the identical
+# HLL estimate expression)
+# ---------------------------------------------------------------------------
+
+
+def q_hyperball_harmonic(spark, sf_dir):
+    """Radius-3 HyperBall harmonic estimate over the same bounded
+    trading graph as harmonic_centrality — the sketch-based scale path
+    hash-checked against an exact-ball register replay.  The estimate
+    is a deterministic function of ball membership (md5-nibble register
+    placement, max-merge, fixed-order HLL fold), so the oracle can
+    recompute it from the exact balls without running HyperBall."""
+    from slow_tortoise_spark.operators.graph import hyperball_harmonic
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    hb = hyperball_harmonic(edges, radius=3)
+    return hb.select(
+        "node",
+        F.round(F.col("harmonic_est") * 1e6, 0).cast("bigint")
+        .alias("harmonic_est_micros"),
+    ).orderBy("node")
+
+
+def _hyperball_sql(radius: int = 3) -> str:
+    """Exact-ball register replay: vis{r} CTEs are the harmonic
+    oracle's BFS rounds; per round, each ball member places its
+    md5-derived rank in its md5-derived register, MAX per (v, register)
+    rebuilds the sketch, and the estimate/ harmonic folds mirror the
+    engine expressions token for token (operators/graph.py:
+    _hb_estimate / hyperball_harmonic)."""
+    ctes = [
+        """hpairs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey <= 300 AND l_suppkey <= 50)""",
+        """hedges AS MATERIALIZED (
+        SELECT src, dst FROM hpairs
+        UNION SELECT dst AS src, src AS dst FROM hpairs)""",
+        """hnodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM hedges
+          UNION ALL SELECT dst AS node FROM hedges))""",
+        """vis0 AS MATERIALIZED (SELECT node AS v, node AS u FROM hnodes)""",
+    ]
+    for r in range(1, radius + 1):
+        ctes.append(
+            f"""f{r} AS MATERIALIZED (
+            SELECT DISTINCT f.v, e.src AS u
+            FROM vis{r - 1} f JOIN hedges e ON e.dst = f.u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM vis{r - 1} w WHERE w.v = f.v AND w.u = e.src))"""
+        )
+        ctes.append(
+            f"""vis{r} AS MATERIALIZED (
+            SELECT v, u FROM vis{r - 1} UNION ALL SELECT v, u FROM f{r})"""
+        )
+    def nib(i):
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    wexpr = " + ".join(f"{nib(i)} * {16 ** (7 - i)}" for i in range(2, 8))
+    for r in range(radius + 1):
+        ctes.append(
+            f"""hbreg{r} AS MATERIALIZED (
+            SELECT v, j, MAX(rnk) AS mr FROM (
+              SELECT v, {nib(1)} AS j,
+                     CASE WHEN ({wexpr}) = 0 THEN 25
+                          ELSE 25 - length(bin({wexpr})) END AS rnk
+              FROM (SELECT v, md5(u) AS h FROM vis{r})
+            ) GROUP BY v, j)"""
+        )
+        cols = ", ".join(
+            f"COALESCE(MAX(CASE WHEN j = {k} THEN mr END), 0) AS m{k}"
+            for k in range(16)
+        )
+        s = "0.0" + "".join(
+            f" + power(2.0, -CAST(m{k} AS DOUBLE))" for k in range(16)
+        )
+        vz = " + ".join(
+            f"(CASE WHEN m{k} = 0 THEN 1 ELSE 0 END)" for k in range(16)
+        )
+        ctes.append(
+            f"""hbest{r} AS MATERIALIZED (
+            SELECT v, CASE WHEN e_raw <= 40.0 AND vz > 0
+                           THEN 16.0 * ln(16.0 / CAST(vz AS DOUBLE))
+                           ELSE e_raw END AS e
+            FROM (SELECT v, 0.673 * 256.0 / ({s}) AS e_raw, ({vz}) AS vz
+                  FROM (SELECT v, {cols} FROM hbreg{r} GROUP BY v)))"""
+        )
+    fold = "0.0" + "".join(
+        f" + greatest(0.0, hbest{r}.e - hbest{r - 1}.e) / {float(r)}"
+        for r in range(1, radius + 1)
+    )
+    joins = "".join(
+        f" JOIN hbest{r} ON hbest{r}.v = n.node" for r in range(radius + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT n.node, CAST(ROUND(({fold}) * 1e6) AS BIGINT)"
+          f" AS harmonic_est_micros FROM hnodes n{joins} ORDER BY n.node"
+    )
+
+
+VERIFIER_QUERIES["hyperball_harmonic"] = q_hyperball_harmonic
+VERIFIER_ORACLE_SQL["hyperball_harmonic"] = _hyperball_sql(3)

@@ -427,6 +427,7 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # checkpoints — the returned plan's one exchange is the output
         # orderBy (per-round joins/anti-joins ran inside the operator)
         "harmonic_centrality": 1,
+        "hyperball_harmonic": 1,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

@@ -3789,6 +3789,58 @@ def test_harmonic_centrality_releases_storage(spark):
     assert after <= base + 1
 
 
+def test_hyperball_tracks_exact_harmonic_ordering(spark):
+    """HyperBall is a ranking instrument: on a hub-and-spokes graph
+    (50 leaves all pointing at one hub, leaves chained in a ring) the
+    sketch estimate must rank the hub clearly above every leaf, agree
+    with the exact operator that leaves score ~alike, and be exactly
+    reproducible under a different input partitioning (register max
+    and the fixed-order folds leave no accumulation freedom)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_harmonic,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=f"leaf{i}", dst="hub") for i in range(50)]
+        + [Row(src=f"leaf{i}", dst=f"leaf{(i + 1) % 50}") for i in range(50)]
+    )
+    est = {r["node"]: r["harmonic_est"]
+           for r in hyperball_harmonic(edges, radius=3).collect()}
+    exact = {r["node"]: r["harmonic"]
+             for r in harmonic_centrality(edges, radius=3).collect()}
+    assert exact["hub"] > max(v for k, v in exact.items() if k != "hub")
+    assert est["hub"] > max(v for k, v in est.items() if k != "hub")
+    # m=16 sketches carry ~26% std error — the hub's ~60-node ball must
+    # still land within a loose 2x band of truth
+    assert 0.5 * exact["hub"] <= est["hub"] <= 2.0 * exact["hub"]
+    est2 = {r["node"]: r["harmonic_est"]
+            for r in hyperball_harmonic(edges.repartition(7),
+                                        radius=3).collect()}
+    assert est == est2  # bit-identical under re-partitioning
+
+
+def test_hyperball_releases_storage(spark):
+    """Every per-round sketch checkpoint and the edge/node caches free
+    once the caller releases the returned frame."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import hyperball_harmonic
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = hyperball_harmonic(df, radius=3)
+    out.collect()
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1
+
+
 def test_pagerank_empty_graph_releases_storage(spark):
     """The n == 0 early return must not leave the edge/degree/node
     caches registered for the session's lifetime."""

@@ -56,6 +56,7 @@ def main() -> int:
     from slow_tortoise_spark.operators.similarity import (
         brute_force_topk,
         ivfpq_build,
+        ivfpq_rerank_topk,
         ivfpq_topk,
         read_ivfpq_index,
         write_ivfpq_index,
@@ -121,6 +122,12 @@ def main() -> int:
     ivf_wall = {4: 0.0, 16: 0.0}
     recall = {4: 0, 16: 0}
     precision = {4: 0, 16: 0}  # same-cluster fraction of returned ids
+    # production-shape two-stage retrieval: ADC proposes RERANK
+    # candidates (past the 4096-literal threshold, so this exercises
+    # the broadcast semi-join dispatch), exact cosine re-ranks them
+    RERANK = 10_000
+    rr_wall = 0.0
+    rr_recall = 0
     for qid in qids:
         q = qvecs[qid]
         exact, w = timed(
@@ -138,6 +145,13 @@ def main() -> int:
             precision[nprobe] += sum(
                 1 for i in approx if i % N_CLUSTERS == qid % N_CLUSTERS
             )
+        rr, w = timed(
+            lambda: [r["vec_id"] for r in ivfpq_rerank_topk(
+                emb, idx, icents, ibooks, q,
+                k=10, nprobe=16, rerank=RERANK).collect()]
+        )
+        rr_wall += w
+        rr_recall += len(set(exact) & set(rr))
 
     out = {
         "soak": "ann_ivfpq",
@@ -167,6 +181,9 @@ def main() -> int:
             str(p): round(r / (10 * n_queries), 3)
             for p, r in precision.items()
         },
+        "rerank": RERANK,
+        "rerank_s_per_q": round(rr_wall / n_queries, 3),
+        "rerank_recall_at_10": round(rr_recall / (10 * n_queries), 3),
     }
     print(json.dumps(out))
     shutil.rmtree(work, ignore_errors=True)
