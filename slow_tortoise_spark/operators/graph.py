@@ -333,3 +333,63 @@ def hyperball_harmonic(
     e.unpersist()
     nodes.unpersist()
     return result
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, degree) of the k-core: the unique maximal subgraph in
+    which every node keeps ≥ k distinct neighbors — the standard
+    degeneracy-based cleanup for host/link graphs (peel leaves and
+    near-leaves before computing centralities or mining communities;
+    spam farms and crawl frontier fuzz live in the low cores).
+
+    Semantics: the graph is treated as UNDIRECTED and SIMPLE (edges
+    symmetrized + distinct, self-loops dropped); ``degree`` is the
+    surviving distinct-neighbor count.  Peeling converges to the SAME
+    subgraph regardless of removal order (the k-core is unique), which
+    is what makes an independent engine replay exact: extra peeling
+    rounds after the fixpoint are no-ops, so an oracle that unrolls a
+    generous fixed round count matches the engine's run-to-fixpoint
+    loop bit for bit.
+
+    Shape per round: one partially-aggregated degree count + two
+    anti-joins against the (≤ nodes-sized) removal set, checkpointed
+    with the previous round freed (the CC-loop skeleton); the
+    convergence test is one count action per round — the nature of
+    iterative fixpoints on Spark.  Rounds are bounded by the longest
+    peeling chain (≤ |V| worst case, tiny in practice: each round
+    removes EVERY currently-underdegree node at once)."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    adj = tracked_local_checkpoint(
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    while True:
+        bad = (
+            adj.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") < k)
+            .select(F.col("src").alias("_bad"))
+        )
+        if bad.isEmpty():
+            break
+        new_adj = tracked_local_checkpoint(
+            adj.join(bad, adj["src"] == bad["_bad"], "left_anti")
+            .join(bad, adj["dst"] == bad["_bad"], "left_anti")
+        )
+        free_local_checkpoint(adj)
+        adj = new_adj
+    result = tracked_local_checkpoint(
+        adj.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    free_local_checkpoint(adj)
+    return result

@@ -444,3 +444,20 @@ for _name in _ROTATE_OUT_10C:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# --- Round-10 third wave: k_core (NEW — graph-tier degeneracy cleanup;
+# unique order-independent fixpoint, oracle unrolls generous peeling
+# rounds that no-op past convergence) rotates in the round it was
+# built.  Out: dup_span_removal (driver-green r05-r09; the span/line
+# dedup family keeps containment_pairs in the catalog with dedup_lines
+# oracle-green in the verifier tier).
+_ROTATE_IN_10D = ["k_core"]
+_ROTATE_OUT_10D = ["dup_span_removal"]
+for _name in _ROTATE_IN_10D:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_10D:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -1197,3 +1197,78 @@ def _hyperball_sql(radius: int = 3) -> str:
 
 VERIFIER_QUERIES["hyperball_harmonic"] = q_hyperball_harmonic
 VERIFIER_ORACLE_SQL["hyperball_harmonic"] = _hyperball_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (verifier tier — the oracle unrolls the peeling
+# fixpoint, which is unique and order-independent, so generous extra
+# rounds are no-ops)
+# ---------------------------------------------------------------------------
+
+
+def q_k_core(spark, sf_dir):
+    """10-core of the bounded trading graph: peel customers/suppliers
+    with fewer than 10 distinct trading partners until the fixpoint —
+    the degeneracy cleanup a host-graph pipeline runs before
+    centralities.  Output (node, degree) of the surviving subgraph."""
+    from slow_tortoise_spark.operators.graph import k_core
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(pairs, k=10).orderBy("node")
+
+
+def _k_core_sql(k: int = 10, rounds: int = 10) -> str:
+    """Unrolled peeling replay: adj{r} keeps edges whose BOTH endpoints
+    still have >= k distinct neighbors in adj{r-1}.  The k-core is the
+    unique order-independent fixpoint, so unrolling more rounds than
+    the engine needed is a no-op — round counts never have to match."""
+    ctes = [
+        """kpairs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey <= 300 AND l_suppkey <= 50)""",
+        """adj0 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM kpairs
+          UNION ALL SELECT dst AS src, src AS dst FROM kpairs))""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""adj{r} AS MATERIALIZED (
+            SELECT a.src, a.dst FROM adj{r - 1} a
+            JOIN (SELECT src FROM adj{r - 1}
+                  GROUP BY src HAVING COUNT(*) >= {k}) g1
+              ON a.src = g1.src
+            JOIN (SELECT src FROM adj{r - 1}
+                  GROUP BY src HAVING COUNT(*) >= {k}) g2
+              ON a.dst = g2.src)"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT src AS node, COUNT(*) AS degree FROM adj{rounds}"
+          f" GROUP BY src ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["k_core"] = q_k_core
+VERIFIER_ORACLE_SQL["k_core"] = _k_core_sql(10)

@@ -428,6 +428,7 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # orderBy (per-round joins/anti-joins ran inside the operator)
         "harmonic_centrality": 1,
         "hyperball_harmonic": 1,
+        "k_core": 1,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

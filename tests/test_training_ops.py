@@ -3822,6 +3822,47 @@ def test_hyperball_tracks_exact_harmonic_ordering(spark):
     assert est == est2  # bit-identical under re-partitioning
 
 
+def test_k_core_hand_derived_with_cascade(spark):
+    """Triangle a-b-c plus pendant chain c-d-e (given DIRECTED; the
+    operator symmetrizes): the 2-core is exactly the triangle, and
+    reaching it REQUIRES a cascade — e (degree 1) must fall before d
+    (degree 2 → 1) does, so a single peeling pass would get this wrong.
+    Duplicate edges and self-loops must not inflate degrees."""
+    from slow_tortoise_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("c", "d"), ("d", "e"),
+         ("a", "b"),             # duplicate: simple-graph degree
+         ("d", "d")],            # self-loop: dropped
+        "src string, dst string",
+    )
+    got = {r["node"]: r["degree"] for r in k_core(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=1 keeps everything (every node has a neighbor)
+    got1 = {r["node"]: r["degree"] for r in k_core(edges, k=1).collect()}
+    assert set(got1) == {"a", "b", "c", "d", "e"}
+    # k=3 empties this graph
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_releases_storage(spark):
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import k_core
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = k_core(df, k=2)
+    out.collect()
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1
+
+
 def test_hyperball_releases_storage(spark):
     """Every per-round sketch checkpoint and the edge/node caches free
     once the caller releases the returned frame."""

@@ -1,0 +1,129 @@
+"""Graph-tier scale soak: pagerank + hyperball_harmonic (and, at small
+n, the exact harmonic tier to show the crossover) on a deterministic
+power-law-ish directed graph generated executor-side.
+
+The generator gives node i E_PER out-edges whose destinations are
+hash-units SQUARED times n — quadratic bias toward low ids, so node 0
+is a genuine hub (in-degree ~ E_PER·√n-ish shape) and the graph has the
+skewed in-degree profile web/host graphs have.  Everything is a
+deterministic function of (i, k): re-runs and engines agree.
+
+Records a ``graph_soak`` section in BENCH_SWEEP.json and prints one
+JSON line.
+
+Usage: python tools/soak_graph.py [n_nodes] [edges_per_node] [exact_max_nodes]
+       defaults: 1_000_000 10 100_000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    e_per = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # exact tier default 20k: at 100k nodes this hub-heavy graph's
+    # radius-3 visited PAIR set no longer fits a single-JVM heap (the
+    # quadratic wall harmonic_centrality's docstring warns about — the
+    # measured crossover hyperball exists for; first run OOM'd there)
+    exact_max = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_harmonic,
+        pagerank,
+    )
+    from slow_tortoise_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # single-JVM stand-in for a cluster's aggregate heap (the
+    # soak_corpus sizing rule): 10M-edge register shuffles + the exact
+    # tier's pair sets live in ONE executor here
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark(app_name="soak_graph", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def make_edges(nn: int):
+        # dst = floor(nn * u²): u uniform-ish in [0,1) from a hash, so
+        # low ids accumulate in-degree quadratically (hub profile)
+        ids = spark.range(nn).repartition(int(cpus))
+        k = F.explode(F.sequence(F.lit(0), F.lit(e_per - 1)))
+        u = F.pmod(F.xxhash64(F.col("id"), F.col("k")), F.lit(1_000_000)) / 1e6
+        return (
+            ids.select(F.col("id"), k.alias("k"))
+            .select(
+                F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
+                F.concat(
+                    F.lit("n"),
+                    F.floor(F.lit(float(nn)) * u * u).cast("long")
+                    .cast("string"),
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+
+    out: dict = {"soak": "graph", "n_nodes": n, "edges_per_node": e_per}
+
+    edges = make_edges(n).cache()
+    n_edges = edges.count()
+    out["n_edges"] = n_edges
+
+    t0 = time.time()
+    pr = pagerank(edges, iters=3)
+    pr_top = [r["node"] for r in
+              pr.orderBy(F.desc("rank"), "node").limit(10).collect()]
+    out["pagerank_s"] = round(time.time() - t0, 1)
+    free_local_checkpoint(pr)
+
+    t0 = time.time()
+    hb = hyperball_harmonic(edges, radius=3)
+    hb_top = [r["node"] for r in
+              hb.orderBy(F.desc("harmonic_est"), "node").limit(10).collect()]
+    out["hyperball_s"] = round(time.time() - t0, 1)
+    out["top10_overlap_pagerank_hyperball"] = len(set(pr_top) & set(hb_top))
+    free_local_checkpoint(hb)
+    edges.unpersist()
+
+    # exact tier at a size where the visited pair set fits: shows the
+    # crossover the operator docstrings claim (pair-set state vs |V|x17)
+    if exact_max > 0:
+        small = make_edges(exact_max).cache()
+        out["exact_n_nodes"] = exact_max
+        out["exact_n_edges"] = small.count()
+        t0 = time.time()
+        hc = harmonic_centrality(small, radius=3)
+        hc.orderBy(F.desc("harmonic"), "node").limit(10).collect()
+        out["exact_harmonic_s"] = round(time.time() - t0, 1)
+        free_local_checkpoint(hc)
+        t0 = time.time()
+        hbs = hyperball_harmonic(small, radius=3)
+        hbs.orderBy(F.desc("harmonic_est"), "node").limit(10).collect()
+        out["hyperball_small_s"] = round(time.time() - t0, 1)
+        free_local_checkpoint(hbs)
+        small.unpersist()
+
+    sweep_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SWEEP.json",
+    )
+    sweep = json.load(open(sweep_path)) if os.path.exists(sweep_path) else {}
+    sweep["graph_soak"] = out
+    with open(sweep_path, "w") as f:
+        json.dump(sweep, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
