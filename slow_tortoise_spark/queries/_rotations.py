@@ -461,3 +461,21 @@ for _name in _ROTATE_OUT_10D:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# --- Round-10 fourth wave: trustrank (NEW — personalized PageRank with
+# seed-restricted teleport, the TrustRank crawl-gating score; completes
+# the host-quality toolkit next to pagerank/harmonic/hyperball/k_core)
+# rotates in the round it was built.  Out: xcorpus_logprob
+# (driver-green r05-r09; the LM family keeps kn_logprob/ppl_buckets
+# r08+r09 rows with bigram/unigram_logprob oracle-green in the
+# verifier tier).
+_ROTATE_IN_10E = ["trustrank"]
+_ROTATE_OUT_10E = ["xcorpus_logprob"]
+for _name in _ROTATE_IN_10E:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_10E:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -1272,3 +1272,96 @@ def _k_core_sql(k: int = 10, rounds: int = 10) -> str:
 
 VERIFIER_QUERIES["k_core"] = q_k_core
 VERIFIER_ORACLE_SQL["k_core"] = _k_core_sql(10)
+
+
+# ---------------------------------------------------------------------------
+# TrustRank / personalized PageRank (verifier tier — power-iteration
+# replay with seed-restricted teleport)
+# ---------------------------------------------------------------------------
+
+
+def q_trustrank(spark, sf_dir):
+    """Three personalized-PageRank iterations on the bidirectional
+    trading graph with suppliers s1/s2/s3 as the trusted seed set —
+    rank = proximity to the seeds, the TrustRank crawl-gating score.
+    Micro-integer ranks (seed mass 1/3 decays outward; micros carry
+    no ordering hazard)."""
+    from slow_tortoise_spark.operators.graph import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = personalized_pagerank(edges, seeds=["s1", "s2", "s3"], iters=3)
+    return pr.select(
+        "node",
+        F.round(F.col("rank") * 1e6, 0).cast("bigint").alias("rank_micros"),
+    ).orderBy("node")
+
+
+def _trustrank_sql(iters: int = 3) -> str:
+    """Power-iteration replay with seed-restricted teleport: float
+    shapes mirror the engine token for token — 0.85 * COALESCE(contrib)
+    plus, on seeds only, ((1 - 0.85) + 0.85 * dangling) / 3.0 (dangling
+    is exactly 0.0 on this bidirectional graph, replayed anyway)."""
+    seeds = "('s1', 's2', 's3')"
+    ctes = [
+        """tpairs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """tedges AS MATERIALIZED (
+        SELECT src, dst FROM tpairs
+        UNION ALL SELECT dst AS src, src AS dst FROM tpairs)""",
+        """tdeg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS d FROM tedges GROUP BY src)""",
+        f"""tnodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM tedges
+          UNION ALL SELECT dst AS node FROM tedges
+          UNION ALL SELECT * FROM (VALUES ('s1'), ('s2'), ('s3'))))""",
+        f"""tr0 AS MATERIALIZED (
+        SELECT node, CASE WHEN node IN {seeds} THEN 1.0 / 3.0
+                          ELSE 0.0 END AS r FROM tnodes)""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""tdang{i} AS MATERIALIZED (
+            SELECT COALESCE(SUM(r), 0.0) AS s FROM tr{i}
+            WHERE node NOT IN (SELECT src FROM tdeg))"""
+        )
+        ctes.append(
+            f"""tr{i + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   0.85 * COALESCE(c.c, 0.0)
+                   + CASE WHEN n.node IN {seeds}
+                          THEN ((1 - 0.85) + 0.85 * tdang{i}.s) / 3.0
+                          ELSE 0.0 END AS r
+            FROM tnodes n
+            LEFT JOIN (SELECT e.dst AS node, SUM(r.r / tdeg.d) AS c
+                       FROM tedges e
+                       JOIN tdeg ON e.src = tdeg.src
+                       JOIN tr{i} r ON r.node = e.src
+                       GROUP BY e.dst) c ON n.node = c.node,
+            tdang{i})"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, CAST(round(r * 1e6) AS BIGINT) AS rank_micros"
+          f" FROM tr{iters} ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["trustrank"] = q_trustrank
+VERIFIER_ORACLE_SQL["trustrank"] = _trustrank_sql(3)

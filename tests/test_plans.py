@@ -429,6 +429,7 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "harmonic_centrality": 1,
         "hyperball_harmonic": 1,
         "k_core": 1,
+        "trustrank": 1,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

@@ -3846,6 +3846,32 @@ def test_k_core_hand_derived_with_cascade(spark):
     assert k_core(edges, k=3).count() == 0
 
 
+def test_trustrank_hand_derived(spark):
+    """Chain s→a→b with seed {s}, d=0.85, 3 iters — every value
+    hand-derivable: b is dangling, so by iter 3 its mass (0.7225)
+    returns to the SEED, not the whole graph: s = 0.15 + 0.85·0.7225 =
+    0.764125, a = 0.85·0.15, b = 0.85·0.1275.  Total mass stays 1.0
+    every round (teleport + damped flow is conservative).  A seed
+    absent from the edge list still joins the node set and receives
+    teleport (the TrustRank convention for vetted-but-unlinked hosts)."""
+    from slow_tortoise_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in
+           personalized_pagerank(edges, seeds=["s"], iters=3).collect()}
+    assert round(got["s"] * 1e6) == round(0.764125 * 1e6)
+    assert round(got["a"] * 1e6) == round(0.85 * 0.15 * 1e6)
+    assert round(got["b"] * 1e6) == round(0.85 * 0.1275 * 1e6)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    ghost = {r["node"]: r["rank"] for r in
+             personalized_pagerank(edges, seeds=["s", "zz"],
+                                   iters=1).collect()}
+    assert "zz" in ghost and ghost["zz"] > 0  # absent seed gets teleport
+    assert abs(sum(ghost.values()) - 1.0) < 1e-12
+
+
 def test_k_core_releases_storage(spark):
     from pyspark.sql import Row
 
