@@ -40,6 +40,7 @@ def main() -> int:
     from slow_tortoise_spark.operators.graph import (
         harmonic_centrality,
         hyperball_harmonic,
+        k_core,
         pagerank,
     )
     from slow_tortoise_spark.session import get_spark
@@ -92,6 +93,14 @@ def main() -> int:
     out["hyperball_s"] = round(time.time() - t0, 1)
     out["top10_overlap_pagerank_hyperball"] = len(set(pr_top) & set(hb_top))
     free_local_checkpoint(hb)
+
+    # degeneracy cleanup at full size: symmetrized degree is ~10 out +
+    # skewed in, so k=12 forces genuine cascading peels
+    t0 = time.time()
+    kc = k_core(edges, k=12)
+    out["k_core_nodes"] = kc.count()
+    out["k_core_s"] = round(time.time() - t0, 1)
+    free_local_checkpoint(kc)
     edges.unpersist()
 
     # exact tier at a size where the visited pair set fits: shows the
