@@ -164,26 +164,37 @@ def harmonic_centrality(
         nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
     )
     frontier = visited  # distance-0 pairs seed the expansion
-    frontiers: list[DataFrame] = []  # kept live: the count frames read them
-    for _ in range(radius):
+    # Each round reduces its frontier to the (≤ |V|-row) per-node count
+    # frame IMMEDIATELY and frees the previous big pair frame — only
+    # the current frontier + current visited are ever live, not all R
+    # frontiers at once (peak storage halves on dense graphs, exactly
+    # where the pair set is the binding cost).
+    counts: list[DataFrame] = []
+    for r in range(1, radius + 1):
         nxt = (
             frontier.join(e, frontier["u"] == e["dst"])
             .select(frontier["v"].alias("v"), e["src"].alias("u"))
             .distinct()
         )
-        frontier = tracked_local_checkpoint(
+        new_frontier = tracked_local_checkpoint(
             nxt.join(visited, ["v", "u"], "left_anti")
         )
-        frontiers.append(frontier)
+        counts.append(tracked_local_checkpoint(
+            new_frontier.groupBy("v").agg(F.count(F.lit(1)).alias(f"_d{r}"))
+        ))
         new_visited = tracked_local_checkpoint(
-            visited.unionByName(frontier)
+            visited.unionByName(new_frontier)
         )
+        if frontier is not visited:
+            free_local_checkpoint(frontier)
         free_local_checkpoint(visited)
-        visited = new_visited
+        frontier, visited = new_frontier, new_visited
+    if frontier is not visited:
+        free_local_checkpoint(frontier)
+    free_local_checkpoint(visited)
     out = nodes
     harmonic = F.lit(0.0)
-    for r, fr in enumerate(frontiers, start=1):
-        cnt = fr.groupBy("v").agg(F.count(F.lit(1)).alias(f"_d{r}"))
+    for r, cnt in enumerate(counts, start=1):
         out = out.join(cnt, out["node"] == cnt["v"], "left").drop("v")
         harmonic = harmonic + (
             F.coalesce(F.col(f"_d{r}"), F.lit(0)).cast("double")
@@ -192,9 +203,8 @@ def harmonic_centrality(
     result = tracked_local_checkpoint(
         out.select("node", harmonic.alias("harmonic"))
     )
-    for fr in frontiers:
-        free_local_checkpoint(fr)
-    free_local_checkpoint(visited)
+    for cnt in counts:
+        free_local_checkpoint(cnt)
     e.unpersist()
     nodes.unpersist()
     return result
@@ -302,22 +312,31 @@ def hyperball_harmonic(
             ],
         )
     )
-    rounds = [sketches]  # kept live: the estimate frames read them
-    for _ in range(radius):
-        contrib = e.join(sketches, e["src"] == sketches["node"]).select(
-            e["dst"].alias("node"), *[f"r{k}" for k in range(_HB_M)]
-        )
-        sketches = tracked_local_checkpoint(
-            sketches.unionByName(contrib)
-            .groupBy("node")
-            .agg(*[F.max(f"r{k}").alias(f"r{k}") for k in range(_HB_M)])
-        )
-        rounds.append(sketches)
+    # Each round reduces its sketch frame to the 2-column per-node
+    # estimate IMMEDIATELY and frees the previous 17-column frame —
+    # only one full register frame is ever live (same discipline as
+    # the exact tier's frontier reduction).
+    ests: list[DataFrame] = []
+    for r in range(radius + 1):
+        if r > 0:
+            contrib = e.join(sketches, e["src"] == sketches["node"]).select(
+                e["dst"].alias("node"), *[f"r{k}" for k in range(_HB_M)]
+            )
+            merged = tracked_local_checkpoint(
+                sketches.unionByName(contrib)
+                .groupBy("node")
+                .agg(*[F.max(f"r{k}").alias(f"r{k}") for k in range(_HB_M)])
+            )
+            free_local_checkpoint(sketches)
+            sketches = merged
+        ests.append(tracked_local_checkpoint(
+            sketches.select(
+                F.col("node").alias("_v"), _hb_estimate().alias(f"_e{r}")
+            )
+        ))
+    free_local_checkpoint(sketches)
     out = nodes
-    for r, sk in enumerate(rounds):
-        est = sk.select(
-            F.col("node").alias("_v"), _hb_estimate().alias(f"_e{r}")
-        )
+    for r, est in enumerate(ests):
         out = out.join(est, out["node"] == est["_v"], "left").drop("_v")
     harmonic = F.lit(0.0)
     for r in range(1, radius + 1):
@@ -328,8 +347,8 @@ def hyperball_harmonic(
     result = tracked_local_checkpoint(
         out.select("node", harmonic.alias("harmonic_est"))
     )
-    for sk in rounds:
-        free_local_checkpoint(sk)
+    for est in ests:
+        free_local_checkpoint(est)
     e.unpersist()
     nodes.unpersist()
     return result
@@ -373,19 +392,24 @@ def k_core(
         ).distinct()
     )
     while True:
-        bad = (
+        # checkpoint the removal set so the degree aggregation runs
+        # ONCE per round (isEmpty + both anti-joins read the
+        # materialized frame, not three re-executions of the groupBy)
+        bad = tracked_local_checkpoint(
             adj.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") < k)
             .select(F.col("src").alias("_bad"))
         )
         if bad.isEmpty():
+            free_local_checkpoint(bad)
             break
         new_adj = tracked_local_checkpoint(
             adj.join(bad, adj["src"] == bad["_bad"], "left_anti")
             .join(bad, adj["dst"] == bad["_bad"], "left_anti")
         )
         free_local_checkpoint(adj)
+        free_local_checkpoint(bad)
         adj = new_adj
     result = tracked_local_checkpoint(
         adj.groupBy(F.col("src").alias("node"))

@@ -994,6 +994,24 @@ def ivf_topk_from_path(
     return ivf_topk(indexed, centroids, query, k, nprobe, id_col, vec_col)
 
 
+def _next_manual_batch_id(path: str) -> int:
+    """Next manual (non-streaming) append batch id for a persisted
+    IVF/IVFADC index: ids DESCEND below the base build's -1 (-2, -3,
+    …), a namespace disjoint from Spark's foreachBatch ids (0, 1, …),
+    so a manual append followed by a stream on the SAME index path can
+    never silently overwrite.  Single-sourced here so the two index
+    flavors cannot drift apart on the invariant."""
+    import os
+    import re
+
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := re.fullmatch(r"batch=(-?\d+)", d))
+    ]
+    return min(existing, default=-1) - 1
+
+
 def ivf_append(
     spark,
     path: str,
@@ -1040,17 +1058,9 @@ def ivf_append(
     appended rows themselves.
     """
     import os
-    import re
 
     if batch_id is None:
-        existing = [
-            int(m.group(1))
-            for d in os.listdir(path)
-            if (m := re.fullmatch(r"batch=(-?\d+)", d))
-        ]
-        # manual ids descend below the base build's -1: disjoint from
-        # Spark streaming foreachBatch ids (0, 1, …) on the same path
-        batch_id = min(existing, default=-1) - 1
+        batch_id = _next_manual_batch_id(path)
     _, centroids = read_ivf_index(spark, path)
     assigned = _assign_cells_join(new_vectors, centroids, vec_col)
     n = assigned.count()
@@ -1247,11 +1257,11 @@ def _pq_encode_join(
     """Broadcast-join PQ encode (the large-codebook strategy).
 
     Each row posexplodes into its m subvectors (ONE Generate), joins the
-    broadcast (s, j, centroid) codebook rows (ksub candidates per
-    subvector), and two partially-aggregated shuffles reduce back: the
+    broadcast (_s, _j, centroid) codebook rows (ksub candidates per
+    subvector; underscore-prefixed so user columns named s/j survive), and two partially-aggregated shuffles reduce back: the
     per-(row, subspace) ``min_by`` argmin (ties to lowest code, matching
     the literal strategy's first-wins), then a per-row
-    ``array_sort(collect_list(struct(s, code)))`` reassembly.  The row
+    ``array_sort(collect_list(struct(_s, code)))`` reassembly.  The row
     payload rides through both aggregates via ``first()`` on a
     ``monotonically_increasing_id`` group key — never a self-join, which
     would re-evaluate the nondeterministic ids on each side (the
@@ -1689,15 +1699,9 @@ def ivfpq_append(
     with Spark streaming foreachBatch ids (0, 1, …) on the same index
     path — see :func:`ivf_append`.  Returns rows written."""
     import os
-    import re
 
     if batch_id is None:
-        existing = [
-            int(mm.group(1))
-            for d in os.listdir(path)
-            if (mm := re.fullmatch(r"batch=(-?\d+)", d))
-        ]
-        batch_id = min(existing, default=-1) - 1
+        batch_id = _next_manual_batch_id(path)
     _, centroids, codebooks = read_ivfpq_index(spark, path)
     assigned = _assign_cells_join(new_vectors, centroids, vec_col)
     with_res = assigned.withColumn(

@@ -829,18 +829,24 @@ VERIFIER_ORACLE_SQL["ivfpq_topk"] = _ivfpq_sql()
 # ---------------------------------------------------------------------------
 
 
-def q_pagerank_graph(spark, sf_dir):
-    """Three PageRank power iterations over the bidirectional
-    customer↔supplier graph (an edge per distinct customer/supplier
-    trading pair from orders ⋈ lineitem) — the link-centrality tier a
-    web-corpus pipeline gates crawl hosts on.  Micro-integer ranks:
-    values sit near 1/N ≈ 6e-4, so the micros rounding carries no float
-    ordering hazard."""
-    from slow_tortoise_spark.operators.graph import pagerank
-
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+def _trading_pairs(spark, sf_dir, cap_cust=None, cap_supp=None):
+    """Directed distinct customer→supplier trading pairs ('c{k}' →
+    's{k}' via orders ⋈ lineitem) — the ONE fixture builder behind
+    every graph-tier query (pagerank/trustrank unbounded;
+    harmonic/hyperball/k_core capped so the exact tiers stay
+    fixture-sized at any sf).  A cap or prefix change here moves all
+    engine fixtures together; each query's oracle SQL mirrors it
+    inline (self-contained replayable statements by convention), and
+    the oracle harness catches any desync."""
+    o = _t(spark, sf_dir, "orders")
+    if cap_cust is not None:
+        o = o.filter(F.col("o_custkey") <= cap_cust)
+    o = o.select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    if cap_supp is not None:
+        li = li.filter(F.col("l_suppkey") <= cap_supp)
+    li = li.select("l_orderkey", "l_suppkey")
+    return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
@@ -850,9 +856,25 @@ def q_pagerank_graph(spark, sf_dir):
         )
         .distinct()
     )
-    edges = pairs.unionByName(
+
+
+def _bidirectional(pairs):
+    """Symmetrize a directed pair frame (both edge directions)."""
+    return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+
+
+def q_pagerank_graph(spark, sf_dir):
+    """Three PageRank power iterations over the bidirectional
+    customer↔supplier graph (an edge per distinct customer/supplier
+    trading pair from orders ⋈ lineitem) — the link-centrality tier a
+    web-corpus pipeline gates crawl hosts on.  Micro-integer ranks:
+    values sit near 1/N ≈ 6e-4, so the micros rounding carries no float
+    ordering hazard."""
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    edges = _bidirectional(_trading_pairs(spark, sf_dir))
     pr = pagerank(edges, iters=3, damping=0.85)
     return pr.select(
         "node",
@@ -978,29 +1000,8 @@ def q_harmonic_centrality(spark, sf_dir):
     divisions, bitwise replayable."""
     from slow_tortoise_spark.operators.graph import harmonic_centrality
 
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 300)
-        .select("o_orderkey", "o_custkey")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey") <= 50)
-        .select("l_orderkey", "l_suppkey")
-    )
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _bidirectional(
+        _trading_pairs(spark, sf_dir, cap_cust=300, cap_supp=50))
     hc = harmonic_centrality(edges, radius=3)
     return hc.select(
         "node",
@@ -1085,29 +1086,8 @@ def q_hyperball_harmonic(spark, sf_dir):
     recompute it from the exact balls without running HyperBall."""
     from slow_tortoise_spark.operators.graph import hyperball_harmonic
 
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 300)
-        .select("o_orderkey", "o_custkey")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey") <= 50)
-        .select("l_orderkey", "l_suppkey")
-    )
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _bidirectional(
+        _trading_pairs(spark, sf_dir, cap_cust=300, cap_supp=50))
     hb = hyperball_harmonic(edges, radius=3)
     return hb.select(
         "node",
@@ -1213,26 +1193,7 @@ def q_k_core(spark, sf_dir):
     centralities.  Output (node, degree) of the surviving subgraph."""
     from slow_tortoise_spark.operators.graph import k_core
 
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 300)
-        .select("o_orderkey", "o_custkey")
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey") <= 50)
-        .select("l_orderkey", "l_suppkey")
-    )
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"),
-        )
-        .distinct()
-    )
+    pairs = _trading_pairs(spark, sf_dir, cap_cust=300, cap_supp=50)
     return k_core(pairs, k=10).orderBy("node")
 
 
@@ -1288,21 +1249,7 @@ def q_trustrank(spark, sf_dir):
     no ordering hazard)."""
     from slow_tortoise_spark.operators.graph import personalized_pagerank
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-            .alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-            .alias("dst"),
-        )
-        .distinct()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _bidirectional(_trading_pairs(spark, sf_dir))
     pr = personalized_pagerank(edges, seeds=["s1", "s2", "s3"], iters=3)
     return pr.select(
         "node",

@@ -551,15 +551,32 @@ def streaming_upsert_bucketed(
     )
 
 
+def _version_sort_key(name: str) -> tuple[str, int]:
+    """Commit-order sort key for version dir names: (zero-padded base
+    batch id, NUMERIC compaction suffix).  The numeric suffix keeps
+    commit order correct for legacy unpadded ``c1``/``c2`` dirs written
+    before the zero-padded ``c{n:04d}`` scheme (lexicographically
+    ``c0002`` < ``c1``, numerically 2 > 1) and past the padding width
+    (``c10000`` vs ``c9999``)."""
+    import re
+
+    m = re.fullmatch(r"(v\d+)(?:c(\d+))?", name)
+    if m is None:
+        return (name, 0)
+    return (m.group(1), int(m.group(2)) if m.group(2) else 0)
+
+
 def snapshot_versions(root: str) -> list[str]:
-    """All committed version directories under a snapshot root,
-    oldest first (versions are zero-padded batch ids, so lexicographic
-    order is commit order)."""
+    """All committed version directories under a snapshot root, oldest
+    first — batch ids order lexicographically (zero-padded), compaction
+    suffixes order NUMERICALLY via :func:`_version_sort_key` (robust to
+    legacy unpadded suffixes and to >4-digit compaction counts)."""
     import os
 
     return sorted(
-        d for d in os.listdir(root)
-        if d.startswith("v") and os.path.isdir(os.path.join(root, d))
+        (d for d in os.listdir(root)
+         if d.startswith("v") and os.path.isdir(os.path.join(root, d))),
+        key=_version_sort_key,
     )
 
 
@@ -814,11 +831,12 @@ def compact_snapshot(
     * Content is row-identical INCLUDING tombstones — compaction is a
       layout change, never a semantic one (``read_snapshot`` before ==
       after, pinned by test).
-    * The new version directory is ``{base}c{n:04d}`` — the zero-padded
-      ``c`` suffix sorts lexicographically AFTER its base version,
-      AFTER every earlier compaction of the same base (``c0010`` >
-      ``c0002``), and BEFORE the next batch id, so ``snapshot_versions``
-      order stays commit order and time travel to pre-compaction
+    * The new version directory is ``{base}c{n:04d}`` — the ``c``
+      suffix sorts AFTER its base version, AFTER every earlier
+      compaction of the same base, and BEFORE the next batch id under
+      ``snapshot_versions``' (base, numeric-suffix) ordering — which
+      also keeps legacy unpadded ``c1`` dirs and >4-digit compaction
+      counts in commit order — so time travel to pre-compaction
       versions still works.
     * The manifest flip reuses :func:`_flip_latest` with the SAME
       committed batch id, so a concurrently-replayed micro-batch still

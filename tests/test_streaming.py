@@ -1131,10 +1131,44 @@ def test_compact_snapshot_crash_retry_reuses_name(spark, tmp_path):
         last = compact_snapshot(spark, root, target_files=1)
     assert last == f"{base_version}c0010"
     vs = snapshot_versions(root)
-    assert vs == sorted(vs) and vs[-1] == last
+    assert vs[-1] == last and vs.index(f"{base_version}c0002") < vs.index(
+        f"{base_version}c0009")
     assert sorted(
         tuple(r) for r in read_snapshot(spark, root).collect()) == live
     shutil.rmtree(root)
+
+
+def test_snapshot_versions_orders_legacy_and_deep_suffixes(spark, tmp_path):
+    """Commit order must survive BOTH suffix generations in one root
+    (legacy unpadded c1/c2 from pre-zero-padding builds, then padded
+    c0003+) and compaction counts past the padding width — the sort is
+    (base, NUMERIC suffix), never raw lexicographic ('c0002' < 'c1'
+    and 'c10000' < 'c9999' as strings)."""
+    import os
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        _flip_latest,
+        compact_snapshot,
+        snapshot_versions,
+    )
+
+    root = str(tmp_path / "snap")
+    os.makedirs(root)
+    names = ["v0000000000", "v0000000000c1", "v0000000000c2",
+             "v0000000000c9999", "v0000000000c10000", "v0000000001"]
+    for d in names:
+        os.makedirs(os.path.join(root, d))
+    assert snapshot_versions(root) == names  # numeric-suffix order
+    # a legacy-suffix manifest still compacts to the right next name
+    spark.range(3).write.mode("overwrite").parquet(
+        os.path.join(root, "v0000000002"))
+    _flip_latest(root, "v0000000002c7", -1)
+    os.rename(os.path.join(root, "v0000000002"),
+              os.path.join(root, "v0000000002c7"))
+    nxt = compact_snapshot(spark, root, target_files=1)
+    assert nxt == "v0000000002c0008"
+    vs = snapshot_versions(root)
+    assert vs.index("v0000000002c7") < vs.index("v0000000002c0008")
 
 
 def test_ivfpq_append_grows_index_idempotently(spark, sf_dir, tmp_path):

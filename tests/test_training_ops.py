@@ -3872,6 +3872,35 @@ def test_trustrank_hand_derived(spark):
     assert abs(sum(ghost.values()) - 1.0) < 1e-12
 
 
+def test_k_core_oracle_unroll_has_margin():
+    """The k_core oracle unrolls a FIXED 10 peeling rounds while the
+    engine peels to fixpoint — sound only if the fixture converges well
+    inside the horizon.  Enforce it: at both driver scale factors the
+    unrolled adjacency must already be stationary by round 7 (three
+    spare rounds of margin), so a fixture change that lengthens the
+    cascade fails HERE instead of as a spurious CORRECTNESS mismatch."""
+    import duckdb
+
+    from slow_tortoise_spark.queries.verifier_iterative import _k_core_sql
+
+    sql = _k_core_sql(10, rounds=10)
+    prologue = "WITH " + sql.split("WITH ", 1)[1].rsplit(
+        " SELECT src AS node", 1)[0]
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '/root/testdata/{sf}/{t}.parquet'"
+            )
+        sizes = [
+            con.execute(prologue + f" SELECT COUNT(*) FROM adj{r}")
+            .fetchone()[0]
+            for r in range(11)
+        ]
+        assert sizes[7] == sizes[10], (sf, sizes)
+
+
 def test_k_core_releases_storage(spark):
     from pyspark.sql import Row
 

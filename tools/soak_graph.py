@@ -12,7 +12,7 @@ Records a ``graph_soak`` section in BENCH_SWEEP.json and prints one
 JSON line.
 
 Usage: python tools/soak_graph.py [n_nodes] [edges_per_node] [exact_max_nodes]
-       defaults: 1_000_000 10 100_000
+       defaults: 1_000_000 10 20_000
 """
 
 from __future__ import annotations
