@@ -752,3 +752,159 @@ def test_banded_edit_distance_matches_python_dp(
         assert got[0]["edit_ratio"] == dist / maxlen
     else:
         assert got == []
+
+
+_edge_graphs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=25,
+)
+
+
+def _py_balls(edges, radius):
+    """Reverse-BFS reference: {v: [count at distance 1..radius]} over
+    the simple digraph (self-loops/multiplicity ignored)."""
+    es = {(a, b) for a, b in edges if a != b}
+    nodes = {x for e in es for x in e}
+    preds = {}
+    for a, b in es:
+        preds.setdefault(b, set()).add(a)
+    out = {}
+    for v in nodes:
+        seen = {v}
+        frontier = {v}
+        counts = []
+        for _ in range(radius):
+            frontier = {
+                p for u in frontier for p in preds.get(u, ())
+            } - seen
+            counts.append(len(frontier))
+            seen |= frontier
+        out[v] = counts
+    return out
+
+
+@given(edges=_edge_graphs)
+@settings(max_examples=8, deadline=None)
+def test_harmonic_centrality_matches_python_bfs_property(
+        spark_session, edges):
+    """Exact harmonic centrality equals a pure-Python reverse-BFS
+    reference on arbitrary small digraphs (cycles, self-loops,
+    multi-edges, disconnected parts)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import harmonic_centrality
+
+    df = spark_session.createDataFrame(
+        [Row(src=f"n{a}", dst=f"n{b}") for a, b in edges],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["harmonic"]
+           for r in harmonic_centrality(df, radius=3).collect()}
+    want = {
+        f"n{v}": counts[0] / 1.0 + counts[1] / 2.0 + counts[2] / 3.0
+        for v, counts in _py_balls(edges, 3).items()
+    }
+    if not want:  # all edges were self-loops → empty simple graph
+        assert got == {}
+        return
+    assert got == want
+
+
+@given(edges=_edge_graphs, k=st.integers(min_value=1, max_value=4))
+@settings(max_examples=8, deadline=None)
+def test_k_core_matches_python_peeling_property(spark_session, edges, k):
+    """k_core equals a pure-Python peel-to-fixpoint reference on
+    arbitrary small graphs (the fixpoint is unique, so any removal
+    order agrees)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import k_core
+
+    df = spark_session.createDataFrame(
+        [Row(src=f"n{a}", dst=f"n{b}") for a, b in edges],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["degree"] for r in k_core(df, k=k).collect()}
+    adj = {}
+    for a, b in {(a, b) for a, b in edges if a != b}:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        bad = [v for v, nb in adj.items() if len(nb) < k]
+        if not bad:
+            break
+        for v in bad:
+            for nb in adj.pop(v):
+                adj[nb].discard(v)
+    assert got == {f"n{v}": len(nb) for v, nb in adj.items()}
+
+
+@given(edges=_edge_graphs)
+@settings(max_examples=6, deadline=None)
+def test_hyperball_estimate_is_register_function_property(
+        spark_session, edges):
+    """The HyperBall estimate is a deterministic function of EXACT ball
+    membership: recomputing every register in Python from the reference
+    balls and applying the same HLL fold reproduces the engine's
+    harmonic_est to micros on arbitrary graphs (ln is the one libm
+    call in the fold; JVM StrictMath and CPython libm may differ in
+    the last ulp, which micros rounding absorbs — the same contract
+    the DuckDB oracle row checks at)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import hyperball_harmonic
+
+    df = spark_session.createDataFrame(
+        [Row(src=f"n{a}", dst=f"n{b}") for a, b in edges],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["harmonic_est"]
+           for r in hyperball_harmonic(df, radius=3).collect()}
+
+    def jr(name):
+        h = hashlib.md5(name.encode()).hexdigest()
+        j = int(h[0], 16)
+        w = int(h[1:7], 16)
+        rank = 25 if w == 0 else 25 - w.bit_length()
+        return j, rank
+
+    def estimate(members):
+        regs = [0] * 16
+        for m in members:
+            j, rank = jr(f"n{m}")  # engine hashes the node STRING
+            regs[j] = max(regs[j], rank)
+        s = 0.0
+        for rk in regs:
+            s = s + 2.0 ** (-float(rk))
+        v = sum(1 for rk in regs if rk == 0)
+        e_raw = 0.673 * 256.0 / s
+        if e_raw <= 40.0 and v > 0:
+            return 16.0 * math.log(16.0 / float(v))
+        return e_raw
+
+    es = {(a, b) for a, b in edges if a != b}
+    nodes = {x for e in es for x in e}
+    preds = {}
+    for a, b in es:
+        preds.setdefault(b, set()).add(a)
+    want = {}
+    for v in nodes:
+        seen = {v}
+        frontier = {v}
+        ests = [estimate(seen)]
+        for _ in range(3):
+            frontier = {
+                p for u in frontier for p in preds.get(u, ())
+            } - seen
+            seen |= frontier
+            ests.append(estimate(seen))
+        h = 0.0
+        for r in range(1, 4):
+            h = h + max(0.0, ests[r] - ests[r - 1]) / float(r)
+        want[f"n{v}"] = h
+    assert {k: round(x * 1e6) for k, x in got.items()} == {
+        k: round(x * 1e6) for k, x in want.items()}
