@@ -479,3 +479,91 @@ for _name in _ROTATE_OUT_10E:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# --- Round-11 rotation: STALENESS-FIRST, second application of the
+# test_catalog_contract policy.  With CORRECTNESS_r10 recorded the
+# 5-round window slides: the 15 queries whose last driver row is r05
+# (the round-10 verdict's mandatory list) trip the staleness invariant
+# NOW, and the 22 whose last row is r07 trip it next round — both
+# groups rotate IN together so r12 starts with a clean two-round
+# horizon (r08 group of 15 becomes binding only at r13).  OUT: 37
+# catalog entries, every one driver-green in r10 (the r10 staleness
+# wave's rotate-ins after their row landed, the r9 doubles holding
+# r09+r10 rows, and salted_join after five straight green rounds
+# r06–r10).  Kept in catalog: the six single-row r10 entries
+# (csv/jsonl_roundtrip + the four new graph operators, each earning a
+# second row per the r9 precedent) and the three long-tenure anchors
+# media_features (sole multimodal row), weighted_timeseries,
+# snapshot_time_travel.
+#
+# Sibling coverage for every OUT (family -> driver row in the r11
+# catalog unless noted):
+#   temporal_agg_month/year/all, region_id -> weighted_timeseries
+#       (kept) + regional_timeseries/global_timeseries (in)
+#   qualifier_counts, region_lists, rows_per_feature -> qualifier_pivot
+#       (in) + weighted_agg (in); output_summary r09-green in verifier
+#   anti_join, range_join, event_sequences -> sessionize_batch (in);
+#       asof_join r09-green in verifier
+#   cube_agg -> grouping_sets (in)
+#   window_running, rolling_window, window_rank_surface ->
+#       regional_extrema + latest_orders (in, window min/max + ties and
+#       window latest-wins); window_topn r09-green in verifier
+#   tile_binning -> grid_stats (in, exploded-zoom tile family)
+#   approx_distinct -> cms_token_counts (in, approx-agg family)
+#   simhash, simhash16 -> minhash_lsh_pairs (in, near-dup family)
+#   hyperplane_lsh_buckets, minhash_signatures, embedding_near_dups ->
+#       minhash_lsh_pairs + ann_cosine_topk (in)
+#   dedup_drop, dedup_exact_docs, incremental_dedup ->
+#       dedup_components (in); streaming_index_dedup r09 verifier
+#   contamination, containment_pairs -> bloom_contamination (in)
+#   jaccard_pairs_naive, lsh_edit_funnel -> minhash_lsh_pairs (in);
+#       jaccard_pairs r09-green in verifier
+#   bpe_pairs, bpe_train -> bpe_encode (in, tokenizer family)
+#   pii_redact -> lang_id + strip_html (in, text-scan family)
+#   temperature_mix, source_cap -> negative_pairs (in, keyed-hash
+#       sampling family); hash_split/stratified_sample r08+ verifier
+#   ivfpq_topk, ivfpq_rerank -> ann_cosine_topk + sq_topk (in,
+#       embedding top-k); pq_topk holds its slot until the in-round
+#       waves below
+#   pagerank_graph -> harmonic_centrality / hyperball_harmonic /
+#       k_core / trustrank (kept — the graph tier keeps four rows)
+#   salted_join -> skew family rests on r09 (salted_agg) + r10
+#       (salted_join) rows; tools/skew_probe.py + ANSI-salt tests
+#       stay the regression guard
+# bench.py reads the merged dict, so the measured set is invariant.
+_ROTATE_IN_11 = [
+    # last driver row r05 — binding now
+    "ann_cosine_topk", "doc_chunks", "grid_stats", "harmonized_union",
+    "lang_id", "minhash_lsh_pairs", "pricing_summary", "qualifier_pivot",
+    "regional_extrema", "regional_timeseries", "sessionize_batch",
+    "streaming_window_counts", "top_orders", "unigram_logprob",
+    "weighted_agg",
+    # last driver row r07 — binding at r12
+    "bigram_logprob", "blocklist_filter", "bloom_contamination",
+    "bpe_encode", "cms_token_counts", "dedup_components", "dsir_weights",
+    "dup_ngram_stats", "global_timeseries", "gopher_rules",
+    "grouping_sets", "latest_orders", "logreg_weights", "mad_outliers",
+    "negative_pairs", "nfc_normalize", "psi_drift", "resample_ffill",
+    "sq_topk", "stream_stream_join", "strip_html", "tfidf_terms",
+]
+_ROTATE_OUT_11 = [
+    "anti_join", "approx_distinct", "bpe_pairs", "bpe_train",
+    "containment_pairs", "contamination", "cube_agg", "dedup_drop",
+    "dedup_exact_docs", "embedding_near_dups", "event_sequences",
+    "hyperplane_lsh_buckets", "incremental_dedup", "ivfpq_rerank",
+    "ivfpq_topk", "jaccard_pairs_naive", "lsh_edit_funnel",
+    "minhash_signatures", "pagerank_graph", "pii_redact",
+    "qualifier_counts", "range_join", "region_id", "region_lists",
+    "rolling_window", "rows_per_feature", "salted_join", "simhash",
+    "simhash16", "source_cap", "temperature_mix", "temporal_agg_all",
+    "temporal_agg_month", "temporal_agg_year", "tile_binning",
+    "window_rank_surface", "window_running",
+]
+for _name in _ROTATE_IN_11:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -551,33 +551,42 @@ def streaming_upsert_bucketed(
     )
 
 
-def _version_sort_key(name: str) -> tuple[str, int]:
-    """Commit-order sort key for version dir names: (zero-padded base
-    batch id, NUMERIC compaction suffix).  The numeric suffix keeps
-    commit order correct for legacy unpadded ``c1``/``c2`` dirs written
-    before the zero-padded ``c{n:04d}`` scheme (lexicographically
-    ``c0002`` < ``c1``, numerically 2 > 1) and past the padding width
-    (``c10000`` vs ``c9999``)."""
+def _version_sort_key(name: str) -> tuple[int, int] | None:
+    """Commit-order sort key for version dir names: (NUMERIC base batch
+    id, NUMERIC compaction suffix), or None for names that are not
+    version dirs at all.  Both components sort numerically so commit
+    order survives legacy unpadded ``c1``/``c2`` dirs (lexicographically
+    ``c0002`` < ``c1``, numerically 2 > 1), counts past the padding
+    width (``c10000`` vs ``c9999``), and — the same hazard on the base
+    id — batch ids past the manifest's zero-pad width.  Non-matching
+    names return None so :func:`snapshot_versions` SKIPS them and
+    :func:`compact_snapshot` (which raises on an unparseable MANIFEST
+    version) never sees one from a listing — one policy, not two."""
     import re
 
-    m = re.fullmatch(r"(v\d+)(?:c(\d+))?", name)
+    m = re.fullmatch(r"v(\d+)(?:c(\d+))?", name)
     if m is None:
-        return (name, 0)
-    return (m.group(1), int(m.group(2)) if m.group(2) else 0)
+        return None
+    return (int(m.group(1)), int(m.group(2)) if m.group(2) else 0)
 
 
 def snapshot_versions(root: str) -> list[str]:
     """All committed version directories under a snapshot root, oldest
-    first — batch ids order lexicographically (zero-padded), compaction
-    suffixes order NUMERICALLY via :func:`_version_sort_key` (robust to
-    legacy unpadded suffixes and to >4-digit compaction counts)."""
+    first — base batch ids and compaction suffixes both order
+    NUMERICALLY via :func:`_version_sort_key` (robust to legacy
+    unpadded suffixes and to counts past any zero-pad width).  Foreign
+    directory names that don't parse as ``v{n}[c{m}]`` are skipped —
+    they were never committed by this layer (the manifest flip is the
+    only committer) and including them under an arbitrary sort would
+    hand time travel a dir it can't read."""
     import os
 
-    return sorted(
-        (d for d in os.listdir(root)
-         if d.startswith("v") and os.path.isdir(os.path.join(root, d))),
-        key=_version_sort_key,
-    )
+    keyed = []
+    for d in os.listdir(root):
+        k = _version_sort_key(d)
+        if k is not None and os.path.isdir(os.path.join(root, d)):
+            keyed.append((k, d))
+    return [d for _, d in sorted(keyed)]
 
 
 def read_snapshot_at(
@@ -846,9 +855,23 @@ def compact_snapshot(
       (its ``c``-suffix + 1), never from a directory listing, so a
       retry after a crash recomputes the SAME name and overwrites the
       dangling attempt.  The parquet write itself goes to a hidden
-      ``_compact.tmp`` staging dir and renames into place, so a
-      partially-written compaction is never visible to
-      ``snapshot_versions`` / ``read_snapshot_at`` in the crash window.
+      ``_compact.tmp.{new_version}`` staging dir and renames into
+      place, so a partially-written compaction is never visible to
+      ``snapshot_versions`` / ``read_snapshot_at`` in the crash
+      window.  The staging name carries the TARGET version, so a
+      retry of the same compaction reuses (and first clears) its own
+      deterministic staging dir while a compaction racing toward a
+      DIFFERENT version can never rmtree this one's in-flight files.
+      Staging dirs whose target version is ≤ the one being written
+      are dead (that compaction either committed or was superseded)
+      and are collected on entry, including the legacy un-suffixed
+      ``_compact.tmp`` name from older builds.
+    * Writer contract: at most ONE compaction may target a given
+      version at a time (the manifest flip is last-writer-wins, so
+      two compactions racing toward the SAME new_version could flip a
+      partially-overwritten dir).  Snapshot roots are single-writer
+      by construction — the upsert stream owns the manifest — and
+      compaction belongs to that same maintenance lane.
     * The pre-compaction version stays on disk for time travel until
       :func:`vacuum_snapshot` collects it.
 
@@ -868,9 +891,15 @@ def compact_snapshot(
     n = (int(suffix) + 1) if suffix is not None else 1
     new_version = f"{base}c{n:04d}"
     df = spark.read.parquet(os.path.join(root, version))
-    staging = os.path.join(root, "_compact.tmp")
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    staging = os.path.join(root, f"_compact.tmp.{new_version}")
+    new_key = _version_sort_key(new_version)
+    for d in os.listdir(root):  # dead staging dirs: ours + superseded
+        if d == "_compact.tmp":
+            shutil.rmtree(os.path.join(root, d))
+        elif d.startswith("_compact.tmp."):
+            k = _version_sort_key(d[len("_compact.tmp."):])
+            if k is None or k <= new_key:
+                shutil.rmtree(os.path.join(root, d))
     df.repartition(target_files).write.mode("overwrite").parquet(staging)
     final = os.path.join(root, new_version)
     if os.path.exists(final):  # dangling dir from a crashed prior attempt

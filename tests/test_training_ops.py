@@ -3873,32 +3873,41 @@ def test_trustrank_hand_derived(spark):
 
 
 def test_k_core_oracle_unroll_has_margin():
-    """The k_core oracle unrolls a FIXED 10 peeling rounds while the
+    """The k_core oracle unrolls a FIXED 16 peeling rounds while the
     engine peels to fixpoint — sound only if the fixture converges well
     inside the horizon.  Enforce it: at both driver scale factors the
-    unrolled adjacency must already be stationary by round 7 (three
+    unrolled adjacency must already be stationary by round 7 (nine
     spare rounds of margin), so a fixture change that lengthens the
-    cascade fails HERE instead of as a spurious CORRECTNESS mismatch."""
+    cascade fails HERE instead of as a spurious CORRECTNESS mismatch.
+    Paths honor the conftest SPARK_GRAFT_TEST_SF_DIR convention (the
+    env var names one sf dir; its parent is the testdata root) and the
+    guard skips cleanly when the parquet isn't present."""
+    import os
+
     import duckdb
+    import pytest
 
     from slow_tortoise_spark.queries.verifier_iterative import _k_core_sql
+    from tests.conftest import SF_DIR
 
-    sql = _k_core_sql(10, rounds=10)
+    data_root = os.path.dirname(SF_DIR.rstrip("/"))
+    sql = _k_core_sql(10, rounds=16)
     prologue = "WITH " + sql.split("WITH ", 1)[1].rsplit(
         " SELECT src AS node", 1)[0]
     for sf in ("sf0.001", "sf0.01"):
+        paths = {t: os.path.join(data_root, sf, f"{t}.parquet")
+                 for t in ("orders", "lineitem")}
+        if not all(os.path.exists(p) for p in paths.values()):
+            pytest.skip(f"testdata missing under {data_root}/{sf}")
         con = duckdb.connect()
-        for t in ("orders", "lineitem"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * "
-                f"FROM '/root/testdata/{sf}/{t}.parquet'"
-            )
+        for t, p in paths.items():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         sizes = [
             con.execute(prologue + f" SELECT COUNT(*) FROM adj{r}")
             .fetchone()[0]
-            for r in range(11)
+            for r in range(17)
         ]
-        assert sizes[7] == sizes[10], (sf, sizes)
+        assert sizes[7] == sizes[16], (sf, sizes)
 
 
 def test_k_core_releases_storage(spark):
