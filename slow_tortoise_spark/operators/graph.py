@@ -30,6 +30,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` PageRank power iterations.
 
@@ -37,9 +38,18 @@ def pagerank(
 
     * Edge multiplicity counts — a node linking twice sends twice the
       share.  Callers wanting a simple graph pass ``edges.distinct()``.
+    * ``weight_col`` names an optional STRICTLY POSITIVE edge weight —
+      the real host-graph shape, where an edge carries its link count
+      instead of being replicated: each round u sends r(u)·w(u→v)/W(u)
+      along u→v, W(u) = Σ of u's out-weights.  Replicating an edge n
+      times and weighting it n are the same distribution (pinned by
+      property test, equal to float tolerance — n additions of r/d vs
+      one r·n/d differ in accumulation only).  Zero/negative weights
+      are the caller's bug: w = 0 still marks the source non-dangling
+      while sending nothing, leaking rank by construction.
     * Nodes = distinct endpoints of either side.
     * r₀ = 1/N; each round
-      r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + dangling/N),
+      r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)·w/W(u) + dangling/N),
       where ``dangling`` is the summed rank of nodes with no out-edges
       (their mass redistributes uniformly — the standard fix; without
       it rank leaks every round).
@@ -51,16 +61,21 @@ def pagerank(
     algorithms on Spark — same as the CC loop's convergence count); the
     round result is checkpointed and the previous round freed, so
     lineage and storage stay O(1) in ``iters``.  The edge/out-degree
-    frames are cached across rounds.
+    frames are cached across rounds.  The weighted path adds one
+    double column to the edge cache and nothing else — same joins,
+    same aggregates, same exchange count.
 
     Floats: ranks are binary64 sums whose accumulation order differs
     across engines — consumers wanting engine-exact comparison round to
     micros (the verifier row does).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    e = edges.select(*cols).cache()
+    deg = e.groupBy("src").agg(
+        (F.count("*") if weight_col is None else F.sum("_w")).alias("_d")
     ).cache()
-    deg = e.groupBy("src").agg(F.count("*").alias("_d")).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -85,6 +100,10 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
             .first()["s"]
         )
+        share = (
+            F.col("_r") / F.col("_d") if weight_col is None
+            else F.col("_r") * F.col("_w") / F.col("_d")
+        )
         contrib = (
             e.join(deg, "src")
             .join(
@@ -93,7 +112,7 @@ def pagerank(
                 "src",
             )
             .groupBy("dst")
-            .agg(F.sum(F.col("_r") / F.col("_d")).alias("_c"))
+            .agg(F.sum(share).alias("_c"))
         )
         new_ranks = tracked_local_checkpoint(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
@@ -281,6 +300,36 @@ def hyperball_harmonic(
     replaying engines — max() and the fixed-order estimate fold have
     no accumulation-order freedom.
     """
+    out, ests, cleanup = _hyperball_ball_estimates(
+        edges, radius, src_col, dst_col
+    )
+    harmonic = F.lit(0.0)
+    for r in range(1, radius + 1):
+        harmonic = harmonic + (
+            F.greatest(F.lit(0.0), F.col(f"_e{r}") - F.col(f"_e{r - 1}"))
+            / F.lit(float(r))
+        )
+    result = tracked_local_checkpoint(
+        out.select("node", harmonic.alias("harmonic_est"))
+    )
+    cleanup()
+    return result
+
+
+def _hyperball_ball_estimates(
+    edges: DataFrame, radius: int, src_col: str, dst_col: str
+):
+    """Shared HyperBall register evolution: returns ``(out, ests,
+    cleanup)`` where ``out`` is the node frame left-joined with the
+    per-round ball estimates ``_e0 … _e{radius}`` (one column per
+    round, the fixed-shape :func:`_hb_estimate` fold over the merged
+    registers after round r), ``ests`` the per-round checkpointed
+    estimate frames, and ``cleanup()`` frees them plus the edge/node
+    caches once the caller has checkpointed its own fold.  Both
+    geometric centralities (:func:`hyperball_harmonic`,
+    :func:`hyperball_closeness`) are fixed-order folds over these same
+    estimates — the register loop, the expensive part, is written
+    once."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -338,20 +387,134 @@ def hyperball_harmonic(
     out = nodes
     for r, est in enumerate(ests):
         out = out.join(est, out["node"] == est["_v"], "left").drop("_v")
-    harmonic = F.lit(0.0)
-    for r in range(1, radius + 1):
-        harmonic = harmonic + (
-            F.greatest(F.lit(0.0), F.col(f"_e{r}") - F.col(f"_e{r - 1}"))
-            / F.lit(float(r))
-        )
-    result = tracked_local_checkpoint(
-        out.select("node", harmonic.alias("harmonic_est"))
+
+    def cleanup() -> None:
+        for est in ests:
+            free_local_checkpoint(est)
+        e.unpersist()
+        nodes.unpersist()
+
+    return out, ests, cleanup
+
+
+def hyperball_closeness(
+    edges: DataFrame,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, closeness_est) — HyperBall truncated closeness
+    centrality, the second geometric centrality the HyperBall sketches
+    buy for free (Boldi & Vigna 2013 compute exactly this family:
+    once per-round ball estimates exist, any Σ f(r)·Δball fold is a
+    map-only pass).  Where harmonic folds Σ Δ_r/r, closeness needs the
+    total DISTANCE mass Σ r·Δ_r — so the two operators share the
+    register loop (:func:`_hyperball_ball_estimates`, one partial-agg
+    shuffle per round, |V| × 17 small-int state) and differ only in
+    the final fixed-order expression:
+
+        sumdist(v) = Σ_{1≤r≤R} r · max(0, ê_r(v) − ê_{r−1}(v))
+        closeness(v) = (ê_R(v) − 1) / sumdist(v)   (0 when sumdist = 0)
+
+    i.e. reachable-within-R divided by the summed distances to them —
+    the standard truncated closeness normalization: isolated-ish nodes
+    score 0 instead of dividing by zero, and a node reaching many
+    nodes cheaply scores near 1.  Same determinism claim as the
+    harmonic sibling: md5 register placement, max merges, and both
+    folds have zero accumulation-order freedom, so a replaying engine
+    matches bit for bit.
+    """
+    out, ests, cleanup = _hyperball_ball_estimates(
+        edges, radius, src_col, dst_col
     )
-    for est in ests:
-        free_local_checkpoint(est)
-    e.unpersist()
-    nodes.unpersist()
+    sumdist = F.lit(0.0)
+    for r in range(1, radius + 1):
+        sumdist = sumdist + F.lit(float(r)) * F.greatest(
+            F.lit(0.0), F.col(f"_e{r}") - F.col(f"_e{r - 1}")
+        )
+    closeness = F.when(
+        sumdist > F.lit(0.0),
+        (F.col(f"_e{radius}") - F.lit(1.0)) / sumdist,
+    ).otherwise(F.lit(0.0))
+    result = tracked_local_checkpoint(
+        out.select("node", closeness.alias("closeness_est"))
+    )
+    cleanup()
     return result
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, label) after ``iters`` rounds of SYNCHRONOUS label
+    propagation — the standard cheap community signal for host/link
+    graphs (Raghavan, Albert, Kumara, "Near linear time algorithm to
+    detect community structures in large-scale networks", 2007):
+    mirror/doorway clusters and template farms collapse onto one
+    label, which corpus curation then caps or down-weights the same
+    way it caps a source domain.
+
+    Determinism (the property that makes an independent engine replay
+    exact, where classic LP is run-order chaos): updates are
+    synchronous (round r reads only round r−1's labels), every node
+    starts with its own id as label, and each node adopts the label
+    most frequent among its neighbors with ties broken by MINIMUM
+    label — no RNG, no visit order.  The graph is treated as
+    UNDIRECTED and SIMPLE (symmetrized + distinct, self-loops
+    dropped); label comparisons are plain string ordering.
+
+    Shape per round: ONE shuffle joining labels onto the symmetrized
+    edge list by neighbor + a two-level aggregation — count per
+    (node, label), then ``min(struct(-count, label))`` per node — both
+    partially aggregated map-side (the argmin-by-struct avoids a
+    window sort entirely: no per-partition ordering, just algebraic
+    min).  Per-round checkpoint + free, O(1) live rounds — the
+    :func:`pagerank` skeleton.  State is |V| × 2 strings at any
+    density.  Convergence note: synchronous LP can 2-cycle on
+    bipartite-ish structure, which is WHY ``iters`` is a bounded
+    parameter and not a fixpoint loop — rank stability across rounds
+    is the caller's check, same as pagerank's.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    adj = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = tracked_local_checkpoint(
+        adj.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iters):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("src"),
+                              F.col("label").alias("_l")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), F.col("_l").alias("label"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        new_labels = tracked_local_checkpoint(
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("_c")).alias("_nc"), "label"))
+                .getField("label")
+                .alias("label")
+            )
+        )
+        free_local_checkpoint(labels)
+        labels = new_labels
+    adj.unpersist()
+    return labels
 
 
 def k_core(
@@ -425,6 +588,105 @@ def k_core(
     return result
 
 
+def core_number(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, core) — every node's core NUMBER: the maximum k for which
+    it survives in the k-core.  Where :func:`k_core` answers "give me
+    the cleaned subgraph at threshold k", this is the full degeneracy
+    decomposition — the curation-standard per-host signal (rank hosts
+    by coreness, gate the crawl at a percentile) that doesn't require
+    choosing k up front.
+
+    Semantics match :func:`k_core` (UNDIRECTED, SIMPLE); the core
+    number is a graph invariant — the unique value produced by ANY
+    min-degree-first peeling — which is what lets an independent
+    engine replay this loop step for step and also what makes the
+    level-jump below safe.
+
+    Algorithm (distributed bucket peeling): maintain the surviving
+    adjacency and a threshold k.  Each step computes distinct-neighbor
+    degrees ONCE (one partially-aggregated shuffle); if the minimum
+    surviving degree m has risen to ≥ k, jump k to m + 1 (levels
+    1..m remove nobody — skipping them is exactly the sequential
+    min-degree-first order); every node with degree < k is removed
+    with ``core = k − 1`` — its degree-at-removal under min-degree
+    peeling.  Cascades stay at the same k across steps (a removal can
+    drop a neighbor under the threshold), so a node removed in a
+    level-k cascade still gets core k − 1.  Steps are bounded by the
+    number of distinct degree levels plus cascade lengths — O(√E)
+    worst case, dozens in practice at web skew — each step one degree
+    agg + two anti-joins against a cached (≤ |V|) removal set, with
+    the per-step checkpoint+free discipline of :func:`k_core` (cache +
+    count the removal set: real stats keep AQE broadcasting the
+    anti-joins — the measured 1.6× win over localCheckpoint there).
+
+    Output covers every node that has at least one non-self edge
+    (isolated nodes have no core), ``core ≥ 1``.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    adj = tracked_local_checkpoint(
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).cache()
+    removed: list[DataFrame] = []
+    k = 1
+    while True:
+        row = deg.agg(
+            F.min("_d").alias("m"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if row["n"] == 0:  # adjacency exhausted — every node assigned
+            deg.unpersist()
+            break
+        if row["m"] >= k:  # stable at k: jump to the next removing level
+            k = int(row["m"]) + 1
+        bad = (
+            deg.filter(F.col("_d") < k)
+            .select(F.col("src").alias("_bad"))
+            .cache()
+        )
+        bad.count()  # materialize: real stats under the broadcast decision
+        new_adj = tracked_local_checkpoint(
+            adj.join(bad, adj["src"] == bad["_bad"], "left_anti")
+            .join(bad, adj["dst"] == bad["_bad"], "left_anti")
+        )
+        new_deg = (
+            new_adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).cache()
+        )
+        # The step's removal set is a NODE-SET difference, not just
+        # ``bad``: a survivor whose every edge left with a removed
+        # neighbor (a star's center once its leaves go) vanishes from
+        # the adjacency in the same step — its degree dropped below k
+        # mid-cascade, so it too carries core = k − 1.
+        removed.append(tracked_local_checkpoint(
+            deg.select(F.col("src").alias("node"))
+            .join(new_deg.select(F.col("src").alias("node")),
+                  "node", "left_anti")
+            .select("node", F.lit(k - 1).cast("int").alias("core"))
+        ))
+        free_local_checkpoint(adj)
+        deg.unpersist()
+        bad.unpersist()
+        adj, deg = new_adj, new_deg
+    free_local_checkpoint(adj)
+    if not removed:
+        return edges.sparkSession.createDataFrame([], "node string, core int")
+    out = removed[0]
+    for r in removed[1:]:
+        out = out.unionByName(r)
+    result = tracked_local_checkpoint(out)
+    for r in removed:
+        free_local_checkpoint(r)
+    return result
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: list[str],
@@ -432,6 +694,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) — personalized PageRank / TrustRank: the teleport
     mass (and the dangling mass) returns to a SEED set instead of the
@@ -442,9 +705,11 @@ def personalized_pagerank(
     demote everything the trust doesn't flow to).
 
     Conventions mirror :func:`pagerank` exactly (edge multiplicity
-    counts, nodes = distinct endpoints, micros-rounding for engine
-    comparison) except r₀ = 1/|S| on seeds and 0 elsewhere, and each
-    round r'(v) = d·(Σ_{u→v} r(u)/outdeg(u)) + [v ∈ S]·((1−d) +
+    counts, optional strictly-positive ``weight_col`` turning each
+    edge into a link count, nodes = distinct endpoints,
+    micros-rounding for engine comparison) except r₀ = 1/|S| on seeds
+    and 0 elsewhere, and each round
+    r'(v) = d·(Σ_{u→v} r(u)·w/W(u)) + [v ∈ S]·((1−d) +
     d·dangling)/|S|.  ``seeds`` is a driver-side list (bounded — seed
     sets are curated by hand); seeds absent from the graph still
     receive teleport mass, the TrustRank convention.  Same per-round
@@ -453,10 +718,13 @@ def personalized_pagerank(
     if not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     s = sorted(set(seeds))
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    e = edges.select(*cols).cache()
+    deg = e.groupBy("src").agg(
+        (F.count("*") if weight_col is None else F.sum("_w")).alias("_d")
     ).cache()
-    deg = e.groupBy("src").agg(F.count("*").alias("_d")).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -481,6 +749,10 @@ def personalized_pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
             .first()["s"]
         )
+        share = (
+            F.col("_r") / F.col("_d") if weight_col is None
+            else F.col("_r") * F.col("_w") / F.col("_d")
+        )
         contrib = (
             e.join(deg, "src")
             .join(
@@ -489,7 +761,7 @@ def personalized_pagerank(
                 "src",
             )
             .groupBy("dst")
-            .agg(F.sum(F.col("_r") / F.col("_d")).alias("_c"))
+            .agg(F.sum(share).alias("_c"))
         )
         new_ranks = tracked_local_checkpoint(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")

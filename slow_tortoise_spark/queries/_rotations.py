@@ -567,3 +567,70 @@ for _name in _ROTATE_OUT_11:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# --- Round-11 in-round waves: contract rule 1 (a new query never waits
+# a round for its first driver row) — each operator built this round
+# rotates in immediately; each OUT holds r09+r10 driver rows and named
+# family siblings.
+#
+# Wave B: label_propagation (NEW — synchronous min-tie-break community
+# labels, the graph tier's clustering signal next to its centralities).
+# Out: bm25_rank (r09+r10 rows; the ranking/term family keeps
+# tfidf_terms, rotated in above, with token_stats r01–r09 in the
+# verifier tier).
+_ROTATE_IN_11B = ["label_propagation"]
+_ROTATE_OUT_11B = ["bm25_rank"]
+for _name in _ROTATE_IN_11B:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11B:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
+
+
+# Wave C: hyperball_closeness (NEW — the second geometric centrality
+# off the shared HyperBall register loop).  Out: pq_codes (r09+r10
+# rows; the PQ family keeps ivfpq_topk/ivfpq_rerank oracle-green in
+# the verifier tier and pq_topk's slot goes in wave D).
+_ROTATE_IN_11C = ["hyperball_closeness"]
+_ROTATE_OUT_11C = ["pq_codes"]
+for _name in _ROTATE_IN_11C:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11C:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
+
+
+# Wave D: pagerank_weighted (NEW — link-count edge weights, the real
+# host-graph shape; property-pinned equal to integer edge
+# replication).  Out: pq_topk (r09+r10 rows; ADC scoring stays
+# verifier-covered by pq_codes/ivfpq_topk oracles).
+_ROTATE_IN_11D = ["pagerank_weighted"]
+_ROTATE_OUT_11D = ["pq_topk"]
+for _name in _ROTATE_IN_11D:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11D:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
+
+
+# Wave E: core_number (NEW — full degeneracy decomposition; k_core
+# answers one threshold, this ranks every node by coreness).  Out:
+# semdedup_auto (r09+r10 rows; the semantic-dedup family keeps
+# semdedup_pairs + embedding_near_dups oracle-green in the verifier
+# tier and ann_cosine_topk in the catalog).
+_ROTATE_IN_11E = ["core_number"]
+_ROTATE_OUT_11E = ["semdedup_auto"]
+for _name in _ROTATE_IN_11E:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11E:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

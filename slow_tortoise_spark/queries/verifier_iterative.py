@@ -1096,13 +1096,16 @@ def q_hyperball_harmonic(spark, sf_dir):
     ).orderBy("node")
 
 
-def _hyperball_sql(radius: int = 3) -> str:
-    """Exact-ball register replay: vis{r} CTEs are the harmonic
-    oracle's BFS rounds; per round, each ball member places its
-    md5-derived rank in its md5-derived register, MAX per (v, register)
-    rebuilds the sketch, and the estimate/ harmonic folds mirror the
-    engine expressions token for token (operators/graph.py:
-    _hb_estimate / hyperball_harmonic)."""
+def _hb_oracle_ctes(radius: int = 3) -> list[str]:
+    """Shared exact-ball register-replay prologue for BOTH HyperBall
+    oracles: vis{r} CTEs are the harmonic oracle's BFS rounds; per
+    round, each ball member places its md5-derived rank in its
+    md5-derived register, MAX per (v, register) rebuilds the sketch,
+    and hbest{r} folds the engine's estimate expression token for
+    token (operators/graph.py: _hb_estimate).  The harmonic and
+    closeness oracles differ only in the final fold over these
+    hbest{r} frames — exactly mirroring the engine, where both
+    centralities share _hyperball_ball_estimates."""
     ctes = [
         """hpairs AS MATERIALIZED (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -1161,17 +1164,27 @@ def _hyperball_sql(radius: int = 3) -> str:
             FROM (SELECT v, 0.673 * 256.0 / ({s}) AS e_raw, ({vz}) AS vz
                   FROM (SELECT v, {cols} FROM hbreg{r} GROUP BY v)))"""
         )
+    return ctes
+
+
+def _hb_oracle_joins(radius: int) -> str:
+    return "".join(
+        f" JOIN hbest{r} ON hbest{r}.v = n.node" for r in range(radius + 1)
+    )
+
+
+def _hyperball_sql(radius: int = 3) -> str:
+    """Harmonic fold over the shared register replay: Σ Δ_r / r,
+    mirroring hyperball_harmonic's fixed-order expression."""
     fold = "0.0" + "".join(
         f" + greatest(0.0, hbest{r}.e - hbest{r - 1}.e) / {float(r)}"
         for r in range(1, radius + 1)
     )
-    joins = "".join(
-        f" JOIN hbest{r} ON hbest{r}.v = n.node" for r in range(radius + 1)
-    )
     return (
-        "WITH " + ", ".join(ctes)
+        "WITH " + ", ".join(_hb_oracle_ctes(radius))
         + f" SELECT n.node, CAST(ROUND(({fold}) * 1e6) AS BIGINT)"
-          f" AS harmonic_est_micros FROM hnodes n{joins} ORDER BY n.node"
+          f" AS harmonic_est_micros FROM hnodes n"
+          f"{_hb_oracle_joins(radius)} ORDER BY n.node"
     )
 
 
@@ -1197,11 +1210,16 @@ def q_k_core(spark, sf_dir):
     return k_core(pairs, k=10).orderBy("node")
 
 
-def _k_core_sql(k: int = 10, rounds: int = 10) -> str:
+def _k_core_sql(k: int = 10, rounds: int = 16) -> str:
     """Unrolled peeling replay: adj{r} keeps edges whose BOTH endpoints
     still have >= k distinct neighbors in adj{r-1}.  The k-core is the
     unique order-independent fixpoint, so unrolling more rounds than
-    the engine needed is a no-op — round counts never have to match."""
+    the engine needed is a no-op — round counts never have to match.
+    The unroll sits WELL past the guarded convergence horizon
+    (test_k_core_oracle_unroll_has_margin pins stationarity by round 7
+    at both driver scale factors — nine spare rounds), so a fixture or
+    sf change that lengthens the cascade trips the margin test long
+    before the oracle could emit a non-fixpoint."""
     ctes = [
         """kpairs AS MATERIALIZED (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -1312,3 +1330,290 @@ def _trustrank_sql(iters: int = 3) -> str:
 
 VERIFIER_QUERIES["trustrank"] = q_trustrank
 VERIFIER_ORACLE_SQL["trustrank"] = _trustrank_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall closeness centrality (verifier tier — same register replay
+# as hyperball_harmonic, closeness fold)
+# ---------------------------------------------------------------------------
+
+
+def q_hyperball_closeness(spark, sf_dir):
+    """Radius-3 HyperBall truncated closeness over the bounded trading
+    graph — the second geometric centrality the shared register loop
+    buys (engine: _hyperball_ball_estimates is written once; harmonic
+    and closeness differ only in the final fixed-order fold).  The
+    oracle rebuilds the registers from exact ball membership and
+    replays closeness = (ê_R − 1) / Σ r·Δ_r token for token."""
+    from slow_tortoise_spark.operators.graph import hyperball_closeness
+
+    edges = _bidirectional(
+        _trading_pairs(spark, sf_dir, cap_cust=300, cap_supp=50))
+    hb = hyperball_closeness(edges, radius=3)
+    return hb.select(
+        "node",
+        F.round(F.col("closeness_est") * 1e6, 0).cast("bigint")
+        .alias("closeness_est_micros"),
+    ).orderBy("node")
+
+
+def _hyperball_closeness_sql(radius: int = 3) -> str:
+    """Closeness fold over the shared register replay: sumdist =
+    0.0 + 1.0·max(0, Δ_1) + 2.0·max(0, Δ_2) + … (the engine's literal
+    accumulation order), then (ê_R − 1) / sumdist with the zero-guard
+    CASE mirroring F.when(sumdist > 0)."""
+    sumd = "0.0" + "".join(
+        f" + {float(r)} * greatest(0.0, hbest{r}.e - hbest{r - 1}.e)"
+        for r in range(1, radius + 1)
+    )
+    return (
+        "WITH " + ", ".join(_hb_oracle_ctes(radius))
+        + f" SELECT node, CAST(ROUND((CASE WHEN sumd > 0.0"
+          f" THEN (er - 1.0) / sumd ELSE 0.0 END) * 1e6) AS BIGINT)"
+          f" AS closeness_est_micros FROM"
+          f" (SELECT n.node, ({sumd}) AS sumd, hbest{radius}.e AS er"
+          f" FROM hnodes n{_hb_oracle_joins(radius)})"
+          f" ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["hyperball_closeness"] = q_hyperball_closeness
+VERIFIER_ORACLE_SQL["hyperball_closeness"] = _hyperball_closeness_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (verifier tier — the oracle replays
+# every synchronous round; string labels, zero float content)
+# ---------------------------------------------------------------------------
+
+
+def q_label_propagation(spark, sf_dir):
+    """Four synchronous label-propagation rounds over the FULL
+    bidirectional trading graph (LP is |E|-per-round cheap, no pair
+    set) — the community signal corpus curation caps template/mirror
+    clusters with.  Min-tie-break + synchronous updates make the run
+    deterministic and SQL-replayable; output is (node, label), exact
+    string equality, no float hazard at all."""
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    edges = _trading_pairs(spark, sf_dir)
+    return label_propagation(edges, iters=4).orderBy("node")
+
+
+def _label_propagation_sql(iters: int = 4) -> str:
+    """Round-by-round replay: votes = neighbor-label counts (the
+    symmetrized edge list joined on the round's labels), winner =
+    ROW_NUMBER over (count DESC, label ASC) — exactly the engine's
+    min(struct(-count, label)) tie-break."""
+    ctes = [
+        """lpairs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """ledges AS MATERIALIZED (
+        SELECT src, dst FROM lpairs
+        UNION SELECT dst AS src, src AS dst FROM lpairs)""",
+        """lab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM ledges)""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""lab{r} AS MATERIALIZED (
+            SELECT node, label FROM (
+              SELECT v AS node, label,
+                     ROW_NUMBER() OVER (PARTITION BY v
+                                        ORDER BY c DESC, label ASC) AS rn
+              FROM (SELECT e.dst AS v, l.label AS label, COUNT(*) AS c
+                    FROM ledges e JOIN lab{r - 1} l ON l.node = e.src
+                    GROUP BY e.dst, l.label))
+            WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, label FROM lab{iters} ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["label_propagation"] = q_label_propagation
+VERIFIER_ORACLE_SQL["label_propagation"] = _label_propagation_sql(4)
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (verifier tier — power-iteration replay where each
+# edge carries its distinct-order count as link weight)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """Three WEIGHTED PageRank iterations: each customer↔supplier edge
+    carries the number of DISTINCT ORDERS behind it — the real
+    host-graph shape (an edge is a link count, not a replicated row).
+    Weights are exact integers so the out-weight sums carry no
+    accumulation-order hazard; ranks round to micros like the
+    unweighted row."""
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    w = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+            F.col("o_orderkey").alias("_ok"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count_distinct(F.col("_ok")).alias("w"))
+    )
+    edges = w.unionByName(
+        w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    pr = pagerank(edges, iters=3, damping=0.85, weight_col="w")
+    return pr.select(
+        "node",
+        F.round(F.col("rank") * 1e6, 0).cast("bigint").alias("rank_micros"),
+    ).orderBy("node")
+
+
+def _pagerank_weighted_sql(iters: int = 3) -> str:
+    """Chained-CTE replay of the weighted power iteration: out-weight
+    W(u) = Σw as DOUBLE (integer-valued, so exact), per-edge share
+    r·w/W, the same dangling redistribution as the unweighted oracle
+    (0 on this bidirectional graph, replayed anyway)."""
+    ctes = [
+        """wpairs AS MATERIALIZED (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               COUNT(DISTINCT o_orderkey) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2)""",
+        """wedges AS MATERIALIZED (
+        SELECT src, dst, w FROM wpairs
+        UNION ALL SELECT dst AS src, src AS dst, w FROM wpairs)""",
+        """wdeg AS MATERIALIZED (
+        SELECT src, CAST(SUM(w) AS DOUBLE) AS d FROM wedges GROUP BY src)""",
+        """wnodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM wedges
+          UNION ALL SELECT dst AS node FROM wedges))""",
+        """wn AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wnodes)""",
+        """wr0 AS MATERIALIZED (SELECT node, 1.0 / wn.n AS r FROM wnodes, wn)""",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""wdang{i} AS MATERIALIZED (
+            SELECT COALESCE(SUM(r), 0.0) AS s FROM wr{i}
+            WHERE node NOT IN (SELECT src FROM wdeg))"""
+        )
+        ctes.append(
+            f"""wr{i + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   (1 - 0.85) / wn.n
+                   + 0.85 * (COALESCE(c.c, 0.0) + wdang{i}.s / wn.n) AS r
+            FROM wnodes n
+            LEFT JOIN (SELECT e.dst AS node,
+                              SUM(r.r * e.w / wdeg.d) AS c
+                       FROM wedges e
+                       JOIN wdeg ON e.src = wdeg.src
+                       JOIN wr{i} r ON r.node = e.src
+                       GROUP BY e.dst) c ON n.node = c.node,
+            wn, wdang{i})"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, CAST(round(r * 1e6) AS BIGINT) AS rank_micros"
+          f" FROM wr{iters} ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["pagerank_weighted"] = q_pagerank_weighted
+VERIFIER_ORACLE_SQL["pagerank_weighted"] = _pagerank_weighted_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# Core number / full degeneracy decomposition (verifier tier — the
+# oracle replays the engine's bucket-peeling loop step for step,
+# with generous no-op steps past exhaustion)
+# ---------------------------------------------------------------------------
+
+
+def q_core_number(spark, sf_dir):
+    """Full degeneracy decomposition of a bounded trading slice
+    (custkey ≤ 80, suppkey ≤ 20 — the cap keeps the peeling-step count
+    oracle-unrollable at every sf; the operator itself runs to
+    exhaustion at any scale).  Output: every node's core NUMBER — the
+    max k it survives — the per-host coreness signal a crawl gate
+    thresholds without choosing k up front."""
+    from slow_tortoise_spark.operators.graph import core_number
+
+    pairs = _trading_pairs(spark, sf_dir, cap_cust=80, cap_supp=20)
+    return core_number(pairs).orderBy("node")
+
+
+def _core_number_sql(steps: int = 16) -> str:
+    """Step-for-step replay of the engine loop (core numbers are a
+    graph INVARIANT — any min-degree-first peeling produces the same
+    values, so replaying this particular schedule is sound): per step,
+    deg{r} = surviving distinct-neighbor degrees, scalar k{r} jumps to
+    min-degree+1 when the graph is stable at k{r-1}, bad{r} = nodes
+    under the threshold, rem{r} = the NODE-SET difference (bad plus
+    survivors whose last edge vanished — the star-center case) at
+    core k{r}−1.  Steps past exhaustion are no-ops (MIN over empty is
+    NULL ⇒ CASE keeps k, empty bad/rem), so the unroll just needs to
+    be ≥ the engine's step count — pinned with margin by
+    test_core_number_oracle_unroll_has_margin."""
+    ctes = [
+        """cpairs AS MATERIALIZED (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey <= 80 AND l_suppkey <= 20)""",
+        """cadj0 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM cpairs
+          UNION ALL SELECT dst AS src, src AS dst FROM cpairs))""",
+        """ck0 AS MATERIALIZED (SELECT 1 AS k)""",
+    ]
+    for r in range(1, steps + 1):
+        ctes.append(
+            f"""cdeg{r} AS MATERIALIZED (
+            SELECT src, COUNT(*) AS c FROM cadj{r - 1} GROUP BY src)"""
+        )
+        ctes.append(
+            f"""ck{r} AS MATERIALIZED (
+            SELECT CASE WHEN (SELECT MIN(c) FROM cdeg{r})
+                             >= (SELECT k FROM ck{r - 1})
+                        THEN (SELECT MIN(c) FROM cdeg{r}) + 1
+                        ELSE (SELECT k FROM ck{r - 1}) END AS k)"""
+        )
+        ctes.append(
+            f"""cbad{r} AS MATERIALIZED (
+            SELECT src FROM cdeg{r} WHERE c < (SELECT k FROM ck{r}))"""
+        )
+        ctes.append(
+            f"""cadj{r} AS MATERIALIZED (
+            SELECT a.src, a.dst FROM cadj{r - 1} a
+            WHERE a.src NOT IN (SELECT src FROM cbad{r})
+              AND a.dst NOT IN (SELECT src FROM cbad{r}))"""
+        )
+        ctes.append(
+            f"""crem{r} AS MATERIALIZED (
+            SELECT d.src AS node, (SELECT k FROM ck{r}) - 1 AS core
+            FROM cdeg{r} d
+            WHERE d.src NOT IN (SELECT src FROM cadj{r}))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT node, core FROM crem{r}" for r in range(1, steps + 1)
+    )
+    return (
+        f"WITH {', '.join(ctes)}"
+        f" SELECT node, CAST(core AS INT) AS core FROM ({union})"
+        f" ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["core_number"] = q_core_number
+VERIFIER_ORACLE_SQL["core_number"] = _core_number_sql(16)

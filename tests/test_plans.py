@@ -430,6 +430,16 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "hyperball_harmonic": 1,
         "k_core": 1,
         "trustrank": 1,
+        # Round-11: same skeleton — LP rounds, register rounds, and
+        # peeling steps are pre-materialized checkpoints; the returned
+        # plan's one exchange is the output orderBy.  pagerank_weighted
+        # counts 3: the weight-building groupBy + its exchange feed the
+        # edge frame (built inside the QUERY, not the operator) before
+        # the operator's checkpointed rounds.
+        "label_propagation": 1,
+        "hyperball_closeness": 1,
+        "core_number": 1,
+        "pagerank_weighted": 3,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

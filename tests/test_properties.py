@@ -908,3 +908,141 @@ def test_hyperball_estimate_is_register_function_property(
         want[f"n{v}"] = h
     assert {k: round(x * 1e6) for k, x in got.items()} == {
         k: round(x * 1e6) for k, x in want.items()}
+
+
+@given(edges=_edge_graphs, iters=st.integers(min_value=1, max_value=3))
+@settings(max_examples=8, deadline=None)
+def test_label_propagation_matches_python_replay_property(
+        spark_session, edges, iters):
+    """Synchronous min-tie-break LP equals a pure-Python replay on
+    arbitrary small graphs (multi-edges and self-loops collapse to the
+    simple graph; labels are exact strings, so equality is exact)."""
+    import collections
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    df = spark_session.createDataFrame(
+        [Row(src=f"n{a}", dst=f"n{b}") for a, b in edges],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=iters).collect()}
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[f"n{a}"].add(f"n{b}")
+            adj[f"n{b}"].add(f"n{a}")
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            cnt = collections.Counter(lab[u] for u in adj[v])
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    assert got == lab
+
+
+@given(edges=_edge_graphs)
+@settings(max_examples=8, deadline=None)
+def test_core_number_matches_python_reference_property(
+        spark_session, edges):
+    """Core numbers equal a pure-Python peel-per-level reference on
+    arbitrary small graphs — the decomposition is a graph invariant,
+    so the engine's bucket peeling with level jumps and the naive
+    level-by-level reference must agree exactly."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import core_number
+
+    df = spark_session.createDataFrame(
+        [Row(src=f"n{a}", dst=f"n{b}") for a, b in edges],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["core"] for r in core_number(df).collect()}
+    adj = {}
+    for a, b in {(a, b) for a, b in edges if a != b}:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+        adj.setdefault(f"n{b}", set()).add(f"n{a}")
+    cores = {}
+    k = 1
+    while adj:
+        while True:
+            bad = [v for v, ns in adj.items() if len(ns) < k]
+            if not bad:
+                break
+            for v in bad:
+                cores[v] = k - 1
+                for u in adj.pop(v):
+                    if u in adj:
+                        adj[u].discard(v)
+        k += 1
+    assert got == cores
+
+
+@given(edges=_edge_graphs)
+@settings(max_examples=6, deadline=None)
+def test_hyperball_closeness_is_register_function_property(
+        spark_session, edges):
+    """Closeness is the SAME deterministic register function as the
+    harmonic sibling with a different fold: rebuilding every register
+    from exact ball membership and applying (ê_R − 1)/Σ r·Δ_r
+    reproduces the engine to micros on arbitrary graphs."""
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import hyperball_closeness
+
+    df = spark_session.createDataFrame(
+        [Row(src=f"n{a}", dst=f"n{b}") for a, b in edges],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["closeness_est"]
+           for r in hyperball_closeness(df, radius=3).collect()}
+
+    def jr(name):
+        h = hashlib.md5(name.encode()).hexdigest()
+        j = int(h[0], 16)
+        w = int(h[1:7], 16)
+        rank = 25 if w == 0 else 25 - w.bit_length()
+        return j, rank
+
+    def estimate(members):
+        regs = [0] * 16
+        for m in members:
+            j, rank = jr(f"n{m}")
+            regs[j] = max(regs[j], rank)
+        s = 0.0
+        for rk in regs:
+            s = s + 2.0 ** (-float(rk))
+        v = sum(1 for rk in regs if rk == 0)
+        e_raw = 0.673 * 256.0 / s
+        if e_raw <= 40.0 and v > 0:
+            return 16.0 * math.log(16.0 / float(v))
+        return e_raw
+
+    es = {(a, b) for a, b in edges if a != b}
+    nodes = {x for e in es for x in e}
+    preds = {}
+    for a, b in es:
+        preds.setdefault(b, set()).add(a)
+    want = {}
+    for v in nodes:
+        seen = {v}
+        frontier = {v}
+        ests = [estimate(seen)]
+        for _ in range(3):
+            frontier = {
+                p for u in frontier for p in preds.get(u, ())
+            } - seen
+            seen |= frontier
+            ests.append(estimate(seen))
+        sumd = 0.0
+        for r in range(1, 4):
+            sumd = sumd + float(r) * max(0.0, ests[r] - ests[r - 1])
+        want[f"n{v}"] = (ests[3] - 1.0) / sumd if sumd > 0.0 else 0.0
+    assert {k: round(x * 1e6) for k, x in got.items()} == {
+        k: round(x * 1e6) for k, x in want.items()}

@@ -4066,3 +4066,310 @@ def test_ivfpq_rerank_candidate_broadcast_dispatch(spark, sf_dir,
     assert " IN (" not in bc_plan.replace("dynamicpruning", "")
     assert [tuple(r) for r in bc.collect()] == [
         tuple(r) for r in lit_rows]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 graph tier: label propagation, core number, weighted ranks,
+# HyperBall closeness
+# ---------------------------------------------------------------------------
+
+
+def _lp_reference(edges, iters):
+    """Pure-Python synchronous min-tie-break label propagation."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            cnt = collections.Counter(lab[u] for u in adj[v])
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Two triangles joined by a bridge: every round count 1–4 equals
+    the synchronous Python reference (catching both the tie-break and
+    the read-round-r−1 semantics), and by round 4 both triangles
+    carry one label."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("a1", "b1")]
+    df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    for iters in (1, 2, 3, 4):
+        got = {r["node"]: r["label"]
+               for r in label_propagation(df, iters=iters).collect()}
+        assert got == _lp_reference(edges, iters), iters
+    assert len(set(got.values())) == 1  # bridge merged the communities
+
+
+def test_label_propagation_ignores_self_loops_and_multiplicity(spark):
+    """The graph is SIMPLE for LP: duplicate rows and self-loops must
+    not change any round (a doubled edge is still one neighbor vote)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    base = [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")]
+    noisy = base + [("x", "y"), ("x", "y"), ("w", "w")]
+    g1 = {r["node"]: r["label"] for r in label_propagation(
+        spark.createDataFrame([Row(src=s, dst=t) for s, t in base]),
+        iters=3).collect()}
+    g2 = {r["node"]: r["label"] for r in label_propagation(
+        spark.createDataFrame([Row(src=s, dst=t) for s, t in noisy]),
+        iters=3).collect()}
+    assert g1 == g2 == _lp_reference(base, 3)
+
+
+def test_label_propagation_releases_storage(spark):
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = label_propagation(df, iters=3)
+    out.collect()
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1
+
+
+def _core_reference(edges):
+    """Pure-Python core numbers via repeated peel-to-fixpoint (any
+    correct method agrees — the decomposition is a graph invariant)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    cores = {}
+    k = 1
+    live = {v: set(ns) for v, ns in adj.items()}
+    while live:
+        # peel everything under k (cascading), assigning core k-1
+        while True:
+            bad = [v for v, ns in live.items() if len(ns) < k]
+            if not bad:
+                break
+            for v in bad:
+                cores[v] = k - 1
+                for u in live.pop(v):
+                    if u in live:
+                        live[u].discard(v)
+        k += 1
+    return cores
+
+
+def test_core_number_hand_fixtures(spark):
+    """Star (center core 1 — the vanish case), triangle+pendant,
+    K4-minus-an-edge, path: engine core numbers equal the hand-derived
+    values, and every node with an edge is assigned."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import core_number
+
+    cases = [
+        ([("c", "l0"), ("c", "l1"), ("c", "l2")],
+         {"c": 1, "l0": 1, "l1": 1, "l2": 1}),
+        ([("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+         {"a": 2, "b": 2, "c": 2, "d": 1}),
+        ([("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+         {"a": 2, "b": 2, "c": 2, "d": 2}),
+        ([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+         {x: 1 for x in "abcde"}),
+    ]
+    for edges, want in cases:
+        df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+        got = {r["node"]: r["core"] for r in core_number(df).collect()}
+        assert got == want, (edges, got)
+        assert got == _core_reference(edges)
+
+
+def test_core_number_consistent_with_k_core(spark):
+    """Cross-operator invariant: {v : core(v) ≥ k} is exactly the
+    k-core's node set for every k — core_number is the closure of
+    k_core over all thresholds."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import core_number, k_core
+
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * i + 3) % 40}") for i in range(160)]
+    )
+    cores = {r["node"]: r["core"] for r in core_number(df).collect()}
+    assert cores  # non-degenerate fixture
+    for k in (1, 2, 3, max(cores.values())):
+        in_core = {r["node"] for r in k_core(df, k=k).collect()}
+        assert in_core == {v for v, c in cores.items() if c >= k}, k
+
+
+def test_core_number_empty_and_self_loop_graphs(spark):
+    from slow_tortoise_spark.operators.graph import core_number
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert core_number(empty).count() == 0
+    loops = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert core_number(loops).count() == 0
+
+
+def test_core_number_releases_storage(spark):
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import core_number
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = core_number(df)
+    out.collect()
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1
+
+
+def test_core_number_oracle_unroll_has_margin():
+    """The core_number oracle unrolls 16 engine steps; the fixture must
+    exhaust WELL inside that horizon at both driver scale factors
+    (empty by step 12 — four spare steps), so a fixture/sf change that
+    lengthens the peeling fails HERE, not as a spurious CORRECTNESS
+    mismatch.  Same env-var convention as the k_core margin guard."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from slow_tortoise_spark.queries.verifier_iterative import (
+        _core_number_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    data_root = os.path.dirname(SF_DIR.rstrip("/"))
+    sql = _core_number_sql(16)
+    prologue = "WITH " + sql.split("WITH ", 1)[1].rsplit(
+        " SELECT node, CAST(core AS INT)", 1)[0]
+    for sf in ("sf0.001", "sf0.01"):
+        paths = {t: os.path.join(data_root, sf, f"{t}.parquet")
+                 for t in ("orders", "lineitem")}
+        if not all(os.path.exists(p) for p in paths.values()):
+            pytest.skip(f"testdata missing under {data_root}/{sf}")
+        con = duckdb.connect()
+        for t, p in paths.items():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        remaining = con.execute(
+            prologue + " SELECT COUNT(*) FROM cadj12").fetchone()[0]
+        assert remaining == 0, (sf, remaining)
+        # and the replayed decomposition matches a Python reference
+        pairs = con.execute(
+            prologue + " SELECT src, dst FROM cpairs").fetchall()
+        want = _core_reference(pairs)
+        got = dict(con.execute(
+            prologue + " SELECT node, CAST(core AS INT) FROM ("
+            + " UNION ALL ".join(
+                f"SELECT node, core FROM crem{r}" for r in range(1, 17))
+            + ")").fetchall())
+        assert got == want, sf
+
+
+def test_pagerank_weighted_equals_replicated_edges(spark):
+    """Integer link weights ≡ integer edge replication (the operator's
+    core contract), to float-accumulation tolerance; and the
+    unweighted call path is untouched (micros-equal to the Python
+    reference)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import pagerank
+
+    weighted = [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("a", "c", 1)]
+    wdf = spark.createDataFrame(
+        [Row(src=s, dst=t, w=w) for s, t, w in weighted])
+    rdf = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t, w in weighted for _ in range(w)])
+    pw = {r["node"]: r["rank"]
+          for r in pagerank(wdf, iters=4, weight_col="w").collect()}
+    pr = {r["node"]: r["rank"] for r in pagerank(rdf, iters=4).collect()}
+    assert set(pw) == set(pr)
+    for v in pw:
+        assert abs(pw[v] - pr[v]) < 1e-12, v
+    assert abs(sum(pw.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_weighted_equals_replicated_edges(spark):
+    """Same contract on the personalized variant, including a weighted
+    DANGLING source (its rank must redistribute to the seeds whether
+    the out-edges are weighted or replicated)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import personalized_pagerank
+
+    weighted = [("a", "b", 2), ("b", "c", 3), ("c", "a", 1), ("b", "d", 1)]
+    wdf = spark.createDataFrame(
+        [Row(src=s, dst=t, w=w) for s, t, w in weighted])
+    rdf = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t, w in weighted for _ in range(w)])
+    pw = {r["node"]: r["rank"] for r in personalized_pagerank(
+        wdf, seeds=["a"], iters=4, weight_col="w").collect()}
+    pr = {r["node"]: r["rank"] for r in personalized_pagerank(
+        rdf, seeds=["a"], iters=4).collect()}
+    assert set(pw) == set(pr)
+    for v in pw:
+        assert abs(pw[v] - pr[v]) < 1e-12, v
+    assert abs(sum(pw.values()) - 1.0) < 1e-12  # mass conservation
+
+
+def test_hyperball_closeness_shares_estimates_with_harmonic(spark):
+    """Both geometric centralities are folds over the SAME per-round
+    ball estimates: a node whose ball never grows past itself scores 0
+    in both, and closeness is 0 exactly where sumdist is 0 (the
+    F.when zero-guard)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import (
+        hyperball_closeness,
+        hyperball_harmonic,
+    )
+
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 3) % 20}") for i in range(60)]
+    )
+    hh = {r["node"]: r["harmonic_est"]
+          for r in hyperball_harmonic(df, radius=3).collect()}
+    hc = {r["node"]: r["closeness_est"]
+          for r in hyperball_closeness(df, radius=3).collect()}
+    assert set(hh) == set(hc)
+    for v in hh:
+        assert (hh[v] == 0.0) == (hc[v] == 0.0), v
+        assert hc[v] >= 0.0
+
+
+def test_hyperball_closeness_releases_storage(spark):
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import hyperball_closeness
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = hyperball_closeness(df, radius=3)
+    out.collect()
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1

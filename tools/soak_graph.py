@@ -38,9 +38,12 @@ def main() -> int:
 
     from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
     from slow_tortoise_spark.operators.graph import (
+        core_number,
         harmonic_centrality,
+        hyperball_closeness,
         hyperball_harmonic,
         k_core,
+        label_propagation,
         pagerank,
     )
     from slow_tortoise_spark.session import get_spark
@@ -101,6 +104,35 @@ def main() -> int:
     out["k_core_nodes"] = kc.count()
     out["k_core_s"] = round(time.time() - t0, 1)
     free_local_checkpoint(kc)
+
+    # full degeneracy decomposition (round 11): every node's core
+    # number in one pass — steps scale with the number of distinct
+    # degree LEVELS plus cascades, not with k alone
+    t0 = time.time()
+    cn = core_number(edges)
+    cn_stats = cn.agg(
+        F.count(F.lit(1)).alias("n"), F.max("core").alias("kmax")
+    ).first()
+    out["core_number_nodes"] = cn_stats["n"]
+    out["core_number_kmax"] = int(cn_stats["kmax"])
+    out["core_number_s"] = round(time.time() - t0, 1)
+    free_local_checkpoint(cn)
+
+    # label propagation (round 11): 4 synchronous rounds at full size —
+    # two node-bounded partial-agg shuffles per round, no pair state
+    t0 = time.time()
+    lp = label_propagation(edges, iters=4)
+    n_comm = lp.select("label").distinct().count()
+    out["label_propagation_communities"] = n_comm
+    out["label_propagation_s"] = round(time.time() - t0, 1)
+    free_local_checkpoint(lp)
+
+    # closeness off the same register loop as hyperball_harmonic
+    t0 = time.time()
+    hcl = hyperball_closeness(edges, radius=3)
+    hcl.orderBy(F.desc("closeness_est"), "node").limit(10).collect()
+    out["hyperball_closeness_s"] = round(time.time() - t0, 1)
+    free_local_checkpoint(hcl)
     edges.unpersist()
 
     # exact tier at a size where the visited pair set fits: shows the
