@@ -687,6 +687,104 @@ def core_number(
     return result
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, degree, triangles, clustering) — per-node triangle count
+    and local clustering coefficient over the UNDIRECTED SIMPLE graph,
+    the third standard host-graph curation signal next to centrality
+    and coreness (link farms show pathological clustering: a spam ring
+    is near-cliquish, a doorway fan is near-zero; Gyöngyi et al.'s
+    spam-mass line of work gates on exactly these local densities).
+
+    clustering(v) = 2·T(v) / (d(v)·(d(v)−1)) for d(v) ≥ 2, else 0.0 —
+    T(v) the number of triangles through v, d(v) the distinct-neighbor
+    degree.  Both T and d are exact integers; the one float division
+    is a fixed expression an independent engine replays bitwise.
+
+    Algorithm (degree-ordered orientation — Cohen's MapReduce triangle
+    counting / the "forward" algorithm family): orient every edge from
+    the (degree, id)-SMALLER endpoint to the larger; each triangle
+    then has exactly ONE representation as an oriented path u→v→w
+    closed by the oriented edge u→w, so counting path-closures counts
+    triangles once.  The orientation is what makes this scale: any
+    node's ORIENTED out-degree is O(√E) regardless of its raw degree
+    (a hub's million in-links contribute nothing to its out-list), so
+    the path self-join fans out as Σ_v in⁺(v)·out⁺(v) = O(E^{3/2})
+    where the unoriented wedge join is Σ deg² — which the hub alone
+    blows up.  Shape: one degree agg, one orientation join, one path
+    self-join keyed on the middle vertex, one closing hash join
+    against the oriented edge list, then one explode + partial-agg
+    count per corner.  No iteration, no window.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    adj = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).cache()
+    # (degree, id) total order; keep each undirected edge once, low→high
+    ranked = (
+        adj.join(deg.select(F.col("src").alias("src"),
+                            F.col("_d").alias("_ds")), "src")
+        .join(deg.select(F.col("src").alias("dst"),
+                         F.col("_d").alias("_dd")), "dst")
+        .filter(
+            (F.col("_ds") < F.col("_dd"))
+            | ((F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .cache()
+    )
+    paths = (
+        ranked.select(F.col("src").alias("_u"), F.col("dst").alias("_v"))
+        .join(
+            ranked.select(F.col("src").alias("_v"), F.col("dst").alias("_w")),
+            "_v",
+        )
+    )
+    tris = paths.join(
+        ranked.select(F.col("src").alias("_u"), F.col("dst").alias("_w")),
+        ["_u", "_w"],
+    )
+    corner_counts = (
+        tris.select(
+            F.explode(F.array("_u", "_v", "_w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    out = (
+        deg.select(F.col("src").alias("node"), F.col("_d").alias("degree"))
+        .join(corner_counts, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("_t"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("_t"), F.lit(0)).cast("double")
+                / (F.col("degree").cast("double")
+                   * (F.col("degree").cast("double") - F.lit(1.0))),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+    result = tracked_local_checkpoint(out)
+    adj.unpersist()
+    deg.unpersist()
+    ranked.unpersist()
+    return result
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: list[str],

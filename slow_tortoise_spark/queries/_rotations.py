@@ -634,3 +634,21 @@ for _name in _ROTATE_OUT_11E:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave F: triangle_counts (NEW — per-node triangle counts + local
+# clustering coefficient via degree-ordered path closure, the local-
+# density spam-ring signal next to centrality/coreness/communities).
+# Out: weighted_timeseries (driver-green r01–r10, the longest-tenured
+# row in the catalog; the weighted temporal family keeps
+# regional_timeseries/global_timeseries, rotated in this round, with
+# weighted_agg also in the catalog).
+_ROTATE_IN_11F = ["triangle_counts"]
+_ROTATE_OUT_11F = ["weighted_timeseries"]
+for _name in _ROTATE_IN_11F:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11F:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

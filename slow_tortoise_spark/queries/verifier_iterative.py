@@ -1617,3 +1617,102 @@ def _core_number_sql(steps: int = 16) -> str:
 
 VERIFIER_QUERIES["core_number"] = q_core_number
 VERIFIER_ORACLE_SQL["core_number"] = _core_number_sql(16)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts / local clustering coefficient (verifier tier — the
+# oracle replays the degree-ordered orientation and the path-closure
+# join; counts are exact integers, the one float division mirrors the
+# engine)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts + clustering over the bounded trading
+    graph AUGMENTED with supplier co-occurrence edges (suppliers
+    sharing an order, suppkey ≤ 50) — the pure customer↔supplier graph
+    is bipartite and hence triangle-free, so the co-supplier edges are
+    what close c–s1–s2 triangles.  Spam-ring detection gates on
+    exactly this local density signal."""
+    from slow_tortoise_spark.operators.graph import triangle_counts
+
+    pairs = _trading_pairs(spark, sf_dir, cap_cust=300, cap_supp=50)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    co = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("a.l_suppkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("b.l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    tc = triangle_counts(pairs.unionByName(co))
+    return tc.select(
+        "node",
+        "degree",
+        "triangles",
+        F.round(F.col("clustering") * 1e6, 0).cast("bigint")
+        .alias("clustering_micros"),
+    ).orderBy("node")
+
+
+_Q_TRIANGLE_COUNTS = """WITH gpairs AS MATERIALIZED (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey <= 300 AND l_suppkey <= 50),
+gco AS MATERIALIZED (
+    SELECT DISTINCT 's' || CAST(a.l_suppkey AS VARCHAR) AS src,
+                    's' || CAST(b.l_suppkey AS VARCHAR) AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    WHERE a.l_suppkey <= 50 AND b.l_suppkey <= 50),
+gedges AS MATERIALIZED (
+    SELECT src, dst FROM gpairs UNION ALL SELECT src, dst FROM gco),
+gadj AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM gedges WHERE src <> dst
+      UNION ALL SELECT dst AS src, src AS dst FROM gedges
+      WHERE src <> dst)),
+gdeg AS MATERIALIZED (
+    SELECT src, COUNT(*) AS d FROM gadj GROUP BY src),
+grk AS MATERIALIZED (
+    SELECT a.src, a.dst FROM gadj a
+    JOIN gdeg d1 ON a.src = d1.src
+    JOIN gdeg d2 ON a.dst = d2.src
+    WHERE d1.d < d2.d OR (d1.d = d2.d AND a.src < a.dst)),
+gtri AS MATERIALIZED (
+    SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+    FROM grk e1
+    JOIN grk e2 ON e2.src = e1.dst
+    JOIN grk e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+gcorner AS MATERIALIZED (
+    SELECT node, COUNT(*) AS t FROM (
+      SELECT u AS node FROM gtri
+      UNION ALL SELECT v AS node FROM gtri
+      UNION ALL SELECT w AS node FROM gtri) GROUP BY node)
+SELECT d.src AS node,
+       d.d AS degree,
+       COALESCE(c.t, 0) AS triangles,
+       CAST(ROUND((CASE WHEN d.d >= 2
+                        THEN 2.0 * CAST(COALESCE(c.t, 0) AS DOUBLE)
+                             / (CAST(d.d AS DOUBLE)
+                                * (CAST(d.d AS DOUBLE) - 1.0))
+                        ELSE 0.0 END) * 1e6) AS BIGINT)
+         AS clustering_micros
+FROM gdeg d LEFT JOIN gcorner c ON c.node = d.src
+ORDER BY node"""
+
+VERIFIER_QUERIES["triangle_counts"] = q_triangle_counts
+VERIFIER_ORACLE_SQL["triangle_counts"] = _Q_TRIANGLE_COUNTS

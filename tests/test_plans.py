@@ -440,6 +440,10 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "hyperball_closeness": 1,
         "core_number": 1,
         "pagerank_weighted": 3,
+        # triangle_counts checkpoints its result inside the operator
+        # (the join pyramid runs there); the returned plan is the
+        # checkpointed frame + the query's orderBy
+        "triangle_counts": 1,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

@@ -1046,3 +1046,38 @@ def test_hyperball_closeness_is_register_function_property(
         want[f"n{v}"] = (ests[3] - 1.0) / sumd if sumd > 0.0 else 0.0
     assert {k: round(x * 1e6) for k, x in got.items()} == {
         k: round(x * 1e6) for k, x in want.items()}
+
+
+@given(edges=_edge_graphs)
+@settings(max_examples=8, deadline=None)
+def test_triangle_counts_matches_python_reference_property(
+        spark_session, edges):
+    """Per-node triangle counts and clustering equal a brute-force
+    Python reference on arbitrary small graphs — the degree-ordered
+    path-closure enumeration must count every triangle exactly once,
+    including under ties in the (degree, id) order."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import triangle_counts
+
+    df = spark_session.createDataFrame(
+        [Row(src=f"n{a}", dst=f"n{b}") for a, b in edges],
+        "src string, dst string",
+    )
+    got = {r["node"]: (r["degree"], r["triangles"],
+                       round(r["clustering"] * 1e6))
+           for r in triangle_counts(df).collect()}
+    adj = {}
+    for a, b in {(a, b) for a, b in edges if a != b}:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+        adj.setdefault(f"n{b}", set()).add(f"n{a}")
+    want = {}
+    for v, ns in adj.items():
+        t = sum(
+            1 for x in ns for y in ns
+            if x < y and y in adj.get(x, ())
+        )
+        d = len(ns)
+        c = 2.0 * t / (d * (d - 1.0)) if d >= 2 else 0.0
+        want[v] = (d, t, round(c * 1e6))
+    assert got == want

@@ -4373,3 +4373,77 @@ def test_hyperball_closeness_releases_storage(spark):
     free_local_checkpoint(out)
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert after <= base + 1
+
+
+def test_triangle_counts_hand_fixtures(spark):
+    """Triangle + pendant (a,b,c each 1 triangle; d none), K4 (each
+    node 3 triangles, clustering 1.0), and a bipartite square (4-cycle:
+    zero triangles, clustering 0) — degrees, counts, and coefficients
+    all hand-derived."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import triangle_counts
+
+    tri = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in
+         [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]])
+    got = {r["node"]: (r["degree"], r["triangles"], round(r["clustering"], 6))
+           for r in triangle_counts(tri).collect()}
+    assert got == {
+        "a": (3, 1, round(2 * 1 / (3 * 2), 6)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (1, 0, 0.0),
+    }, got
+
+    k4 = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in
+         [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]])
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_counts(k4).collect()}
+    assert got == {x: (3, 3, 1.0) for x in "abcd"}, got
+
+    square = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in
+         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]])
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_counts(square).collect()}
+    assert got == {x: (2, 0, 0.0) for x in "abcd"}, got
+
+
+def test_triangle_counts_simple_graph_semantics(spark):
+    """Duplicate rows, reversed duplicates, and self-loops must not
+    change any count — the graph is SIMPLE and UNDIRECTED."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import triangle_counts
+
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    noisy = base + [("b", "a"), ("a", "b"), ("c", "c")]
+    g1 = {r["node"]: (r["degree"], r["triangles"])
+          for r in triangle_counts(
+              spark.createDataFrame(
+                  [Row(src=s, dst=t) for s, t in base])).collect()}
+    g2 = {r["node"]: (r["degree"], r["triangles"])
+          for r in triangle_counts(
+              spark.createDataFrame(
+                  [Row(src=s, dst=t) for s, t in noisy])).collect()}
+    assert g1 == g2
+
+
+def test_triangle_counts_releases_storage(spark):
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import triangle_counts
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = triangle_counts(df)
+    out.collect()
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1
