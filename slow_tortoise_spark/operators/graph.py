@@ -687,6 +687,65 @@ def core_number(
     return result
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(r, ball_sum_micros, effective_diameter) for r = 0..radius —
+    the approximate neighborhood function N(r) = Σ_v |B̂(v, r)| (how
+    many (source, target) pairs are within distance r) and the
+    EFFECTIVE DIAMETER it implies: the smallest r whose pair coverage
+    reaches 90% of N(radius).  This is the classic ANF / HyperANF
+    analysis (Palmer, Gibbons, Faloutsos, "ANF: a fast and scalable
+    tool for data mining in massive graphs", KDD 2002; Boldi, Rosa,
+    Vigna's HyperANF ran it on the full Facebook graph) — the
+    one-number connectivity health check a crawl snapshot gets before
+    anything per-node: a shattered or suddenly-shallow crawl moves
+    the curve immediately.
+
+    Free off the graph tier's shared register loop
+    (:func:`_hyperball_ball_estimates`): the per-round ball estimates
+    already exist, so the curve is one aggregation per round.
+    Determinism at any partitioning: per-node estimates round to
+    integer MICROS before the sum (binary64 summation order would
+    otherwise wiggle the last ulp across engines — the dsir pattern),
+    so ``ball_sum_micros`` is an exact BIGINT and the 90% rule is
+    integer cross-multiplication (10·N(r) ≥ 9·N(R), the gopher
+    pattern) — no float comparison anywhere in the output.
+    """
+    out, ests, cleanup = _hyperball_ball_estimates(
+        edges, radius, src_col, dst_col
+    )
+    sums = out.agg(*[
+        F.sum(F.round(F.col(f"_e{r}") * 1e6, 0).cast("long"))
+        .alias(f"_n{r}")
+        for r in range(radius + 1)
+    ])
+    eff = F.lit(radius).cast("int")
+    for r in range(radius, -1, -1):
+        eff = F.when(
+            F.lit(10) * F.col(f"_n{r}") >= F.lit(9) * F.col(f"_n{radius}"),
+            F.lit(r).cast("int"),
+        ).otherwise(eff)
+    curve = sums.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    F.col(f"_n{r}").alias("ball_sum_micros"),
+                )
+                for r in range(radius + 1)
+            ])
+        ).alias("_s"),
+        eff.alias("effective_diameter"),
+    ).select("_s.r", "_s.ball_sum_micros", "effective_diameter")
+    result = tracked_local_checkpoint(curve)
+    cleanup()
+    return result
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",

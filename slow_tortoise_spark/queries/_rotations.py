@@ -652,3 +652,20 @@ for _name in _ROTATE_OUT_11F:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave G: neighborhood_function (NEW — ANF curve + 90% effective
+# diameter, the whole-graph connectivity health check; Palmer et al.
+# 2002 / HyperANF).  Out: snapshot_time_travel (driver-green r06–r10,
+# five straight rounds; the snapshot tier keeps csv/jsonl_roundtrip
+# rows in catalog with agg_snapshot_incremental / bucketed_merge_upsert
+# oracle-green in the verifier tier).
+_ROTATE_IN_11G = ["neighborhood_function"]
+_ROTATE_OUT_11G = ["snapshot_time_travel"]
+for _name in _ROTATE_IN_11G:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11G:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

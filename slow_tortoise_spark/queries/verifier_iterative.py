@@ -1716,3 +1716,55 @@ ORDER BY node"""
 
 VERIFIER_QUERIES["triangle_counts"] = q_triangle_counts
 VERIFIER_ORACLE_SQL["triangle_counts"] = _Q_TRIANGLE_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function / effective diameter (verifier tier — same
+# exact-ball register replay as the HyperBall centralities, curve fold)
+# ---------------------------------------------------------------------------
+
+
+def q_neighborhood_function(spark, sf_dir):
+    """ANF curve N(r) for r = 0..3 plus the 90% effective diameter over
+    the bounded trading graph — the whole-graph connectivity health
+    check a crawl snapshot gets before any per-node score.  Per-node
+    ball estimates round to integer micros BEFORE summation, so the
+    curve is an exact BIGINT at any partitioning and the 90% rule is
+    integer cross-multiplication."""
+    from slow_tortoise_spark.operators.graph import neighborhood_function
+
+    edges = _bidirectional(
+        _trading_pairs(spark, sf_dir, cap_cust=300, cap_supp=50))
+    return neighborhood_function(edges, radius=3).orderBy("r")
+
+
+def _neighborhood_sql(radius: int = 3) -> str:
+    """Curve fold over the shared register replay: per round,
+    SUM(CAST(ROUND(e*1e6) AS BIGINT)) over the hbest frame; the
+    effective diameter is the smallest r with 10·N(r) ≥ 9·N(R),
+    replayed as a CASE chain over the same integer sums."""
+    ns = ", ".join(
+        f"(SELECT CAST(SUM(CAST(ROUND(e * 1e6) AS BIGINT)) AS BIGINT)"
+        f" FROM hbest{r}) AS n{r}"
+        for r in range(radius + 1)
+    )
+    curve = " UNION ALL ".join(
+        f"SELECT {r} AS r, n{r} AS ball_sum_micros FROM hbns"
+        for r in range(radius + 1)
+    )
+    eff = "CASE " + " ".join(
+        f"WHEN 10 * hbns.n{r} >= 9 * hbns.n{radius} THEN {r}"
+        for r in range(radius + 1)
+    ) + f" ELSE {radius} END"
+    return (
+        "WITH " + ", ".join(_hb_oracle_ctes(radius))
+        + f", hbns AS MATERIALIZED (SELECT {ns})"
+        + f", hbcurve AS ({curve})"
+        + f" SELECT c.r, c.ball_sum_micros,"
+          f" CAST({eff} AS INT) AS effective_diameter"
+          f" FROM hbcurve c, hbns ORDER BY c.r"
+    )
+
+
+VERIFIER_QUERIES["neighborhood_function"] = q_neighborhood_function
+VERIFIER_ORACLE_SQL["neighborhood_function"] = _neighborhood_sql(3)

@@ -444,6 +444,8 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # (the join pyramid runs there); the returned plan is the
         # checkpointed frame + the query's orderBy
         "triangle_counts": 1,
+        # the 4-row ANF curve is checkpointed inside the operator
+        "neighborhood_function": 1,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

@@ -4447,3 +4447,76 @@ def test_triangle_counts_releases_storage(spark):
     free_local_checkpoint(out)
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert after <= base + 1
+
+
+def test_neighborhood_function_matches_python_register_replay(spark):
+    """The ANF curve is the same deterministic register function as the
+    HyperBall centralities: rebuilding the per-node estimates from
+    exact balls in Python, rounding to micros per node, and summing
+    reproduces every N(r) exactly; the effective diameter obeys the
+    integer 90% rule."""
+    import collections
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import neighborhood_function
+
+    edges = [(f"n{i}", f"n{(i * 3) % 20}") for i in range(60)]
+    df = spark.createDataFrame([Row(src=s, dst=t) for s, t in edges])
+    got = {r["r"]: (r["ball_sum_micros"], r["effective_diameter"])
+           for r in neighborhood_function(df, radius=3).collect()}
+
+    def jr(name):
+        h = hashlib.md5(name.encode()).hexdigest()
+        j = int(h[0], 16)
+        w = int(h[1:7], 16)
+        return j, (25 if w == 0 else 25 - w.bit_length())
+
+    def estimate(members):
+        regs = [0] * 16
+        for m in members:
+            j, rank = jr(m)
+            regs[j] = max(regs[j], rank)
+        s = sum(2.0 ** (-float(rk)) for rk in regs)
+        v = sum(1 for rk in regs if rk == 0)
+        e_raw = 0.673 * 256.0 / s
+        if e_raw <= 40.0 and v > 0:
+            return 16.0 * math.log(16.0 / float(v))
+        return e_raw
+
+    es = {(a, b) for a, b in edges if a != b}
+    nodes = {x for e in es for x in e}
+    preds = collections.defaultdict(set)
+    for a, b in es:
+        preds[b].add(a)
+    want = [0] * 4
+    for v in nodes:
+        seen, frontier = {v}, {v}
+        want[0] += round(estimate(seen) * 1e6)
+        for r in range(1, 4):
+            frontier = {p for u in frontier for p in preds[u]} - seen
+            seen |= frontier
+            want[r] += round(estimate(seen) * 1e6)
+    eff = next(r for r in range(4) if 10 * want[r] >= 9 * want[3])
+    assert got == {r: (want[r], eff) for r in range(4)}, (got, want)
+    # the curve is monotone by construction (balls only grow)
+    assert want[0] <= want[1] <= want[2] <= want[3]
+
+
+def test_neighborhood_function_releases_storage(spark):
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.cachectl import free_local_checkpoint
+    from slow_tortoise_spark.operators.graph import neighborhood_function
+
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [Row(src=f"n{i}", dst=f"n{(i * 7) % 50}") for i in range(200)]
+    )
+    out = neighborhood_function(df, radius=3)
+    assert out.count() == 4
+    free_local_checkpoint(out)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= base + 1

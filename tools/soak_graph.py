@@ -45,6 +45,7 @@ def main() -> int:
         k_core,
         label_propagation,
         pagerank,
+        triangle_counts,
     )
     from slow_tortoise_spark.session import get_spark
 
@@ -133,6 +134,19 @@ def main() -> int:
     hcl.orderBy(F.desc("closeness_est"), "node").limit(10).collect()
     out["hyperball_closeness_s"] = round(time.time() - t0, 1)
     free_local_checkpoint(hcl)
+
+    # triangle counting at full size: the degree-ordered orientation is
+    # the claim under test — without it the hub's Σ deg² wedge join
+    # would dominate everything above
+    t0 = time.time()
+    tc = triangle_counts(edges)
+    tc_stats = tc.agg(
+        F.sum("triangles").alias("t3"), F.max("triangles").alias("mx")
+    ).first()
+    out["triangles_total"] = int(tc_stats["t3"]) // 3
+    out["triangles_max_per_node"] = int(tc_stats["mx"])
+    out["triangle_counts_s"] = round(time.time() - t0, 1)
+    free_local_checkpoint(tc)
     edges.unpersist()
 
     # exact tier at a size where the visited pair set fits: shows the
