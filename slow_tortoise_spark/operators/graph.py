@@ -24,6 +24,40 @@ from slow_tortoise_spark.operators.cachectl import (
 )
 
 
+def _symmetrized_simple(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """The UNDIRECTED SIMPLE adjacency every degree-based operator
+    shares (k_core / core_number / label_propagation /
+    triangle_counts): self-loops dropped, both directions emitted,
+    duplicates collapsed.  One definition so the operators documented
+    to share these semantics can never desync; callers apply their own
+    cache/checkpoint."""
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _edge_weight(weight_col: str):
+    """Edge weight as double with a loud NULL guard: F.sum silently
+    SKIPS nulls, so a null weight would mark its source non-dangling
+    while sending less than full rank — mass leaks with no error.
+    Fail the job at the first null instead (zero/negative weights
+    remain the caller's documented contract)."""
+    w = F.col(weight_col).cast("double")
+    return F.when(
+        w.isNull(),
+        F.raise_error(F.lit(
+            "graph: NULL edge weight (weights must be strictly "
+            "positive and non-null)"
+        )),
+    ).otherwise(w)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -71,7 +105,7 @@ def pagerank(
     """
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
-        cols.append(F.col(weight_col).cast("double").alias("_w"))
+        cols.append(_edge_weight(weight_col).alias("_w"))
     e = edges.select(*cols).cache()
     deg = e.groupBy("src").agg(
         (F.count("*") if weight_col is None else F.sum("_w")).alias("_d")
@@ -478,17 +512,7 @@ def label_propagation(
     parameter and not a fixpoint loop — rank stability across rounds
     is the caller's check, same as pagerank's.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-    )
-    adj = (
-        sym.unionByName(
-            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .cache()
-    )
+    adj = _symmetrized_simple(edges, src_col, dst_col).cache()
     labels = tracked_local_checkpoint(
         adj.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
@@ -545,14 +569,8 @@ def k_core(
     iterative fixpoints on Spark.  Rounds are bounded by the longest
     peeling chain (≤ |V| worst case, tiny in practice: each round
     removes EVERY currently-underdegree node at once)."""
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-    )
     adj = tracked_local_checkpoint(
-        sym.unionByName(
-            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        _symmetrized_simple(edges, src_col, dst_col)
     )
     while True:
         # cache + count the removal set: the degree aggregation runs
@@ -626,14 +644,8 @@ def core_number(
     Output covers every node that has at least one non-self edge
     (isolated nodes have no core), ``core ≥ 1``.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-    )
     adj = tracked_local_checkpoint(
-        sym.unionByName(
-            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        _symmetrized_simple(edges, src_col, dst_col)
     )
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).cache()
     removed: list[DataFrame] = []
@@ -707,20 +719,34 @@ def neighborhood_function(
 
     Free off the graph tier's shared register loop
     (:func:`_hyperball_ball_estimates`): the per-round ball estimates
-    already exist, so the curve is one aggregation per round.
-    Determinism at any partitioning: per-node estimates round to
-    integer MICROS before the sum (binary64 summation order would
-    otherwise wiggle the last ulp across engines — the dsir pattern),
-    so ``ball_sum_micros`` is an exact BIGINT and the 90% rule is
-    integer cross-multiplication (10·N(r) ≥ 9·N(R), the gopher
-    pattern) — no float comparison anywhere in the output.
+    already exist, so the curve is one aggregation over the per-node
+    estimate frame.  Each node contributes its RUNNING MAXIMUM
+    max(ê_0 … ê_r), not the raw round estimate: balls only grow, but
+    the HLL estimator can shrink across the linear-counting→raw
+    regime switch (a node at 16·ln16 ≈ 44.4 can drop to ~41 when its
+    last zero register fills), and an unguarded sum would let N(r)
+    dip below N(r−1) and anchor the 90% rule to an inflated mid-curve
+    value — the same regime hazard the harmonic/closeness folds guard
+    with max(0, Δ).  The running max is per-NODE, which is why the
+    curve aggregates the joined estimate frame rather than each round
+    frame independently.  Determinism at any partitioning: per-node
+    running maxes round to integer MICROS before the sum (binary64
+    summation order would otherwise wiggle the last ulp across
+    engines — the dsir pattern), so ``ball_sum_micros`` is an exact
+    monotone BIGINT curve and the 90% rule is integer
+    cross-multiplication (10·N(r) ≥ 9·N(R), the gopher pattern) — no
+    float comparison anywhere in the output.
     """
     out, ests, cleanup = _hyperball_ball_estimates(
         edges, radius, src_col, dst_col
     )
+
+    def _runmax(r: int):
+        cols = [F.col(f"_e{k}") for k in range(r + 1)]
+        return cols[0] if r == 0 else F.greatest(*cols)
+
     sums = out.agg(*[
-        F.sum(F.round(F.col(f"_e{r}") * 1e6, 0).cast("long"))
-        .alias(f"_n{r}")
+        F.sum(F.round(_runmax(r) * 1e6, 0).cast("long")).alias(f"_n{r}")
         for r in range(radius + 1)
     ])
     eff = F.lit(radius).cast("int")
@@ -778,17 +804,7 @@ def triangle_counts(
     against the oriented edge list, then one explode + partial-agg
     count per corner.  No iteration, no window.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-    )
-    adj = (
-        sym.unionByName(
-            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .cache()
-    )
+    adj = _symmetrized_simple(edges, src_col, dst_col).cache()
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).cache()
     # (degree, id) total order; keep each undirected edge once, low→high
     ranked = (
@@ -877,7 +893,7 @@ def personalized_pagerank(
     s = sorted(set(seeds))
     cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
     if weight_col is not None:
-        cols.append(F.col(weight_col).cast("double").alias("_w"))
+        cols.append(_edge_weight(weight_col).alias("_w"))
     e = edges.select(*cols).cache()
     deg = e.groupBy("src").agg(
         (F.count("*") if weight_col is None else F.sum("_w")).alias("_d")

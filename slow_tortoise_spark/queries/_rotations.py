@@ -491,11 +491,16 @@ del _name
 # catalog entries, every one driver-green in r10 (the r10 staleness
 # wave's rotate-ins after their row landed, the r9 doubles holding
 # r09+r10 rows, and salted_join after five straight green rounds
-# r06–r10).  Kept in catalog: the six single-row r10 entries
-# (csv/jsonl_roundtrip + the four new graph operators, each earning a
-# second row per the r9 precedent) and the three long-tenure anchors
-# media_features (sole multimodal row), weighted_timeseries,
-# snapshot_time_travel.
+# r06–r10).  Kept in catalog AT THIS WAVE: the six single-row r10
+# entries (csv/jsonl_roundtrip + the four new graph operators, each
+# earning a second row per the r9 precedent) and the three
+# long-tenure anchors media_features (sole multimodal row),
+# weighted_timeseries, snapshot_time_travel — of which the in-round
+# waves BELOW later rest weighted_timeseries (wave F, replaced by the
+# incoming triangle_counts) and snapshot_time_travel (wave G,
+# replaced by neighborhood_function); media_features stays, still the
+# sole multimodal row.  Read the LAST wave for the catalog the driver
+# actually sees.
 #
 # Sibling coverage for every OUT (family -> driver row in the r11
 # catalog unless noted):

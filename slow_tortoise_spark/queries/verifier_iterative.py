@@ -1739,15 +1739,28 @@ def q_neighborhood_function(spark, sf_dir):
 
 
 def _neighborhood_sql(radius: int = 3) -> str:
-    """Curve fold over the shared register replay: per round,
-    SUM(CAST(ROUND(e*1e6) AS BIGINT)) over the hbest frame; the
-    effective diameter is the smallest r with 10·N(r) ≥ 9·N(R),
-    replayed as a CASE chain over the same integer sums."""
-    ns = ", ".join(
-        f"(SELECT CAST(SUM(CAST(ROUND(e * 1e6) AS BIGINT)) AS BIGINT)"
-        f" FROM hbest{r}) AS n{r}"
+    """Curve fold over the shared register replay: per node the
+    RUNNING MAX of the round estimates (the engine's regime-switch
+    guard), rounded to micros, summed as exact BIGINTs; the effective
+    diameter is the smallest r with 10·N(r) ≥ 9·N(R), replayed as a
+    CASE chain over the same integer sums."""
+    joined = "SELECT n.node" + "".join(
+        f", hbest{r}.e AS e{r}" for r in range(radius + 1)
+    ) + " FROM hnodes n" + "".join(
+        f" JOIN hbest{r} ON hbest{r}.v = n.node"
         for r in range(radius + 1)
     )
+
+    def runmax(r: int) -> str:
+        cols = ", ".join(f"e{k}" for k in range(r + 1))
+        return f"e0" if r == 0 else f"greatest({cols})"
+
+    ns = ", ".join(
+        f"CAST(SUM(CAST(ROUND({runmax(r)} * 1e6) AS BIGINT)) AS BIGINT)"
+        f" AS n{r}"
+        for r in range(radius + 1)
+    )
+    ns = f"SELECT {ns} FROM hbj"
     curve = " UNION ALL ".join(
         f"SELECT {r} AS r, n{r} AS ball_sum_micros FROM hbns"
         for r in range(radius + 1)
@@ -1758,7 +1771,8 @@ def _neighborhood_sql(radius: int = 3) -> str:
     ) + f" ELSE {radius} END"
     return (
         "WITH " + ", ".join(_hb_oracle_ctes(radius))
-        + f", hbns AS MATERIALIZED (SELECT {ns})"
+        + f", hbj AS MATERIALIZED ({joined})"
+        + f", hbns AS MATERIALIZED ({ns})"
         + f", hbcurve AS ({curve})"
         + f" SELECT c.r, c.ball_sum_micros,"
           f" CAST({eff} AS INT) AS effective_diameter"
