@@ -482,6 +482,7 @@ def label_propagation(
     iters: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, label) after ``iters`` rounds of SYNCHRONOUS label
     propagation — the standard cheap community signal for host/link
@@ -500,6 +501,16 @@ def label_propagation(
     UNDIRECTED and SIMPLE (symmetrized + distinct, self-loops
     dropped); label comparisons are plain string ordering.
 
+    ``weight_col`` names an optional STRICTLY POSITIVE, NON-NULL edge
+    weight: each neighbor's vote counts w instead of 1 (the real
+    host-graph shape — a cluster connected by one heavy link-count
+    edge should out-vote three incidental ones), a label's score is
+    the SUM of the weights carrying it, and duplicate (src, dst) rows
+    sum their weights during symmetrization.  Integer-valued weights
+    keep the vote sums exact, so the min-tie-break replay stays
+    bit-deterministic; fractional weights work but reintroduce the
+    binary64 summation-order hazard the unweighted path doesn't have.
+
     Shape per round: ONE shuffle joining labels onto the symmetrized
     edge list by neighbor + a two-level aggregation — count per
     (node, label), then ``min(struct(-count, label))`` per node — both
@@ -512,11 +523,27 @@ def label_propagation(
     parameter and not a fixpoint loop — rank stability across rounds
     is the caller's check, same as pagerank's.
     """
-    adj = _symmetrized_simple(edges, src_col, dst_col).cache()
+    if weight_col is None:
+        adj = _symmetrized_simple(edges, src_col, dst_col).cache()
+    else:
+        pairs = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            _edge_weight(weight_col).alias("_w"),
+        ).filter(F.col("src") != F.col("dst"))
+        adj = (
+            pairs.unionByName(
+                pairs.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "_w")
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+            .cache()
+        )
     labels = tracked_local_checkpoint(
         adj.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
     )
+    vote = F.count(F.lit(1)) if weight_col is None else F.sum("_w")
     for _ in range(iters):
         votes = (
             adj.join(
@@ -525,7 +552,7 @@ def label_propagation(
                 "src",
             )
             .groupBy(F.col("dst").alias("node"), F.col("_l").alias("label"))
-            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(vote.alias("_c"))
         )
         new_labels = tracked_local_checkpoint(
             votes.groupBy("node")
@@ -857,6 +884,49 @@ def triangle_counts(
     adj.unpersist()
     deg.unpersist()
     ranked.unpersist()
+    return result
+
+
+def transitivity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-row (triangles, wedges, transitivity_micros) — the GLOBAL
+    clustering coefficient 3·T/W (closed wedges over all wedges,
+    W = Σ_v d(v)(d(v)−1)/2), the single-number density companion to
+    :func:`triangle_counts`' per-node signal: track it across crawl
+    snapshots and a link-farm injection moves the global ratio before
+    any per-host score is computed.
+
+    Derived FROM :func:`triangle_counts` (one extra aggregation —
+    Σ per-node triangles is exactly 3T since each triangle has three
+    corners, and Σ d(d−1) is exactly 2W): triangles and wedges are
+    exact BIGINTs, and the one float division 2·(3T)/(2W) = 3T/W is a
+    fixed expression an independent engine replays bitwise.
+    """
+    tc = triangle_counts(edges, src_col, dst_col)
+    agg = tc.agg(
+        F.coalesce(F.sum("triangles"), F.lit(0)).alias("_c3"),
+        F.coalesce(
+            F.sum(F.col("degree") * (F.col("degree") - F.lit(1))),
+            F.lit(0),
+        ).alias("_dd"),
+    )
+    out = agg.select(
+        (F.col("_c3") / F.lit(3)).cast("bigint").alias("triangles"),
+        (F.col("_dd") / F.lit(2)).cast("bigint").alias("wedges"),
+        F.round(
+            F.when(
+                F.col("_dd") > 0,
+                F.lit(2.0) * F.col("_c3").cast("double")
+                / F.col("_dd").cast("double"),
+            ).otherwise(F.lit(0.0)) * 1e6,
+            0,
+        ).cast("bigint").alias("transitivity_micros"),
+    )
+    result = tracked_local_checkpoint(out)
+    free_local_checkpoint(tc)
     return result
 
 

@@ -674,3 +674,37 @@ for _name in _ROTATE_OUT_11G:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave H: transitivity (NEW — global clustering coefficient 3T/W, the
+# one-number density companion to triangle_counts).  Out:
+# harmonic_centrality (r10+r11-pending single... holds its r10 row
+# through r14 under the staleness contract; the geometric-centrality
+# family keeps hyperball_harmonic + hyperball_closeness +
+# neighborhood_function rows in the catalog, and the exact tier stays
+# pytest/property-pinned).
+_ROTATE_IN_11H = ["transitivity"]
+_ROTATE_OUT_11H = ["harmonic_centrality"]
+for _name in _ROTATE_IN_11H:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11H:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
+
+
+# Wave I: label_propagation_weighted (NEW — LP with link-count vote
+# weights; integer sums keep the tie-break replay exact).  Out: k_core
+# (r10 row holds through r14; core_number — the full decomposition
+# that SUBSUMES k_core — is in the catalog, and the peeling loop stays
+# pinned by the hand-cascade/hypothesis/margin tests).
+_ROTATE_IN_11I = ["label_propagation_weighted"]
+_ROTATE_OUT_11I = ["k_core"]
+for _name in _ROTATE_IN_11I:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11I:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

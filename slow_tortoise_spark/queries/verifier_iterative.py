@@ -1667,7 +1667,7 @@ def q_triangle_counts(spark, sf_dir):
     ).orderBy("node")
 
 
-_Q_TRIANGLE_COUNTS = """WITH gpairs AS MATERIALIZED (
+_TRI_CTES = """WITH gpairs AS MATERIALIZED (
     SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                     's' || CAST(l_suppkey AS VARCHAR) AS dst
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -1701,7 +1701,9 @@ gcorner AS MATERIALIZED (
     SELECT node, COUNT(*) AS t FROM (
       SELECT u AS node FROM gtri
       UNION ALL SELECT v AS node FROM gtri
-      UNION ALL SELECT w AS node FROM gtri) GROUP BY node)
+      UNION ALL SELECT w AS node FROM gtri) GROUP BY node)"""
+
+_Q_TRIANGLE_COUNTS = _TRI_CTES + """
 SELECT d.src AS node,
        d.d AS degree,
        COALESCE(c.t, 0) AS triangles,
@@ -1782,3 +1784,134 @@ def _neighborhood_sql(radius: int = 3) -> str:
 
 VERIFIER_QUERIES["neighborhood_function"] = q_neighborhood_function
 VERIFIER_ORACLE_SQL["neighborhood_function"] = _neighborhood_sql(3)
+
+
+# ---------------------------------------------------------------------------
+# Global transitivity (verifier tier — one aggregation over the
+# replayed triangle pyramid)
+# ---------------------------------------------------------------------------
+
+
+def q_transitivity(spark, sf_dir):
+    """Global clustering coefficient 3T/W of the co-supplier-augmented
+    trading graph — the one-number density health check tracked across
+    crawl snapshots (a link-farm injection moves it before any
+    per-host score exists).  Exact-integer triangle and wedge totals;
+    one replayed float division."""
+    from slow_tortoise_spark.operators.graph import transitivity
+
+    pairs = _trading_pairs(spark, sf_dir, cap_cust=300, cap_supp=50)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 50)
+        .select("l_orderkey", "l_suppkey")
+    )
+    co = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.concat(F.lit("s"), F.col("a.l_suppkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("b.l_suppkey").cast("string"))
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    return transitivity(pairs.unionByName(co))
+
+
+_Q_TRANSITIVITY = _TRI_CTES + """
+SELECT CAST(c3 / 3 AS BIGINT) AS triangles,
+       CAST(dd / 2 AS BIGINT) AS wedges,
+       CAST(ROUND((CASE WHEN dd > 0
+                        THEN 2.0 * CAST(c3 AS DOUBLE) / CAST(dd AS DOUBLE)
+                        ELSE 0.0 END) * 1e6) AS BIGINT)
+         AS transitivity_micros
+FROM (SELECT
+  (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) FROM gcorner) AS c3,
+  (SELECT CAST(COALESCE(SUM(d * (d - 1)), 0) AS BIGINT) FROM gdeg) AS dd)"""
+
+VERIFIER_QUERIES["transitivity"] = q_transitivity
+VERIFIER_ORACLE_SQL["transitivity"] = _Q_TRANSITIVITY
+
+
+# ---------------------------------------------------------------------------
+# Weighted label propagation (verifier tier — round replay with
+# weight-summed votes)
+# ---------------------------------------------------------------------------
+
+
+def q_label_propagation_weighted(spark, sf_dir):
+    """Four weighted LP rounds: each customer↔supplier edge votes with
+    the number of DISTINCT ORDERS behind it, so a cluster bound by one
+    heavy trading relationship out-votes incidental single-order
+    links.  Integer weights keep every vote sum exact — the
+    min-tie-break replay stays bit-deterministic like the unweighted
+    row; output is (node, label) strings."""
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    w = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"),
+            F.col("o_orderkey").alias("_ok"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count_distinct(F.col("_ok")).alias("w"))
+    )
+    return label_propagation(w, iters=4, weight_col="w").orderBy("node")
+
+
+def _label_propagation_weighted_sql(iters: int = 4) -> str:
+    """Round replay with weight-summed votes: the engine symmetrizes
+    (both directions, weights of duplicate pairs SUMMED) then per
+    round scores each label by SUM of the edge weights carrying it,
+    ROW_NUMBER (score DESC, label ASC) = the min(struct(-s, label))
+    tie-break."""
+    ctes = [
+        """wlpairs AS MATERIALIZED (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               COUNT(DISTINCT o_orderkey) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2)""",
+        """wledges AS MATERIALIZED (
+        SELECT src, dst, SUM(w) AS w FROM (
+          SELECT src, dst, w FROM wlpairs WHERE src <> dst
+          UNION ALL
+          SELECT dst AS src, src AS dst, w FROM wlpairs WHERE src <> dst)
+        GROUP BY src, dst)""",
+        """wlab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM wledges)""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""wlab{r} AS MATERIALIZED (
+            SELECT node, label FROM (
+              SELECT v AS node, label,
+                     ROW_NUMBER() OVER (PARTITION BY v
+                                        ORDER BY c DESC, label ASC) AS rn
+              FROM (SELECT e.dst AS v, l.label AS label, SUM(e.w) AS c
+                    FROM wledges e JOIN wlab{r - 1} l ON l.node = e.src
+                    GROUP BY e.dst, l.label))
+            WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, label FROM wlab{iters} ORDER BY node"
+    )
+
+
+VERIFIER_QUERIES["label_propagation_weighted"] = q_label_propagation_weighted
+VERIFIER_ORACLE_SQL["label_propagation_weighted"] = (
+    _label_propagation_weighted_sql(4)
+)

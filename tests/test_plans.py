@@ -446,6 +446,12 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         "triangle_counts": 1,
         # the 4-row ANF curve is checkpointed inside the operator
         "neighborhood_function": 1,
+        # transitivity's one row is checkpointed inside the operator;
+        # no output sort, so the returned plan is exchange-free
+        "transitivity": 0,
+        # weighted LP: rounds pre-materialized; 1 = the output orderBy;
+        # +2 for the in-query weight build (groupBy + its exchange)
+        "label_propagation_weighted": 3,
     }
     merged = dict(Q.QUERIES)
     merged.update(Q.VERIFIER_QUERIES)

@@ -4543,3 +4543,90 @@ def test_pagerank_weighted_null_weight_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL edge weight"):
         pagerank(df, iters=1, weight_col="w").collect()
+
+
+def test_label_propagation_weighted_heavy_edge_outvotes(spark):
+    """A weight-3 edge must out-vote two weight-1 edges (the vote is
+    the SUM of edge weights per label), and weighted LP with all
+    weights 1 equals unweighted LP exactly."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    # x's neighbors: a (weight 3), b and c (weight 1 each, labels b,c)
+    df = spark.createDataFrame(
+        [Row(src="x", dst="a", w=3), Row(src="x", dst="b", w=1),
+         Row(src="x", dst="c", w=1)])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, iters=1, weight_col="w").collect()}
+    assert got["x"] == "a"  # unweighted would tie-break to "a" too...
+    heavier = spark.createDataFrame(
+        [Row(src="x", dst="z", w=3), Row(src="x", dst="b", w=1),
+         Row(src="x", dst="c", w=1)])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(heavier, iters=1, weight_col="w").collect()}
+    assert got["x"] == "z"  # weight 3 beats the b/c min-tie-break
+
+    base = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"), ("a1", "b1"),
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    udf_ = spark.createDataFrame([Row(src=s, dst=t) for s, t in base])
+    wdf = spark.createDataFrame([Row(src=s, dst=t, w=1) for s, t in base])
+    for iters in (1, 3):
+        gu = {r["node"]: r["label"] for r in
+              label_propagation(udf_, iters=iters).collect()}
+        gw = {r["node"]: r["label"] for r in
+              label_propagation(wdf, iters=iters,
+                                weight_col="w").collect()}
+        assert gu == gw, iters
+
+
+def test_label_propagation_weighted_sums_duplicate_pairs(spark):
+    """Duplicate weighted (src, dst) rows SUM their weights during
+    symmetrization — two weight-2 duplicates equal one weight-4 edge."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import label_propagation
+
+    dup = spark.createDataFrame(
+        [Row(src="x", dst="z", w=2), Row(src="x", dst="z", w=2),
+         Row(src="x", dst="b", w=1), Row(src="x", dst="c", w=2)])
+    one = spark.createDataFrame(
+        [Row(src="x", dst="z", w=4),
+         Row(src="x", dst="b", w=1), Row(src="x", dst="c", w=2)])
+    g1 = {r["node"]: r["label"] for r in
+          label_propagation(dup, iters=2, weight_col="w").collect()}
+    g2 = {r["node"]: r["label"] for r in
+          label_propagation(one, iters=2, weight_col="w").collect()}
+    assert g1 == g2
+
+
+def test_transitivity_hand_fixtures(spark):
+    """K4: 4 triangles... no — K4 has 4 triangles? C(4,3) = 4; wedges
+    = 4·3·2/2 = 12; transitivity = 3·4/12 = 1.0.  Triangle+pendant:
+    T = 1, wedges = 3+1+1 = 5 (a has d=3 → 3 wedges; b, c d=2 → 1
+    each; d has 0), transitivity = 3/5.  4-cycle: T = 0."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.graph import transitivity
+
+    k4 = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in
+         [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]])
+    row = transitivity(k4).first()
+    assert (row["triangles"], row["wedges"],
+            row["transitivity_micros"]) == (4, 12, 1_000_000)
+
+    tri = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in
+         [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]])
+    row = transitivity(tri).first()
+    assert (row["triangles"], row["wedges"]) == (1, 5)
+    assert row["transitivity_micros"] == round(3 / 5 * 1e6)
+
+    square = spark.createDataFrame(
+        [Row(src=s, dst=t) for s, t in
+         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]])
+    row = transitivity(square).first()
+    assert (row["triangles"], row["wedges"],
+            row["transitivity_micros"]) == (0, 4, 0)
