@@ -172,6 +172,29 @@ def main() -> int:
         "BENCH_SWEEP.json",
     )
     sweep = json.load(open(sweep_path)) if os.path.exists(sweep_path) else {}
+    prev = sweep.get("graph_soak")
+    if (isinstance(prev, dict)
+            and prev.get("n_nodes") == out["n_nodes"]
+            and prev.get("edges_per_node") == out["edges_per_node"]):
+        # MIN-MERGE, never overwrite: this box shows up to 7× host-level
+        # wall variance on unchanged code (see SCALE.md), so the
+        # recorded number is the min across runs — the bench.py
+        # min-of-N discipline.  Identity fields (counts, survivor
+        # sets) must agree across runs; a mismatch means the CODE
+        # changed, so the fresh values win and the run count resets.
+        idents = [k for k in out
+                  if not k.endswith("_s") and k in prev and k != "runs"]
+        if all(prev[k] == out[k] for k in idents):
+            for k in out:
+                if k.endswith("_s") and isinstance(prev.get(k), (int, float)):
+                    out[k] = min(out[k], prev[k])
+            out["runs"] = int(prev.get("runs", 1)) + 1
+        else:
+            out["runs"] = 1
+        if "note" in prev:
+            out["note"] = prev["note"]
+    else:
+        out["runs"] = 1
     sweep["graph_soak"] = out
     with open(sweep_path, "w") as f:
         json.dump(sweep, f, indent=1)
