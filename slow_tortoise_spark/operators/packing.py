@@ -1,0 +1,109 @@
+"""Training-sequence packing: assign documents to fixed-length LM
+context windows (the "concatenate everything, cut every max_tokens"
+batching that GPT-style training uses) as a pure DataFrame transform.
+
+Reference scope note: the reference pipeline (uncharted-causemos/
+slow-tortoise) has no training-batch tier — this is part of the
+LLM-training extension surface, same as the dedup/similarity/graph
+families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, tokens, seq_first, seq_last, offset_in_first)
+    — where each document's tokens land once the corpus is
+    concatenated and cut into ``max_tokens`` training sequences: the
+    deterministic packing manifest an LM data loader consumes (doc d
+    contributes to sequences ``seq_first..seq_last`` of its bucket,
+    starting ``offset_in_first`` tokens into the first one).
+
+    Concat-and-chunk packing is inherently SEQUENTIAL — each
+    document's placement depends on the running token total before
+    it — which is why this operator BUCKETS first: documents shard by
+    the first 16 bits of ``md5('pack:' || doc_id) mod n_buckets``
+    (md5-keyed, no RNG and no engine-specific hash — the convention
+    every replayable keyed-hash operator here uses; the 16-bit parse
+    caps ``n_buckets`` at 65536, plenty for shard manifests) and the
+    running total is a window cumulative sum WITHIN each bucket,
+    ordered by ``doc_id``.  One
+    shuffle, ``n_buckets``-way parallel sort; at corpus scale the
+    bucket count bounds every window's size, and each bucket's
+    packing is independently reproducible — shard-local manifests, no
+    global coordination, no driver-side loop.  Padding waste is the
+    per-bucket remainder (< max_tokens per bucket, amortized to
+    nothing at real corpus sizes).
+
+    Everything in the output is an exact integer (token counts,
+    cumulative sums, div/mod arithmetic) — bit-identical under any
+    partitioning and trivially replayable by a SQL window.  Token
+    counts come from ``token_count_col`` if given (the real pipeline
+    passes its tokenizer's counts), else a whitespace-split count of
+    ``text_col`` — the count is an INPUT here, not a tokenization
+    opinion.  Zero-token documents occupy no positions: they report
+    ``seq_first = seq_last`` = the sequence at their cut point and
+    ``tokens = 0`` (a loader skips them; they must not shift
+    neighbors, and the cumsum arithmetic guarantees they don't).
+    """
+    if max_tokens <= 0:
+        raise ValueError("pack_sequences: max_tokens must be positive")
+    if not 0 < n_buckets <= 65536:
+        raise ValueError("pack_sequences: n_buckets must be in 1..65536")
+    toks = (
+        F.col(token_count_col).cast("long")
+        if token_count_col is not None
+        else F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).cast("long")
+    )
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(h16, F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.greatest(toks, F.lit(0)).alias("tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum_end = F.sum("tokens").over(w)
+    cum_start = (cum_end - F.col("tokens")).alias("_cs")
+    return base.select(
+        "doc_id",
+        "bucket",
+        "tokens",
+        cum_start,
+        cum_end.alias("_ce"),
+    ).select(
+        "doc_id",
+        "bucket",
+        "tokens",
+        # integer `div`, never double-divide-and-truncate: cumulative
+        # token totals are longs and must stay exact past 2^53
+        F.expr(f"_cs div {max_tokens}").alias("seq_first"),
+        F.when(
+            F.col("tokens") > 0,
+            F.expr(f"(_ce - 1) div {max_tokens}"),
+        )
+        .otherwise(F.expr(f"_cs div {max_tokens}"))
+        .alias("seq_last"),
+        F.pmod(F.col("_cs"), F.lit(max_tokens)).cast("long")
+        .alias("offset_in_first"),
+    )

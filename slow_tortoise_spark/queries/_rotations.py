@@ -708,3 +708,19 @@ for _name in _ROTATE_OUT_11I:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave J: pack_sequences (NEW — concat-and-chunk training-sequence
+# packing manifest, the LM batching prep step; md5-bucketed so the
+# inherently-sequential cumsum parallelizes per shard).  Out:
+# jsonl_roundtrip (r10 row holds through r14; the textio family keeps
+# csv_roundtrip in the catalog for its second-row witness).
+_ROTATE_IN_11J = ["pack_sequences"]
+_ROTATE_OUT_11J = ["jsonl_roundtrip"]
+for _name in _ROTATE_IN_11J:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_11J:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -1915,3 +1915,56 @@ VERIFIER_QUERIES["label_propagation_weighted"] = q_label_propagation_weighted
 VERIFIER_ORACLE_SQL["label_propagation_weighted"] = (
     _label_propagation_weighted_sql(4)
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (verifier tier — window cumsum replay,
+# all-integer output)
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing manifest: every document's place in
+    the 64-token training sequences of its md5 bucket (8 buckets) —
+    the deterministic map an LM data loader consumes.  All-integer
+    output (token counts, window cumulative sums, div/mod), exact at
+    any partitioning."""
+    from slow_tortoise_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, max_tokens=64, n_buckets=8).orderBy(
+        "doc_id"
+    )
+
+
+def _pack_sequences_sql(max_tokens: int = 64, n_buckets: int = 8) -> str:
+    nib = [
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    h16 = (f"({nib[0]} * 4096 + {nib[1]} * 256"
+           f" + {nib[2]} * 16 + {nib[3]})")
+    return f"""WITH pdocs AS MATERIALIZED (
+    SELECT doc_id,
+           CAST({h16} % {n_buckets} AS INT) AS bucket,
+           GREATEST(CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT), 0) AS tokens
+    FROM (SELECT doc_id,
+                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h, text
+          FROM documents)),
+pcum AS MATERIALIZED (
+    SELECT doc_id, bucket, tokens,
+           SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS ce
+    FROM pdocs)
+SELECT doc_id, bucket, tokens,
+       CAST((ce - tokens) // {max_tokens} AS BIGINT) AS seq_first,
+       CAST(CASE WHEN tokens > 0 THEN (ce - 1) // {max_tokens}
+                 ELSE (ce - tokens) // {max_tokens} END AS BIGINT)
+         AS seq_last,
+       CAST((ce - tokens) % {max_tokens} AS BIGINT) AS offset_in_first
+FROM pcum ORDER BY doc_id"""
+
+
+VERIFIER_QUERIES["pack_sequences"] = q_pack_sequences
+VERIFIER_ORACLE_SQL["pack_sequences"] = _pack_sequences_sql(64, 8)

@@ -449,6 +449,10 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # transitivity's one row is checkpointed inside the operator;
         # no output sort, so the returned plan is exchange-free
         "transitivity": 0,
+        # pack_sequences: one bucket-partitioned window shuffle + the
+        # query's output orderBy — packing is a single-pass transform,
+        # not an iterative operator
+        "pack_sequences": 2,
         # weighted LP: rounds pre-materialized; 1 = the output orderBy;
         # +2 for the in-query weight build (groupBy + its exchange)
         "label_propagation_weighted": 3,

@@ -4630,3 +4630,62 @@ def test_transitivity_hand_fixtures(spark):
     row = transitivity(square).first()
     assert (row["triangles"], row["wedges"],
             row["transitivity_micros"]) == (0, 4, 0)
+
+
+def test_pack_sequences_matches_python_replay(spark):
+    """Packing manifest equals a pure-Python concat-and-chunk replay
+    (md5 bucketing, doc_id order, running totals), and the manifest
+    tiles each bucket's token stream contiguously: every document
+    starts exactly where its predecessor ended."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import pack_sequences
+
+    docs = [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(60)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs])
+    got = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq_first"],
+                         r["seq_last"], r["offset_in_first"])
+           for r in pack_sequences(df, max_tokens=16,
+                                   n_buckets=4).collect()}
+
+    cum = {}
+    want = {}
+    for i, t in sorted(docs):
+        h = hashlib.md5(f"pack:{i}".encode()).hexdigest()
+        b = int(h[:4], 16) % 4
+        n = len([x for x in t.split() if x])
+        cs = cum.get(b, 0)
+        ce = cs + n
+        cum[b] = ce
+        want[i] = (b, n, cs // 16,
+                   (ce - 1) // 16 if n > 0 else cs // 16, cs % 16)
+    assert got == want
+    # zero-token docs exist in the fixture (i*7 % 23 == 0) and must
+    # not shift their neighbors
+    assert any(n == 0 for _, n, *_ in want.values())
+
+
+def test_pack_sequences_token_count_col_and_validation(spark):
+    """An explicit token_count column overrides the whitespace count;
+    bad parameters fail loudly."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c", n=10),
+         Row(doc_id=2, text="d", n=10)])
+    got = {r["doc_id"]: r["tokens"]
+           for r in pack_sequences(df, max_tokens=16, n_buckets=2,
+                                   token_count_col="n").collect()}
+    assert got == {1: 10, 2: 10}
+    with pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, n_buckets=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, n_buckets=65537)
