@@ -914,8 +914,11 @@ def transitivity(
         ).alias("_dd"),
     )
     out = agg.select(
-        (F.col("_c3") / F.lit(3)).cast("bigint").alias("triangles"),
-        (F.col("_dd") / F.lit(2)).cast("bigint").alias("wedges"),
+        # integer `div`, never double-divide-and-truncate: both sums
+        # are exact BIGINTs and must stay exact past 2^53 (the same
+        # discipline pack_sequences documents for its cumsums)
+        F.expr("_c3 div 3").alias("triangles"),
+        F.expr("_dd div 2").alias("wedges"),
         F.round(
             F.when(
                 F.col("_dd") > 0,

@@ -21,6 +21,8 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_count_col: str | None = None,
     text_col: str = "text",
+    order_by_hash: bool = False,
+    shuffle_salt: str = "packshuf",
 ) -> DataFrame:
     """(doc_id, bucket, tokens, seq_first, seq_last, offset_in_first)
     — where each document's tokens land once the corpus is
@@ -45,13 +47,27 @@ def pack_sequences(
     per-bucket remainder (< max_tokens per bucket, amortized to
     nothing at real corpus sizes).
 
+    ``order_by_hash=True`` packs each bucket in KEYED-HASH order
+    (``md5(shuffle_salt || ':' || doc_id)``, doc_id tie-break — the
+    same deterministic-permutation idiom as ``dedup.shuffle_rows``)
+    instead of ``doc_id`` order: real LM loaders shuffle documents
+    before packing so a sequence doesn't concatenate corpus-adjacent
+    docs, and a changed ``shuffle_salt`` is a fresh epoch permutation.
+    Same ONE-shuffle plan — the hash is another sort key inside the
+    per-bucket window, not an extra exchange.
+
     Everything in the output is an exact integer (token counts,
     cumulative sums, div/mod arithmetic) — bit-identical under any
     partitioning and trivially replayable by a SQL window.  Token
     counts come from ``token_count_col`` if given (the real pipeline
     passes its tokenizer's counts), else a whitespace-split count of
     ``text_col`` — the count is an INPUT here, not a tokenization
-    opinion.  Zero-token documents occupy no positions: they report
+    opinion.  A NULL in ``token_count_col`` RAISES (the
+    ``graph._edge_weight`` discipline: ``greatest(NULL, 0)`` would
+    silently zero the doc's tokens, so a tokenizer bug feeding null
+    counts would drop documents from the manifest with no error —
+    pass 0 explicitly for zero-token docs).  Zero-token documents
+    occupy no positions: they report
     ``seq_first = seq_last`` = the sequence at their cut point and
     ``tokens = 0`` (a loader skips them; they must not shift
     neighbors, and the cumsum arithmetic guarantees they don't).
@@ -60,16 +76,25 @@ def pack_sequences(
         raise ValueError("pack_sequences: max_tokens must be positive")
     if not 0 < n_buckets <= 65536:
         raise ValueError("pack_sequences: n_buckets must be in 1..65536")
-    toks = (
-        F.col(token_count_col).cast("long")
-        if token_count_col is not None
-        else F.size(
+    if token_count_col is not None:
+        c = F.col(token_count_col).cast("long")
+        # loud NULL guard (mirrors graph._edge_weight): greatest()
+        # skips nulls, so NULL counts would silently pack as 0 tokens
+        toks = F.when(
+            c.isNull(),
+            F.raise_error(F.lit(
+                "pack_sequences: NULL token count in "
+                f"'{token_count_col}' (counts must be non-null; pass "
+                "0 explicitly for zero-token docs)"
+            )),
+        ).otherwise(c)
+    else:
+        toks = F.size(
             F.filter(
                 F.split(F.trim(F.col(text_col)), r"\s+"),
                 lambda t: t != "",
             )
         ).cast("long")
-    )
     h16 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
@@ -82,7 +107,16 @@ def pack_sequences(
         F.pmod(h16, F.lit(n_buckets)).cast("int").alias("bucket"),
         F.greatest(toks, F.lit(0)).alias("tokens"),
     )
-    w = Window.partitionBy("bucket").orderBy("doc_id")
+    if order_by_hash:
+        base = base.withColumn(
+            "_ord",
+            F.md5(F.concat_ws(
+                ":", F.lit(shuffle_salt), F.col("doc_id").cast("string")
+            )),
+        )
+        w = Window.partitionBy("bucket").orderBy("_ord", "doc_id")
+    else:
+        w = Window.partitionBy("bucket").orderBy("doc_id")
     cum_end = F.sum("tokens").over(w)
     cum_start = (cum_end - F.col("tokens")).alias("_cs")
     return base.select(

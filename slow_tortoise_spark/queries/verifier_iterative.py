@@ -1825,8 +1825,8 @@ def q_transitivity(spark, sf_dir):
 
 
 _Q_TRANSITIVITY = _TRI_CTES + """
-SELECT CAST(c3 / 3 AS BIGINT) AS triangles,
-       CAST(dd / 2 AS BIGINT) AS wedges,
+SELECT CAST(c3 // 3 AS BIGINT) AS triangles,
+       CAST(dd // 2 AS BIGINT) AS wedges,
        CAST(ROUND((CASE WHEN dd > 0
                         THEN 2.0 * CAST(c3 AS DOUBLE) / CAST(dd AS DOUBLE)
                         ELSE 0.0 END) * 1e6) AS BIGINT)
@@ -1937,13 +1937,22 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
-def _pack_sequences_sql(max_tokens: int = 64, n_buckets: int = 8) -> str:
+def _pack_sequences_sql(
+    max_tokens: int = 64,
+    n_buckets: int = 8,
+    order_by_hash: bool = False,
+) -> str:
     nib = [
         f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
         for i in range(1, 5)
     ]
     h16 = (f"({nib[0]} * 4096 + {nib[1]} * 256"
            f" + {nib[2]} * 16 + {nib[3]})")
+    order = (
+        "md5('packshuf:' || CAST(doc_id AS VARCHAR)), doc_id"
+        if order_by_hash
+        else "doc_id"
+    )
     return f"""WITH pdocs AS MATERIALIZED (
     SELECT doc_id,
            CAST({h16} % {n_buckets} AS INT) AS bucket,
@@ -1955,7 +1964,7 @@ def _pack_sequences_sql(max_tokens: int = 64, n_buckets: int = 8) -> str:
           FROM documents)),
 pcum AS MATERIALIZED (
     SELECT doc_id, bucket, tokens,
-           SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS ce
+           SUM(tokens) OVER (PARTITION BY bucket ORDER BY {order}) AS ce
     FROM pdocs)
 SELECT doc_id, bucket, tokens,
        CAST((ce - tokens) // {max_tokens} AS BIGINT) AS seq_first,
@@ -1966,5 +1975,26 @@ SELECT doc_id, bucket, tokens,
 FROM pcum ORDER BY doc_id"""
 
 
+def q_pack_sequences_shuffled(spark, sf_dir):
+    """Packing manifest with the KEYED-HASH within-bucket order
+    (``order_by_hash=True``) — the loader-realistic variant: real LM
+    training shuffles documents before packing so a sequence doesn't
+    concatenate corpus-adjacent docs, and the md5 order (salt
+    'packshuf', doc_id tie-break — the ``shuffle_rows`` idiom) makes
+    the shuffle deterministic with no RNG state.  Same one-shuffle
+    per-bucket window cumsum; the oracle replays the hashed ORDER BY
+    verbatim."""
+    from slow_tortoise_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(
+        docs, max_tokens=64, n_buckets=8, order_by_hash=True
+    ).orderBy("doc_id")
+
+
 VERIFIER_QUERIES["pack_sequences"] = q_pack_sequences
 VERIFIER_ORACLE_SQL["pack_sequences"] = _pack_sequences_sql(64, 8)
+VERIFIER_QUERIES["pack_sequences_shuffled"] = q_pack_sequences_shuffled
+VERIFIER_ORACLE_SQL["pack_sequences_shuffled"] = _pack_sequences_sql(
+    64, 8, order_by_hash=True
+)

@@ -453,6 +453,9 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # query's output orderBy — packing is a single-pass transform,
         # not an iterative operator
         "pack_sequences": 2,
+        # hashed within-bucket order is one more SORT KEY, not an
+        # extra exchange — same budget as the doc_id-ordered form
+        "pack_sequences_shuffled": 2,
         # weighted LP: rounds pre-materialized; 1 = the output orderBy;
         # +2 for the in-query weight build (groupBy + its exchange)
         "label_propagation_weighted": 3,

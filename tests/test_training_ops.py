@@ -4668,6 +4668,77 @@ def test_pack_sequences_matches_python_replay(spark):
     assert any(n == 0 for _, n, *_ in want.values())
 
 
+def test_pack_sequences_order_by_hash_matches_python_replay(spark):
+    """order_by_hash=True packs each bucket in md5('packshuf:'||id)
+    order (doc_id tie-break) — replayed in pure Python — and the
+    manifest is identical under a different input partitioning
+    (determinism: the order comes from the keyed hash, never from
+    physical layout).  A different salt is a different permutation."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import pack_sequences
+
+    docs = [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(60)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs])
+    out = pack_sequences(df, max_tokens=16, n_buckets=4,
+                         order_by_hash=True)
+    got = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq_first"],
+                         r["seq_last"], r["offset_in_first"])
+           for r in out.collect()}
+
+    def key(i):
+        return (hashlib.md5(f"packshuf:{i}".encode()).hexdigest(), i)
+
+    cum = {}
+    want = {}
+    for i, t in sorted(docs, key=lambda d: key(d[0])):
+        h = hashlib.md5(f"pack:{i}".encode()).hexdigest()
+        b = int(h[:4], 16) % 4
+        n = len([x for x in t.split() if x])
+        cs = cum.get(b, 0)
+        ce = cs + n
+        cum[b] = ce
+        want[i] = (b, n, cs // 16,
+                   (ce - 1) // 16 if n > 0 else cs // 16, cs % 16)
+    assert got == want
+    # determinism under physical layout: a repartitioned input packs
+    # identically
+    got2 = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq_first"],
+                          r["seq_last"], r["offset_in_first"])
+            for r in pack_sequences(df.repartition(7), max_tokens=16,
+                                    n_buckets=4,
+                                    order_by_hash=True).collect()}
+    assert got2 == got
+    # a fresh salt is a fresh permutation: at least one doc moves
+    got3 = {r["doc_id"]: (r["seq_first"], r["offset_in_first"])
+            for r in pack_sequences(df, max_tokens=16, n_buckets=4,
+                                    order_by_hash=True,
+                                    shuffle_salt="epoch2").collect()}
+    assert got3 != {i: (v[2], v[4]) for i, v in got.items()}
+
+
+def test_pack_sequences_null_token_count_raises(spark):
+    """A NULL in token_count_col fails LOUDLY (the _edge_weight
+    discipline): greatest(NULL, 0) would silently pack the doc as 0
+    tokens, hiding a tokenizer bug."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", n=2),
+         Row(doc_id=2, text="c", n=None)],
+        schema="doc_id bigint, text string, n bigint")
+    with pytest.raises(Exception) as exc:
+        pack_sequences(df, max_tokens=16, n_buckets=2,
+                       token_count_col="n").collect()
+    assert "NULL token count" in str(exc.value)
+
+
 def test_pack_sequences_token_count_col_and_validation(spark):
     """An explicit token_count column overrides the whitespace count;
     bad parameters fail loudly."""
