@@ -724,3 +724,85 @@ for _name in _ROTATE_OUT_11J:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-12 rotation (wave A): staleness-first, one round AHEAD of the
+# contract.  IN (21): the full last-row-r08 group (15 queries — they
+# would bind test_rotation_staleness_invariant at r13; rotating at r12
+# keeps the ledger a round ahead, the r10/r11 discipline), five of the
+# last-row-r09 group (asof_join jaccard_pairs regional_rollup
+# salted_agg output_summary — lightening the 31-query group that binds
+# at r14), and the NEW pack_sequences_shuffled (contract rule 1: a
+# never-driver-checked query enters the catalog the round it is
+# built).  The nine round-11 operators (label_propagation ±weights,
+# core_number, hyperball_closeness, neighborhood_function,
+# triangle_counts, transitivity, pagerank_weighted, pack_sequences)
+# deliberately STAY for their second consecutive driver row (the
+# r9/r10 precedent for resting new operators).
+#
+# OUT (21), every one r11-green (row holds through r16) with family
+# coverage remaining in the catalog or arriving this wave:
+#   media_features        — 11 consecutive rows (r01–r11), the longest
+#                           tenure in the engine; multimodal stays
+#                           pytest + media-soak pinned
+#   global_timeseries     — 8 rows; spatial agg keeps weighted_agg +
+#                           incoming regional_rollup
+#   ann_cosine_topk       — 6 rows; ANN keeps sq_topk (ivfpq_* r10)
+#   top_orders            — 6 rows; star keeps pricing_summary +
+#                           latest_orders
+#   qualifier_pivot       — 6 rows; pivot/grouping keeps grouping_sets
+#   regional_extrema      — 6 rows; incoming regional_rollup +
+#                           window_lag_lead cover extrema/window
+#   regional_timeseries   — 6 rows; same family
+#   lang_id               — 6 rows; text keeps tfidf_terms +
+#                           nfc_normalize + bpe_encode + incoming
+#                           quality_score
+#   minhash_lsh_pairs     — 6 rows; dedup keeps incoming jaccard_pairs
+#                           + dedup_lines
+#   streaming_window_counts — 5 rows; streaming keeps
+#                           stream_stream_join + sessionize_batch
+#   dup_ngram_stats       — 6 rows; ngram family: incoming
+#                           jaccard_pairs
+#   dedup_components      — 5 rows; CC family: incoming dedup_lines +
+#                           jaccard_pairs feed the same component loop
+#   bigram_logprob        — 5 rows; LM tier keeps unigram_logprob
+#   blocklist_filter      — 4 rows; gating: incoming quality_score
+#   bloom_contamination   — 4 rows; bloom family: incoming bloom_join
+#   dsir_weights          — 4 rows; importance weighting: keeps
+#                           unigram_logprob (same token-distribution
+#                           machinery)
+#   gopher_rules          — 4 rows; quality gates: incoming
+#                           quality_score
+#   logreg_weights        — 4 rows; model scoring: keeps sq_topk +
+#                           incoming kmeans_assign
+#   psi_drift             — 3 rows; drift family keeps mad_outliers
+#   negative_pairs        — 3 rows; sampling: incoming
+#                           stratified_sample + weighted_sample +
+#                           shuffle_rows
+#   strip_html            — 3 rows; text cleanup: keeps nfc_normalize
+_ROTATE_IN_12A = [
+    "bloom_join", "date_parts", "dedup_lines", "edit_distance_verify",
+    "json_extract", "kmeans_assign", "percentiles", "quality_score",
+    "resample_linear", "semi_join", "shuffle_rows", "stratified_sample",
+    "weighted_sample", "window_lag_lead", "zorder_stats",
+    "asof_join", "jaccard_pairs", "regional_rollup", "salted_agg",
+    "output_summary",
+    "pack_sequences_shuffled",
+]
+_ROTATE_OUT_12A = [
+    "media_features", "global_timeseries", "ann_cosine_topk",
+    "top_orders", "qualifier_pivot", "regional_extrema",
+    "regional_timeseries", "lang_id", "minhash_lsh_pairs",
+    "streaming_window_counts", "dup_ngram_stats", "dedup_components",
+    "bigram_logprob", "blocklist_filter", "bloom_contamination",
+    "dsir_weights", "gopher_rules", "logreg_weights", "psi_drift",
+    "negative_pairs", "strip_html",
+]
+for _name in _ROTATE_IN_12A:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_12A:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name
