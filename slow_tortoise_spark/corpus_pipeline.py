@@ -8,7 +8,9 @@ removal → quality/language gating + (optional) Gopher rule bitmask and
 learned logistic gate folded into the SAME pass → exact dedup → MinHash
 near-dedup → (optional) Bloom benchmark decontamination + DSIR
 importance selection + temperature mixing → deterministic splits →
-partitioned parquet + a manifest of what was dropped at every gate.  Every stage is one of the library
+partitioned parquet + a manifest of what was dropped at every gate →
+(optional) per-split training-sequence packing manifest
+(``pack_max_tokens``).  Every stage is one of the library
 operators (operators/text.py, operators/dedup.py), so the plan is pure
 DataFrame/Catalyst work: the gates are a single projection+filter pass,
 each dedup tier is the documented one-shuffle/banded shape, and the
@@ -140,6 +142,23 @@ class CorpusParams:
     #: boundary, survives executor loss; the mode for multi-hour cluster
     #: soaks where a lost executor must not restart the run from zero)
     checkpoint_mode: str = "local"
+    #: training-sequence packing manifest AFTER the split write (None =
+    #: stage off): each split's surviving docs are packed into
+    #: ``pack_max_tokens``-token context windows
+    #: (operators/packing.py::pack_sequences — md5-bucketed, one
+    #: shuffle per split) and the manifest lands at
+    #: ``{out_dir}/packing`` partitioned by split.  Splits pack
+    #: INDEPENDENTLY — a training sequence never concatenates a train
+    #: doc with a valid doc.
+    pack_max_tokens: int | None = None
+    pack_n_buckets: int = 64
+    #: keyed-hash within-bucket order (the loader-realistic
+    #: shuffle-before-pack); False packs in doc_id order
+    pack_order_by_hash: bool = True
+    pack_shuffle_salt: str = "packshuf"
+    #: pre-tokenized count column on the corpus (None = whitespace
+    #: count of ``text`` — the packing operator's documented default)
+    pack_token_count_col: str | None = None
 
 
 def _near_dup_drops(
@@ -575,6 +594,58 @@ def _run_corpus_pipeline(
     manifest["splits"] = counts
     manifest["output_docs"] = sum(counts.values())
     _mark("write_splits")
+
+    # --- optional training-sequence packing manifest -------------------
+    if params.pack_max_tokens is not None:
+        from slow_tortoise_spark.operators.packing import pack_sequences
+
+        packed = None
+        for split_name in sorted(counts):
+            # per-split packing: sequences must never cross the
+            # train/valid boundary, so each split gets its own
+            # independent bucket cumsums (splits are few — this loop
+            # is driver-side plan construction, not a data loop)
+            p = pack_sequences(
+                out.filter(F.col("split") == split_name),
+                max_tokens=params.pack_max_tokens,
+                n_buckets=params.pack_n_buckets,
+                token_count_col=params.pack_token_count_col,
+                order_by_hash=params.pack_order_by_hash,
+                shuffle_salt=params.pack_shuffle_salt,
+            ).withColumn("split", F.lit(split_name))
+            packed = p if packed is None else packed.unionByName(p)
+        if packed is not None:
+            packed.write.mode("overwrite").partitionBy("split").parquet(
+                f"{params.out_dir}/packing"
+            )
+            pk = spark.read.schema(packed.schema).parquet(
+                f"{params.out_dir}/packing"
+            )
+            # sequences per split = Σ_buckets ceil(bucket_tokens /
+            # max_tokens) — exact integer arithmetic off the manifest
+            mt = int(params.pack_max_tokens)
+            stats = (
+                pk.groupBy("split", "bucket")
+                .agg(F.sum("tokens").alias("_bt"))
+                .groupBy("split")
+                .agg(
+                    F.sum("_bt").alias("_t"),
+                    F.sum(F.expr(f"(_bt + {mt} - 1) div {mt}"))
+                    .alias("_s"),
+                )
+                .collect()
+            )
+            manifest["packing"] = {
+                r["split"]: {
+                    "tokens": int(r["_t"] or 0),
+                    "sequences": int(r["_s"] or 0),
+                    "max_tokens": mt,
+                }
+                for r in stats
+            }
+        else:
+            manifest["packing"] = {}
+        _mark("packing")
 
     import json
 

@@ -270,6 +270,14 @@ _HB_M = 16
 _HB_ALPHA = 0.673
 _HB_RANK_BITS = 24
 
+# core_number's per-step removal set is broadcast explicitly when its
+# EXACT cardinality (known from the step's degree histogram — no stats
+# guessing) is at most this many node ids: 1M short strings is a
+# ~20-30 MB broadcast relation, safe on ordinary executors and
+# strictly wider than the ~500k-row ceiling AQE's 10 MB post-shuffle
+# threshold used to allow.  Above it, the cached shuffle join.
+_CORE_BROADCAST_LIMIT = 1_000_000
+
 
 def _hb_nibble(h, i: int):
     """Hex nibble i (1-based) of an md5 string as an int — the same
@@ -656,17 +664,29 @@ def core_number(
     degrees ONCE (one partially-aggregated shuffle); if the minimum
     surviving degree m has risen to ≥ k, jump k to m + 1 (levels
     1..m remove nobody — skipping them is exactly the sequential
-    min-degree-first order); every node with degree < k is removed
-    with ``core = k − 1`` — its degree-at-removal under min-degree
-    peeling.  Cascades stay at the same k across steps (a removal can
-    drop a neighbor under the threshold), so a node removed in a
-    level-k cascade still gets core k − 1.  Steps are bounded by the
-    number of distinct degree levels plus cascade lengths — O(√E)
-    worst case, dozens in practice at web skew — each step one degree
-    agg + two anti-joins against a cached (≤ |V|) removal set, with
-    the per-step checkpoint+free discipline of :func:`k_core` (cache +
-    count the removal set: real stats keep AQE broadcasting the
-    anti-joins — the measured 1.6× win over localCheckpoint there).
+    min-degree-first order, and it peels the ENTIRE occupied level
+    below the next occupied one in a single step; batching more than
+    one occupied level would be WRONG, because a level-m removal can
+    cascade a higher-degree node down to core m); every node with
+    degree < k is removed with ``core = k − 1`` — its
+    degree-at-removal under min-degree peeling.  Cascades stay at the
+    same k across steps (a removal can drop a neighbor under the
+    threshold), so a node removed in a level-k cascade still gets
+    core k − 1.  Steps are bounded by the number of distinct degree
+    levels plus cascade lengths — O(√E) worst case, dozens in
+    practice at web skew.
+
+    At 1M nodes / 10M edges the wall is STEP-LATENCY-bound (~25 cheap
+    steps each paying fixed job latency), so the loop spends driver
+    actions frugally: ONE small degree-HISTOGRAM job per step (≤
+    #distinct-degree-levels rows) yields the minimum degree, the
+    survivor count, AND the exact removal-set cardinality — replacing
+    the separate min/count aggregate and the cache+count that
+    previously fed AQE's broadcast decision.  The removal set is
+    broadcast EXPLICITLY when its known size is bounded (deterministic
+    plan, no stats guessing; the two anti-join broadcast subtrees are
+    identical, so ReuseExchange ships it once); above the bound it
+    falls back to the cached shuffle join.
 
     Output covers every node that has at least one non-self edge
     (isolated nodes have no core), ``core ≥ 1``.
@@ -678,20 +698,28 @@ def core_number(
     removed: list[DataFrame] = []
     k = 1
     while True:
-        row = deg.agg(
-            F.min("_d").alias("m"), F.count(F.lit(1)).alias("n")
-        ).first()
-        if row["n"] == 0:  # adjacency exhausted — every node assigned
+        # one job per step: the degree histogram carries the minimum,
+        # the survivor count, and (once k is fixed) the exact removal
+        # cardinality for the explicit-broadcast decision below
+        hist = {
+            int(r["_d"]): int(r["c"])
+            for r in deg.groupBy("_d").agg(
+                F.count(F.lit(1)).alias("c")).collect()
+        }
+        if not hist:  # adjacency exhausted — every node assigned
             deg.unpersist()
             break
-        if row["m"] >= k:  # stable at k: jump to the next removing level
-            k = int(row["m"]) + 1
-        bad = (
-            deg.filter(F.col("_d") < k)
-            .select(F.col("src").alias("_bad"))
-            .cache()
-        )
-        bad.count()  # materialize: real stats under the broadcast decision
+        m = min(hist)
+        if m >= k:  # stable at k: jump to the next removing level
+            k = m + 1
+        n_bad = sum(c for d, c in hist.items() if d < k)
+        bad = deg.filter(F.col("_d") < k).select(
+            F.col("src").alias("_bad"))
+        if n_bad <= _CORE_BROADCAST_LIMIT:
+            bad = F.broadcast(bad)
+        else:
+            bad = bad.cache()
+            bad.count()  # real stats under the join decision
         new_adj = tracked_local_checkpoint(
             adj.join(bad, adj["src"] == bad["_bad"], "left_anti")
             .join(bad, adj["dst"] == bad["_bad"], "left_anti")

@@ -370,6 +370,11 @@ def main() -> int:
                 dsir_keep_fraction=0.8,
                 ppl_lm_reference=corpus.select("doc_id", "text"),
                 mix_budget=300.0,
+                # export stage: hash-shuffled concat-and-chunk packing
+                # manifest per split — curated corpus to training-ready
+                # sequence map in the same run
+                pack_max_tokens=256,
+                pack_n_buckets=8,
             ),
         )
         print(manifest)

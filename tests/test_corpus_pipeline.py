@@ -62,6 +62,54 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert glob.glob(f"{out}/corpus/split=train")
 
 
+def test_corpus_pipeline_packing_stage(spark, sf_dir, tmp_path):
+    """pack_max_tokens wires the packing manifest as the export stage:
+    every output doc appears exactly once, splits pack independently
+    (no sequence crosses the train/valid boundary — bucket cumsums
+    restart per split), and the manifest's sequence counts equal the
+    exact Σ ceil(bucket_tokens / max_tokens) arithmetic."""
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(120)
+    out = str(tmp_path / "packed_out")
+    manifest = run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(out_dir=out, min_tokens=1, dedup="exact",
+                     pack_max_tokens=32, pack_n_buckets=4),
+    )
+    assert "packing" in manifest
+    pk = spark.read.parquet(f"{out}/packing")
+    corpus = spark.read.parquet(f"{out}/corpus")
+    # exactly-once: the packing manifest covers the written corpus
+    assert (pk.select("doc_id").distinct().count()
+            == pk.count() == corpus.count())
+    # per-split independence: EVERY (split, bucket) stream starts at
+    # sequence 0 / offset 0 — a single global packing call would leave
+    # later splits' buckets starting mid-stream
+    firsts = (
+        pk.groupBy("split", "bucket")
+        .agg(F.min("seq_first").alias("m"),
+             F.min(F.struct("seq_first", "offset_in_first")).alias("s"))
+        .collect()
+    )
+    assert all(
+        r["m"] == 0 and r["s"]["offset_in_first"] == 0 for r in firsts
+    )
+    # manifest arithmetic replays from the written rows
+    rows = (
+        pk.groupBy("split", "bucket").agg(F.sum("tokens").alias("bt"))
+        .collect()
+    )
+    want: dict[str, dict[str, int]] = {}
+    for r in rows:
+        s = want.setdefault(
+            r["split"], {"tokens": 0, "sequences": 0, "max_tokens": 32})
+        s["tokens"] += int(r["bt"])
+        s["sequences"] += (int(r["bt"]) + 31) // 32
+    assert manifest["packing"] == want
+    assert manifest["packing"]["train"]["sequences"] > 0
+
+
 def test_corpus_pipeline_caches_exact_dedup(spark, sf_dir, tmp_path,
                                             monkeypatch):
     """The exact-dedup window must execute ONCE: its three consumers
