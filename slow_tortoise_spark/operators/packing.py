@@ -141,3 +141,67 @@ def pack_sequences(
         F.pmod(F.col("_cs"), F.lit(max_tokens)).cast("long")
         .alias("offset_in_first"),
     )
+
+
+def sequence_index(
+    manifest: DataFrame,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """(bucket, seq, doc_id, doc_offset, seq_offset, n_tokens) — the
+    LOADER-side inverse of :func:`pack_sequences`: for every training
+    sequence, exactly which token slices of which documents fill it.
+    A data loader reads its shard's index rows for sequence ``seq``
+    and materializes ``doc_id[doc_offset : doc_offset + n_tokens]``
+    at position ``seq_offset`` — the manifest answers "where does doc
+    d land", this answers "what does sequence s contain".
+
+    ``manifest`` is :func:`pack_sequences` output (doc_id, bucket,
+    tokens, seq_first, seq_last, offset_in_first) with the SAME
+    ``max_tokens``.  Pure integer arithmetic off the manifest row —
+    the doc's global cut position is ``seq_first·max_tokens +
+    offset_in_first``, and each spanned sequence takes the overlap of
+    [cut, cut+tokens) with its own [s·max_tokens, (s+1)·max_tokens):
+
+    * ``doc_offset``  = max(s·mt, cut) − cut   (where in the doc)
+    * ``seq_offset``  = max(s·mt, cut) − s·mt  (where in the sequence)
+    * ``n_tokens``    = min((s+1)·mt, cut+tokens) − max(s·mt, cut)
+
+    Zero-token documents contribute no index rows (a loader skips
+    them; their manifest rows exist only to witness placement).
+
+    Scale shape: MAP-ONLY — one ``explode(sequence(seq_first,
+    seq_last))`` per doc (a doc yields ⌈tokens/mt⌉+1 rows at most) and
+    Column arithmetic; no shuffle, no window, no join.  Output size is
+    Σ_docs (spanned sequences) ≈ |docs| + total_tokens/max_tokens —
+    linear in the corpus.  Every value is an exact integer, replayable
+    by a SQL ``generate_series`` — tiling invariants (each sequence
+    sums to ``max_tokens`` except a bucket's last; each doc's slices
+    tile [0, tokens) contiguously) are pinned by test.
+    """
+    if max_tokens <= 0:
+        raise ValueError("sequence_index: max_tokens must be positive")
+    mt = F.lit(max_tokens)
+    cut = (F.col("seq_first") * mt + F.col("offset_in_first")).alias("_cut")
+    s_lo = F.col("seq") * mt
+    lo = F.greatest(s_lo, F.col("_cut"))
+    hi = F.least(s_lo + mt, F.col("_cut") + F.col("tokens"))
+    return (
+        manifest.filter(F.col("tokens") > 0)
+        .select(
+            "doc_id",
+            "bucket",
+            "tokens",
+            cut,
+            F.explode(
+                F.sequence(F.col("seq_first"), F.col("seq_last"))
+            ).alias("seq"),
+        )
+        .select(
+            "bucket",
+            "seq",
+            "doc_id",
+            (lo - F.col("_cut")).cast("long").alias("doc_offset"),
+            (lo - s_lo).cast("long").alias("seq_offset"),
+            (hi - lo).cast("long").alias("n_tokens"),
+        )
+    )

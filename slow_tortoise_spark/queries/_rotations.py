@@ -806,3 +806,23 @@ for _name in _ROTATE_OUT_12A:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave B: sequence_index (NEW — the loader-side inverse of the packing
+# manifest: which document token slices fill each training sequence;
+# map-only explode + integer overlap arithmetic on top of
+# pack_sequences, replayed by a generate_series oracle).  Contract
+# rule 1: a never-driver-checked query enters the catalog the round it
+# is built.  Out: hyperball_harmonic (r10+r11 rows — the second-row
+# precedent satisfied; the geometric-centrality family keeps
+# hyperball_closeness + neighborhood_function driver rows in the
+# catalog, and the register loop is shared code with both).
+_ROTATE_IN_12B = ["sequence_index"]
+_ROTATE_OUT_12B = ["hyperball_harmonic"]
+for _name in _ROTATE_IN_12B:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_12B:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -1992,9 +1992,49 @@ def q_pack_sequences_shuffled(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_sequence_index(spark, sf_dir):
+    """Loader-side inverse of the packing manifest: every (bucket,
+    sequence) with the exact document token slices that fill it —
+    what a training data loader reads to materialize sequence s.
+    MAP-ONLY on top of the manifest (one explode + integer overlap
+    arithmetic, no extra shuffle); the oracle replays the same
+    overlap formulas over a SQL ``generate_series``."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        sequence_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    man = pack_sequences(docs, max_tokens=64, n_buckets=8)
+    return sequence_index(man, max_tokens=64).orderBy(
+        "bucket", "seq", "seq_offset"
+    )
+
+
+def _sequence_index_sql(max_tokens: int = 64, n_buckets: int = 8) -> str:
+    mt = max_tokens
+    return f"""WITH pman AS MATERIALIZED (
+{_pack_sequences_sql(max_tokens, n_buckets)}
+),
+pex AS MATERIALIZED (
+    SELECT bucket, doc_id, tokens,
+           seq_first * {mt} + offset_in_first AS cut,
+           UNNEST(generate_series(seq_first, seq_last)) AS seq
+    FROM pman WHERE tokens > 0)
+SELECT bucket, seq, doc_id,
+       CAST(GREATEST(seq * {mt}, cut) - cut AS BIGINT) AS doc_offset,
+       CAST(GREATEST(seq * {mt}, cut) - seq * {mt} AS BIGINT)
+         AS seq_offset,
+       CAST(LEAST((seq + 1) * {mt}, cut + tokens)
+            - GREATEST(seq * {mt}, cut) AS BIGINT) AS n_tokens
+FROM pex ORDER BY bucket, seq, seq_offset"""
+
+
 VERIFIER_QUERIES["pack_sequences"] = q_pack_sequences
 VERIFIER_ORACLE_SQL["pack_sequences"] = _pack_sequences_sql(64, 8)
 VERIFIER_QUERIES["pack_sequences_shuffled"] = q_pack_sequences_shuffled
 VERIFIER_ORACLE_SQL["pack_sequences_shuffled"] = _pack_sequences_sql(
     64, 8, order_by_hash=True
 )
+VERIFIER_QUERIES["sequence_index"] = q_sequence_index
+VERIFIER_ORACLE_SQL["sequence_index"] = _sequence_index_sql(64, 8)

@@ -456,6 +456,10 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # hashed within-bucket order is one more SORT KEY, not an
         # extra exchange — same budget as the doc_id-ordered form
         "pack_sequences_shuffled": 2,
+        # the loader-side index is MAP-ONLY on top of the manifest
+        # (explode + integer overlap arithmetic): same 2 exchanges as
+        # pack_sequences itself (window shuffle + output orderBy)
+        "sequence_index": 2,
         # weighted LP: rounds pre-materialized; 1 = the output orderBy;
         # +2 for the in-query weight build (groupBy + its exchange)
         "label_propagation_weighted": 3,

@@ -4739,6 +4739,60 @@ def test_pack_sequences_null_token_count_raises(spark):
     assert "NULL token count" in str(exc.value)
 
 
+def test_sequence_index_tiles_sequences_and_docs(spark):
+    """The loader-side index tiles BOTH ways: every sequence except a
+    bucket's last is filled to exactly max_tokens by contiguous
+    slices starting at offset 0, and every doc's slices tile
+    [0, tokens) contiguously across its spanned sequences.  Zero-token
+    docs contribute no rows."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        sequence_index,
+    )
+
+    docs = [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(60)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs])
+    man = pack_sequences(df, max_tokens=16, n_buckets=4)
+    rows = sequence_index(man, max_tokens=16).collect()
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+    by_seq: dict[tuple, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_seq.setdefault((r["bucket"], r["seq"]), []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    last_seq = {}
+    for (b, s) in by_seq:
+        last_seq[b] = max(last_seq.get(b, -1), s)
+    for (b, s), slices in by_seq.items():
+        slices.sort(key=lambda r: r["seq_offset"])
+        # contiguous from 0
+        pos = 0
+        for r in slices:
+            assert r["seq_offset"] == pos, (b, s, r)
+            pos += r["n_tokens"]
+        if s < last_seq[b]:
+            assert pos == 16, (b, s, pos)  # full sequence
+        else:
+            assert 0 < pos <= 16
+
+    man_rows = {r["doc_id"]: r for r in man.collect()}
+    for d, slices in by_doc.items():
+        slices.sort(key=lambda r: r["doc_offset"])
+        pos = 0
+        for r in slices:
+            assert r["doc_offset"] == pos, (d, r)
+            pos += r["n_tokens"]
+        assert pos == man_rows[d]["tokens"]
+    # zero-token docs (present in the fixture) are absent from the index
+    zeros = {d for d, r in man_rows.items() if r["tokens"] == 0}
+    assert zeros and not zeros & set(by_doc)
+
+
 def test_pack_sequences_token_count_col_and_validation(spark):
     """An explicit token_count column overrides the whitespace count;
     bad parameters fail loudly."""
