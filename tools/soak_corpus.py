@@ -153,6 +153,12 @@ def main() -> int:
             ppl_lm_reference=base.select("doc_id", "text"),
             mix_budget=float(n_base * copies) * 0.06,
             checkpoint_mode=ckpt_mode,
+            # export stage (round 12): curated corpus straight to the
+            # per-split training-sequence packing manifest — the soak
+            # now exercises the pipeline end to end INCLUDING the
+            # loader-facing artifact
+            pack_max_tokens=2048,
+            pack_n_buckets=64,
         ),
     )
     wall = time.time() - t0
@@ -169,6 +175,7 @@ def main() -> int:
         "peak_cached_rdds": peak["rdds"],
         "residual_storage_mb": round(residual / 1048576, 2),
         "output_docs": manifest.get("output_docs"),
+        "packing": manifest.get("packing"),
         "stage_counts": {k: v for k, v in manifest.items()
                          if isinstance(v, (int, float))},
         "stage_seconds": manifest.get("stage_seconds", {}),
