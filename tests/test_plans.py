@@ -703,3 +703,30 @@ def test_gate_stage_single_tokenizer_eval(spark, sf_dir, tmp_path,
     # first checkpoint boundary = the gate stage (no pre-gate stages on)
     gate_plan = plans[0]
     assert len(re.findall(r"split\(trim", gate_plan)) == 1, gate_plan[:4000]
+
+
+def test_sequence_index_is_map_only_on_materialized_manifest(
+    spark, tmp_path
+):
+    """On a MATERIALIZED manifest (the pipeline's {out_dir}/packing
+    parquet — the 100 TB calling convention, where packing ran once
+    and loaders derive views), sequence_index is exchange-FREE: one
+    explode + integer overlap arithmetic, no shuffle/window/join.
+    The catalog row's 2 exchanges both belong to the in-query
+    manifest build + output sort, not to the index itself."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        sequence_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * (5 + i % 7)))
+         for i in range(40)])
+    path = str(tmp_path / "manifest.parquet")
+    pack_sequences(docs, max_tokens=16, n_buckets=4).write.parquet(path)
+    idx = sequence_index(spark.read.parquet(path), max_tokens=16)
+    plan = _plan(idx)
+    assert "Exchange" not in plan, plan
+    assert idx.count() > 0
