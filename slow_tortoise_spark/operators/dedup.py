@@ -1494,6 +1494,136 @@ def temperature_mix(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """Budget-capped quality selection: keep the maximal PREFIX of the
+    corpus ordered by (``score_col`` DESC, ``id_col`` ASC) whose
+    cumulative token count stays ≤ ``budget`` — "give me the best
+    12B tokens", the standard data-mixing primitive once every doc
+    carries a quality score.  Greedy prefix semantics: the first doc
+    that would overflow the budget is dropped and nothing after it is
+    backfilled (deterministic, engine-replayable — a backfilling
+    knapsack would be neither).
+
+    The NAIVE plan is a window cumsum over a GLOBAL sort — a
+    single-task window over the whole corpus, the exact shape that
+    dies at 100 TB.  This implementation keeps the identical
+    semantics in bounded passes instead (the SQL oracle replays the
+    naive window; equality between the two IS the correctness
+    statement):
+
+    1. one aggregate for (min score, max score, total tokens) —
+       early-out keep-all when total ≤ budget;
+    2. scores map monotonically onto ``n_buckets`` descending coarse
+       buckets (double arithmetic — safe because bucketing only needs
+       MONOTONICITY; exact ordering is restored inside the boundary);
+    3. one partially-aggregated groupBy(bucket) → ≤ ``n_buckets``
+       driver rows locate the boundary bucket B* and the residual
+       budget entering it;
+    4. buckets before B* keep everything (their whole prefix fits);
+       only the BOUNDARY bucket — ~|corpus|/n_buckets docs — pays an
+       exact (score DESC, id) window cumsum against the residual.
+       (Degenerate case: every doc sharing one score lands in one
+       bucket and the window is corpus-wide again — the caller's
+       score is the fix, not the operator's.)
+
+    NULL scores raise (ordering under NULL is engine-defined — the
+    ``_edge_weight``/pack_sequences loud-guard discipline); token
+    counts come from ``token_count_col`` (NULLs raise) or a
+    whitespace count of ``text_col``.  Returns the kept rows with the
+    input's columns.
+    """
+    if budget < 0:
+        raise ValueError("token_budget_select: budget must be >= 0")
+    if token_count_col is not None:
+        c = F.col(token_count_col).cast("long")
+        toks = F.when(
+            c.isNull(),
+            F.raise_error(F.lit(
+                "token_budget_select: NULL token count in "
+                f"'{token_count_col}'"
+            )),
+        ).otherwise(c)
+    else:
+        toks = F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).cast("long")
+    s = F.col(score_col)
+    score_guard = F.when(
+        s.isNull(),
+        F.raise_error(F.lit(
+            f"token_budget_select: NULL score in '{score_col}' "
+            "(ordering under NULL is engine-defined)"
+        )),
+    ).otherwise(s.cast("double"))
+    # clamp at 0 (the pack_sequences convention): a NEGATIVE count
+    # would make the cumulative non-monotone, and the whole-bucket
+    # keep/drop would then diverge from true prefix semantics
+    base = df.withColumn(
+        "_tb_toks", F.greatest(toks, F.lit(0))
+    ).withColumn("_tb_s", score_guard)
+    row = base.agg(
+        F.min("_tb_s").alias("lo"),
+        F.max("_tb_s").alias("hi"),
+        F.coalesce(F.sum("_tb_toks"), F.lit(0)).alias("total"),
+    ).first()
+    if row["total"] is None or row["lo"] is None:  # empty input
+        return df.filter(F.lit(False))
+    if int(row["total"]) <= budget:
+        return df  # everything fits — no second pass at all
+    if budget == 0:
+        return df.filter(F.lit(False))
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = hi - lo
+    if width > 0:
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.lit(hi) - F.col("_tb_s"))
+                    / F.lit(width) * F.lit(n_buckets)).cast("int"),
+        )
+    else:
+        bucket = F.lit(0)  # one score level: all boundary
+    base = base.withColumn("_tb_b", bucket)
+    sums = {
+        int(r["_tb_b"]): int(r["t"])
+        for r in base.groupBy("_tb_b").agg(
+            F.sum("_tb_toks").alias("t")).collect()
+    }
+    cum = 0
+    b_star = None
+    for b in sorted(sums):
+        if cum + sums[b] > budget:
+            b_star = b
+            break
+        cum += sums[b]
+    if b_star is None:  # unreachable (total > budget) — keep-all guard
+        return df
+    residual = budget - cum
+    kept_full = base.filter(F.col("_tb_b") < b_star)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_tb_s").desc(), F.col(id_col))
+    boundary = (
+        base.filter(F.col("_tb_b") == b_star)
+        .withColumn("_tb_ce", F.sum("_tb_toks").over(w))
+        .filter(F.col("_tb_ce") <= residual)
+        .drop("_tb_ce")
+    )
+    return kept_full.unionByName(boundary).drop(
+        "_tb_toks", "_tb_s", "_tb_b"
+    )
+
+
 def dup_ngram_stats(
     df: DataFrame, n: int = 10, text_col: str = "text"
 ) -> DataFrame:

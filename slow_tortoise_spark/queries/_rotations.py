@@ -826,3 +826,21 @@ for _name in _ROTATE_OUT_12B:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave C: token_budget_select (NEW — budget-capped quality selection:
+# keep the best docs until a token budget is spent, the data-mixing
+# primitive; engine = bounded bucketed-threshold passes, oracle = the
+# naive global-window cumsum the distributed plan replaces).  Contract
+# rule 1.  Out: csv_roundtrip (r10+r11 rows — second-row precedent
+# satisfied; the textio family's jsonl_roundtrip sibling holds its r10
+# row and both stay oracle-checked in the verifier tier).
+_ROTATE_IN_12C = ["token_budget_select"]
+_ROTATE_OUT_12C = ["csv_roundtrip"]
+for _name in _ROTATE_IN_12C:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_12C:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -2038,3 +2038,61 @@ VERIFIER_ORACLE_SQL["pack_sequences_shuffled"] = _pack_sequences_sql(
 )
 VERIFIER_QUERIES["sequence_index"] = q_sequence_index
 VERIFIER_ORACLE_SQL["sequence_index"] = _sequence_index_sql(64, 8)
+
+
+# ---------------------------------------------------------------------------
+# Budget-capped quality selection (verifier tier — the oracle IS the
+# naive global-window plan the distributed operator replaces)
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET = 12_000
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Keep the best documents until a 12k-token budget is spent:
+    docs scored by DISTINCT-token count (an exact integer both
+    engines derive identically), ordered (score DESC, doc_id), greedy
+    prefix.  The engine runs the bounded bucketed-threshold plan (two
+    small driver aggregates + an exact window over ONLY the boundary
+    bucket); the DuckDB oracle runs the naive single-window global
+    cumsum — equality of the two is precisely the operator's
+    correctness claim."""
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).cast("long").alias("score"),
+    )
+    kept = token_budget_select(
+        scored, budget=_TB_BUDGET, score_col="score"
+    )
+    return kept.select("doc_id", "score").orderBy("doc_id")
+
+
+_Q_TOKEN_BUDGET_SELECT = f"""WITH tbs AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> ''))) AS BIGINT) AS score,
+           CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS toks
+    FROM documents),
+tbc AS MATERIALIZED (
+    SELECT doc_id, score,
+           SUM(toks) OVER (ORDER BY score DESC, doc_id) AS ce
+    FROM tbs)
+SELECT doc_id, score FROM tbc WHERE ce <= {_TB_BUDGET}
+ORDER BY doc_id"""
+
+VERIFIER_QUERIES["token_budget_select"] = q_token_budget_select
+VERIFIER_ORACLE_SQL["token_budget_select"] = _Q_TOKEN_BUDGET_SELECT

@@ -460,6 +460,11 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # (explode + integer overlap arithmetic): same 2 exchanges as
         # pack_sequences itself (window shuffle + output orderBy)
         "sequence_index": 2,
+        # budget selection's RETURNED plan: one single-partition
+        # exchange feeding the exact window over ONLY the boundary
+        # bucket + the output orderBy; the two driver aggregates
+        # (min/max/total, bucket sums) run before the plan is built
+        "token_budget_select": 2,
         # weighted LP: rounds pre-materialized; 1 = the output orderBy;
         # +2 for the in-query weight build (groupBy + its exchange)
         "label_propagation_weighted": 3,

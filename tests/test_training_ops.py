@@ -4814,3 +4814,99 @@ def test_pack_sequences_token_count_col_and_validation(spark):
         pack_sequences(df, n_buckets=0)
     with pytest.raises(ValueError):
         pack_sequences(df, n_buckets=65537)
+
+
+def test_token_budget_select_matches_python_prefix(spark):
+    """Budget selection equals the pure-Python greedy prefix over
+    (score DESC, id ASC) at several budgets, including one landing
+    EXACTLY on a doc boundary; budget 0 keeps nothing; budget >= total
+    keeps everything; all-equal scores (the degenerate single-bucket
+    case) still match."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    docs = [(i, " ".join(["t"] * (1 + (i * 5) % 9)), (i * 37) % 11)
+            for i in range(80)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, score=s) for i, t, s in docs])
+
+    def want(budget, scores=None):
+        order = sorted(docs, key=lambda d: (-(scores or {}).get(
+            d[0], d[2]), d[0]))
+        kept, cum = set(), 0
+        for i, t, s in order:
+            n = len(t.split())
+            if cum + n > budget:
+                break
+            cum += n
+            kept.add(i)
+        return kept
+
+    totals = sum(len(t.split()) for _, t, _ in docs)
+    boundary = None
+    # find a budget that lands exactly on a doc edge mid-corpus
+    order = sorted(docs, key=lambda d: (-d[2], d[0]))
+    cum = 0
+    for k, (i, t, s) in enumerate(order):
+        cum += len(t.split())
+        if k == 30:
+            boundary = cum
+    for budget in (0, 7, boundary, totals // 2, totals, totals + 10):
+        got = {r["doc_id"] for r in token_budget_select(
+            df, budget=budget, score_col="score").collect()}
+        assert got == want(budget), budget
+    # degenerate: every score equal — single bucket, window-only path
+    same = df.withColumn("score", df.score * 0)
+    got = {r["doc_id"] for r in token_budget_select(
+        same, budget=totals // 3, score_col="score").collect()}
+    order0 = sorted(docs, key=lambda d: d[0])
+    kept, cum = set(), 0
+    for i, t, s in order0:
+        n = len(t.split())
+        if cum + n > totals // 3:
+            break
+        cum += n
+        kept.add(i)
+    assert got == kept
+
+
+def test_token_budget_select_guards(spark):
+    """NULL scores and NULL explicit token counts raise loudly;
+    negative explicit counts clamp to zero (monotone-prefix safety);
+    negative budget is rejected."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=2, n=2),
+         Row(doc_id=2, text="c", score=None, n=1)],
+        schema="doc_id bigint, text string, score bigint, n bigint")
+    with pytest.raises(Exception) as exc:
+        token_budget_select(df, budget=1, score_col="score").collect()
+    assert "NULL score" in str(exc.value)
+
+    df2 = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=2, n=2),
+         Row(doc_id=2, text="c", score=1, n=None)],
+        schema="doc_id bigint, text string, score bigint, n bigint")
+    with pytest.raises(Exception) as exc:
+        token_budget_select(df2, budget=1, score_col="score",
+                            token_count_col="n").collect()
+    assert "NULL token count" in str(exc.value)
+
+    # negative counts clamp: doc 2 occupies 0 tokens, so a 2-token
+    # budget keeps both (score order: doc 1 first)
+    df3 = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=2, n=2),
+         Row(doc_id=2, text="c", score=1, n=-5)],
+        schema="doc_id bigint, text string, score bigint, n bigint")
+    got = {r["doc_id"] for r in token_budget_select(
+        df3, budget=2, score_col="score", token_count_col="n").collect()}
+    assert got == {1, 2}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        token_budget_select(df3, budget=-1, score_col="score")
