@@ -261,24 +261,47 @@ def main() -> None:
     # means other runnable tasks already held cores, so the timings
     # measure contention, not plans — compare against BENCH_LOCAL.json
     # (the isolated min-of-N sidecar) instead.
+    import threading
+
     load_before = round(os.getloadavg()[0], 2)
     cpu0, t0 = _tree_cpu_seconds(), time.time()
+    # Sample the tree's CPU every ~15 s so the self-load estimate can
+    # be computed over only the TRAILING minute of the suite.  The
+    # 1-min load EMA is dominated by the last ~60 s, so a run-average
+    # of a front-loaded suite (heavy early, idle at the end) would
+    # OVER-count our share of the final EMA and mask external
+    # contention that began mid-run (the r12 ADVICE case).
+    samples: list[tuple[float, float]] = [(t0, cpu0)]
+    stop = threading.Event()
+
+    def _sample_loop():
+        while not stop.wait(15.0):
+            samples.append((time.time(), _tree_cpu_seconds()))
+
+    sampler = threading.Thread(target=_sample_loop, daemon=True)
+    sampler.start()
     timings = run_suite(spark, sf_dir)
+    stop.set()
+    sampler.join(timeout=2.0)
     total = round(sum(timings.values()), 3)
     load_after = round(os.getloadavg()[0], 2)
+    t_end, cpu_end = time.time(), _tree_cpu_seconds()
+    samples.append((t_end, cpu_end))
     # Our OWN suite inflates load_1m_after (BENCH_r11 on a busy box:
-    # 6.19 → 8.28; even a clean run's 32-thread suite adds several
-    # points of 1-min EMA by the end), so the after-sample enters the
-    # verdict only net of a measured estimate of this process tree's
-    # contribution: CPU-seconds the tree burned during the suite,
-    # averaged over max(wall, 60 s).  The estimate UNDER-counts our
-    # share of the EMA when the suite is shorter than a minute
-    # (recent seconds weigh more), so the net value leans toward
+    # 6.19 → 8.28), so the after-sample enters the verdict net of a
+    # measured estimate of this tree's contribution to the final EMA:
+    # CPU-seconds the tree burned in the TRAILING ~60 s (earliest
+    # sample at/after t_end−60 — a window ⊆ the last minute, so the
+    # delta can only UNDER-count), divided by 60.  Both the ≤15 s
+    # sampling slack and the short-suite case (window = whole run,
+    # still ÷60) under-count our share, so the net value leans toward
     # flagging, never toward missing contention — and both raw loads
     # plus the estimate are recorded for adjudication.
-    self_load = round(
-        (_tree_cpu_seconds() - cpu0) / max(time.time() - t0, 60.0), 2
-    )
+    target = t_end - 60.0
+    ref_cpu = min(
+        (s for s in samples if s[0] >= target), key=lambda s: s[0]
+    )[1]
+    self_load = round((cpu_end - ref_cpu) / 60.0, 2)
     # threshold scales with core count BOTH ways (r11 ADVICE: the old
     # max(2.0, ...) floor meant 2 cores at load 1.9 — saturated —
     # read as clean); 0.5 only absorbs scheduler noise on tiny boxes

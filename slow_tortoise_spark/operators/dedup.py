@@ -1494,6 +1494,40 @@ def temperature_mix(
     )
 
 
+def _tb_int_bucket(df, diff_expr, span: int, n_buckets: int):
+    """Exact-integer interpolation bucketing: ``diff_expr`` must be a
+    non-negative long measuring distance from the range edge ALONG the
+    selection order (score: hi − s; id: v − lo), ``span`` the closed
+    range size.  Python-int ceil step + a SQL ``div`` keep the
+    arithmetic exact at any 64-bit magnitude (never a double divide —
+    the transitivity/pack_sequences discipline).  Monotone by
+    construction: bucket index never decreases along the order."""
+    step = -(-span // n_buckets)  # ceil — ≥ 1, ≤ n_buckets buckets
+    return df.withColumn("_tb_d", diff_expr.cast("long")).withColumn(
+        "_tb_b", F.expr(f"_tb_d div {step}").cast("long")
+    )
+
+
+def _tb_str_key(id_col: str, offset: int):
+    """Monotone 48-bit key for STRING ids: bytes ``offset..offset+5``
+    of the UTF-8 encoding, LEFT-ALIGNED by zero-padding (a short tail
+    must compare below any longer one sharing its prefix — raw numeric
+    value of a shorter window would right-align and break byte order).
+    UTF-8 byte order equals code-point order, so the key is a monotone
+    coarsening of the string sort; ids tying on one window separate at
+    a deeper ``offset``."""
+    return F.coalesce(
+        F.conv(
+            F.hex(F.expr(
+                f"substring(rpad(cast(`{id_col}` as binary), "
+                f"{offset + 5}, x'00'), {offset}, 6)"
+            )),
+            16, 10,
+        ).cast("long"),
+        F.lit(0),
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,
@@ -1502,15 +1536,22 @@ def token_budget_select(
     token_count_col: str | None = None,
     text_col: str = "text",
     n_buckets: int = 65536,
+    max_exact_rows: int | None = None,
+    _diag: dict | None = None,
 ) -> DataFrame:
     """Budget-capped quality selection: keep the maximal PREFIX of the
-    corpus ordered by (``score_col`` DESC, ``id_col`` ASC) whose
-    cumulative token count stays ≤ ``budget`` — "give me the best
-    12B tokens", the standard data-mixing primitive once every doc
-    carries a quality score.  Greedy prefix semantics: the first doc
-    that would overflow the budget is dropped and nothing after it is
-    backfilled (deterministic, engine-replayable — a backfilling
-    knapsack would be neither).
+    corpus ordered by (``score_col`` DESC, ``id_col`` ASC) — the RAW
+    score, exact at any magnitude — whose cumulative token count stays
+    ≤ ``budget`` — "give me the best 12B tokens", the standard
+    data-mixing primitive once every doc carries a quality score.
+    Greedy prefix semantics: the first doc that would overflow the
+    budget is dropped and nothing after it is backfilled
+    (deterministic, engine-replayable — a backfilling knapsack would
+    be neither).  Zero-token docs never overflow, so they survive
+    anywhere in the kept prefix — including at ``budget == 0``, where
+    the result is exactly the leading zero-token docs (the naive
+    cumsum-≤-budget window keeps them; an empty-result short-circuit
+    would not).
 
     The NAIVE plan is a window cumsum over a GLOBAL sort — a
     single-task window over the whole corpus, the exact shape that
@@ -1521,18 +1562,33 @@ def token_budget_select(
 
     1. one aggregate for (min score, max score, total tokens) —
        early-out keep-all when total ≤ budget;
-    2. scores map monotonically onto ``n_buckets`` descending coarse
-       buckets (double arithmetic — safe because bucketing only needs
-       MONOTONICITY; exact ordering is restored inside the boundary);
-    3. one partially-aggregated groupBy(bucket) → ≤ ``n_buckets``
+    2. scores map monotonically onto ≤ ``n_buckets`` coarse buckets;
+       one partially-aggregated groupBy(bucket) → ≤ ``n_buckets``
        driver rows locate the boundary bucket B* and the residual
-       budget entering it;
-    4. buckets before B* keep everything (their whole prefix fits);
-       only the BOUNDARY bucket — ~|corpus|/n_buckets docs — pays an
-       exact (score DESC, id) window cumsum against the residual.
-       (Degenerate case: every doc sharing one score lands in one
-       bucket and the window is corpus-wide again — the caller's
-       score is the fix, not the operator's.)
+       budget entering it; buckets before B* keep everything (their
+       whole prefix fits);
+    3. if the boundary bucket still holds more than
+       ``max_exact_rows`` docs (default ``n_buckets``), the SAME
+       bucketed-threshold pass recurses INSIDE it on successively
+       finer monotone keys: the double-cast score while it still
+       separates; then the raw integer score exactly (bigints above
+       2^53 collapse in double — the double is only ever a
+       coarsening, never the order of record); then ``id_col`` — the
+       tie-break axis — via exact integer interpolation, or 6-byte
+       zero-padded UTF-8 windows for string ids.  Every level is one
+       min/max aggregate plus one ≤ ``n_buckets``-row histogram over
+       the CACHED input; an all-equal-score corpus therefore costs
+       O(log_{n_buckets} n) bounded passes, never a corpus-wide
+       single-task sort;
+    4. only the FINAL boundary set — ≤ ``max_exact_rows`` docs, or
+       full (score, id) duplicates after 32 levels — pays the exact
+       (raw score DESC, id ASC) window cumsum against the residual.
+
+    The input (with its helper columns) is ``tracked_cache``-ed before
+    the first aggregate, so the driver passes and both branches of the
+    returned plan share one materialization instead of re-executing
+    the upstream lineage; ``release_operator_caches()`` frees it at
+    the caller's stage boundary.
 
     NULL scores raise (ordering under NULL is engine-defined — the
     ``_edge_weight``/pack_sequences loud-guard discipline); token
@@ -1540,6 +1596,14 @@ def token_budget_select(
     whitespace count of ``text_col``.  Returns the kept rows with the
     input's columns.
     """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
     if budget < 0:
         raise ValueError("token_budget_select: budget must be >= 0")
     if token_count_col is not None:
@@ -1566,62 +1630,164 @@ def token_budget_select(
             "(ordering under NULL is engine-defined)"
         )),
     ).otherwise(s.cast("double"))
+    _int_types = (ByteType, ShortType, IntegerType, LongType)
+    score_is_int = isinstance(df.schema[score_col].dataType, _int_types)
+    id_dt = df.schema[id_col].dataType
     # clamp at 0 (the pack_sequences convention): a NEGATIVE count
     # would make the cumulative non-monotone, and the whole-bucket
-    # keep/drop would then diverge from true prefix semantics
-    base = df.withColumn(
-        "_tb_toks", F.greatest(toks, F.lit(0))
-    ).withColumn("_tb_s", score_guard)
+    # keep/drop would then diverge from true prefix semantics.
+    # Cached: the two driver aggregates per level AND the union
+    # branches of the returned plan all read this one materialization.
+    base = tracked_cache(
+        df.withColumn("_tb_toks", F.greatest(toks, F.lit(0)))
+        .withColumn("_tb_s", score_guard)
+    )
     row = base.agg(
         F.min("_tb_s").alias("lo"),
-        F.max("_tb_s").alias("hi"),
         F.coalesce(F.sum("_tb_toks"), F.lit(0)).alias("total"),
     ).first()
-    if row["total"] is None or row["lo"] is None:  # empty input
+    if row["lo"] is None:  # empty input
         return df.filter(F.lit(False))
     if int(row["total"]) <= budget:
         return df  # everything fits — no second pass at all
-    if budget == 0:
-        return df.filter(F.lit(False))
-    lo, hi = float(row["lo"]), float(row["hi"])
-    width = hi - lo
-    if width > 0:
-        bucket = F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.lit(hi) - F.col("_tb_s"))
-                    / F.lit(width) * F.lit(n_buckets)).cast("int"),
-        )
-    else:
-        bucket = F.lit(0)  # one score level: all boundary
-    base = base.withColumn("_tb_b", bucket)
-    sums = {
-        int(r["_tb_b"]): int(r["t"])
-        for r in base.groupBy("_tb_b").agg(
-            F.sum("_tb_toks").alias("t")).collect()
-    }
-    cum = 0
-    b_star = None
-    for b in sorted(sums):
-        if cum + sums[b] > budget:
-            b_star = b
+    max_exact = n_buckets if max_exact_rows is None else max_exact_rows
+    kept: list[DataFrame] = []
+    cur = base
+    residual = budget
+    boundary: DataFrame | None = None
+    stage = "score_double"  # → score_int → id → exact
+    str_off = 1  # 1-based byte offset for string-id key windows
+    levels = 0
+    boundary_rows = -1
+
+    def _minmax(frame, col):
+        r = frame.agg(F.min(col).alias("lo"), F.max(col).alias("hi")
+                      ).first()
+        return r["lo"], r["hi"]
+
+    for _ in range(32):  # depth cap — each level is 2 bounded jobs
+        # pick the finest monotone key that still separates `cur`,
+        # advancing stages as each exhausts (min == max within cur)
+        cur_b = None
+        while cur_b is None:
+            if stage == "score_double":
+                lo, hi = _minmax(cur, "_tb_s")
+                if lo < hi:
+                    width = float(hi) - float(lo)
+                    cur_b = cur.withColumn(
+                        "_tb_b",
+                        F.least(
+                            F.lit(n_buckets - 1),
+                            F.floor(
+                                (F.lit(float(hi)) - F.col("_tb_s"))
+                                / F.lit(width) * F.lit(n_buckets)
+                            ).cast("int"),
+                        ).cast("long"),
+                    )
+                else:
+                    # double ties: integral raw scores may still
+                    # differ past 2^53 — refine exactly, never reorder
+                    stage = "score_int" if score_is_int else "id"
+            elif stage == "score_int":
+                lo, hi = _minmax(cur, score_col)
+                lo, hi = int(lo), int(hi)
+                if lo < hi:
+                    cur_b = _tb_int_bucket(
+                        cur, F.lit(hi) - F.col(score_col),
+                        hi - lo + 1, n_buckets,
+                    )
+                else:
+                    stage = "id"
+            elif stage == "id":
+                if isinstance(id_dt, _int_types):
+                    lo, hi = _minmax(cur, id_col)
+                    lo, hi = int(lo), int(hi)
+                    if hi - lo >= (1 << 62):
+                        # a full-long id span would overflow the
+                        # (id − lo) diff column — coarsen ONE level in
+                        # double (monotone; ties refine exactly next
+                        # level on a span that now fits)
+                        width = float(hi) - float(lo)
+                        cur_b = cur.withColumn(
+                            "_tb_b",
+                            F.least(
+                                F.lit(n_buckets - 1),
+                                F.floor(
+                                    (F.col(id_col).cast("double")
+                                     - F.lit(float(lo)))
+                                    / F.lit(width) * F.lit(n_buckets)
+                                ).cast("int"),
+                            ).cast("long"),
+                        )
+                    elif lo < hi:
+                        cur_b = _tb_int_bucket(
+                            cur, F.col(id_col) - F.lit(lo),
+                            hi - lo + 1, n_buckets,
+                        )
+                    else:
+                        stage = "exact"  # duplicate ids — full ties
+                elif isinstance(id_dt, StringType) and str_off <= 241:
+                    keyed = cur.withColumn(
+                        "_tb_k", _tb_str_key(id_col, str_off))
+                    lo, hi = _minmax(keyed, "_tb_k")
+                    lo, hi = int(lo), int(hi)
+                    if lo < hi:
+                        cur_b = _tb_int_bucket(
+                            keyed, F.col("_tb_k") - F.lit(lo),
+                            hi - lo + 1, n_buckets,
+                        )
+                    else:
+                        str_off += 6  # shared window — go deeper
+                else:
+                    stage = "exact"
+            else:  # exact — no finer monotone key; window what's left
+                break
+        if cur_b is None:
             break
-        cum += sums[b]
-    if b_star is None:  # unreachable (total > budget) — keep-all guard
-        return df
-    residual = budget - cum
-    kept_full = base.filter(F.col("_tb_b") < b_star)
+        levels += 1
+        rows = cur_b.groupBy("_tb_b").agg(
+            F.sum("_tb_toks").alias("t"), F.count("*").alias("c")
+        ).collect()
+        sums = {int(r["_tb_b"]): (int(r["t"]), int(r["c"]))
+                for r in rows}
+        cum = 0
+        b_star = None
+        for b in sorted(sums):
+            if cum + sums[b][0] > residual:
+                b_star = b
+                break
+            cum += sums[b][0]
+        if b_star is None:  # unreachable (total > residual) — keep all
+            kept.append(cur_b)
+            cur = None
+            break
+        kept.append(cur_b.filter(F.col("_tb_b") < F.lit(b_star)))
+        residual -= cum
+        cur = cur_b.filter(F.col("_tb_b") == F.lit(b_star))
+        boundary_rows = sums[b_star][1]
+        if boundary_rows <= max_exact:
+            break
+    boundary = cur
+    if _diag is not None:
+        _diag.update(levels=levels, boundary_rows=boundary_rows,
+                     residual=residual, stage=stage)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("_tb_s").desc(), F.col(id_col))
-    boundary = (
-        base.filter(F.col("_tb_b") == b_star)
-        .withColumn("_tb_ce", F.sum("_tb_toks").over(w))
-        .filter(F.col("_tb_ce") <= residual)
-        .drop("_tb_ce")
-    )
-    return kept_full.unionByName(boundary).drop(
-        "_tb_toks", "_tb_s", "_tb_b"
-    )
+    frames = list(kept)
+    if boundary is not None:
+        # the order of record: RAW score (exact at any magnitude — the
+        # double `_tb_s` is bucketing-only), id ASC tie-break
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        frames.append(
+            boundary.withColumn("_tb_ce", F.sum("_tb_toks").over(w))
+            .filter(F.col("_tb_ce") <= residual)
+        )
+    helper = ["_tb_toks", "_tb_s", "_tb_b", "_tb_d", "_tb_k", "_tb_ce"]
+    out = None
+    for f in frames:
+        f = f.drop(*helper)
+        out = f if out is None else out.unionByName(f)
+    return out
 
 
 def dup_ngram_stats(

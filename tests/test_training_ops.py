@@ -4910,3 +4910,123 @@ def test_token_budget_select_guards(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         token_budget_select(df3, budget=-1, score_col="score")
+
+
+def test_token_budget_select_budget_zero_keeps_zero_token_prefix(spark):
+    """budget == 0 is NOT an empty-result short-circuit: zero-token
+    docs never overflow, so the naive cumsum-<=-0 window (the oracle)
+    keeps exactly the zero-token docs sorting BEFORE the first
+    positive-token doc — and only those (a zero-token doc AFTER the
+    first overflow is dropped; cumsums are running, not kept-only).
+    The r12 ADVICE divergence, pinned."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    # order by (score DESC, id): z1(0 tok) z2(0) a(3) z3(0) b(2)
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="", score=9),        # z1: 0 tokens
+        Row(doc_id=2, text="   ", score=8),     # z2: 0 tokens
+        Row(doc_id=3, text="x y z", score=7),   # a: 3 tokens
+        Row(doc_id=4, text="", score=6),        # z3: after overflow
+        Row(doc_id=5, text="p q", score=5),
+    ])
+    got = {r["doc_id"] for r in token_budget_select(
+        df, budget=0, score_col="score").collect()}
+    assert got == {1, 2}
+    # and mid-budget: overflow at doc 3 still drops the later zero doc
+    got2 = {r["doc_id"] for r in token_budget_select(
+        df, budget=2, score_col="score").collect()}
+    assert got2 == {1, 2}
+    # budget 3: doc 3 fits exactly, z3 rides along, b overflows
+    got3 = {r["doc_id"] for r in token_budget_select(
+        df, budget=3, score_col="score").collect()}
+    assert got3 == {1, 2, 3, 4}
+
+
+def test_token_budget_select_boundary_orders_by_raw_bigint_score(spark):
+    """Scores above 2^53 collapse to EQUAL doubles; the boundary
+    window must order by the RAW score (the double cast is
+    bucketing-only), so the higher bigint score wins the last slot."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    hi = (1 << 60) + 1  # (1<<60) and (1<<60)+1 are equal as doubles
+    df = spark.createDataFrame(
+        [Row(doc_id=10, text="a a a", score=hi - 1),
+         Row(doc_id=20, text="b b b", score=hi)],
+        schema="doc_id bigint, text string, score bigint")
+    assert float(hi) == float(hi - 1)  # the collapse premise
+    got = {r["doc_id"] for r in token_budget_select(
+        df, budget=3, score_col="score").collect()}
+    assert got == {20}
+    # raw-int refinement (stage score_int) separates them too when the
+    # boundary is forced small
+    diag = {}
+    got2 = {r["doc_id"] for r in token_budget_select(
+        df, budget=3, score_col="score", n_buckets=4,
+        max_exact_rows=1, _diag=diag).collect()}
+    assert got2 == {20}
+    assert diag["boundary_rows"] == 1
+
+
+def test_token_budget_select_degenerate_equal_scores_is_bounded(spark):
+    """The r12 verdict hardening: an ALL-EQUAL-score corpus must NOT
+    collapse to a corpus-wide single-task window — the bucketed-
+    threshold pass recurses on the id tie-break axis (exact integer
+    interpolation), so the final exact window sees <= max_exact_rows
+    docs.  Result still equals the pure-Python greedy prefix."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    n = 1000
+    docs = [(i, 1 + (i * 7) % 5) for i in range(n)]  # (id, tokens)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["t"] * k), score=3)
+         for i, k in docs])
+    budget = sum(k for _, k in docs) // 2
+    kept, cum = set(), 0
+    for i, k in sorted(docs):
+        if cum + k > budget:
+            break
+        cum += k
+        kept.add(i)
+    diag = {}
+    got = {r["doc_id"] for r in token_budget_select(
+        df, budget=budget, score_col="score", n_buckets=16,
+        max_exact_rows=16, _diag=diag).collect()}
+    assert got == kept
+    assert diag["boundary_rows"] <= 16  # bounded exact window
+    assert diag["levels"] >= 2  # it actually recursed past the scores
+
+
+def test_token_budget_select_degenerate_string_ids(spark):
+    """Same hardening on STRING ids: the 6-byte zero-padded UTF-8
+    window key is a monotone coarsening of the string sort, including
+    ids that share long prefixes (separate only at a deep offset) and
+    ids that are strict prefixes of others."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    ids = [f"doc-{'x' * 8}-{i:05d}" for i in range(300)]
+    ids += ["doc-a", "doc-ab", "doc-abc"]  # prefix-of-prefix chain
+    docs = [(d, 1 + (j * 3) % 4) for j, d in enumerate(ids)]
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=" ".join(["t"] * k), score=7)
+         for d, k in docs])
+    budget = sum(k for _, k in docs) // 3
+    kept, cum = set(), 0
+    for d, k in sorted(docs):
+        if cum + k > budget:
+            break
+        cum += k
+        kept.add(d)
+    diag = {}
+    got = {r["doc_id"] for r in token_budget_select(
+        df, budget=budget, score_col="score", id_col="doc_id",
+        n_buckets=8, max_exact_rows=8, _diag=diag).collect()}
+    assert got == kept
+    assert diag["boundary_rows"] <= 8
