@@ -14,6 +14,56 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _doc_tokens(token_count_col: str | None, text_col: str, opname: str):
+    """Token-count Column shared by the packing family: the explicit
+    count column (NULLs RAISE — the ``graph._edge_weight`` discipline;
+    ``greatest(NULL, 0)`` would silently pack a doc as 0 tokens) or a
+    whitespace-split count of ``text_col``."""
+    if token_count_col is not None:
+        c = F.col(token_count_col).cast("long")
+        return F.when(
+            c.isNull(),
+            F.raise_error(F.lit(
+                f"{opname}: NULL token count in "
+                f"'{token_count_col}' (counts must be non-null; pass "
+                "0 explicitly for zero-token docs)"
+            )),
+        ).otherwise(c)
+    return F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+
+
+def _pack_bucket(id_col: str, n_buckets: int):
+    """Shard assignment: first 16 bits of md5('pack:' || id) mod
+    n_buckets — md5-keyed (no RNG, no engine-specific hash), capping
+    ``n_buckets`` at 65536."""
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h16, F.lit(n_buckets)).cast("int")
+
+
+def _pack_order(order_by_hash: bool, shuffle_salt: str):
+    """Within-bucket packing order: doc_id, or the keyed-hash
+    permutation (md5(salt:id), doc_id tie-break — the shuffle_rows
+    idiom) when ``order_by_hash``.  Returns (extra_cols, order_cols)."""
+    if not order_by_hash:
+        return [], [F.col("doc_id")]
+    ord_col = F.md5(F.concat_ws(
+        ":", F.lit(shuffle_salt), F.col("doc_id").cast("string")
+    )).alias("_ord")
+    return [ord_col], [F.col("_ord"), F.col("doc_id")]
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 2048,
@@ -76,47 +126,15 @@ def pack_sequences(
         raise ValueError("pack_sequences: max_tokens must be positive")
     if not 0 < n_buckets <= 65536:
         raise ValueError("pack_sequences: n_buckets must be in 1..65536")
-    if token_count_col is not None:
-        c = F.col(token_count_col).cast("long")
-        # loud NULL guard (mirrors graph._edge_weight): greatest()
-        # skips nulls, so NULL counts would silently pack as 0 tokens
-        toks = F.when(
-            c.isNull(),
-            F.raise_error(F.lit(
-                "pack_sequences: NULL token count in "
-                f"'{token_count_col}' (counts must be non-null; pass "
-                "0 explicitly for zero-token docs)"
-            )),
-        ).otherwise(c)
-    else:
-        toks = F.size(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda t: t != "",
-            )
-        ).cast("long")
-    h16 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
-            1, 4,
-        ),
-        16, 10,
-    ).cast("long")
+    toks = _doc_tokens(token_count_col, text_col, "pack_sequences")
+    extra, order_cols = _pack_order(order_by_hash, shuffle_salt)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.pmod(h16, F.lit(n_buckets)).cast("int").alias("bucket"),
+        _pack_bucket(id_col, n_buckets).alias("bucket"),
         F.greatest(toks, F.lit(0)).alias("tokens"),
+        *extra,
     )
-    if order_by_hash:
-        base = base.withColumn(
-            "_ord",
-            F.md5(F.concat_ws(
-                ":", F.lit(shuffle_salt), F.col("doc_id").cast("string")
-            )),
-        )
-        w = Window.partitionBy("bucket").orderBy("_ord", "doc_id")
-    else:
-        w = Window.partitionBy("bucket").orderBy("doc_id")
+    w = Window.partitionBy("bucket").orderBy(*order_cols)
     cum_end = F.sum("tokens").over(w)
     cum_start = (cum_end - F.col("tokens")).alias("_cs")
     return base.select(
@@ -205,3 +223,124 @@ def sequence_index(
             (hi - lo).cast("long").alias("n_tokens"),
         )
     )
+
+
+def pack_sequences_append(
+    manifest: DataFrame,
+    new_docs: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    order_by_hash: bool = False,
+    shuffle_salt: str = "packshuf",
+) -> DataFrame:
+    """Incremental packing: extend an existing manifest with a new
+    BATCH of documents WITHOUT repacking the corpus.  A growing corpus
+    can't just re-run :func:`pack_sequences` on the union — cumulative
+    sums shift on any insert, so every already-trained-on sequence id
+    would be invalidated.  Instead, new docs hash to their buckets
+    with the same ``md5('pack:' || id)`` key and append AFTER each
+    bucket's recorded high-water mark (the bucket's total token count
+    off the existing manifest), with the batch id as the LEADING sort
+    key.  Existing manifest rows pass through BIT-UNCHANGED (a loader
+    keeps serving old sequence ids); appending is associative — the
+    result is identical to one :func:`pack_sequences` run over the
+    union ordered by (batch, within-batch order), because a per-bucket
+    cumsum over (batch ASC, order) is exactly the old bucket total
+    plus the new batch's local cumsum.  The same discipline as
+    ``similarity.ivf_append`` / the streaming-ingest tier: index once,
+    extend forever.
+
+    ``manifest`` is :func:`pack_sequences` (or a previous append's)
+    output with the SAME ``max_tokens`` / ``n_buckets`` /
+    ``order_by_hash`` / ``shuffle_salt`` — the caller's contract, not
+    checkable from the rows.  A ``batch`` column is added as batch 0
+    if absent; the new rows get ``max(batch) + 1``.  Duplicate doc_ids
+    across batches are not detected here (dedup is its own tier and
+    runs before packing).
+
+    Scale shape: one partially-aggregated groupBy over the manifest
+    yields ≤ ``n_buckets`` (bucket, high-water, max-batch) rows — a
+    bounded driver collect, same budget as token_budget_select's
+    histogram — rebroadcast as a literal frame; the new batch pays
+    pack_sequences' ONE bucket-partitioned window shuffle; the old
+    manifest is untouched pass-through.  All arithmetic stays exact
+    integer (``div``/``pmod`` on longs).
+    """
+    if max_tokens <= 0:
+        raise ValueError("pack_sequences_append: max_tokens must be "
+                         "positive")
+    if not 0 < n_buckets <= 65536:
+        raise ValueError("pack_sequences_append: n_buckets must be in "
+                         "1..65536")
+    missing = {"doc_id", "bucket", "tokens", "seq_first", "seq_last",
+               "offset_in_first"} - set(manifest.columns)
+    if missing:
+        raise ValueError(
+            f"pack_sequences_append: manifest lacks columns {sorted(missing)}"
+        )
+    man = (
+        manifest if "batch" in manifest.columns
+        else manifest.withColumn("batch", F.lit(0).cast("long"))
+    )
+    # High-water marks: ≤ n_buckets rows — bounded collect, rebroadcast
+    # as a literal frame so the join side is driver-known and tiny.
+    hw_rows = man.groupBy("bucket").agg(
+        F.sum("tokens").alias("base_toks"),
+        F.max("batch").alias("mb"),
+    ).collect()
+    next_batch = max(
+        (int(r["mb"]) for r in hw_rows), default=-1
+    ) + 1
+    toks = _doc_tokens(token_count_col, text_col, "pack_sequences_append")
+    extra, order_cols = _pack_order(order_by_hash, shuffle_salt)
+    base = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        _pack_bucket(id_col, n_buckets).alias("bucket"),
+        F.greatest(toks, F.lit(0)).alias("tokens"),
+        *extra,
+    )
+    w = Window.partitionBy("bucket").orderBy(*order_cols)
+    cum = base.select(
+        "doc_id", "bucket", "tokens",
+        F.sum("tokens").over(w).alias("_lce"),
+    )
+    if hw_rows:
+        spark = new_docs.sparkSession
+        hw = spark.createDataFrame(
+            [(int(r["bucket"]), int(r["base_toks"])) for r in hw_rows],
+            schema="bucket int, _hw bigint",
+        )
+        cum = cum.join(F.broadcast(hw), "bucket", "left")
+    else:
+        cum = cum.withColumn("_hw", F.lit(None).cast("long"))
+    appended = cum.select(
+        "doc_id",
+        "bucket",
+        "tokens",
+        (F.coalesce(F.col("_hw"), F.lit(0)) + F.col("_lce"))
+        .alias("_ce"),
+    ).select(
+        "doc_id",
+        "bucket",
+        "tokens",
+        (F.col("_ce") - F.col("tokens")).alias("_cs"),
+        "_ce",
+    ).select(
+        "doc_id",
+        "bucket",
+        "tokens",
+        F.expr(f"_cs div {max_tokens}").alias("seq_first"),
+        F.when(
+            F.col("tokens") > 0,
+            F.expr(f"(_ce - 1) div {max_tokens}"),
+        )
+        .otherwise(F.expr(f"_cs div {max_tokens}"))
+        .alias("seq_last"),
+        F.pmod(F.col("_cs"), F.lit(max_tokens)).cast("long")
+        .alias("offset_in_first"),
+        F.lit(next_batch).cast("long").alias("batch"),
+    )
+    return man.unionByName(appended)

@@ -844,3 +844,91 @@ for _name in _ROTATE_OUT_12C:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-13 rotation (wave A).  IN (27): the FULL last-row-r09 group
+# (26 queries — they bind test_rotation_staleness_invariant once
+# CORRECTNESS_r13 lands; named in NOTES §round-13 #1 and in the r12
+# verdict as the round's mandatory item) plus the NEW
+# pack_sequences_append (contract rule 1: a never-driver-checked
+# query enters the catalog the round it is built).  The three
+# round-12 operators (pack_sequences_shuffled, sequence_index,
+# token_budget_select) deliberately STAY for their second consecutive
+# driver row — the r9–r12 precedent for resting new operators.
+#
+# OUT (27), every one holding a fresh r12 row (holds through r16):
+# the 20 round-12A staleness-refresher rotate-ins (they came in
+# precisely to refresh their r08/r09 ledger rows — done) and 7 of the
+# 9 round-11 operators, now resting on r11+r12 consecutive rows.
+# core_number and triangle_counts stay a third round: core_number
+# witnesses the r12 single-histogram rewrite with one more driver row,
+# and triangle_counts keeps the triangle/clustering family
+# driver-covered while transitivity rests.  Family coverage:
+#   bloom_join           — bloom pruning stays pytest-pinned;
+#                          bloom_contamination verifier-checked;
+#                          incoming streaming_index_dedup covers the
+#                          index-probe shape
+#   semi_join            — incoming set_ops (join/set family)
+#   asof_join            — sessionize_batch + resample_ffill stay
+#                          (temporal-join family)
+#   window_lag_lead      — incoming window_topn
+#   date_parts, json_extract — incoming string_funcs (scalar tier)
+#   percentiles          — incoming profile_table (stats summary)
+#   resample_linear      — resample_ffill stays
+#   kmeans_assign        — incoming ivf_topk; sq_topk stays (ANN)
+#   quality_score        — incoming repetition_ratio (quality gates)
+#   dedup_lines, jaccard_pairs — incoming dup_span_removal,
+#                          simhash_near_dups, semdedup_pairs,
+#                          doc_fingerprints (dedup family keeps 5+
+#                          driver rows)
+#   edit_distance_verify — incoming winnow_fp + simhash_near_dups
+#                          (verify/fingerprint family)
+#   shuffle_rows, stratified_sample, weighted_sample — incoming
+#                          hash_split (keyed-hash sampling family)
+#   zorder_stats         — grid_stats stays; incoming tile_rollup
+#                          (layout/spatial family)
+#   regional_rollup      — incoming region_revenue + tile_rollup;
+#                          grouping_sets stays
+#   salted_agg           — incoming skew_report (skew family)
+#   output_summary       — incoming profile_table + validate_coercion
+#   label_propagation (±weighted), hyperball_closeness,
+#   neighborhood_function, pagerank_weighted, transitivity —
+#                          graph family keeps core_number,
+#                          triangle_counts, trustrank driver rows;
+#                          every rested op r11+r12 green
+#   pack_sequences       — packing family keeps
+#                          pack_sequences_shuffled + sequence_index
+#                          + incoming pack_sequences_append (whose
+#                          oracle replays the base operator's window
+#                          verbatim on the union)
+_ROTATE_IN_13A = [
+    "agg_snapshot_incremental", "bucketed_merge_upsert",
+    "doc_fingerprints", "domain_counts", "dup_span_removal",
+    "embedding_gramian", "hash_split", "ivf_topk", "kn_logprob",
+    "ppl_buckets", "profile_table", "region_revenue",
+    "repetition_ratio", "semdedup_pairs", "set_ops",
+    "simhash_near_dups", "skew_report", "streaming_index_dedup",
+    "string_funcs", "tile_rollup", "token_stats", "unpivot_melt",
+    "validate_coercion", "window_topn", "winnow_fp",
+    "xcorpus_logprob",
+    "pack_sequences_append",
+]
+_ROTATE_OUT_13A = [
+    "bloom_join", "date_parts", "dedup_lines",
+    "edit_distance_verify", "json_extract", "kmeans_assign",
+    "percentiles", "quality_score", "resample_linear", "semi_join",
+    "shuffle_rows", "stratified_sample", "weighted_sample",
+    "window_lag_lead", "zorder_stats", "asof_join", "jaccard_pairs",
+    "regional_rollup", "salted_agg", "output_summary",
+    "label_propagation", "label_propagation_weighted",
+    "hyperball_closeness", "neighborhood_function",
+    "pagerank_weighted", "transitivity", "pack_sequences",
+]
+for _name in _ROTATE_IN_13A:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_13A:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

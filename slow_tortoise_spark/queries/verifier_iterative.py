@@ -2030,11 +2030,73 @@ SELECT bucket, seq, doc_id,
 FROM pex ORDER BY bucket, seq, seq_offset"""
 
 
+def q_pack_sequences_append(spark, sf_dir):
+    """Incremental packing: documents split into a base corpus (doc_id
+    pmod 3 != 0, packed as batch 0) and a later batch (pmod 3 == 0,
+    appended as batch 1 after each bucket's high-water mark).  The
+    engine never repacks batch 0 — its manifest rows pass through
+    bit-unchanged and the new batch pays one bucket-window shuffle —
+    while the oracle replays the associativity claim literally: ONE
+    window cumsum over the union with batch as the leading sort key.
+    Equality of the two IS the operator's correctness statement."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_append,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    newb = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    man = pack_sequences(base, max_tokens=64, n_buckets=8)
+    return pack_sequences_append(
+        man, newb, max_tokens=64, n_buckets=8
+    ).orderBy("doc_id")
+
+
+def _pack_sequences_append_sql(
+    max_tokens: int = 64, n_buckets: int = 8
+) -> str:
+    nib = [
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    h16 = (f"({nib[0]} * 4096 + {nib[1]} * 256"
+           f" + {nib[2]} * 16 + {nib[3]})")
+    return f"""WITH adocs AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS batch,
+           CAST({h16} % {n_buckets} AS INT) AS bucket,
+           GREATEST(CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT), 0) AS tokens
+    FROM (SELECT doc_id,
+                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h, text
+          FROM documents)),
+acum AS MATERIALIZED (
+    SELECT doc_id, batch, bucket, tokens,
+           SUM(tokens) OVER (PARTITION BY bucket
+                             ORDER BY batch, doc_id) AS ce
+    FROM adocs)
+SELECT doc_id, bucket, tokens,
+       CAST((ce - tokens) // {max_tokens} AS BIGINT) AS seq_first,
+       CAST(CASE WHEN tokens > 0 THEN (ce - 1) // {max_tokens}
+                 ELSE (ce - tokens) // {max_tokens} END AS BIGINT)
+         AS seq_last,
+       CAST((ce - tokens) % {max_tokens} AS BIGINT) AS offset_in_first,
+       batch
+FROM acum ORDER BY doc_id"""
+
+
 VERIFIER_QUERIES["pack_sequences"] = q_pack_sequences
 VERIFIER_ORACLE_SQL["pack_sequences"] = _pack_sequences_sql(64, 8)
 VERIFIER_QUERIES["pack_sequences_shuffled"] = q_pack_sequences_shuffled
 VERIFIER_ORACLE_SQL["pack_sequences_shuffled"] = _pack_sequences_sql(
     64, 8, order_by_hash=True
+)
+VERIFIER_QUERIES["pack_sequences_append"] = q_pack_sequences_append
+VERIFIER_ORACLE_SQL["pack_sequences_append"] = _pack_sequences_append_sql(
+    64, 8
 )
 VERIFIER_QUERIES["sequence_index"] = q_sequence_index
 VERIFIER_ORACLE_SQL["sequence_index"] = _sequence_index_sql(64, 8)

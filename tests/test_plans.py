@@ -460,6 +460,11 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # (explode + integer overlap arithmetic): same 2 exchanges as
         # pack_sequences itself (window shuffle + output orderBy)
         "sequence_index": 2,
+        # incremental packing: batch-0 pack window + new-batch pack
+        # window + the broadcast of the <=n_buckets high-water rows +
+        # the output orderBy; the high-water aggregate itself is a
+        # bounded driver collect that runs before the plan is built
+        "pack_sequences_append": 4,
         # budget selection's RETURNED plan: one single-partition
         # exchange feeding the exact window over ONLY the boundary
         # bucket + the output orderBy; the two driver aggregates

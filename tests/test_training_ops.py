@@ -5030,3 +5030,215 @@ def test_token_budget_select_degenerate_string_ids(spark):
         n_buckets=8, max_exact_rows=8, _diag=diag).collect()}
     assert got == kept
     assert diag["boundary_rows"] <= 8
+
+
+def _pack_replay_batches(batches, max_tokens, n_buckets,
+                         order_by_hash=False, salt="packshuf"):
+    """Pure-Python concat-and-chunk replay over successive batches:
+    per bucket, batch b's docs append after batch b-1's total (the
+    (batch, order) leading-sort-key semantics)."""
+    import hashlib
+
+    cum = {}
+    want = {}
+    for batch_no, docs in enumerate(batches):
+        if order_by_hash:
+            key = lambda d: (hashlib.md5(
+                f"{salt}:{d[0]}".encode()).hexdigest(), d[0])
+        else:
+            key = lambda d: d[0]
+        for i, n in sorted(docs, key=key):
+            h = hashlib.md5(f"pack:{i}".encode()).hexdigest()
+            b = int(h[:4], 16) % n_buckets
+            cs = cum.get(b, 0)
+            ce = cs + n
+            cum[b] = ce
+            want[i] = (b, n, cs // max_tokens,
+                       (ce - 1) // max_tokens if n > 0
+                       else cs // max_tokens,
+                       cs % max_tokens, batch_no)
+    return want
+
+
+def test_pack_sequences_append_equals_union_repack(spark):
+    """Appending after the per-bucket high-water marks is IDENTICAL to
+    one pack over the union with batch as the leading within-bucket
+    sort key (pure-Python replay), existing manifest rows pass through
+    BIT-UNCHANGED, and a second append stacks batch 2 on batch 1."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_append,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(["tok"] * ((i * 7) % 23)))
+             for i in ids])
+
+    b0, b1, b2 = list(range(5)), list(range(40, 70)), list(range(90, 100))
+    toks = {i: (i * 7) % 23 for i in b0 + b1 + b2}
+    man0 = pack_sequences(mk(b0), max_tokens=16, n_buckets=4)
+    man0_rows = {tuple(r) for r in man0.collect()}
+    app1 = pack_sequences_append(man0, mk(b1), max_tokens=16, n_buckets=4)
+    # old rows bit-unchanged (batch column added as 0)
+    old = {tuple(r)[:-1] for r in app1.filter("batch = 0").collect()}
+    assert old == man0_rows
+    got1 = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq_first"],
+                          r["seq_last"], r["offset_in_first"], r["batch"])
+            for r in app1.collect()}
+    want1 = _pack_replay_batches(
+        [[(i, toks[i]) for i in b0], [(i, toks[i]) for i in b1]], 16, 4)
+    assert got1 == want1
+    # second append: batch numbering continues, batches stack
+    app2 = pack_sequences_append(app1, mk(b2), max_tokens=16, n_buckets=4)
+    got2 = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq_first"],
+                          r["seq_last"], r["offset_in_first"], r["batch"])
+            for r in app2.collect()}
+    want2 = _pack_replay_batches(
+        [[(i, toks[i]) for i in ids] for ids in (b0, b1, b2)], 16, 4)
+    assert got2 == want2
+    # app1 rows (both batches) unchanged inside app2
+    assert {tuple(r) for r in app1.collect()} <= {
+        tuple(r) for r in app2.collect()}
+
+
+def test_pack_sequences_append_order_by_hash_and_empty_manifest(spark):
+    """order_by_hash appends in the keyed-hash order WITHIN the new
+    batch only (old batches keep their recorded order); appending to
+    an EMPTY manifest is batch 0 and equals a fresh pack."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_append,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(["tok"] * ((i * 5) % 13)))
+             for i in ids])
+
+    b0, b1 = list(range(20)), list(range(50, 80))
+    toks = {i: (i * 5) % 13 for i in b0 + b1}
+    man0 = pack_sequences(mk(b0), max_tokens=16, n_buckets=4,
+                          order_by_hash=True)
+    app = pack_sequences_append(man0, mk(b1), max_tokens=16, n_buckets=4,
+                                order_by_hash=True)
+    got = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq_first"],
+                         r["seq_last"], r["offset_in_first"], r["batch"])
+           for r in app.collect()}
+    want = _pack_replay_batches(
+        [[(i, toks[i]) for i in b0], [(i, toks[i]) for i in b1]],
+        16, 4, order_by_hash=True)
+    assert got == want
+    # empty manifest: next batch is 0 and the result IS a fresh pack
+    empty = man0.filter("1 = 0")
+    app0 = pack_sequences_append(empty, mk(b1), max_tokens=16, n_buckets=4)
+    fresh = pack_sequences(mk(b1), max_tokens=16, n_buckets=4)
+    assert {tuple(r)[:-1] for r in app0.collect()} == {
+        tuple(r) for r in fresh.collect()}
+    assert {r["batch"] for r in app0.collect()} == {0}
+
+
+def test_pack_sequences_append_guards(spark):
+    """Parameter and manifest-shape guards raise loudly; NULL token
+    counts in the new batch raise (the shared _doc_tokens guard)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_append,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b", n=2),
+                                Row(doc_id=2, text="c", n=None)],
+                               schema="doc_id bigint, text string, n bigint")
+    man = pack_sequences(df.select("doc_id", "text"), max_tokens=8,
+                         n_buckets=2)
+    with pytest.raises(ValueError):
+        pack_sequences_append(man, df, max_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences_append(man, df, n_buckets=0)
+    with pytest.raises(ValueError):
+        pack_sequences_append(man.drop("tokens"), df)
+    with pytest.raises(Exception) as exc:
+        pack_sequences_append(man, df, max_tokens=8, n_buckets=2,
+                              token_count_col="n").collect()
+    assert "NULL token count" in str(exc.value)
+
+
+def test_sequence_index_loader_roundtrip(spark):
+    """The round-trip the packing family promises: manifest → index →
+    gather real text token slices per (bucket, seq) — the index joined
+    against the docs, F.slice on the split token array — and every
+    bucket's reassembled stream equals its concat order EXACTLY, at
+    two bucket counts.  Plus the single-sequence loader fetch: one
+    (bucket, seq) range broadcast against the docs materializes
+    exactly that training sequence."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        sequence_index,
+    )
+
+    mt = 16
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range((i * 7) % 23)))
+            for i in range(60)]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    toks_df = df.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
+    )
+    for nb in (4, 8):
+        man = pack_sequences(df, max_tokens=mt, n_buckets=nb)
+        buckets = {r["doc_id"]: r["bucket"] for r in man.collect()}
+        idx = sequence_index(man, max_tokens=mt)
+        gathered = idx.join(toks_df, "doc_id").select(
+            "bucket", "seq", "seq_offset",
+            F.slice(
+                "toks", F.col("doc_offset") + 1, F.col("n_tokens")
+            ).alias("piece"),
+        ).collect()
+        # reassemble: place each piece at position seq*mt + seq_offset
+        streams = {}
+        for r in gathered:
+            pos = r["seq"] * mt + r["seq_offset"]
+            streams.setdefault(r["bucket"], []).append(
+                (pos, list(r["piece"])))
+        got = {}
+        for b, pieces in streams.items():
+            out = []
+            for pos, piece in sorted(pieces):
+                assert pos == len(out)  # contiguous tiling, no gaps
+                out.extend(piece)
+            got[b] = out
+        want = {}
+        for i, t in sorted(docs):
+            want.setdefault(buckets[i], []).extend(
+                x for x in t.split() if x)
+        assert got == {b: s for b, s in want.items() if s}
+        # single-sequence fetch: broadcast the one-seq index slice
+        b0 = next(b for b, s in want.items() if len(s) > mt)
+        one = idx.filter((F.col("bucket") == b0) & (F.col("seq") == 1))
+        fetched = toks_df.join(
+            F.broadcast(one.select(
+                "doc_id", "doc_offset", "seq_offset", "n_tokens")),
+            "doc_id",
+        ).select(
+            "seq_offset",
+            F.slice(
+                "toks", F.col("doc_offset") + 1, F.col("n_tokens")
+            ).alias("piece"),
+        ).collect()
+        seq1 = []
+        for r in sorted(fetched, key=lambda r: r["seq_offset"]):
+            assert r["seq_offset"] == len(seq1)
+            seq1.extend(r["piece"])
+        assert seq1 == want[b0][mt:2 * mt]
