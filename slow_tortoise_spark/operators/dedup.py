@@ -1790,6 +1790,62 @@ def token_budget_select(
     return out
 
 
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    max_exact_rows: int | None = None,
+) -> DataFrame:
+    """Per-source budget-capped selection — the data-mixing recipe
+    ("900 tokens of web, 500 of code, none of the rest"): for each
+    group g named in ``budgets``, keep g's greedy (score DESC,
+    ``id_col``) prefix whose cumulative token count stays ≤
+    ``budgets[g]``.  Groups NOT named are dropped entirely — a mixing
+    recipe is a whitelist, and silently keeping unnamed sources would
+    un-cap the mix.  A ``None`` key selects NULL group values
+    (``eqNullSafe``).
+
+    Shape: one :func:`token_budget_select` pass per named source.  A
+    mixing recipe names a HANDFUL of sources (it is written by a
+    person), so the driver-side cost is k × the bounded
+    bucketed-threshold passes — each group pays only its own bounded
+    histogram + ≤ ``max_exact_rows`` boundary window, and each group's
+    helper-column frame is independently ``tracked_cache``-ed by the
+    underlying operator.  This is NOT the per-group window
+    (``Window.partitionBy(group)``) plan: that sorts each hot source
+    in ONE task — exactly the straggler a budget cap is for (the
+    ``cap_per_group`` lesson).  For budget maps with MANY groups,
+    call this per batch of named sources and union.
+
+    Per-group semantics (budget 0 keeps the zero-token prefix, NULL
+    scores raise, negative counts clamp) are token_budget_select's —
+    the DuckDB oracle replays the whole mix as one
+    PARTITION-BY-group window cumsum against the per-group budgets.
+    """
+    if not budgets:
+        raise ValueError("token_budget_mix: budgets must name at least "
+                         "one group")
+    out = None
+    for g in sorted(budgets, key=lambda k: (k is None, k)):
+        kept = token_budget_select(
+            df.filter(F.col(group_col).eqNullSafe(F.lit(g))),
+            budgets[g],
+            score_col,
+            id_col=id_col,
+            token_count_col=token_count_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            max_exact_rows=max_exact_rows,
+        )
+        out = kept if out is None else out.unionByName(kept)
+    return out
+
+
 def dup_ngram_stats(
     df: DataFrame, n: int = 10, text_col: str = "text"
 ) -> DataFrame:

@@ -932,3 +932,23 @@ for _name in _ROTATE_OUT_13A:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave B: token_budget_mix (NEW — the data-mixing recipe primitive:
+# per-source budget-capped greedy prefixes, unnamed sources dropped;
+# one bounded token_budget_select pass per named source, NEVER the
+# per-group window whose hot source is one straggler task).  Contract
+# rule 1: a never-driver-checked query enters the catalog the round
+# it is built.  Out: trustrank (r10+r11+r12 consecutive rows — past
+# the second-row precedent; the graph family keeps core_number and
+# triangle_counts driver rows, and the seed-normalized teleport loop
+# stays pinned by the trustrank replay oracle in the verifier tier).
+_ROTATE_IN_13B = ["token_budget_mix"]
+_ROTATE_OUT_13B = ["trustrank"]
+for _name in _ROTATE_IN_13B:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_13B:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

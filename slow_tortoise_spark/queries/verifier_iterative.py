@@ -2156,5 +2156,61 @@ tbc AS MATERIALIZED (
 SELECT doc_id, score FROM tbc WHERE ce <= {_TB_BUDGET}
 ORDER BY doc_id"""
 
+def q_token_budget_mix(spark, sf_dir):
+    """Data-mixing recipe over three named sources: src0 capped at 900
+    tokens, src1 at 500, src2 at 0 (the budget-0 row exercises the
+    zero-token-prefix semantics in a driver row), every other source
+    dropped — per-group greedy (score DESC, doc_id) prefixes, scored
+    by distinct-token count.  The engine runs one bounded
+    bucketed-threshold pass per named source; the oracle replays the
+    whole mix as ONE partition-by-source window cumsum against the
+    per-group budgets."""
+    from slow_tortoise_spark.operators.dedup import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).cast("long").alias("score"),
+    )
+    kept = token_budget_mix(
+        scored, {"src0": 900, "src1": 500, "src2": 0},
+        group_col="source", score_col="score",
+    )
+    return kept.select("doc_id", "source", "score").orderBy("doc_id")
+
+
+_Q_TOKEN_BUDGET_MIX = """WITH tbm AS MATERIALIZED (
+    SELECT doc_id, source,
+           CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> ''))) AS BIGINT) AS score,
+           CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS toks
+    FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+tbmc AS MATERIALIZED (
+    SELECT doc_id, source, score,
+           SUM(toks) OVER (PARTITION BY source
+                           ORDER BY score DESC, doc_id) AS ce
+    FROM tbm)
+SELECT doc_id, source, score FROM tbmc
+WHERE (source = 'src0' AND ce <= 900)
+   OR (source = 'src1' AND ce <= 500)
+   OR (source = 'src2' AND ce <= 0)
+ORDER BY doc_id"""
+
+
 VERIFIER_QUERIES["token_budget_select"] = q_token_budget_select
 VERIFIER_ORACLE_SQL["token_budget_select"] = _Q_TOKEN_BUDGET_SELECT
+VERIFIER_QUERIES["token_budget_mix"] = q_token_budget_mix
+VERIFIER_ORACLE_SQL["token_budget_mix"] = _Q_TOKEN_BUDGET_MIX

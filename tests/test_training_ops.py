@@ -5242,3 +5242,97 @@ def test_sequence_index_loader_roundtrip(spark):
             assert r["seq_offset"] == len(seq1)
             seq1.extend(r["piece"])
         assert seq1 == want[b0][mt:2 * mt]
+
+
+def test_token_budget_mix_matches_python_per_group_prefix(spark):
+    """Per-group budgets equal the pure-Python greedy prefix within
+    each named group; unnamed groups are dropped; a budget-0 group
+    keeps only its zero-token prefix; empty budgets raise."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_mix
+
+    docs = [(i, ["web", "code", "forum", "junk"][i % 4],
+             " ".join(["t"] * ((i * 5) % 7)), (i * 37) % 11)
+            for i in range(80)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, src=g, text=t, score=s) for i, g, t, s in docs])
+    budgets = {"web": 40, "code": 0, "forum": 10_000}
+
+    want = set()
+    for g, b in budgets.items():
+        cum = 0
+        for i, gg, t, s in sorted(
+                (d for d in docs if d[1] == g),
+                key=lambda d: (-d[3], d[0])):
+            n = len(t.split())
+            if cum + n > b:
+                break
+            cum += n
+            want.add(i)
+    got = {r["doc_id"] for r in token_budget_mix(
+        df, budgets, group_col="src", score_col="score").collect()}
+    assert got == want
+    assert not any(i % 4 == 3 for i in got)  # junk dropped entirely
+    # the budget-0 group keeps exactly its zero-token prefix
+    zero_kept = {i for i in got if i % 4 == 1}
+    cum_check = [d for d in sorted((d for d in docs if d[1] == "code"),
+                                   key=lambda d: (-d[3], d[0]))]
+    expect0 = set()
+    for i, _, t, _ in cum_check:
+        if len(t.split()) > 0:
+            break
+        expect0.add(i)
+    assert zero_kept == expect0
+    with pytest.raises(ValueError):
+        token_budget_mix(df, {}, group_col="src", score_col="score")
+
+
+def test_sequence_index_works_on_appended_manifest(spark):
+    """sequence_index over a MULTI-BATCH manifest (pack_sequences_append
+    output) still tiles every bucket contiguously: cut positions stay
+    valid because appends extend each bucket's token stream without
+    moving old docs."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_append,
+        sequence_index,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(["tok"] * ((i * 7) % 23)))
+             for i in ids])
+
+    man = pack_sequences(mk(range(30)), max_tokens=16, n_buckets=4)
+    app = pack_sequences_append(man, mk(range(40, 70)),
+                                max_tokens=16, n_buckets=4)
+    idx = sequence_index(app.drop("batch"), max_tokens=16)
+    rows = idx.collect()
+    # per (bucket, seq): slices tile [0, 16) contiguously except the
+    # bucket's last sequence; per doc: slices tile [0, tokens)
+    by_seq = {}
+    by_doc = {}
+    for r in rows:
+        by_seq.setdefault((r["bucket"], r["seq"]), []).append(
+            (r["seq_offset"], r["n_tokens"]))
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["doc_offset"], r["n_tokens"]))
+    for (b, s), pieces in by_seq.items():
+        pos = 0
+        for off, n in sorted(pieces):
+            assert off == pos
+            pos += n
+        last = max(q for (bb, q) in by_seq if bb == b)
+        if s < last:
+            assert pos == 16
+    toks = {r["doc_id"]: r["tokens"] for r in app.collect()}
+    for d, pieces in by_doc.items():
+        pos = 0
+        for off, n in sorted(pieces):
+            assert off == pos
+            pos += n
+        assert pos == toks[d]
