@@ -6,8 +6,10 @@ training-ready dataset: (optional) Unicode NFC canonicalization +
 domain blocklist + line-level boilerplate removal + duplicated-span
 removal → quality/language gating + (optional) Gopher rule bitmask and
 learned logistic gate folded into the SAME pass → exact dedup → MinHash
-near-dedup → (optional) Bloom benchmark decontamination + DSIR
-importance selection + temperature mixing → deterministic splits →
+near-dedup → (optional) Bloom benchmark decontamination + CCNet
+perplexity filtering + DSIR importance selection + budget-capped
+quality selection (corpus-wide or per-source token budgets) +
+temperature mixing → deterministic splits →
 partitioned parquet + a manifest of what was dropped at every gate →
 (optional) per-split training-sequence packing manifest
 (``pack_max_tokens``).  Every stage is one of the library
@@ -86,6 +88,18 @@ class CorpusParams:
     mix_alpha: float = 0.5
     mix_strata_col: str = "source"
     mix_weight_col: str | None = None
+    #: budget-capped quality selection AFTER dedup/ppl/DSIR and BEFORE
+    #: temperature mixing (None = stage off): keep the greedy
+    #: (quality_score DESC, doc_id) prefix of the surviving docs whose
+    #: cumulative token count stays within the budget — "train on the
+    #: best N tokens" (operators/dedup.py::token_budget_select over the
+    #: gate stage's n_tokens/quality_score columns, so the stage adds
+    #: NO new scoring pass).  A dict {source_value: budget} runs
+    #: per-source budgets instead (token_budget_mix over
+    #: ``token_budget_group_col``; sources not named are DROPPED — a
+    #: mixing recipe is a whitelist)
+    token_budget: int | dict | None = None
+    token_budget_group_col: str = "source"
     #: drop whole documents citing any of these domains (pre-gate)
     blocklist_domains: tuple[str, ...] = ()
     #: strip lines shared by ≥ this many docs BEFORE quality gating
@@ -557,6 +571,38 @@ def _run_corpus_pipeline(
         deduped = deduped.join(keep_ids, "doc_id", "left_semi")
         manifest["after_dsir"] = deduped.count()
         _mark("dsir")
+
+    # --- optional budget-capped quality selection (post-dedup/ppl/DSIR:
+    # "the best N tokens" is defined over the deduped, selected corpus;
+    # pre-mix so temperature shares act on the capped set) --------------
+    if params.token_budget is not None:
+        from slow_tortoise_spark.operators.dedup import (
+            token_budget_mix,
+            token_budget_select,
+        )
+
+        # lineage cut first: the budget pass's internal tracked_cache
+        # makes its own passes share one materialization, but that
+        # materialization would still execute the FULL upstream DAG —
+        # give it a leaf (the near-dedup/DSIR boundary contract)
+        deduped = tracked_local_checkpoint(deduped)
+        if isinstance(params.token_budget, dict):
+            deduped = token_budget_mix(
+                deduped,
+                params.token_budget,
+                group_col=params.token_budget_group_col,
+                score_col="quality_score",
+                token_count_col="n_tokens",
+            )
+        else:
+            deduped = token_budget_select(
+                deduped,
+                params.token_budget,
+                score_col="quality_score",
+                token_count_col="n_tokens",
+            )
+        manifest["after_token_budget"] = deduped.count()
+        _mark("token_budget")
 
     # --- optional temperature mixing (post-dedup, pre-split: mixing a
     # corpus that still contains duplicates double-counts their mass) ---

@@ -845,3 +845,71 @@ def test_jsonl_csv_ingest_fidelity_and_bad_records(spark, tmp_path):
         read_jsonl(spark, str(bad),
                    "doc_id long, text string, source string",
                    mode="FAILFAST").collect()
+
+
+def test_corpus_pipeline_token_budget_stage(spark, sf_dir, tmp_path):
+    """With a token budget, the post-dedup corpus shrinks to EXACTLY
+    the greedy (quality_score DESC, doc_id) prefix within the budget —
+    verified against a pure-Python prefix over the budget-off run's
+    written corpus (which carries the same quality_score/n_tokens the
+    stage consumes).  The dict form applies per-source budgets and
+    drops unnamed sources.  Without the param the stage is skipped."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet")
+    base = run_corpus_pipeline(
+        spark, docs, CorpusParams(out_dir=str(tmp_path / "plain"))
+    )
+    assert "after_token_budget" not in base
+    survivors = spark.read.parquet(str(tmp_path / "plain") + "/corpus"
+                                   ).select("doc_id", "source",
+                                            "quality_score",
+                                            "n_tokens").collect()
+    total = sum(r["n_tokens"] for r in survivors)
+    budget = total // 3
+
+    def prefix(rows, b):
+        kept, cum = set(), 0
+        for r in sorted(rows, key=lambda r: (-r["quality_score"],
+                                             r["doc_id"])):
+            if cum + r["n_tokens"] > b:
+                break
+            cum += r["n_tokens"]
+            kept.add(r["doc_id"])
+        return kept
+
+    want = prefix(survivors, budget)
+    capped = run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(out_dir=str(tmp_path / "capped"),
+                     token_budget=budget),
+    )
+    out = spark.read.parquet(str(tmp_path / "capped") + "/corpus")
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == want
+    assert capped["after_token_budget"] == len(want)
+    assert capped["output_docs"] == len(want)
+
+    # dict form: per-source budgets, unnamed sources dropped
+    srcs = sorted({r["source"] for r in survivors})[:2]
+    budgets = {
+        srcs[0]: sum(r["n_tokens"] for r in survivors
+                     if r["source"] == srcs[0]) // 2,
+        srcs[1]: 10_000_000,
+    }
+    want_mix = set()
+    for s, b in budgets.items():
+        want_mix |= prefix([r for r in survivors if r["source"] == s], b)
+    mixed = run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(out_dir=str(tmp_path / "mix_capped"),
+                     token_budget=budgets),
+    )
+    out2 = spark.read.parquet(str(tmp_path / "mix_capped") + "/corpus")
+    got2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
+    assert got2 == want_mix
+    assert mixed["after_token_budget"] == len(want_mix)
