@@ -38,6 +38,14 @@ def main() -> int:
         i = args.index("--checkpoint-mode")
         ckpt_mode = args[i + 1]
         del args[i:i + 2]
+    # Optional: exercise the round-13 budget-capped selection stage at
+    # soak scale.  OFF by default so the default soak's stage counts
+    # stay comparable with the r8–r12 records (identity fields).
+    token_budget = None
+    if "--token-budget" in args:
+        i = args.index("--token-budget")
+        token_budget = int(args[i + 1])
+        del args[i:i + 2]
     copies = int(args[0]) if len(args) > 0 else 10
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
 
@@ -152,6 +160,7 @@ def main() -> int:
             dsir_keep_fraction=0.8,
             ppl_lm_reference=base.select("doc_id", "text"),
             mix_budget=float(n_base * copies) * 0.06,
+            token_budget=token_budget,
             checkpoint_mode=ckpt_mode,
             # export stage (round 12): curated corpus straight to the
             # per-split training-sequence packing manifest — the soak
