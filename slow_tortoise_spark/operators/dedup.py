@@ -1790,6 +1790,101 @@ def token_budget_select(
     return out
 
 
+def token_budget_epochs(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    max_exact_rows: int | None = None,
+) -> DataFrame:
+    """Epoch repetition plan for the DATA-CONSTRAINED regime (the
+    budget EXCEEDS the corpus): rather than starve the run, repeat the
+    corpus — the Muennighoff et al. 2023 recipe, where up to ~4 epochs
+    of repeated data are nearly as good as fresh.  Every doc repeats
+    for ``full_epochs = min(budget div total_tokens, max_epochs)``
+    epochs, and — when ``full_epochs < max_epochs`` — one PARTIAL
+    epoch ``full_epochs + 1`` holds the greedy (score DESC,
+    ``id_col``) prefix of the remaining budget, so the best docs are
+    the ones seen one extra time.  Returns the input's columns plus
+    ``epoch`` (1-based long); a loader materializes epoch e as one
+    full (or prefix) pass.  A zero-token corpus never consumes budget
+    and caps at ``max_epochs`` full repeats.
+
+    Shape: ONE bounded aggregate for the corpus token total (the
+    epoch count is driver-arithmetic from it); the full-epoch tier is
+    a MAP-ONLY ``explode(sequence(1, full_epochs))`` — no shuffle,
+    output = |corpus| × full_epochs rows; the partial tier is one
+    :func:`token_budget_select` (bounded bucketed-threshold passes +
+    a ≤ ``max_exact_rows`` boundary window).  Same loud guards as the
+    budget family: NULL scores/counts raise, negative counts clamp,
+    ``budget < 0`` / ``max_epochs < 1`` rejected.
+    """
+    if budget < 0:
+        raise ValueError("token_budget_epochs: budget must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("token_budget_epochs: max_epochs must be >= 1")
+    if token_count_col is not None:
+        c = F.col(token_count_col).cast("long")
+        toks = F.when(
+            c.isNull(),
+            F.raise_error(F.lit(
+                "token_budget_epochs: NULL token count in "
+                f"'{token_count_col}'"
+            )),
+        ).otherwise(c)
+    else:
+        toks = F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).cast("long")
+    row = df.agg(
+        F.coalesce(F.sum(F.greatest(toks, F.lit(0))), F.lit(0))
+        .alias("t"),
+        F.count("*").alias("n"),
+    ).first()
+    empty_plan = df.filter(F.lit(False)).withColumn(
+        "epoch", F.lit(0).cast("long"))
+    if int(row["n"]) == 0:
+        return empty_plan
+    total = int(row["t"])
+    full_epochs = max_epochs if total == 0 else min(
+        budget // total, max_epochs)
+    tiers = []
+    if full_epochs > 0:
+        # map-only: sequence() is ASCENDING only when start <= stop
+        # (start > stop generates a DESCENDING ramp in Spark, unlike
+        # SQL generate_series), hence the driver-side branch
+        tiers.append(df.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"),
+                           F.lit(int(full_epochs)).cast("long"))
+            ).alias("epoch"),
+        ))
+    if full_epochs < max_epochs:
+        remainder = budget - full_epochs * total
+        tiers.append(
+            token_budget_select(
+                df, remainder, score_col,
+                id_col=id_col,
+                token_count_col=token_count_col,
+                text_col=text_col,
+                n_buckets=n_buckets,
+                max_exact_rows=max_exact_rows,
+            ).withColumn("epoch", F.lit(full_epochs + 1).cast("long"))
+        )
+    out = None
+    for t in tiers:
+        out = t if out is None else out.unionByName(t)
+    return out if out is not None else empty_plan
+
+
 def token_budget_mix(
     df: DataFrame,
     budgets: dict,

@@ -952,3 +952,22 @@ for _name in _ROTATE_OUT_13B:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# Wave C: token_budget_epochs (NEW — the data-constrained epoch plan:
+# full corpus repeats up to min(budget div total, max_epochs) plus one
+# partial epoch holding the budget remainder's greedy prefix; map-only
+# full tier + the bounded budget pass).  Contract rule 1.  Out:
+# doc_chunks (r5+r11+r12 rows — past the second-row precedent; the
+# chunking/packing family keeps pack_sequences_shuffled,
+# sequence_index, and the incoming pack_sequences_append driver rows,
+# and doc_chunks stays oracle-checked in the verifier tier).
+_ROTATE_IN_13C = ["token_budget_epochs"]
+_ROTATE_OUT_13C = ["doc_chunks"]
+for _name in _ROTATE_IN_13C:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_13C:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

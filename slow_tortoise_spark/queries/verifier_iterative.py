@@ -2212,5 +2212,71 @@ ORDER BY doc_id"""
 
 VERIFIER_QUERIES["token_budget_select"] = q_token_budget_select
 VERIFIER_ORACLE_SQL["token_budget_select"] = _Q_TOKEN_BUDGET_SELECT
+def q_token_budget_epochs(spark, sf_dir):
+    """Data-constrained epoch plan: a 70k-token budget over a ~27-28k
+    token corpus (max 4 epochs) — two full epochs for every doc plus a
+    partial third epoch holding the greedy (score DESC, doc_id) prefix
+    of the remainder, scored by distinct-token count.  The engine's
+    full tier is a map-only explode(sequence); the partial tier is the
+    bounded bucketed-threshold budget pass; the oracle replays both
+    with generate_series + the naive global-window cumsum."""
+    from slow_tortoise_spark.operators.dedup import token_budget_epochs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).cast("long").alias("score"),
+    )
+    plan = token_budget_epochs(
+        scored, budget=70_000, score_col="score", max_epochs=4
+    )
+    return plan.select("doc_id", "score", "epoch").orderBy(
+        "doc_id", "epoch")
+
+
+_Q_TOKEN_BUDGET_EPOCHS = """WITH tbe AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> ''))) AS BIGINT) AS score,
+           CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS toks
+    FROM documents),
+tot AS MATERIALIZED (
+    SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS t FROM tbe),
+fe AS MATERIALIZED (
+    SELECT CAST(CASE WHEN t = 0 THEN 4
+                     ELSE LEAST(70000 // t, 4) END AS BIGINT) AS e, t
+    FROM tot),
+fullt AS (
+    SELECT doc_id, score,
+           CAST(UNNEST(generate_series(1, (SELECT e FROM fe)))
+                AS BIGINT) AS epoch
+    FROM tbe),
+part AS (
+    SELECT doc_id, score, CAST((SELECT e FROM fe) + 1 AS BIGINT)
+             AS epoch
+    FROM (SELECT doc_id, score,
+                 SUM(toks) OVER (ORDER BY score DESC, doc_id) AS ce
+          FROM tbe)
+    WHERE (SELECT e FROM fe) < 4
+      AND ce <= 70000 - (SELECT e FROM fe) * (SELECT t FROM fe))
+SELECT doc_id, score, epoch FROM fullt
+UNION ALL
+SELECT doc_id, score, epoch FROM part
+ORDER BY doc_id, epoch"""
+
+
 VERIFIER_QUERIES["token_budget_mix"] = q_token_budget_mix
 VERIFIER_ORACLE_SQL["token_budget_mix"] = _Q_TOKEN_BUDGET_MIX
+VERIFIER_QUERIES["token_budget_epochs"] = q_token_budget_epochs
+VERIFIER_ORACLE_SQL["token_budget_epochs"] = _Q_TOKEN_BUDGET_EPOCHS

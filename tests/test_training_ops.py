@@ -5336,3 +5336,61 @@ def test_sequence_index_works_on_appended_manifest(spark):
             assert off == pos
             pos += n
         assert pos == toks[d]
+
+
+def test_token_budget_epochs_matches_python_plan(spark):
+    """The epoch plan equals pure-Python arithmetic: full epochs =
+    min(budget div total, max_epochs); the partial epoch is the greedy
+    (score DESC, id) prefix of the remainder; no partial beyond
+    max_epochs; budget < total degenerates to one prefix epoch; a
+    zero-token corpus caps at max_epochs; guards raise."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_epochs
+
+    docs = [(i, " ".join(["t"] * (1 + (i * 5) % 9)), (i * 37) % 11)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, score=s) for i, t, s in docs])
+    total = sum(len(t.split()) for _, t, _ in docs)
+
+    def want(budget, max_epochs):
+        fe = min(budget // total, max_epochs)
+        plan = {(i, e) for i, _, _ in docs for e in range(1, fe + 1)}
+        if fe < max_epochs:
+            rem = budget - fe * total
+            cum = 0
+            for i, t, s in sorted(docs, key=lambda d: (-d[2], d[0])):
+                n = len(t.split())
+                if cum + n > rem:
+                    break
+                cum += n
+                plan.add((i, fe + 1))
+        return plan
+
+    for budget, me in ((total * 2 + total // 3, 4),  # 2 full + partial
+                       (total // 2, 4),              # prefix only
+                       (total * 9, 3),               # capped, no partial
+                       (total * 3, 3),               # exact fit at cap
+                       (0, 2)):                      # empty partial
+        got = {(r["doc_id"], r["epoch"]) for r in token_budget_epochs(
+            df, budget=budget, score_col="score", max_epochs=me
+        ).collect()}
+        assert got == want(budget, me), (budget, me)
+
+    # zero-token corpus: max_epochs full repeats, budget untouched
+    z = spark.createDataFrame([Row(doc_id=1, text="", score=1),
+                               Row(doc_id=2, text="  ", score=2)])
+    got = {(r["doc_id"], r["epoch"]) for r in token_budget_epochs(
+        z, budget=5, score_col="score", max_epochs=3).collect()}
+    assert got == {(i, e) for i in (1, 2) for e in (1, 2, 3)}
+    # empty corpus: empty plan with the epoch column present
+    e = token_budget_epochs(df.filter("doc_id < 0"), budget=5,
+                            score_col="score")
+    assert e.count() == 0 and "epoch" in e.columns
+    with pytest.raises(ValueError):
+        token_budget_epochs(df, budget=-1, score_col="score")
+    with pytest.raises(ValueError):
+        token_budget_epochs(df, budget=1, score_col="score",
+                            max_epochs=0)
