@@ -283,6 +283,11 @@ def main() -> None:
     timings = run_suite(spark, sf_dir)
     stop.set()
     sampler.join(timeout=2.0)
+    # Snapshot before appending: if the join timed out (a /proc tree
+    # walk can exceed 2 s on a loaded box) the daemon thread may still
+    # append to the shared list while we iterate it below — benign in
+    # CPython today, but an avoidable race (r13 ADVICE).
+    samples = list(samples)
     total = round(sum(timings.values()), 3)
     load_after = round(os.getloadavg()[0], 2)
     t_end, cpu_end = time.time(), _tree_cpu_seconds()

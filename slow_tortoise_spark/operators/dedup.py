@@ -1494,6 +1494,109 @@ def temperature_mix(
     )
 
 
+# Helper columns the budget family stamps on its working frames.  A
+# caller column with one of these names would be silently overwritten
+# and then dropped (the r13 ADVICE hole), so every entry point rejects
+# collisions up front.
+_TB_HELPER_COLS = (
+    "_tb_toks", "_tb_s", "_tb_b", "_tb_d", "_tb_k", "_tb_ce",
+    "_tb_g", "_tb_hi", "_tb_w", "_tb_bs", "_tb_r", "_tb_small",
+)
+
+# Measured naive/bounded crossover for token_budget_select (the
+# jaccard_pairs_auto naive_budget discipline: a probe-derived constant,
+# see SCALE.md "token_budget_select naive/bounded dispatch", round 14:
+# min-of-3 on a warm local[32] session, naive wins at ≤1M rows on both
+# separating and all-equal score distributions and loses from ~2M up —
+# 7.2 s vs 1.06 s at 8M).  Below this many rows the oracle's own
+# single-window global cumsum wins — driver-job latency dominates the
+# bounded plan there — and its single task is bounded by the SAME
+# measured count, so the dispatch is scale-safe by construction: the
+# naive tier can only fire when pass 1 has COUNTED the corpus under
+# the cap.
+_TB_NAIVE_MAX_ROWS = 1_000_000
+
+
+def _tb_reject_helper_collisions(df: DataFrame, opname: str,
+                                 extra: tuple = ()) -> None:
+    """Raise if the input already carries a reserved helper column —
+    the operator would overwrite it and drop it from the output while
+    the docstring promises the input's columns back."""
+    reserved = set(_TB_HELPER_COLS) | set(extra)
+    clash = sorted(c for c in df.columns if c in reserved)
+    if clash:
+        raise ValueError(
+            f"{opname}: input columns {clash} collide with reserved "
+            "helper names; rename them before calling"
+        )
+
+
+def _tb_tokens_expr(token_count_col: str | None, text_col: str,
+                    opname: str) -> Column:
+    """Token-count Column for the budget family: the explicit count
+    column (NULLs RAISE — the pack_sequences discipline) or a
+    whitespace-split count of ``text_col``."""
+    if token_count_col is not None:
+        c = F.col(token_count_col).cast("long")
+        return F.when(
+            c.isNull(),
+            F.raise_error(F.lit(
+                f"{opname}: NULL token count in '{token_count_col}'"
+            )),
+        ).otherwise(c)
+    return F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+
+
+def _tb_score_guard(df: DataFrame, score_col: str, opname: str) -> Column:
+    """Double-cast score with loud guards: NULL scores raise (ordering
+    under NULL is engine-defined) and NaN scores raise when the column
+    is float/double (NaN sorts LAST in Spark but has no defined place
+    in the bucketed-threshold order — the r13 ADVICE regression: a NaN
+    max made every ``lo < hi`` False, skipping refinement stages while
+    scores still differed)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    s = F.col(score_col)
+    guard = F.when(
+        s.isNull(),
+        F.raise_error(F.lit(
+            f"{opname}: NULL score in '{score_col}' "
+            "(ordering under NULL is engine-defined)"
+        )),
+    )
+    if isinstance(df.schema[score_col].dataType, (FloatType, DoubleType)):
+        guard = guard.when(
+            F.isnan(s),
+            F.raise_error(F.lit(
+                f"{opname}: NaN score in '{score_col}' "
+                "(NaN has no defined place in the selection order)"
+            )),
+        )
+    return guard.otherwise(s.cast("double"))
+
+
+def _tb_guarded_tokens(toks: Column, id_col: str, opname: str) -> Column:
+    """Clamped token count with the NULL-id loud guard folded in: a
+    NULL id has no place in the (score DESC, id ASC) order of record
+    and crashes the integer-id refinement stage (the r13 ADVICE hole),
+    so it raises on first materialization — consistently for EVERY id
+    type.  Negative counts clamp at 0 (a negative count would make the
+    cumulative non-monotone and whole-bucket keep/drop would diverge
+    from true prefix semantics)."""
+    return F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"{opname}: NULL id in '{id_col}' "
+            "(the selection order needs a total order on ids)"
+        )),
+    ).otherwise(F.greatest(toks, F.lit(0)))
+
+
 def _tb_int_bucket(df, diff_expr, span: int, n_buckets: int):
     """Exact-integer interpolation bucketing: ``diff_expr`` must be a
     non-negative long measuring distance from the range edge ALONG the
@@ -1537,6 +1640,7 @@ def token_budget_select(
     text_col: str = "text",
     n_buckets: int = 65536,
     max_exact_rows: int | None = None,
+    naive_max_rows: int = _TB_NAIVE_MAX_ROWS,
     _diag: dict | None = None,
 ) -> DataFrame:
     """Budget-capped quality selection: keep the maximal PREFIX of the
@@ -1555,10 +1659,19 @@ def token_budget_select(
 
     The NAIVE plan is a window cumsum over a GLOBAL sort — a
     single-task window over the whole corpus, the exact shape that
-    dies at 100 TB.  This implementation keeps the identical
-    semantics in bounded passes instead (the SQL oracle replays the
-    naive window; equality between the two IS the correctness
-    statement):
+    dies at 100 TB.  Below a MEASURED row-count crossover
+    (``naive_max_rows``, default ``_TB_NAIVE_MAX_ROWS`` — the
+    jaccard_pairs_auto cost-gate discipline; SCALE.md records the
+    probe) the operator runs that naive window anyway: pass 1 has
+    already COUNTED the corpus, so the single task's size is bounded
+    by the same measured constant and the ~6 bounded-plan driver-job
+    latencies (which dominate small corpora 2× per the 5M probe) are
+    skipped.  The default is deliberately BELOW the measured narrow-row
+    crossover because the window task carries the input's full rows
+    (text included), not the probe's narrow ones; pass 0 to force the
+    bounded plan.  At or above the gate, the identical semantics run
+    in bounded passes (the SQL oracle replays the naive window;
+    equality between the two IS the correctness statement):
 
     1. one aggregate for (min score, max score, total tokens) —
        early-out keep-all when total ≤ budget;
@@ -1590,12 +1703,15 @@ def token_budget_select(
     the upstream lineage; ``release_operator_caches()`` frees it at
     the caller's stage boundary.
 
-    NULL scores raise (ordering under NULL is engine-defined — the
-    ``_edge_weight``/pack_sequences loud-guard discipline); token
-    counts come from ``token_count_col`` (NULLs raise) or a
-    whitespace count of ``text_col``.  Returns the kept rows with the
-    input's columns.
+    NULL scores, NaN scores (float/double columns), NULL ids, and NULL
+    explicit token counts all raise loudly (ordering under any of them
+    is engine-defined — the ``_edge_weight``/pack_sequences loud-guard
+    discipline); token counts come from ``token_count_col`` or a
+    whitespace count of ``text_col``.  Input columns named ``_tb_*``
+    (the reserved helper prefix) are rejected.  Returns the kept rows
+    with the input's columns.
     """
+    from pyspark.sql import Window
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -1606,50 +1722,49 @@ def token_budget_select(
 
     if budget < 0:
         raise ValueError("token_budget_select: budget must be >= 0")
-    if token_count_col is not None:
-        c = F.col(token_count_col).cast("long")
-        toks = F.when(
-            c.isNull(),
-            F.raise_error(F.lit(
-                "token_budget_select: NULL token count in "
-                f"'{token_count_col}'"
-            )),
-        ).otherwise(c)
-    else:
-        toks = F.size(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda t: t != "",
-            )
-        ).cast("long")
-    s = F.col(score_col)
-    score_guard = F.when(
-        s.isNull(),
-        F.raise_error(F.lit(
-            f"token_budget_select: NULL score in '{score_col}' "
-            "(ordering under NULL is engine-defined)"
-        )),
-    ).otherwise(s.cast("double"))
+    _tb_reject_helper_collisions(df, "token_budget_select")
+    toks = _tb_tokens_expr(token_count_col, text_col,
+                           "token_budget_select")
+    score_guard = _tb_score_guard(df, score_col, "token_budget_select")
     _int_types = (ByteType, ShortType, IntegerType, LongType)
     score_is_int = isinstance(df.schema[score_col].dataType, _int_types)
     id_dt = df.schema[id_col].dataType
-    # clamp at 0 (the pack_sequences convention): a NEGATIVE count
-    # would make the cumulative non-monotone, and the whole-bucket
-    # keep/drop would then diverge from true prefix semantics.
+    # Guards (NULL id, clamp-at-0) fold into _tb_toks so they fire on
+    # the FIRST materialization below, on every dispatch path.
     # Cached: the two driver aggregates per level AND the union
     # branches of the returned plan all read this one materialization.
     base = tracked_cache(
-        df.withColumn("_tb_toks", F.greatest(toks, F.lit(0)))
-        .withColumn("_tb_s", score_guard)
+        df.withColumn(
+            "_tb_toks",
+            _tb_guarded_tokens(toks, id_col, "token_budget_select"),
+        ).withColumn("_tb_s", score_guard)
     )
     row = base.agg(
         F.min("_tb_s").alias("lo"),
         F.coalesce(F.sum("_tb_toks"), F.lit(0)).alias("total"),
+        F.count("*").alias("n"),
     ).first()
     if row["lo"] is None:  # empty input
         return df.filter(F.lit(False))
     if int(row["total"]) <= budget:
         return df  # everything fits — no second pass at all
+    if int(row["n"]) <= naive_max_rows:
+        # measured-crossover fast path: the corpus is COUNTED small,
+        # so the oracle's own single-window plan is both correct and
+        # faster (driver-job latency dominates the bounded plan here);
+        # its one window task holds exactly these n rows — bounded by
+        # the gate, never a guess (the jaccard_pairs_auto discipline)
+        if _diag is not None:
+            _diag.update(plan="naive", levels=0, boundary_rows=-1,
+                         residual=budget, stage="naive")
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        return (
+            base.withColumn("_tb_ce", F.sum("_tb_toks").over(w))
+            .filter(F.col("_tb_ce") <= F.lit(budget))
+            .select(*df.columns)
+        )
+    if _diag is not None:
+        _diag["plan"] = "bounded"
     max_exact = n_buckets if max_exact_rows is None else max_exact_rows
     kept: list[DataFrame] = []
     cur = base
@@ -1771,8 +1886,6 @@ def token_budget_select(
     if _diag is not None:
         _diag.update(levels=levels, boundary_rows=boundary_rows,
                      residual=residual, stage=stage)
-    from pyspark.sql import Window
-
     frames = list(kept)
     if boundary is not None:
         # the order of record: RAW score (exact at any magnitude — the
@@ -1827,22 +1940,12 @@ def token_budget_epochs(
         raise ValueError("token_budget_epochs: budget must be >= 0")
     if max_epochs < 1:
         raise ValueError("token_budget_epochs: max_epochs must be >= 1")
-    if token_count_col is not None:
-        c = F.col(token_count_col).cast("long")
-        toks = F.when(
-            c.isNull(),
-            F.raise_error(F.lit(
-                "token_budget_epochs: NULL token count in "
-                f"'{token_count_col}'"
-            )),
-        ).otherwise(c)
-    else:
-        toks = F.size(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
-                lambda t: t != "",
-            )
-        ).cast("long")
+    # `epoch` is the operator's OWN output column — an input column of
+    # that name would silently duplicate in the full tier's select("*")
+    _tb_reject_helper_collisions(df, "token_budget_epochs",
+                                 extra=("epoch",))
+    toks = _tb_tokens_expr(token_count_col, text_col,
+                           "token_budget_epochs")
     row = df.agg(
         F.coalesce(F.sum(F.greatest(toks, F.lit(0))), F.lit(0))
         .alias("t"),
@@ -1895,6 +1998,7 @@ def token_budget_mix(
     text_col: str = "text",
     n_buckets: int = 65536,
     max_exact_rows: int | None = None,
+    _diag: dict | None = None,
 ) -> DataFrame:
     """Per-source budget-capped selection — the data-mixing recipe
     ("900 tokens of web, 500 of code, none of the rest"): for each
@@ -1905,40 +2009,223 @@ def token_budget_mix(
     un-cap the mix.  A ``None`` key selects NULL group values
     (``eqNullSafe``).
 
-    Shape: one :func:`token_budget_select` pass per named source.  A
-    mixing recipe names a HANDFUL of sources (it is written by a
-    person), so the driver-side cost is k × the bounded
-    bucketed-threshold passes — each group pays only its own bounded
-    histogram + ≤ ``max_exact_rows`` boundary window, and each group's
-    helper-column frame is independently ``tracked_cache``-ed by the
-    underlying operator.  This is NOT the per-group window
-    (``Window.partitionBy(group)``) plan: that sorts each hot source
-    in ONE task — exactly the straggler a budget cap is for (the
-    ``cap_per_group`` lesson).  For budget maps with MANY groups,
-    call this per batch of named sources and union.
+    Shape (one job round for ALL k sources, however many — the r13
+    per-source-sequential-passes plan rewritten per the r13 verdict):
+
+    1. ONE grouped aggregate — ``groupBy(group)`` → (min score, max
+       score, total tokens) per named source, ≤ k driver rows.
+       Sources whose total fits their budget keep everything and pay
+       nothing further.
+    2. ONE grouped histogram — per-source score buckets via a
+       broadcast (group → hi, width) literal frame, then
+       ``groupBy(group, bucket)`` → ≤ k × ``n_buckets`` driver rows.
+       The driver resolves EVERY source's boundary bucket and residual
+       budget from that one pass.
+    3. Buckets before each source's boundary keep everything; the
+       boundary buckets (≤ ``max_exact_rows`` rows each) pay one
+       grouped exact window — ``Window.partitionBy(group)`` is safe
+       HERE because the histogram bounded every partition, unlike the
+       hot-source straggler of a naive per-group global window (the
+       ``cap_per_group`` lesson).
+    4. Rare residue recurses per group through
+       :func:`token_budget_select`: sources whose scores are all equal
+       as doubles (no histogram axis) and sources whose boundary
+       bucket stays above ``max_exact_rows`` (degenerate score mass) —
+       each pays that operator's own bounded passes on ITS rows only.
 
     Per-group semantics (budget 0 keeps the zero-token prefix, NULL
-    scores raise, negative counts clamp) are token_budget_select's —
-    the DuckDB oracle replays the whole mix as one
-    PARTITION-BY-group window cumsum against the per-group budgets.
+    scores/ids raise, negative counts clamp, ``_tb_*`` input columns
+    rejected) are token_budget_select's — the DuckDB oracle replays
+    the whole mix as one PARTITION-BY-group window cumsum against the
+    per-group budgets.  ``_diag`` (tests only) records the driver job
+    count and the per-tier group lists.
     """
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     if not budgets:
         raise ValueError("token_budget_mix: budgets must name at least "
                          "one group")
-    out = None
-    for g in sorted(budgets, key=lambda k: (k is None, k)):
-        kept = token_budget_select(
-            df.filter(F.col(group_col).eqNullSafe(F.lit(g))),
-            budgets[g],
-            score_col,
-            id_col=id_col,
-            token_count_col=token_count_col,
-            text_col=text_col,
-            n_buckets=n_buckets,
-            max_exact_rows=max_exact_rows,
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(
+                f"token_budget_mix: budget for group {g!r} must be >= 0"
+            )
+    _tb_reject_helper_collisions(df, "token_budget_mix")
+    spark = df.sparkSession
+
+    def _named_pred(col, vals):
+        named = [v for v in vals if v is not None]
+        pred = col.isin(named) if named else F.lit(False)
+        if any(v is None for v in vals):
+            pred = pred | col.isNull()
+        return pred
+
+    toks = _tb_tokens_expr(token_count_col, text_col, "token_budget_mix")
+    score_guard = _tb_score_guard(df, score_col, "token_budget_mix")
+    base = tracked_cache(
+        df.filter(_named_pred(F.col(group_col), list(budgets)))
+        .withColumn(
+            "_tb_toks",
+            _tb_guarded_tokens(toks, id_col, "token_budget_mix"),
         )
-        out = kept if out is None else out.unionByName(kept)
-    return out
+        .withColumn("_tb_s", score_guard)
+    )
+    # Job 1: grouped stats — ≤ k driver rows
+    stats = base.groupBy(F.col(group_col).alias("_tb_g")).agg(
+        F.min("_tb_s").alias("lo"),
+        F.max("_tb_s").alias("hi"),
+        F.coalesce(F.sum("_tb_toks"), F.lit(0)).alias("total"),
+    ).collect()
+    driver_jobs = 1
+    keep_all: list = []
+    hist: list[tuple] = []  # (g, hi, width, budget)
+    degen: list[tuple] = []  # (g, budget) — no double-score axis
+    for r in stats:
+        g = r["_tb_g"]
+        b = int(budgets[g])
+        if int(r["total"]) <= b:
+            keep_all.append(g)
+        elif float(r["lo"]) < float(r["hi"]):
+            hist.append((g, float(r["hi"]),
+                         float(r["hi"]) - float(r["lo"]), b))
+        else:
+            degen.append((g, b))
+    gdt = df.schema[group_col].dataType
+    tiers: list[DataFrame] = []
+    if keep_all:
+        tiers.append(base.filter(
+            _named_pred(F.col(group_col), keep_all)))
+    fallback: list[tuple] = []  # (g, hi, width, b_star, residual)
+    if hist:
+        # Job 2: ONE grouped histogram for every source still open
+        bounds = spark.createDataFrame(
+            [(g, hi, w) for g, hi, w, _ in hist],
+            schema=StructType([
+                StructField("_tb_g", gdt, True),
+                StructField("_tb_hi", DoubleType(), False),
+                StructField("_tb_w", DoubleType(), False),
+            ]),
+        )
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("_tb_hi") - F.col("_tb_s"))
+                / F.col("_tb_w") * F.lit(n_buckets)
+            ).cast("int"),
+        ).cast("long")
+        hb = base.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("_tb_g")),
+        ).withColumn("_tb_b", bucket)
+        hrows = hb.groupBy("_tb_g", "_tb_b").agg(
+            F.sum("_tb_toks").alias("t"), F.count("*").alias("c")
+        ).collect()
+        driver_jobs += 1
+        per_g: dict = {}
+        for r in hrows:
+            per_g.setdefault(r["_tb_g"], {})[int(r["_tb_b"])] = (
+                int(r["t"]), int(r["c"]))
+        max_exact = n_buckets if max_exact_rows is None else max_exact_rows
+        cuts = []  # (g, hi, w, b_star, residual, small)
+        for g, hi, w, b in hist:
+            sums = per_g[g]
+            cum = 0
+            b_star = None
+            for bb in sorted(sums):
+                if cum + sums[bb][0] > b:
+                    b_star = bb
+                    break
+                cum += sums[bb][0]
+            # b_star always found: hist groups have total > budget
+            residual = b - cum
+            small = sums[b_star][1] <= max_exact
+            cuts.append((g, hi, w, b_star, residual, small))
+            if not small:
+                fallback.append((g, hi, w, b_star, residual))
+        meta = spark.createDataFrame(
+            [c for c in cuts],
+            schema=StructType([
+                StructField("_tb_g", gdt, True),
+                StructField("_tb_hi", DoubleType(), False),
+                StructField("_tb_w", DoubleType(), False),
+                StructField("_tb_bs", LongType(), False),
+                StructField("_tb_r", LongType(), False),
+                StructField("_tb_small", BooleanType(), False),
+            ]),
+        )
+        j = base.join(
+            F.broadcast(meta),
+            F.col(group_col).eqNullSafe(F.col("_tb_g")),
+        ).withColumn("_tb_b", bucket)
+        # whole buckets before each source's boundary
+        tiers.append(j.filter(F.col("_tb_b") < F.col("_tb_bs")))
+        # grouped exact boundary window — every partition histogram-
+        # bounded at <= max_exact rows; order of record: RAW score
+        # DESC, id ASC (the double _tb_s is bucketing-only)
+        wg = Window.partitionBy(group_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col))
+        tiers.append(
+            j.filter(
+                (F.col("_tb_b") == F.col("_tb_bs")) & F.col("_tb_small")
+            )
+            .withColumn("_tb_ce", F.sum("_tb_toks").over(wg))
+            .filter(F.col("_tb_ce") <= F.col("_tb_r"))
+        )
+    # Residue recursion — one bounded token_budget_select per group,
+    # on that group's rows only (rare: degenerate score distributions)
+    def _one_pred(col, g):
+        return col.isNull() if g is None else col.eqNullSafe(F.lit(g))
+
+    for g, hi, w, b_star, residual in fallback:
+        bucket_g = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.lit(hi) - F.col("_tb_s"))
+                / F.lit(w) * F.lit(n_buckets)
+            ).cast("int"),
+        ).cast("long")
+        sub = (
+            base.filter(_one_pred(F.col(group_col), g))
+            .withColumn("_tb_b", bucket_g)
+            .filter(F.col("_tb_b") == F.lit(b_star))
+            .select(*df.columns)
+        )
+        tiers.append(token_budget_select(
+            sub, residual, score_col, id_col=id_col,
+            token_count_col=token_count_col, text_col=text_col,
+            n_buckets=n_buckets, max_exact_rows=max_exact_rows,
+        ))
+    for g, b in degen:
+        sub = base.filter(_one_pred(F.col(group_col), g)).select(
+            *df.columns)
+        tiers.append(token_budget_select(
+            sub, b, score_col, id_col=id_col,
+            token_count_col=token_count_col, text_col=text_col,
+            n_buckets=n_buckets, max_exact_rows=max_exact_rows,
+        ))
+    if _diag is not None:
+        _diag.update(
+            driver_jobs=driver_jobs,
+            keep_all=sorted(keep_all, key=lambda g: (g is None, g)),
+            hist=sorted((h[0] for h in hist),
+                        key=lambda g: (g is None, g)),
+            fallback=sorted((f[0] for f in fallback),
+                            key=lambda g: (g is None, g)),
+            degenerate=sorted((d[0] for d in degen),
+                              key=lambda g: (g is None, g)),
+        )
+    out = None
+    for t in tiers:
+        t = t.select(*df.columns)
+        out = t if out is None else out.unionByName(t)
+    return out if out is not None else df.filter(F.lit(False))
 
 
 def dup_ngram_stats(

@@ -4853,9 +4853,14 @@ def test_token_budget_select_matches_python_prefix(spark):
         if k == 30:
             boundary = cum
     for budget in (0, 7, boundary, totals // 2, totals, totals + 10):
-        got = {r["doc_id"] for r in token_budget_select(
-            df, budget=budget, score_col="score").collect()}
-        assert got == want(budget), budget
+        # both dispatch shapes must equal the python prefix: the
+        # default gate routes this 80-row corpus to the naive window,
+        # naive_max_rows=0 forces the bounded bucketed-threshold plan
+        for nmr in (None, 0):
+            kw = {} if nmr is None else {"naive_max_rows": nmr}
+            got = {r["doc_id"] for r in token_budget_select(
+                df, budget=budget, score_col="score", **kw).collect()}
+            assert got == want(budget), (budget, nmr)
     # degenerate: every score equal — single bucket, window-only path
     same = df.withColumn("score", df.score * 0)
     got = {r["doc_id"] for r in token_budget_select(
@@ -4962,11 +4967,11 @@ def test_token_budget_select_boundary_orders_by_raw_bigint_score(spark):
         df, budget=3, score_col="score").collect()}
     assert got == {20}
     # raw-int refinement (stage score_int) separates them too when the
-    # boundary is forced small
+    # boundary is forced small (naive_max_rows=0 pins the bounded plan)
     diag = {}
     got2 = {r["doc_id"] for r in token_budget_select(
         df, budget=3, score_col="score", n_buckets=4,
-        max_exact_rows=1, _diag=diag).collect()}
+        max_exact_rows=1, naive_max_rows=0, _diag=diag).collect()}
     assert got2 == {20}
     assert diag["boundary_rows"] == 1
 
@@ -4996,8 +5001,9 @@ def test_token_budget_select_degenerate_equal_scores_is_bounded(spark):
     diag = {}
     got = {r["doc_id"] for r in token_budget_select(
         df, budget=budget, score_col="score", n_buckets=16,
-        max_exact_rows=16, _diag=diag).collect()}
+        max_exact_rows=16, naive_max_rows=0, _diag=diag).collect()}
     assert got == kept
+    assert diag["plan"] == "bounded"
     assert diag["boundary_rows"] <= 16  # bounded exact window
     assert diag["levels"] >= 2  # it actually recursed past the scores
 
@@ -5027,7 +5033,8 @@ def test_token_budget_select_degenerate_string_ids(spark):
     diag = {}
     got = {r["doc_id"] for r in token_budget_select(
         df, budget=budget, score_col="score", id_col="doc_id",
-        n_buckets=8, max_exact_rows=8, _diag=diag).collect()}
+        n_buckets=8, max_exact_rows=8, naive_max_rows=0,
+        _diag=diag).collect()}
     assert got == kept
     assert diag["boundary_rows"] <= 8
 
@@ -5287,6 +5294,243 @@ def test_token_budget_mix_matches_python_per_group_prefix(spark):
     assert zero_kept == expect0
     with pytest.raises(ValueError):
         token_budget_mix(df, {}, group_col="src", score_col="score")
+
+
+def test_token_budget_select_dispatch_gate(spark):
+    """The measured naive/bounded cost gate (the jaccard_pairs_auto
+    discipline): below ``naive_max_rows`` the COUNTED-small corpus
+    runs the oracle's own single-window plan; at 0 the bounded
+    bucketed-threshold plan fires.  Same kept set either side."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["t"] * (1 + i % 5)),
+             score=(i * 13) % 7) for i in range(60)])
+    budget = 60
+    d1, d2 = {}, {}
+    naive = {r["doc_id"] for r in token_budget_select(
+        df, budget=budget, score_col="score", _diag=d1).collect()}
+    bounded = {r["doc_id"] for r in token_budget_select(
+        df, budget=budget, score_col="score", naive_max_rows=0,
+        _diag=d2).collect()}
+    assert d1["plan"] == "naive"
+    assert d2["plan"] == "bounded"
+    assert naive == bounded
+    # the gate is a row-count comparison against pass 1's exact count:
+    # threshold exactly n keeps naive, n-1 flips to bounded
+    d3, d4 = {}, {}
+    token_budget_select(df, budget=budget, score_col="score",
+                        naive_max_rows=60, _diag=d3).collect()
+    token_budget_select(df, budget=budget, score_col="score",
+                        naive_max_rows=59, _diag=d4).collect()
+    assert d3["plan"] == "naive"
+    assert d4["plan"] == "bounded"
+
+
+def test_token_budget_nan_score_raises(spark):
+    """A NaN score raises loudly on every budget operator (the r13
+    ADVICE regression: NaN made the stage machine's `lo < hi` False,
+    skipping refinement while scores still differed — whole buckets
+    were kept in id order instead of (score DESC, id))."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import (
+        token_budget_mix,
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=2.0),
+         Row(doc_id=2, text="c d", score=float("nan")),
+         Row(doc_id=3, text="e f", score=1.0)],
+        schema="doc_id bigint, text string, score double")
+    with pytest.raises(Exception) as exc:
+        token_budget_select(df, budget=2, score_col="score").collect()
+    assert "NaN score" in str(exc.value)
+    with pytest.raises(Exception) as exc:
+        token_budget_select(df, budget=2, score_col="score",
+                            naive_max_rows=0).collect()
+    assert "NaN score" in str(exc.value)
+    dfg = df.withColumn("src", F.lit("web"))
+    with pytest.raises(Exception) as exc:
+        token_budget_mix(dfg, {"web": 2}, group_col="src",
+                         score_col="score").collect()
+    assert "NaN score" in str(exc.value)
+    # integer scores can't be NaN — the guard must not reject them
+    dfi = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=2),
+         Row(doc_id=2, text="c", score=1)],
+        schema="doc_id bigint, text string, score bigint")
+    got = {r["doc_id"] for r in token_budget_select(
+        dfi, budget=2, score_col="score").collect()}
+    assert got == {1}
+
+
+def test_token_budget_null_id_raises(spark):
+    """A NULL id raises loudly — for INT ids (previously an
+    uncontrolled driver TypeError in the integer-id refinement stage)
+    and STRING ids (previously silently coalesced to the range
+    minimum) alike; the r13 ADVICE consistency fix."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_select
+
+    dfi = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=1),
+         Row(doc_id=None, text="c d", score=1)],
+        schema="doc_id bigint, text string, score bigint")
+    with pytest.raises(Exception) as exc:
+        token_budget_select(dfi, budget=2, score_col="score").collect()
+    assert "NULL id" in str(exc.value)
+    dfs = spark.createDataFrame(
+        [Row(doc_id="a", text="a b", score=1),
+         Row(doc_id=None, text="c d", score=1)],
+        schema="doc_id string, text string, score bigint")
+    with pytest.raises(Exception) as exc:
+        token_budget_select(dfs, budget=2, score_col="score",
+                            naive_max_rows=0).collect()
+    assert "NULL id" in str(exc.value)
+
+
+def test_token_budget_helper_column_collision_raises(spark):
+    """Input columns named like the reserved ``_tb_*`` helpers are
+    rejected up front (they would be silently overwritten and dropped
+    — the r13 ADVICE hole); token_budget_epochs additionally rejects
+    an input ``epoch`` column (its own output name)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import (
+        token_budget_epochs,
+        token_budget_mix,
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=1, _tb_toks=9)])
+    with pytest.raises(ValueError) as exc:
+        token_budget_select(df, budget=2, score_col="score")
+    assert "_tb_toks" in str(exc.value)
+    with pytest.raises(ValueError):
+        token_budget_epochs(df, budget=2, score_col="score")
+    dfg = df.withColumn("src", F.lit("web"))
+    with pytest.raises(ValueError):
+        token_budget_mix(dfg, {"web": 2}, group_col="src",
+                         score_col="score")
+    dfe = spark.createDataFrame(
+        [Row(doc_id=1, text="a b", score=1, epoch=3)])
+    with pytest.raises(ValueError) as exc:
+        token_budget_epochs(dfe, budget=2, score_col="score")
+    assert "epoch" in str(exc.value)
+
+
+def test_token_budget_mix_single_histogram_job_round(spark):
+    """The r13-verdict rewrite's shape claim, pinned: k open sources
+    pay ONE grouped-stats job + ONE grouped-histogram job (driver_jobs
+    == 2) — not k sequential passes — with no fallback/degenerate
+    recursion on an ordinary score distribution; a source whose total
+    fits its budget is classified keep_all and a source with all-equal
+    scores routes to the bounded per-group recursion, results equal to
+    the python per-group prefix throughout."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_mix
+
+    docs = [(i, ["web", "code", "forum"][i % 3],
+             " ".join(["t"] * (1 + (i * 5) % 7)),
+             (i * 37) % 11) for i in range(90)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, src=g, text=t, score=s) for i, g, t, s in docs])
+    budgets = {"web": 40, "code": 25, "forum": 60}
+    want = set()
+    for g, b in budgets.items():
+        cum = 0
+        for i, gg, t, s in sorted((d for d in docs if d[1] == g),
+                                  key=lambda d: (-d[3], d[0])):
+            n = len(t.split())
+            if cum + n > b:
+                break
+            cum += n
+            want.add(i)
+    diag = {}
+    got = {r["doc_id"] for r in token_budget_mix(
+        df, budgets, group_col="src", score_col="score",
+        _diag=diag).collect()}
+    assert got == want
+    assert diag["driver_jobs"] == 2  # one stats + ONE histogram for k=3
+    assert diag["hist"] == ["code", "forum", "web"]
+    assert diag["fallback"] == [] and diag["degenerate"] == []
+    # keep_all tier: a huge budget pays nothing past the stats job
+    diag2 = {}
+    got2 = {r["doc_id"] for r in token_budget_mix(
+        df, {"web": 10_000_000}, group_col="src", score_col="score",
+        _diag=diag2).collect()}
+    assert got2 == {i for i, g, _, _ in docs if g == "web"}
+    assert diag2["driver_jobs"] == 1
+    assert diag2["keep_all"] == ["web"]
+    # all-equal scores: no histogram axis — the bounded per-group
+    # recursion fires and the prefix is id-ordered
+    dfe = df.withColumn("score", F.lit(5))
+    diag3 = {}
+    got3 = {r["doc_id"] for r in token_budget_mix(
+        dfe, {"web": 40}, group_col="src", score_col="score",
+        _diag=diag3).collect()}
+    cum, want3 = 0, set()
+    for i, g, t, s in sorted((d for d in docs if d[1] == "web")):
+        n = len(t.split())
+        if cum + n > 40:
+            break
+        cum += n
+        want3.add(i)
+    assert got3 == want3
+    assert diag3["degenerate"] == ["web"]
+
+
+def test_token_budget_mix_null_group_key_and_boundary_fallback(spark):
+    """A ``None`` budgets key selects NULL group values through the
+    grouped-histogram plan (eqNullSafe join + NULL-safe predicates);
+    an over-dense boundary bucket (max_exact_rows=1 forces it) routes
+    that source through the bounded per-group recursion and still
+    matches the python prefix."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import token_budget_mix
+
+    docs = [(i, None if i % 3 == 0 else "web",
+             " ".join(["t"] * (1 + (i * 5) % 7)),
+             (i * 37) % 11) for i in range(60)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, src=g, text=t, score=s) for i, g, t, s in docs],
+        schema="doc_id bigint, src string, text string, score bigint")
+    budgets = {None: 30, "web": 45}
+    want = set()
+    for g, b in budgets.items():
+        cum = 0
+        for i, gg, t, s in sorted((d for d in docs if d[1] == g),
+                                  key=lambda d: (-d[3], d[0])):
+            n = len(t.split())
+            if cum + n > b:
+                break
+            cum += n
+            want.add(i)
+    diag = {}
+    got = {r["doc_id"] for r in token_budget_mix(
+        df, budgets, group_col="src", score_col="score",
+        _diag=diag).collect()}
+    assert got == want
+    assert diag["hist"] == ["web", None]  # named first, NULL key last
+    # force the boundary bucket over max_exact_rows: the source pays
+    # the per-group bounded recursion, result unchanged
+    diag2 = {}
+    got2 = {r["doc_id"] for r in token_budget_mix(
+        df, budgets, group_col="src", score_col="score",
+        n_buckets=2, max_exact_rows=1, _diag=diag2).collect()}
+    assert got2 == want
+    assert diag2["fallback"], diag2
 
 
 def test_sequence_index_works_on_appended_manifest(spark):
