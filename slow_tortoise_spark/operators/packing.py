@@ -225,6 +225,114 @@ def sequence_index(
     )
 
 
+def pack_sequences_epochs(
+    epoch_plan: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    epoch_col: str = "epoch",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    order_by_hash: bool = False,
+    shuffle_salt: str = "packshuf",
+) -> DataFrame:
+    """Pack a multi-epoch plan (``token_budget_epochs`` output — one
+    row per (doc, epoch)) into training sequences: the loader-ready
+    manifest for the DATA-CONSTRAINED regime, where the corpus repeats
+    and the last (partial) epoch holds only the budget remainder's
+    best docs.  Output is :func:`pack_sequences`' manifest plus the
+    ``epoch`` column: (doc_id, epoch, bucket, tokens, seq_first,
+    seq_last, offset_in_first).
+
+    ``epoch`` is the LEADING within-bucket sort key (the batch-id
+    discipline of :func:`pack_sequences_append`): inside every bucket,
+    epoch e's tokens sit entirely AFTER epoch e-1's, so a training run
+    consumes full passes in order and the partial epoch last — and
+    each epoch's sequence range per bucket is contiguous, which is
+    what lets a loader (or a resume) address "epoch e of shard b" as
+    one [first, last] slice.  A document keeps the SAME bucket in
+    every epoch (the hash key is the id alone), so shard-local token
+    streams repeat shard-locally — no cross-shard traffic when the
+    plan repeats the corpus.
+
+    ``order_by_hash=True`` shuffles WITHIN each (bucket, epoch) by
+    ``md5(shuffle_salt || ':' || epoch || ':' || id)`` — the epoch
+    joins the salt so every epoch is a FRESH permutation (real loaders
+    reshuffle between epochs; without the epoch in the key, each
+    repeat would replay the same document order and adjacent-doc
+    co-occurrence statistics).  doc_id breaks hash ties.
+
+    Same ONE-shuffle plan as :func:`pack_sequences` — epoch and the
+    hash are sort keys inside the per-bucket window, not extra
+    exchanges — and the same exact-integer ``div``/``pmod``
+    arithmetic, replayable by one SQL window over (bucket) ordered by
+    (epoch, id).  NULL epochs raise (a loader cannot place them);
+    NULL token counts raise; the ``epoch_col`` must exist (this
+    operator consumes a PLAN, not a bare corpus — pack a single-epoch
+    corpus with :func:`pack_sequences`).
+    """
+    if max_tokens <= 0:
+        raise ValueError(
+            "pack_sequences_epochs: max_tokens must be positive")
+    if not 0 < n_buckets <= 65536:
+        raise ValueError(
+            "pack_sequences_epochs: n_buckets must be in 1..65536")
+    if epoch_col not in epoch_plan.columns:
+        raise ValueError(
+            f"pack_sequences_epochs: input lacks epoch column "
+            f"'{epoch_col}' (pack a single-epoch corpus with "
+            "pack_sequences)")
+    toks = _doc_tokens(token_count_col, text_col,
+                       "pack_sequences_epochs")
+    ec = F.col(epoch_col).cast("long")
+    epoch_guard = F.when(
+        ec.isNull(),
+        F.raise_error(F.lit(
+            f"pack_sequences_epochs: NULL epoch in '{epoch_col}' "
+            "(a loader cannot place an unnumbered pass)"
+        )),
+    ).otherwise(ec)
+    if order_by_hash:
+        # epoch in the salt: every repeat is a fresh permutation
+        extra = [F.md5(F.concat_ws(
+            ":", F.lit(shuffle_salt), F.col("epoch").cast("string"),
+            F.col("doc_id").cast("string"),
+        )).alias("_ord")]
+        order_cols = [F.col("_ord"), F.col("doc_id")]
+    else:
+        extra, order_cols = [], [F.col("doc_id")]
+    base = epoch_plan.select(
+        F.col(id_col).alias("doc_id"),
+        epoch_guard.alias("epoch"),
+        _pack_bucket(id_col, n_buckets).alias("bucket"),
+        F.greatest(toks, F.lit(0)).alias("tokens"),
+    ).select("*", *extra)
+    w = Window.partitionBy("bucket").orderBy(F.col("epoch"), *order_cols)
+    cum_end = F.sum("tokens").over(w)
+    return base.select(
+        "doc_id",
+        "epoch",
+        "bucket",
+        "tokens",
+        (cum_end - F.col("tokens")).alias("_cs"),
+        cum_end.alias("_ce"),
+    ).select(
+        "doc_id",
+        "epoch",
+        "bucket",
+        "tokens",
+        F.expr(f"_cs div {max_tokens}").alias("seq_first"),
+        F.when(
+            F.col("tokens") > 0,
+            F.expr(f"(_ce - 1) div {max_tokens}"),
+        )
+        .otherwise(F.expr(f"_cs div {max_tokens}"))
+        .alias("seq_last"),
+        F.pmod(F.col("_cs"), F.lit(max_tokens)).cast("long")
+        .alias("offset_in_first"),
+    )
+
+
 def pack_sequences_append(
     manifest: DataFrame,
     new_docs: DataFrame,

@@ -971,3 +971,89 @@ for _name in _ROTATE_OUT_13C:
     VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
     VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
 del _name
+
+
+# --- Round 14 ---------------------------------------------------------------
+# Wave A: the last-row-r10 staleness group (46 queries — bigger than
+# one wave) binds test_rotation_staleness_invariant when
+# CORRECTNESS_r15 lands (latest 15 ⇒ stale if last driver row < 11).
+# NOTES planned the split: ~24 rotate in here, the remaining 22 rotate
+# at r15 (they are IN the r15 catalog when r15 lands, so rule 2 never
+# sees them stale).  This wave takes the alphabetical front of the
+# group — a cross-section of the join, sketch, BPE, dedup, ANN, graph,
+# and IO families — plus pack_sequences_epochs (contract rule 1: a
+# never-driver-checked query enters the catalog the round it is
+# built; it is the r13-verdict epochs→packing e2e wiring).
+#
+# The four r13 newcomers (pack_sequences_append, token_budget_mix,
+# token_budget_epochs) HOLD for their second consecutive driver rows
+# (the r9–r13 precedent), and token_budget_select holds for a THIRD
+# row as the post-rewrite witness of this round's naive/bounded
+# dispatch (the core_number r12 precedent); token_budget_mix's r14 row
+# doubles as the witness of its grouped-histogram rewrite.
+#
+# OUT (25), every one holding a fresh r13 row (holds through r17):
+# core_number + triangle_counts (r11+r12+r13 — past the second-row
+# precedent; graph coverage passes to incoming harmonic_centrality,
+# k_core, pagerank_graph), pack_sequences_shuffled + sequence_index
+# (r12+r13 — packing keeps pack_sequences_append + incoming
+# pack_sequences_epochs, whose oracle replays the same window shape
+# over the epoch plan), and 21 of the 26 r13A staleness refreshers
+# (they came in to refresh r09/r10 ledger rows — done).  Five
+# refreshers STAY for family coverage alongside the incoming wave:
+# validate_coercion (validation tier), token_stats (text stats),
+# skew_report (skew family — no incoming sibling), profile_table
+# (stats summary), region_revenue (star joins).  Other family notes:
+#   doc_fingerprints, winnow_fp — incoming minhash_signatures +
+#                          lsh_edit_funnel (fingerprint/verify)
+#   dup_span_removal, semdedup_pairs, simhash_near_dups — incoming
+#                          containment_pairs, dedup_drop,
+#                          dedup_exact_docs, jaccard_pairs_naive,
+#                          incremental_dedup, embedding_near_dups
+#   ivf_topk, embedding_gramian — incoming ivfpq_topk, ivfpq_rerank;
+#                          sq_topk stays
+#   kn_logprob, ppl_buckets, xcorpus_logprob — unigram_logprob,
+#                          bpe_encode stay; incoming bpe_pairs,
+#                          bpe_train
+#   set_ops, string_funcs, unpivot_melt, window_topn — incoming
+#                          anti_join, cube_agg, approx_distinct;
+#                          grouping_sets, mad_outliers stay
+#   streaming_index_dedup — stream_stream_join stays; incoming
+#                          incremental_dedup covers the index-probe
+#                          shape
+#   tile_rollup          — grid_stats stays; tile_binning rotates at
+#                          r15
+#   agg_snapshot_incremental, bucketed_merge_upsert — latest_orders
+#                          stays (snapshot/CDC); snapshot_time_travel
+#                          rotates at r15
+#   domain_counts, repetition_ratio, hash_split — incoming pii_redact,
+#                          bm25_rank; token_stats stays
+_ROTATE_IN_14A = [
+    "anti_join", "approx_distinct", "bm25_rank", "bpe_pairs",
+    "bpe_train", "containment_pairs", "contamination", "cube_agg",
+    "dedup_drop", "dedup_exact_docs", "embedding_near_dups",
+    "event_sequences", "harmonic_centrality",
+    "hyperplane_lsh_buckets", "incremental_dedup", "ivfpq_rerank",
+    "ivfpq_topk", "jaccard_pairs_naive", "jsonl_roundtrip", "k_core",
+    "lsh_edit_funnel", "minhash_signatures", "pagerank_graph",
+    "pii_redact",
+    "pack_sequences_epochs",
+]
+_ROTATE_OUT_14A = [
+    "core_number", "triangle_counts", "pack_sequences_shuffled",
+    "sequence_index",
+    "agg_snapshot_incremental", "bucketed_merge_upsert",
+    "doc_fingerprints", "domain_counts", "dup_span_removal",
+    "embedding_gramian", "hash_split", "ivf_topk", "kn_logprob",
+    "ppl_buckets", "repetition_ratio", "semdedup_pairs", "set_ops",
+    "simhash_near_dups", "streaming_index_dedup", "string_funcs",
+    "tile_rollup", "unpivot_melt", "window_topn", "winnow_fp",
+    "xcorpus_logprob",
+]
+for _name in _ROTATE_IN_14A:
+    QUERIES[_name] = VERIFIER_QUERIES.pop(_name)
+    ORACLE_SQL[_name] = VERIFIER_ORACLE_SQL.pop(_name)
+for _name in _ROTATE_OUT_14A:
+    VERIFIER_QUERIES[_name] = QUERIES.pop(_name)
+    VERIFIER_ORACLE_SQL[_name] = ORACLE_SQL.pop(_name)
+del _name

@@ -2280,3 +2280,101 @@ VERIFIER_QUERIES["token_budget_mix"] = q_token_budget_mix
 VERIFIER_ORACLE_SQL["token_budget_mix"] = _Q_TOKEN_BUDGET_MIX
 VERIFIER_QUERIES["token_budget_epochs"] = q_token_budget_epochs
 VERIFIER_ORACLE_SQL["token_budget_epochs"] = _Q_TOKEN_BUDGET_EPOCHS
+
+
+def q_pack_sequences_epochs(spark, sf_dir):
+    """The data-constrained regime end-to-end: the 70k-token epoch
+    plan (two full epochs + a partial third, same recipe as the
+    token_budget_epochs row) packed into 64-token training sequences
+    with epoch as the LEADING within-bucket sort key — the loader-
+    ready multi-epoch manifest.  The engine runs the map-only epoch
+    explode + bounded budget pass + ONE bucket-partitioned pack
+    window; the oracle replays the plan with generate_series + the
+    naive window cumsum, then the pack as one window over (bucket)
+    ordered by (epoch, doc_id)."""
+    from slow_tortoise_spark.operators.dedup import token_budget_epochs
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_epochs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).cast("long").alias("score"),
+    )
+    plan = token_budget_epochs(
+        scored, budget=70_000, score_col="score", max_epochs=4
+    )
+    man = pack_sequences_epochs(plan, max_tokens=64, n_buckets=8)
+    return man.orderBy("doc_id", "epoch")
+
+
+def _pack_sequences_epochs_sql(
+    max_tokens: int = 64, n_buckets: int = 8
+) -> str:
+    nib = [
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    h16 = (f"({nib[0]} * 4096 + {nib[1]} * 256"
+           f" + {nib[2]} * 16 + {nib[3]})")
+    return f"""WITH tbe AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> ''))) AS BIGINT) AS score,
+           CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS toks
+    FROM documents),
+tot AS MATERIALIZED (
+    SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS t FROM tbe),
+fe AS MATERIALIZED (
+    SELECT CAST(CASE WHEN t = 0 THEN 4
+                     ELSE LEAST(70000 // t, 4) END AS BIGINT) AS e, t
+    FROM tot),
+eplan AS MATERIALIZED (
+    SELECT doc_id, toks,
+           CAST(UNNEST(generate_series(1, (SELECT e FROM fe)))
+                AS BIGINT) AS epoch
+    FROM tbe
+    UNION ALL
+    SELECT doc_id, toks,
+           CAST((SELECT e FROM fe) + 1 AS BIGINT) AS epoch
+    FROM (SELECT doc_id, toks,
+                 SUM(toks) OVER (ORDER BY score DESC, doc_id) AS ce
+          FROM tbe)
+    WHERE (SELECT e FROM fe) < 4
+      AND ce <= 70000 - (SELECT e FROM fe) * (SELECT t FROM fe)),
+pd AS MATERIALIZED (
+    SELECT doc_id, epoch,
+           CAST({h16} % {n_buckets} AS INT) AS bucket, toks
+    FROM (SELECT doc_id, epoch, toks,
+                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM eplan)),
+pc AS MATERIALIZED (
+    SELECT doc_id, epoch, bucket, toks,
+           SUM(toks) OVER (PARTITION BY bucket
+                           ORDER BY epoch, doc_id) AS ce
+    FROM pd)
+SELECT doc_id, epoch, bucket, toks AS tokens,
+       CAST((ce - toks) // {max_tokens} AS BIGINT) AS seq_first,
+       CAST(CASE WHEN toks > 0 THEN (ce - 1) // {max_tokens}
+                 ELSE (ce - toks) // {max_tokens} END AS BIGINT)
+         AS seq_last,
+       CAST((ce - toks) % {max_tokens} AS BIGINT) AS offset_in_first
+FROM pc ORDER BY doc_id, epoch"""
+
+
+VERIFIER_QUERIES["pack_sequences_epochs"] = q_pack_sequences_epochs
+VERIFIER_ORACLE_SQL["pack_sequences_epochs"] = (
+    _pack_sequences_epochs_sql(64, 8)
+)

@@ -468,8 +468,24 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # budget selection's RETURNED plan: one single-partition
         # exchange feeding the exact window over ONLY the boundary
         # bucket + the output orderBy; the two driver aggregates
-        # (min/max/total, bucket sums) run before the plan is built
+        # (min/max/total, bucket sums) run before the plan is built.
+        # At this sf the r14 measured dispatch routes to the naive
+        # single-window plan (1 exchange) — 2 stays the bounded-shape
+        # ceiling
         "token_budget_select": 2,
+        # grouped-histogram mix (r14): broadcast of the <=k meta rows,
+        # the grouped boundary window's partitionBy(group) exchange,
+        # and the output orderBy across the keep/boundary union; the
+        # two grouped driver jobs (stats, histogram) run before the
+        # plan is built
+        "token_budget_mix": 4,
+        # full tier is a map-only explode; the partial tier pays the
+        # budget pass's window exchange + the output orderBy
+        "token_budget_epochs": 2,
+        # epoch plan (budget window at this sf: 1) + ONE bucket-
+        # partitioned pack window + the output orderBy — epoch is a
+        # sort key inside the pack window, not an extra exchange
+        "pack_sequences_epochs": 3,
         # weighted LP: rounds pre-materialized; 1 = the output orderBy;
         # +2 for the in-query weight build (groupBy + its exchange)
         "label_propagation_weighted": 3,

@@ -5533,6 +5533,172 @@ def test_token_budget_mix_null_group_key_and_boundary_fallback(spark):
     assert diag2["fallback"], diag2
 
 
+def test_pack_sequences_epochs_matches_python_replay(spark):
+    """Epoch-aware packing equals the pure-Python concat-and-chunk
+    replay with epoch as the LEADING within-bucket sort key, for both
+    the doc_id order and the hashed order (whose salt includes the
+    epoch, so each repeat is a FRESH permutation)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import pack_sequences_epochs
+
+    mt, nb = 8, 4
+    docs = [(i, (i * 5) % 7) for i in range(40)]  # (id, tokens)
+    # epochs 1..2 full + a partial epoch 3 holding ids < 10
+    plan = [(i, e, n) for i, n in docs for e in (1, 2)]
+    plan += [(i, 3, n) for i, n in docs if i < 10]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, epoch=e, text=" ".join(["t"] * n))
+         for i, e, n in plan])
+
+    def replay(order_by_hash):
+        cum, want = {}, {}
+        def key(row):
+            i, e, n = row
+            if order_by_hash:
+                h = hashlib.md5(f"packshuf:{e}:{i}".encode()).hexdigest()
+                return (e, h, i)
+            return (e, i)
+        for i, e, n in sorted(plan, key=key):
+            b = int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:4],
+                    16) % nb
+            cs = cum.get(b, 0)
+            ce = cs + n
+            cum[b] = ce
+            want[(i, e)] = (b, n, cs // mt,
+                            (ce - 1) // mt if n > 0 else cs // mt,
+                            cs % mt)
+        return want
+
+    for obh in (False, True):
+        got = {(r["doc_id"], r["epoch"]):
+               (r["bucket"], r["tokens"], r["seq_first"],
+                r["seq_last"], r["offset_in_first"])
+               for r in pack_sequences_epochs(
+                   df, max_tokens=mt, n_buckets=nb,
+                   order_by_hash=obh).collect()}
+        assert got == replay(obh), obh
+    # fresh permutation per epoch: within one bucket, epoch 1's and
+    # epoch 2's doc orders differ somewhere (same docs, salted hash)
+    man = pack_sequences_epochs(df, max_tokens=mt, n_buckets=1,
+                                order_by_hash=True).collect()
+    def order_of(e):
+        rows = [r for r in man if r["epoch"] == e and r["doc_id"] < 40]
+        return [r["doc_id"] for r in sorted(
+            rows, key=lambda r: (r["seq_first"], r["offset_in_first"],
+                                 r["doc_id"]))]
+    assert order_of(1) != order_of(2)
+
+
+def test_pack_sequences_epochs_guards(spark):
+    """The plan contract: a missing epoch column raises (pack a bare
+    corpus with pack_sequences), NULL epochs raise, and the
+    max_tokens/n_buckets validation matches the family."""
+    import pytest
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import pack_sequences_epochs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, epoch=1, text="a b"),
+         Row(doc_id=2, epoch=None, text="c")],
+        schema="doc_id bigint, epoch bigint, text string")
+    with pytest.raises(ValueError) as exc:
+        pack_sequences_epochs(df.drop("epoch"))
+    assert "epoch" in str(exc.value)
+    with pytest.raises(Exception) as exc:
+        pack_sequences_epochs(df, max_tokens=8, n_buckets=2).collect()
+    assert "NULL epoch" in str(exc.value)
+    with pytest.raises(ValueError):
+        pack_sequences_epochs(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences_epochs(df, n_buckets=0)
+
+
+def test_pack_sequences_epochs_loader_roundtrip(spark):
+    """The r13-verdict e2e: token_budget_epochs → pack_sequences_epochs
+    → sequence_index reassembles every bucket's MULTI-EPOCH token
+    stream exactly — the concat of (epoch, doc_id)-ordered doc tokens —
+    and each epoch's positions per bucket are one contiguous block
+    AFTER the previous epoch's (the resume/addressing guarantee)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from slow_tortoise_spark.operators.dedup import token_budget_epochs
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_epochs,
+        sequence_index,
+    )
+
+    mt, nb = 16, 4
+    docs = [(i, " ".join(f"w{i}_{j}" for j in range(1 + (i * 7) % 13)))
+            for i in range(50)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, score=(i * 11) % 17)
+         for i, t in docs])
+    total = sum(len(t.split()) for _, t in docs)
+    budget = 2 * total + total // 3  # 2 full epochs + a partial third
+    plan = token_budget_epochs(df, budget=budget, score_col="score",
+                               max_epochs=4)
+    man = pack_sequences_epochs(plan, max_tokens=mt, n_buckets=nb)
+    rows = man.collect()
+    # python side: which (doc, epoch) pairs exist, and expected streams
+    by_score = sorted(docs, key=lambda d: (-((d[0] * 11) % 17), d[0]))
+    partial, cum = [], 0
+    for i, t in by_score:
+        n = len(t.split())
+        if cum + n > total // 3:
+            break
+        cum += n
+        partial.append(i)
+    toks = {i: t.split() for i, t in docs}
+    import hashlib
+    bucket = {i: int(hashlib.md5(f"pack:{i}".encode()).hexdigest()[:4],
+                     16) % nb for i, _ in docs}
+    want_pairs = {(i, e) for i, _ in docs for e in (1, 2)}
+    want_pairs |= {(i, 3) for i in partial}
+    assert {(r["doc_id"], r["epoch"]) for r in rows} == want_pairs
+    want_streams = {}
+    for e in (1, 2, 3):
+        ids = sorted(i for i, ee in want_pairs if ee == e)
+        for i in ids:
+            want_streams.setdefault(bucket[i], []).extend(toks[i])
+    # epoch contiguity: per bucket, min position of epoch e+1 >= max
+    # cut of epoch e
+    hw = {}
+    for r in sorted(rows, key=lambda r: r["epoch"]):
+        pos = r["seq_first"] * mt + r["offset_in_first"]
+        b, e = r["bucket"], r["epoch"]
+        assert pos >= hw.get((b, e - 1), 0), (b, e)
+        hw[(b, e)] = max(hw.get((b, e), 0), pos + r["tokens"])
+    # reassemble through the loader-side index
+    toks_df = df.select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                 lambda t: t != "").alias("toks"),
+    )
+    idx = sequence_index(man, max_tokens=mt)
+    gathered = idx.join(toks_df, "doc_id").select(
+        "bucket", "seq", "seq_offset",
+        F.slice("toks", F.col("doc_offset") + 1,
+                F.col("n_tokens")).alias("piece"),
+    ).collect()
+    streams = {}
+    for r in gathered:
+        streams.setdefault(r["bucket"], []).append(
+            (r["seq"] * mt + r["seq_offset"], list(r["piece"])))
+    got = {}
+    for b, pieces in streams.items():
+        out = []
+        for pos, piece in sorted(pieces):
+            assert pos == len(out)  # contiguous tiling across epochs
+            out.extend(piece)
+        got[b] = out
+    assert got == want_streams
+
+
 def test_sequence_index_works_on_appended_manifest(spark):
     """sequence_index over a MULTI-BATCH manifest (pack_sequences_append
     output) still tiles every bucket contiguously: cut positions stay
