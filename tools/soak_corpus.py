@@ -46,6 +46,16 @@ def main() -> int:
         i = args.index("--token-budget")
         token_budget = int(args[i + 1])
         del args[i:i + 2]
+    # Per-source dict budget ("src0=40000,src1=20000") — the
+    # token_budget_mix path through the pipeline's budget stage
+    # (round-14 soak datapoint; sources not named are DROPPED).
+    if "--token-budget-dict" in args:
+        i = args.index("--token-budget-dict")
+        token_budget = {
+            k: int(v)
+            for k, v in (kv.split("=") for kv in args[i + 1].split(","))
+        }
+        del args[i:i + 2]
     copies = int(args[0]) if len(args) > 0 else 10
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
 
