@@ -166,6 +166,20 @@ class CorpusParams:
     #: doc with a valid doc.
     pack_max_tokens: int | None = None
     pack_n_buckets: int = 64
+    #: data-constrained epoch plan for the TRAIN split (None = off;
+    #: requires ``pack_max_tokens``): when the training token budget
+    #: EXCEEDS the surviving train mass, repeat the corpus — up to
+    #: ``pack_epochs_max`` full passes plus one partial epoch holding
+    #: the budget remainder's greedy (quality_score DESC, doc_id)
+    #: prefix (operators/dedup.py::token_budget_epochs, reusing the
+    #: gate stage's quality_score — no new scoring pass) — and pack
+    #: the plan with epoch as the leading within-bucket sort key
+    #: (operators/packing.py::pack_sequences_epochs): the loader-ready
+    #: multi-epoch manifest, each epoch a contiguous per-shard block.
+    #: Non-train splits pack a single pass (``epoch`` = 1) so the
+    #: manifest schema stays uniform across splits.
+    pack_epochs_budget: int | None = None
+    pack_epochs_max: int = 4
     #: keyed-hash within-bucket order (the loader-realistic
     #: shuffle-before-pack); False packs in doc_id order
     pack_order_by_hash: bool = True
@@ -643,7 +657,10 @@ def _run_corpus_pipeline(
 
     # --- optional training-sequence packing manifest -------------------
     if params.pack_max_tokens is not None:
-        from slow_tortoise_spark.operators.packing import pack_sequences
+        from slow_tortoise_spark.operators.packing import (
+            pack_sequences,
+            pack_sequences_epochs,
+        )
 
         packed = None
         for split_name in sorted(counts):
@@ -651,14 +668,42 @@ def _run_corpus_pipeline(
             # train/valid boundary, so each split gets its own
             # independent bucket cumsums (splits are few — this loop
             # is driver-side plan construction, not a data loop)
-            p = pack_sequences(
-                out.filter(F.col("split") == split_name),
-                max_tokens=params.pack_max_tokens,
-                n_buckets=params.pack_n_buckets,
-                token_count_col=params.pack_token_count_col,
-                order_by_hash=params.pack_order_by_hash,
-                shuffle_salt=params.pack_shuffle_salt,
-            ).withColumn("split", F.lit(split_name))
+            split_docs = out.filter(F.col("split") == split_name)
+            if (params.pack_epochs_budget is not None
+                    and split_name == "train"):
+                # data-constrained regime: repeat the train split per
+                # the epoch plan, pack with epoch leading — the other
+                # splits stay single-pass (epoch 1) below
+                from slow_tortoise_spark.operators.dedup import (
+                    token_budget_epochs,
+                )
+
+                plan = token_budget_epochs(
+                    split_docs,
+                    params.pack_epochs_budget,
+                    score_col="quality_score",
+                    token_count_col=params.pack_token_count_col,
+                    max_epochs=params.pack_epochs_max,
+                )
+                p = pack_sequences_epochs(
+                    plan,
+                    max_tokens=params.pack_max_tokens,
+                    n_buckets=params.pack_n_buckets,
+                    token_count_col=params.pack_token_count_col,
+                    order_by_hash=params.pack_order_by_hash,
+                    shuffle_salt=params.pack_shuffle_salt,
+                ).withColumn("split", F.lit(split_name))
+            else:
+                p = pack_sequences(
+                    split_docs,
+                    max_tokens=params.pack_max_tokens,
+                    n_buckets=params.pack_n_buckets,
+                    token_count_col=params.pack_token_count_col,
+                    order_by_hash=params.pack_order_by_hash,
+                    shuffle_salt=params.pack_shuffle_salt,
+                ).withColumn("split", F.lit(split_name))
+                if params.pack_epochs_budget is not None:
+                    p = p.withColumn("epoch", F.lit(1).cast("long"))
             packed = p if packed is None else packed.unionByName(p)
         if packed is not None:
             packed.write.mode("overwrite").partitionBy("split").parquet(
@@ -670,14 +715,21 @@ def _run_corpus_pipeline(
             # sequences per split = Σ_buckets ceil(bucket_tokens /
             # max_tokens) — exact integer arithmetic off the manifest
             mt = int(params.pack_max_tokens)
+            has_epochs = "epoch" in pk.columns
+            epoch_aggs = (
+                [F.max("_me").alias("_e")] if has_epochs else []
+            )
+            grouped = pk.groupBy("split", "bucket").agg(
+                F.sum("tokens").alias("_bt"),
+                *([F.max("epoch").alias("_me")] if has_epochs else []),
+            )
             stats = (
-                pk.groupBy("split", "bucket")
-                .agg(F.sum("tokens").alias("_bt"))
-                .groupBy("split")
+                grouped.groupBy("split")
                 .agg(
                     F.sum("_bt").alias("_t"),
                     F.sum(F.expr(f"(_bt + {mt} - 1) div {mt}"))
                     .alias("_s"),
+                    *epoch_aggs,
                 )
                 .collect()
             )
@@ -686,6 +738,8 @@ def _run_corpus_pipeline(
                     "tokens": int(r["_t"] or 0),
                     "sequences": int(r["_s"] or 0),
                     "max_tokens": mt,
+                    **({"epochs": int(r["_e"] or 0)}
+                       if has_epochs else {}),
                 }
                 for r in stats
             }

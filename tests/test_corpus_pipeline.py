@@ -913,3 +913,73 @@ def test_corpus_pipeline_token_budget_stage(spark, sf_dir, tmp_path):
     got2 = {r["doc_id"] for r in out2.select("doc_id").collect()}
     assert got2 == want_mix
     assert mixed["after_token_budget"] == len(want_mix)
+
+
+def test_corpus_pipeline_epoch_packing_stage(spark, sf_dir, tmp_path):
+    """pack_epochs_budget wires the data-constrained regime end to
+    end: the TRAIN split repeats per the epoch plan (full passes +
+    one partial epoch of the best docs by the gate stage's
+    quality_score) and packs with epoch as the leading within-bucket
+    sort key; non-train splits stay single-pass with epoch = 1 so the
+    manifest schema is uniform.  Verified against a pure-Python epoch
+    plan over the budget-off run's written corpus."""
+    from slow_tortoise_spark.corpus_pipeline import (
+        CorpusParams,
+        run_corpus_pipeline,
+    )
+    from slow_tortoise_spark.sources.reader import read_table
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").limit(120)
+    base_out = str(tmp_path / "plain")
+    run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(out_dir=base_out, min_tokens=1, dedup="exact",
+                     pack_max_tokens=32, pack_n_buckets=4),
+    )
+    train = spark.read.parquet(f"{base_out}/corpus").filter(
+        "split = 'train'").select(
+        "doc_id", "quality_score", "n_tokens").collect()
+    mass = sum(r["n_tokens"] for r in train)
+    budget = 2 * mass + mass // 4  # 2 full epochs + a partial third
+
+    out = str(tmp_path / "epochs")
+    manifest = run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(out_dir=out, min_tokens=1, dedup="exact",
+                     pack_max_tokens=32, pack_n_buckets=4,
+                     pack_epochs_budget=budget, pack_epochs_max=4),
+    )
+    pk = spark.read.parquet(f"{out}/packing")
+    assert "epoch" in pk.columns
+    # python epoch plan over the same survivors (splits are the
+    # deterministic hash_split, so the two runs' train sets agree)
+    partial, cum = set(), 0
+    for r in sorted(train, key=lambda r: (-r["quality_score"],
+                                          r["doc_id"])):
+        if cum + r["n_tokens"] > mass // 4:
+            break
+        cum += r["n_tokens"]
+        partial.add(r["doc_id"])
+    want_pairs = {(r["doc_id"], e) for r in train for e in (1, 2)}
+    want_pairs |= {(i, 3) for i in partial}
+    got_pairs = {(r["doc_id"], r["epoch"]) for r in pk.filter(
+        "split = 'train'").collect()}
+    assert got_pairs == want_pairs
+    # non-train splits: single pass, epoch 1
+    assert pk.filter("split <> 'train'").select(
+        "epoch").distinct().collect() == [Row(epoch=1)]
+    # manifest stats carry the epoch count per split
+    assert manifest["packing"]["train"]["epochs"] == 3
+    assert manifest["packing"]["train"]["tokens"] == 2 * mass + cum
+    for s, st in manifest["packing"].items():
+        if s != "train":
+            assert st["epochs"] == 1
+    # per-(split, bucket) streams still start at 0 (split independence)
+    firsts = (
+        pk.groupBy("split", "bucket")
+        .agg(F.min(F.struct("seq_first", "offset_in_first")).alias("s"))
+        .collect()
+    )
+    assert all(r["s"]["seq_first"] == 0
+               and r["s"]["offset_in_first"] == 0 for r in firsts)
