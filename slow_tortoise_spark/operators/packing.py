@@ -41,10 +41,22 @@ def _doc_tokens(token_count_col: str | None, text_col: str, opname: str):
 def _pack_bucket(id_col: str, n_buckets: int):
     """Shard assignment: first 16 bits of md5('pack:' || id) mod
     n_buckets — md5-keyed (no RNG, no engine-specific hash), capping
-    ``n_buckets`` at 65536."""
+    ``n_buckets`` at 65536.  NULL ids RAISE (the token-budget family's
+    loud-guard discipline): md5(NULL) would silently shard every
+    unnamed doc into one NULL bucket — and a NULL id cannot be
+    addressed by a loader-side manifest lookup at all."""
+    idc = F.col(id_col).cast("string")
+    idc = F.when(
+        idc.isNull(),
+        F.raise_error(F.lit(
+            f"packing: NULL document id in '{id_col}' (a manifest "
+            "row must be addressable; filter or key NULL-id docs "
+            "upstream)"
+        )),
+    ).otherwise(idc)
     h16 = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))),
+            F.md5(F.concat(F.lit("pack:"), idc)),
             1, 4,
         ),
         16, 10,
@@ -333,6 +345,132 @@ def pack_sequences_epochs(
     )
 
 
+def pack_sequences_nosplit(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    order_by_hash: bool = False,
+    shuffle_salt: str = "packshuf",
+    oversize: str = "error",
+) -> DataFrame:
+    """(doc_id, bucket, tokens, seq, seq_offset) — NO-SPLIT packing:
+    every document lands WHOLLY inside one ``max_tokens`` training
+    sequence (greedy next-fit within its md5 bucket), the regime used
+    when cross-document attention contamination matters — a sequence
+    never continues a document cut mid-stream, so no attention-mask
+    surgery and no document straddles a training example boundary
+    (the concat-and-chunk manifest of :func:`pack_sequences` is the
+    throughput regime; this is the isolation regime, cf. the
+    "sequence packing without cross-contamination" literature).
+
+    Placement is greedy NEXT-FIT in the within-bucket order (doc_id,
+    or the ``order_by_hash`` keyed-hash permutation — same
+    ``_pack_order`` idiom as :func:`pack_sequences`): a doc that fits
+    the current sequence's remaining capacity is placed at its fill
+    offset; one that doesn't closes the sequence and opens the next.
+    Next-fit (not first-fit-decreasing) is deliberate: it is the
+    variant whose state is a single (seq, fill) scan — deterministic,
+    order-respecting (curriculum/epoch orders survive), and exactly
+    replayable by a SQL recursive CTE, which is what the DuckDB
+    oracle does.  FFD packs tighter but reorders docs and needs a
+    bin search per doc — a different operator if ever needed.
+
+    Running-capacity-reset is the one packing computation a window
+    CANNOT express (the cumsum resets at a data-dependent boundary,
+    so it is not prefix-sum decomposable) — this is the documented
+    ``applyInPandas`` case: docs shard by the same
+    ``md5('pack:' || id)`` bucket key, and each bucket's scan runs as
+    one Arrow-batched pandas group over NARROW rows only (id, bucket,
+    token count, optional order hash — never the text), so a 1.5B-doc
+    corpus at 65536 buckets is ~23k rows / ~1 MB per group.  ONE
+    bucket-partitioned exchange, same budget as
+    :func:`pack_sequences`; the per-group loop is O(rows) over int64
+    arrays.
+
+    ``oversize`` policy for docs with tokens > max_tokens (they fit
+    no sequence): ``"error"`` (default) RAISES JVM-side on first
+    touch — the loud-guard discipline; ``"isolate"`` gives the doc a
+    sequence of its own (``seq_offset`` 0, its true token count
+    recorded — the loader truncates or windows it) and marks that
+    sequence full.  Zero-token docs occupy no capacity: they report
+    the current (seq, fill) without shifting neighbors — ``seq_offset``
+    may equal ``max_tokens`` when the current sequence is exactly
+    full, the same witness-only convention as :func:`pack_sequences`'
+    zero-token rows.  NULL token counts raise (pass 0 explicitly).
+
+    Every output is an exact integer; per-sequence fill stats
+    (padding waste = mt − Σ tokens per open sequence) are one groupBy
+    away downstream.
+    """
+    if max_tokens <= 0:
+        raise ValueError(
+            "pack_sequences_nosplit: max_tokens must be positive")
+    if not 0 < n_buckets <= 65536:
+        raise ValueError(
+            "pack_sequences_nosplit: n_buckets must be in 1..65536")
+    if oversize not in ("error", "isolate"):
+        raise ValueError(
+            "pack_sequences_nosplit: oversize must be 'error' or "
+            "'isolate'")
+    toks = _doc_tokens(token_count_col, text_col,
+                       "pack_sequences_nosplit")
+    toks = F.greatest(toks, F.lit(0))
+    if oversize == "error":
+        toks = F.when(
+            toks > max_tokens,
+            F.raise_error(F.concat(
+                F.lit("pack_sequences_nosplit: document "),
+                F.col(id_col).cast("string"),
+                F.lit(f" has more than max_tokens={max_tokens} tokens "
+                      "and cannot be packed whole (oversize='isolate' "
+                      "to give it a sequence of its own)"),
+            )).cast("long"),
+        ).otherwise(toks)
+    extra, order_cols = _pack_order(order_by_hash, shuffle_salt)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _pack_bucket(id_col, n_buckets).alias("bucket"),
+        toks.alias("tokens"),
+        *extra,
+    )
+    sort_keys = (["_ord", "doc_id"] if order_by_hash else ["doc_id"])
+    id_type = base.schema["doc_id"].dataType.simpleString()
+    out_schema = (f"doc_id {id_type}, bucket int, tokens bigint, "
+                  "seq bigint, seq_offset bigint")
+    mt = max_tokens
+
+    def _pack_group(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(sort_keys, kind="mergesort")
+        t = pdf["tokens"].to_numpy(dtype="int64")
+        seq = np.empty(len(t), dtype="int64")
+        off = np.empty(len(t), dtype="int64")
+        cur, fill = 0, 0
+        for i, ti in enumerate(t):
+            if ti > mt:  # isolate (error mode raised JVM-side)
+                if fill > 0:
+                    cur += 1
+                seq[i], off[i], fill = cur, 0, mt
+            elif ti == 0:  # witness row: no capacity consumed
+                seq[i], off[i] = cur, fill
+            elif fill + ti <= mt:
+                seq[i], off[i] = cur, fill
+                fill += ti
+            else:
+                cur += 1
+                seq[i], off[i], fill = cur, 0, ti
+        out = pdf[["doc_id", "bucket", "tokens"]].copy()
+        out["seq"] = seq
+        out["seq_offset"] = off
+        return out
+
+    return base.groupBy("bucket").applyInPandas(_pack_group, out_schema)
+
+
 def pack_sequences_append(
     manifest: DataFrame,
     new_docs: DataFrame,
@@ -343,6 +481,7 @@ def pack_sequences_append(
     text_col: str = "text",
     order_by_hash: bool = False,
     shuffle_salt: str = "packshuf",
+    batch_no: int | None = None,
 ) -> DataFrame:
     """Incremental packing: extend an existing manifest with a new
     BATCH of documents WITHOUT repacking the corpus.  A growing corpus
@@ -365,7 +504,11 @@ def pack_sequences_append(
     output with the SAME ``max_tokens`` / ``n_buckets`` /
     ``order_by_hash`` / ``shuffle_salt`` — the caller's contract, not
     checkable from the rows.  A ``batch`` column is added as batch 0
-    if absent; the new rows get ``max(batch) + 1``.  Duplicate doc_ids
+    if absent; the new rows get ``max(batch) + 1``, or the explicit
+    ``batch_no`` when given (must be strictly greater than every
+    recorded batch — raises otherwise; the streaming ingest tier
+    passes the micro-batch id here so a crash REPLAY writes the same
+    batch number instead of inventing a fresh one).  Duplicate doc_ids
     across batches are not detected here (dedup is its own tier and
     runs before packing).
 
@@ -399,9 +542,17 @@ def pack_sequences_append(
         F.sum("tokens").alias("base_toks"),
         F.max("batch").alias("mb"),
     ).collect()
-    next_batch = max(
-        (int(r["mb"]) for r in hw_rows), default=-1
-    ) + 1
+    max_batch = max((int(r["mb"]) for r in hw_rows), default=-1)
+    if batch_no is None:
+        next_batch = max_batch + 1
+    else:
+        if batch_no <= max_batch:
+            raise ValueError(
+                f"pack_sequences_append: batch_no={batch_no} is not "
+                f"past the manifest's max batch {max_batch} (batches "
+                "must be appended in increasing order; a replayed "
+                "batch must be dropped before re-appending)")
+        next_batch = batch_no
     toks = _doc_tokens(token_count_col, text_col, "pack_sequences_append")
     extra, order_cols = _pack_order(order_by_hash, shuffle_salt)
     base = new_docs.select(

@@ -1038,6 +1038,11 @@ _ROTATE_IN_14A = [
     "lsh_edit_funnel", "minhash_signatures", "pagerank_graph",
     "pii_redact",
     "pack_sequences_epochs",
+    # contract rule 1, built mid-round-14: no-split (next-fit) packing
+    # enters the catalog the round it is built; grouping_sets makes
+    # room (fresh r13 row, holds through r17; incoming cube_agg covers
+    # the grouping family, mad_outliers stays for robust stats).
+    "pack_sequences_nosplit",
 ]
 _ROTATE_OUT_14A = [
     "core_number", "triangle_counts", "pack_sequences_shuffled",
@@ -1049,6 +1054,7 @@ _ROTATE_OUT_14A = [
     "simhash_near_dups", "streaming_index_dedup", "string_funcs",
     "tile_rollup", "unpivot_melt", "window_topn", "winnow_fp",
     "xcorpus_logprob",
+    "grouping_sets",
 ]
 for _name in _ROTATE_IN_14A:
     QUERIES[_name] = VERIFIER_QUERIES.pop(_name)

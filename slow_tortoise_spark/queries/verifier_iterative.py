@@ -2378,3 +2378,78 @@ VERIFIER_QUERIES["pack_sequences_epochs"] = q_pack_sequences_epochs
 VERIFIER_ORACLE_SQL["pack_sequences_epochs"] = (
     _pack_sequences_epochs_sql(64, 8)
 )
+
+
+def q_pack_sequences_nosplit(spark, sf_dir):
+    """NO-SPLIT packing manifest (greedy next-fit, oversize docs
+    isolated): every document wholly inside one 64-token sequence of
+    its md5 bucket — the cross-contamination-free training regime
+    (:func:`pack_sequences` is the concat-and-chunk throughput
+    regime).  Running-capacity-reset is not prefix-sum decomposable,
+    so the engine runs one Arrow-batched per-bucket scan over narrow
+    rows (the documented applyInPandas case; ONE bucket exchange);
+    the oracle replays the identical (seq, fill) state machine as a
+    SQL recursive CTE advancing one row per bucket per step."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences_nosplit(
+        docs, max_tokens=64, n_buckets=8, oversize="isolate"
+    ).orderBy("doc_id")
+
+
+def _pack_sequences_nosplit_sql(
+    max_tokens: int = 64, n_buckets: int = 8
+) -> str:
+    nib = [
+        f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    h16 = (f"({nib[0]} * 4096 + {nib[1]} * 256"
+           f" + {nib[2]} * 16 + {nib[3]})")
+    mt = max_tokens
+    return f"""WITH RECURSIVE pdocs AS MATERIALIZED (
+    SELECT doc_id,
+           CAST({h16} % {n_buckets} AS INT) AS bucket,
+           GREATEST(CAST(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT), 0) AS tokens,
+           row_number() OVER (
+               PARTITION BY CAST({h16} % {n_buckets} AS INT)
+               ORDER BY doc_id
+           ) AS rn
+    FROM (SELECT doc_id,
+                 md5('pack:' || CAST(doc_id AS VARCHAR)) AS h, text
+          FROM documents)),
+chain(bucket, rn, doc_id, tokens, seq, seq_offset, fill) AS (
+    SELECT bucket, rn, doc_id, tokens,
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(CASE WHEN tokens > {mt} THEN {mt} ELSE tokens END
+                AS BIGINT)
+    FROM pdocs WHERE rn = 1
+    UNION ALL
+    SELECT p.bucket, p.rn, p.doc_id, p.tokens,
+           CASE WHEN p.tokens > {mt}
+                THEN c.seq + CASE WHEN c.fill > 0 THEN 1 ELSE 0 END
+                WHEN p.tokens = 0 THEN c.seq
+                WHEN c.fill + p.tokens <= {mt} THEN c.seq
+                ELSE c.seq + 1 END,
+           CASE WHEN p.tokens > {mt} THEN 0
+                WHEN p.tokens = 0 THEN c.fill
+                WHEN c.fill + p.tokens <= {mt} THEN c.fill
+                ELSE 0 END,
+           CASE WHEN p.tokens > {mt} THEN {mt}
+                WHEN p.tokens = 0 THEN c.fill
+                WHEN c.fill + p.tokens <= {mt} THEN c.fill + p.tokens
+                ELSE p.tokens END
+    FROM chain c JOIN pdocs p ON p.bucket = c.bucket AND p.rn = c.rn + 1)
+SELECT doc_id, bucket, tokens, seq, seq_offset
+FROM chain ORDER BY doc_id"""
+
+
+VERIFIER_QUERIES["pack_sequences_nosplit"] = q_pack_sequences_nosplit
+VERIFIER_ORACLE_SQL["pack_sequences_nosplit"] = (
+    _pack_sequences_nosplit_sql(64, 8)
+)

@@ -907,3 +907,152 @@ def compact_snapshot(
     os.rename(staging, final)
     _flip_latest(root, new_version, committed)
     return new_version
+
+
+def _pack_manifest_merge_fn(
+    spark: SparkSession,
+    path: str,
+    max_tokens: int,
+    n_buckets: int,
+    id_col: str,
+    token_count_col: str | None,
+    text_col: str,
+    order_by_hash: bool,
+    shuffle_salt: str,
+):
+    """foreachBatch merge for :func:`streaming_pack_manifest`
+    (module-level so the crash-replay contract is directly testable —
+    the ``_ivf_append_merge_fn`` discipline).
+
+    Idempotency is structural: each micro-batch's manifest rows land
+    in their own deterministic ``batch={batch_id}`` directory with
+    mode=overwrite, and the high-water marks that place the batch are
+    computed from the COMMITTED directories only (name-filtered
+    ``batch=N`` with ``N < batch_id``) — never from a possibly
+    partial directory of the batch being (re)played.  A replay after
+    a crash at any point therefore recomputes the SAME rows (the
+    placement inputs are identical) and replaces the dangling
+    directory instead of double-appending.  The ``_PACK_COMMITTED``
+    marker is the fast-path no-op for already-committed replays and
+    the recorded high-water mark ``read_pack_manifest`` trusts.
+    """
+    import json
+    import os
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_append,
+    )
+
+    marker = os.path.join(path, "_PACK_COMMITTED")
+
+    def _committed() -> int:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(json.load(fh)["batch_id"])
+        return -1
+
+    def merge(batch_df: DataFrame, batch_id: int):
+        if batch_id <= _committed():
+            return  # committed replay — nothing to redo
+        dirs = []
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.startswith("batch="):
+                    try:
+                        n = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if n < batch_id:
+                        dirs.append(os.path.join(path, d))
+        if dirs:
+            man = spark.read.parquet(*sorted(dirs))
+        else:
+            id_type = batch_df.schema[id_col].dataType.simpleString()
+            man = spark.createDataFrame(
+                [],
+                schema=(f"doc_id {id_type}, bucket int, tokens bigint, "
+                        "seq_first bigint, seq_last bigint, "
+                        "offset_in_first bigint, batch bigint"),
+            )
+        out = pack_sequences_append(
+            man, batch_df, max_tokens=max_tokens, n_buckets=n_buckets,
+            id_col=id_col, token_count_col=token_count_col,
+            text_col=text_col, order_by_hash=order_by_hash,
+            shuffle_salt=shuffle_salt, batch_no=batch_id,
+        )
+        (out.filter(F.col("batch") == batch_id)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, f"batch={batch_id}")))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, marker)
+
+    return merge
+
+
+def streaming_pack_manifest(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    order_by_hash: bool = False,
+    shuffle_salt: str = "packshuf",
+):
+    """Continuously grow a persisted training-sequence packing
+    manifest from a document stream: each micro-batch appends after
+    the committed buckets' high-water marks via
+    ``packing.pack_sequences_append`` (batch id = micro-batch id, so
+    crash replays recompute the same placement) and lands in its own
+    ``batch={id}`` overwrite directory — committed rows are
+    bit-immutable forever, which is exactly the loader contract
+    (already-trained-on sequence ids never move).  The ingest half of
+    a continuous-pretraining data service: corpus shards stream in,
+    the loader polls :func:`read_pack_manifest` and keeps consuming
+    from sequence id high-water marks it has already seen.  The
+    append-≡-union-repack associativity (pytest + the
+    pack_sequences_append oracle row) is what makes micro-batch
+    granularity semantically invisible.
+    """
+    merge = _pack_manifest_merge_fn(
+        stream_docs.sparkSession, path, max_tokens, n_buckets, id_col,
+        token_count_col, text_col, order_by_hash, shuffle_salt,
+    )
+    return (
+        stream_docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_pack_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Loader-side view of a :func:`streaming_pack_manifest` root: the
+    union of all COMMITTED batch directories (``batch=N`` for
+    ``N <= _PACK_COMMITTED``) — a directory a crashed batch left
+    behind is invisible until its replay commits.  Feed the result to
+    ``packing.sequence_index`` for the per-sequence slice view."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_PACK_COMMITTED")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"read_pack_manifest: no _PACK_COMMITTED marker under "
+            f"{path} (no batch has committed yet)")
+    with open(marker) as fh:
+        committed = int(json.load(fh)["batch_id"])
+    dirs = []
+    for d in os.listdir(path):
+        if d.startswith("batch="):
+            try:
+                n = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if n <= committed:
+                dirs.append(os.path.join(path, d))
+    return spark.read.parquet(*sorted(dirs))

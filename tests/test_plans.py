@@ -486,6 +486,9 @@ def test_headline_query_exchange_budgets(spark, sf_dir):
         # partitioned pack window + the output orderBy — epoch is a
         # sort key inside the pack window, not an extra exchange
         "pack_sequences_epochs": 3,
+        # next-fit scan: ONE groupBy(bucket) exchange behind
+        # applyInPandas + the output orderBy
+        "pack_sequences_nosplit": 2,
         # weighted LP: rounds pre-materialized; 1 = the output orderBy;
         # +2 for the in-query weight build (groupBy + its exchange)
         "label_propagation_weighted": 3,

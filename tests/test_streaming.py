@@ -1238,3 +1238,122 @@ def test_ivfpq_append_grows_index_idempotently(spark, sf_dir, tmp_path):
     assert n_after == base.count() + 2 * extra.count()
     merge(extra, 0)  # replay — fast-path no-op
     assert read_ivfpq_index(spark, path)[0].count() == n_after
+
+
+def test_streaming_pack_manifest_converges_to_batch_append(spark, tmp_path):
+    """availableNow over 3 files (maxFilesPerTrigger=1 → one
+    micro-batch each) must produce EXACTLY the manifest three
+    batch-mode pack_sequences_append calls produce (batch ids 0,1,2),
+    and committed batch directories must be bit-immutable — batch 0's
+    rows re-read after batch 2 committed are unchanged."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_append,
+    )
+    from slow_tortoise_spark.streaming.pipeline import (
+        read_pack_manifest,
+        streaming_pack_manifest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(15)],
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(40, 70)],
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(90, 100)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "pack")
+    q = streaming_pack_manifest(
+        sdf, root, checkpoint=str(tmp_path / "ckpt"),
+        max_tokens=16, n_buckets=4,
+    )
+    q.awaitTermination()
+
+    got = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+
+    # batch-mode comparator: the oracle-verified append, three times
+    man = spark.createDataFrame(
+        [], schema=("doc_id long, bucket int, tokens bigint, "
+                    "seq_first bigint, seq_last bigint, "
+                    "offset_in_first bigint, batch bigint"))
+    for bno, rows in enumerate(batches):
+        man = pack_sequences_append(
+            man, spark.createDataFrame(rows, schema),
+            max_tokens=16, n_buckets=4, batch_no=bno)
+    want = {tuple(r) for r in man.collect()}
+    assert got == want
+    assert {r[-1] for r in got} == {0, 1, 2}
+
+    # committed dirs are immutable: batch 0 re-read == its slice
+    import os
+
+    b0 = {tuple(r) for r in spark.read.parquet(
+        os.path.join(root, "batch=0")).collect()}
+    assert b0 == {r for r in want if r[-1] == 0}
+
+
+def test_streaming_pack_manifest_replay_inside_crash_window(
+        spark, tmp_path):
+    """A replay in the crash window (batch written, marker not yet
+    flipped) must recompute the SAME rows and overwrite — never
+    double-append: high-water marks come from committed directories
+    only, so the replayed batch sees the identical placement input."""
+    import json
+    import os
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        _pack_manifest_merge_fn,
+        read_pack_manifest,
+        streaming_pack_manifest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, " ".join(["tok"] * ((i * 5) % 13))) for i in range(10)],
+        [(i, " ".join(["tok"] * ((i * 5) % 13))) for i in range(30, 50)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "pack")
+    q = streaming_pack_manifest(
+        sdf, root, checkpoint=str(tmp_path / "ckpt"),
+        max_tokens=16, n_buckets=4,
+    )
+    q.awaitTermination()
+    before = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+
+    # crash window: batch 1's dir exists but the marker says batch 0
+    marker = os.path.join(root, "_PACK_COMMITTED")
+    with open(marker, "w") as fh:
+        json.dump({"batch_id": 0}, fh)
+    merge = _pack_manifest_merge_fn(
+        spark, root, 16, 4, "doc_id", None, "text", False, "packshuf")
+    merge(spark.createDataFrame(batches[1], schema), 1)
+    after = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+    assert after == before  # replay replaced, never double-appended
+    with open(marker) as fh:
+        assert json.load(fh)["batch_id"] == 1
+
+    # committed replay is a no-op fast path (marker already at 1)
+    merge(spark.createDataFrame(batches[1], schema), 1)
+    assert {tuple(r)
+            for r in read_pack_manifest(spark, root).collect()} == before

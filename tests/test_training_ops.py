@@ -5804,3 +5804,252 @@ def test_token_budget_epochs_matches_python_plan(spark):
     with pytest.raises(ValueError):
         token_budget_epochs(df, budget=1, score_col="score",
                             max_epochs=0)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences_nosplit: no-split (greedy next-fit) packing
+# ---------------------------------------------------------------------------
+
+
+def _nosplit_replay(docs, mt, nb, order_by_hash=False, salt="packshuf"):
+    """Pure-Python next-fit replay: per bucket, a single (seq, fill)
+    scan in the within-bucket order — the same state machine the
+    operator's per-bucket pandas loop and the DuckDB recursive-CTE
+    oracle both run."""
+    import hashlib
+
+    by_bucket = {}
+    for i, n in docs:
+        h = hashlib.md5(f"pack:{i}".encode()).hexdigest()
+        b = int(h[:4], 16) % nb
+        by_bucket.setdefault(b, []).append((i, n))
+    want = {}
+    for b, items in by_bucket.items():
+        if order_by_hash:
+            items.sort(key=lambda d: (
+                hashlib.md5(f"{salt}:{d[0]}".encode()).hexdigest(), d[0]))
+        else:
+            items.sort()
+        cur, fill = 0, 0
+        for i, n in items:
+            if n > mt:
+                if fill > 0:
+                    cur += 1
+                want[i] = (b, n, cur, 0)
+                fill = mt
+            elif n == 0:
+                want[i] = (b, n, cur, fill)
+            elif fill + n <= mt:
+                want[i] = (b, n, cur, fill)
+                fill += n
+            else:
+                cur += 1
+                want[i] = (b, n, cur, 0)
+                fill = n
+    return want
+
+
+def _nosplit_docs(spark, toks):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * n))
+         for i, n in toks.items()])
+
+
+def test_pack_sequences_nosplit_matches_python_replay(spark):
+    """Isolate-mode manifest equals the pure-Python next-fit replay on
+    a mix of zero-token, normal, exactly-full and oversize docs; the
+    result is identical at a different input partitioning (the scan
+    is per-bucket, not per-partition)."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    toks = {i: (i * 7) % 29 for i in range(80)}
+    toks[3] = 0
+    toks[11] = 16          # exactly max_tokens
+    toks[17] = 45          # oversize
+    toks[23] = 0
+    toks[29] = 31          # oversize
+    docs = _nosplit_docs(spark, toks)
+    want = _nosplit_replay(sorted(toks.items()), 16, 4)
+    for d in (docs, docs.repartition(7)):
+        man = pack_sequences_nosplit(
+            d, max_tokens=16, n_buckets=4, oversize="isolate")
+        got = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq"],
+                             r["seq_offset"]) for r in man.collect()}
+        assert got == want
+
+
+def test_pack_sequences_nosplit_invariants(spark):
+    """No-split invariants: every doc wholly inside one sequence
+    (seq_offset + tokens <= max_tokens unless the doc itself is
+    oversize-isolated at offset 0), non-zero docs in a sequence tile
+    [0, fill) contiguously in doc order, and an oversize doc shares
+    its sequence with nothing that consumes capacity."""
+    from collections import defaultdict
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    toks = {i: (i * 13) % 37 for i in range(120)}
+    man = pack_sequences_nosplit(
+        _nosplit_docs(spark, toks), max_tokens=24, n_buckets=4,
+        oversize="isolate").collect()
+    seqs = defaultdict(list)
+    for r in man:
+        if r["tokens"] > 0:
+            seqs[(r["bucket"], r["seq"])].append(r)
+    for (b, s), rows in seqs.items():
+        rows.sort(key=lambda r: r["seq_offset"])
+        if rows[0]["tokens"] > 24:
+            assert len(rows) == 1 and rows[0]["seq_offset"] == 0
+            continue
+        fill = 0
+        for r in rows:
+            assert r["seq_offset"] == fill  # contiguous, no overlap
+            fill += r["tokens"]
+        assert fill <= 24
+    # sequence ids per bucket are exactly 0..max(seq) (no gaps)
+    by_bucket = defaultdict(set)
+    for r in man:
+        by_bucket[r["bucket"]].add(r["seq"])
+    for b, ss in by_bucket.items():
+        assert ss == set(range(max(ss) + 1))
+
+
+def test_pack_sequences_nosplit_zero_token_and_hash_order(spark):
+    """Zero-token docs are placement witnesses only — removing them
+    does not move anyone else; order_by_hash packs each bucket in the
+    keyed-hash permutation (replay pinned)."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    toks = {i: (i * 5) % 13 for i in range(40)}
+    zeros = {2, 9, 21}
+    for z in zeros:
+        toks[z] = 0
+    with_z = {
+        r["doc_id"]: (r["bucket"], r["seq"], r["seq_offset"])
+        for r in pack_sequences_nosplit(
+            _nosplit_docs(spark, toks), max_tokens=16, n_buckets=4
+        ).collect()}
+    without = {
+        r["doc_id"]: (r["bucket"], r["seq"], r["seq_offset"])
+        for r in pack_sequences_nosplit(
+            _nosplit_docs(
+                spark, {i: n for i, n in toks.items() if i not in zeros}),
+            max_tokens=16, n_buckets=4,
+        ).collect()}
+    assert without == {
+        i: p for i, p in with_z.items() if i not in zeros}
+    want = _nosplit_replay(sorted(toks.items()), 16, 4,
+                           order_by_hash=True)
+    got = {r["doc_id"]: (r["bucket"], r["tokens"], r["seq"],
+                         r["seq_offset"])
+           for r in pack_sequences_nosplit(
+               _nosplit_docs(spark, toks), max_tokens=16, n_buckets=4,
+               order_by_hash=True).collect()}
+    assert got == want
+
+
+def test_pack_sequences_nosplit_guards(spark):
+    """Oversize docs RAISE in the default 'error' mode (JVM-side, on
+    first touch); NULL token counts raise; parameter guards match the
+    family."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    docs = _nosplit_docs(spark, {1: 5, 2: 40})
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                       match="more than max_tokens"):
+        pack_sequences_nosplit(docs, max_tokens=16, n_buckets=4).collect()
+    # all-fit corpus: error mode == isolate mode
+    small = _nosplit_docs(spark, {i: (i * 3) % 11 for i in range(30)})
+    err = {tuple(r) for r in pack_sequences_nosplit(
+        small, max_tokens=16, n_buckets=4).collect()}
+    iso = {tuple(r) for r in pack_sequences_nosplit(
+        small, max_tokens=16, n_buckets=4, oversize="isolate").collect()}
+    assert err == iso
+    nulls = spark.createDataFrame(
+        [Row(doc_id=1, n=None)], schema="doc_id long, n long")
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                       match="NULL token count"):
+        pack_sequences_nosplit(
+            nulls, max_tokens=16, n_buckets=4, token_count_col="n"
+        ).collect()
+    for kw in ({"max_tokens": 0}, {"n_buckets": 0},
+               {"n_buckets": 65537}, {"oversize": "truncate"}):
+        with pytest.raises(ValueError):
+            pack_sequences_nosplit(docs, **{"max_tokens": 16,
+                                            "n_buckets": 4, **kw})
+
+
+def test_pack_sequences_nosplit_single_exchange(spark):
+    """The per-bucket scan costs ONE exchange (the groupBy(bucket)
+    behind applyInPandas) — the same shuffle budget as
+    pack_sequences' window; narrow rows only reach Python (no text
+    column in the exchanged schema)."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    docs = _nosplit_docs(spark, {i: (i * 3) % 11 for i in range(30)})
+    man = pack_sequences_nosplit(
+        docs, max_tokens=16, n_buckets=4, oversize="isolate")
+    plan = man._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "text" not in plan.split("Exchange")[1].split("\n")[0]
+
+
+def test_packing_family_null_id_raises(spark):
+    """A NULL doc_id raises LOUDLY across the packing family (the
+    token-budget loud-guard discipline): md5(NULL) would otherwise
+    silently shard every unnamed doc into one NULL bucket, and a NULL
+    id is unaddressable by a loader-side manifest lookup."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_nosplit,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=None, text="d e")],
+        schema="doc_id long, text string")
+    for op in (pack_sequences, pack_sequences_nosplit):
+        with pytest.raises(Exception, match="NULL document id"):
+            op(docs, max_tokens=16, n_buckets=4).collect()
+
+
+def test_pack_sequences_append_explicit_batch_no_guard(spark):
+    """An explicit batch_no must be strictly past the manifest's max
+    recorded batch (the streaming replay contract: a replayed batch is
+    dropped from the committed set before re-appending, never appended
+    twice); batch numbering continues from the explicit id."""
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_append,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=" ".join(["tok"] * ((i * 7) % 23)))
+             for i in ids])
+
+    man = pack_sequences(mk(range(5)), max_tokens=16, n_buckets=4)
+    app = pack_sequences_append(
+        man, mk(range(40, 50)), max_tokens=16, n_buckets=4, batch_no=7)
+    assert {r["batch"] for r in app.collect()} == {0, 7}
+    for bad in (0, 7, -1):
+        with pytest.raises(ValueError, match="not past the manifest"):
+            pack_sequences_append(
+                app, mk(range(60, 65)), max_tokens=16, n_buckets=4,
+                batch_no=bad)
+    # implicit numbering continues after the explicit id
+    nxt = pack_sequences_append(
+        app, mk(range(60, 65)), max_tokens=16, n_buckets=4)
+    assert {r["batch"] for r in nxt.collect()} == {0, 7, 8}
