@@ -909,6 +909,44 @@ def compact_snapshot(
     return new_version
 
 
+def _pack_manifest_dirs(path: str, upto: int) -> list:
+    """The committed batch directories of a pack-manifest root covering
+    batches ``<= upto``, RANGE-AWARE and crash-dedup'd: live roots hold
+    singleton ``batch=N`` dirs plus (after compaction) range
+    ``batch=0-M`` dirs, and a compaction crash window can leave a stale
+    singleton alongside the range that subsumes it — this helper picks
+    the widest directory at each start point and skips every directory
+    a chosen range already covers, so readers never double-count a
+    batch.  (Ranges always start at 0 — :func:`compact_pack_manifest`
+    compacts the full committed prefix — so coverage never partially
+    overlaps; the sort handles the general nesting anyway.)"""
+    import os
+
+    ents = []
+    for d in os.listdir(path):
+        if not d.startswith("batch="):
+            continue
+        spec = d.split("=", 1)[1]
+        try:
+            if "-" in spec:
+                lo_s, hi_s = spec.split("-", 1)
+                lo, hi = int(lo_s), int(hi_s)
+            else:
+                lo = hi = int(spec)
+        except ValueError:
+            continue
+        if lo <= hi <= upto:
+            ents.append((lo, hi, os.path.join(path, d)))
+    ents.sort(key=lambda e: (e[0], -e[1]))
+    out, covered_hi = [], -1
+    for lo, hi, p in ents:
+        if hi <= covered_hi:
+            continue  # fully inside an already-chosen range — stale
+        out.append(p)
+        covered_hi = hi
+    return out
+
+
 def _pack_manifest_merge_fn(
     spark: SparkSession,
     path: str,
@@ -954,16 +992,8 @@ def _pack_manifest_merge_fn(
     def merge(batch_df: DataFrame, batch_id: int):
         if batch_id <= _committed():
             return  # committed replay — nothing to redo
-        dirs = []
-        if os.path.isdir(path):
-            for d in os.listdir(path):
-                if d.startswith("batch="):
-                    try:
-                        n = int(d.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if n < batch_id:
-                        dirs.append(os.path.join(path, d))
+        dirs = (_pack_manifest_dirs(path, batch_id - 1)
+                if os.path.isdir(path) else [])
         if dirs:
             man = spark.read.parquet(*sorted(dirs))
         else:
@@ -1046,13 +1076,78 @@ def read_pack_manifest(spark: SparkSession, path: str) -> DataFrame:
             f"{path} (no batch has committed yet)")
     with open(marker) as fh:
         committed = int(json.load(fh)["batch_id"])
-    dirs = []
-    for d in os.listdir(path):
-        if d.startswith("batch="):
-            try:
-                n = int(d.split("=", 1)[1])
-            except ValueError:
-                continue
-            if n <= committed:
-                dirs.append(os.path.join(path, d))
-    return spark.read.parquet(*sorted(dirs))
+    return spark.read.parquet(*_pack_manifest_dirs(path, committed))
+
+
+def compact_pack_manifest(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> str:
+    """Rewrite a :func:`streaming_pack_manifest` root's committed
+    batch directories into ONE ``batch=0-{committed}`` range directory
+    of ``target_files`` parquet files — the small-files compaction a
+    long-running ingest stream needs (a year of micro-batches is tens
+    of thousands of ``batch=N`` dirs; loader scans then pay per-file
+    open/footer cost that dwarfs the bytes — the
+    :func:`compact_snapshot` problem, at the packing root).
+
+    Contract (the snapshot-compaction discipline):
+
+    * Content is row-identical INCLUDING the ``batch`` column —
+      compaction is a layout change, never a semantic one; high-water
+      marks and batch numbering off the compacted root are unchanged,
+      so the merge function appends exactly as before (pinned by
+      test).
+    * Crash-safe: the rewrite lands in a hidden ``_pack_compact.tmp``
+      staging dir and renames into place (a partially-written range
+      dir is never visible — :func:`_pack_manifest_dirs` only ever
+      sees a fully renamed one); a dangling FINAL dir without Spark's
+      ``_SUCCESS`` marker is cleared and redone; a crash AFTER the
+      rename but before old-dir cleanup leaves stale singletons the
+      range subsumes — readers skip them (range-aware dedup) and the
+      next compaction collects them.
+    * Batches that commit AFTER this compaction append as new
+      ``batch=N`` singletons next to the range dir; compact again
+      whenever the singleton count hurts.
+
+    Returns the range directory's path.
+    """
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(path, "_PACK_COMMITTED")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"compact_pack_manifest: no _PACK_COMMITTED marker under "
+            f"{path} (nothing committed to compact)")
+    if target_files <= 0:
+        raise ValueError(
+            "compact_pack_manifest: target_files must be positive")
+    with open(marker) as fh:
+        committed = int(json.load(fh)["batch_id"])
+    final = os.path.join(path, f"batch=0-{committed}")
+    if (os.path.isdir(final)
+            and not os.path.exists(os.path.join(final, "_SUCCESS"))):
+        shutil.rmtree(final)  # dangling partial from a crashed attempt
+    if not os.path.isdir(final):
+        dirs = _pack_manifest_dirs(path, committed)
+        staging = os.path.join(path, "_pack_compact.tmp")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        (spark.read.parquet(*dirs)
+            .coalesce(target_files)
+            .write.mode("overwrite").parquet(staging))
+        os.rename(staging, final)
+    # collect everything the range now subsumes (incl. stale leftovers
+    # of an earlier crashed cleanup)
+    for d in list(os.listdir(path)):
+        if not d.startswith("batch=") or d == f"batch=0-{committed}":
+            continue
+        spec = d.split("=", 1)[1]
+        try:
+            hi = int(spec.split("-", 1)[1]) if "-" in spec else int(spec)
+        except ValueError:
+            continue
+        if hi <= committed:
+            shutil.rmtree(os.path.join(path, d))
+    return final

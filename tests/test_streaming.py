@@ -1357,3 +1357,142 @@ def test_streaming_pack_manifest_replay_inside_crash_window(
     merge(spark.createDataFrame(batches[1], schema), 1)
     assert {tuple(r)
             for r in read_pack_manifest(spark, root).collect()} == before
+
+
+def test_compact_pack_manifest_layout_only_and_append_continues(
+        spark, tmp_path):
+    """Compaction is a LAYOUT change: rows identical (batch column
+    included), singleton dirs replaced by one range dir — and a batch
+    committing AFTER the compaction appends off the range dir's
+    high-water marks exactly as it would have off the singletons."""
+    import os
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_append,
+    )
+    from slow_tortoise_spark.streaming.pipeline import (
+        compact_pack_manifest,
+        read_pack_manifest,
+        streaming_pack_manifest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(15)],
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(40, 70)],
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(90, 100)],
+    ]
+    for i, rows in enumerate(batches[:2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "pack")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_pack_manifest(
+        sdf, root, checkpoint=ckpt, max_tokens=16, n_buckets=4,
+    ).awaitTermination()
+    before = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+
+    final = compact_pack_manifest(spark, root)
+    assert os.path.basename(final) == "batch=0-1"
+    dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert dirs == ["batch=0-1"]  # singletons collected
+    after = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+    assert after == before
+    # idempotent re-run
+    assert compact_pack_manifest(spark, root) == final
+    assert {tuple(r)
+            for r in read_pack_manifest(spark, root).collect()} == before
+
+    # a third batch arrives AFTER compaction: appends as batch=2 next
+    # to the range dir, placed off the range dir's high-water marks
+    spark.createDataFrame(batches[2], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src / "b2.json"))
+    sdf2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    streaming_pack_manifest(
+        sdf2, root, checkpoint=ckpt, max_tokens=16, n_buckets=4,
+    ).awaitTermination()
+    got = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+    man = spark.createDataFrame(
+        [], schema=("doc_id long, bucket int, tokens bigint, "
+                    "seq_first bigint, seq_last bigint, "
+                    "offset_in_first bigint, batch bigint"))
+    for bno, rows in enumerate(batches):
+        man = pack_sequences_append(
+            man, spark.createDataFrame(rows, schema),
+            max_tokens=16, n_buckets=4, batch_no=bno)
+    assert got == {tuple(r) for r in man.collect()}
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("batch=")) == ["batch=0-1", "batch=2"]
+
+
+def test_compact_pack_manifest_crash_windows(spark, tmp_path):
+    """Both compaction crash windows recover: a dangling partial range
+    dir (no _SUCCESS) is cleared and redone; a stale singleton left by
+    a crash between rename and cleanup is invisible to readers (the
+    range subsumes it) and collected by the next compaction."""
+    import os
+    import shutil
+
+    from slow_tortoise_spark.streaming.pipeline import (
+        compact_pack_manifest,
+        read_pack_manifest,
+        streaming_pack_manifest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, " ".join(["tok"] * ((i * 5) % 13))) for i in range(10)],
+        [(i, " ".join(["tok"] * ((i * 5) % 13))) for i in range(30, 50)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "pack")
+    streaming_pack_manifest(
+        sdf, root, checkpoint=str(tmp_path / "ckpt"),
+        max_tokens=16, n_buckets=4,
+    ).awaitTermination()
+    before = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+    b1_backup = str(tmp_path / "b1_backup")
+    shutil.copytree(os.path.join(root, "batch=1"), b1_backup)
+
+    # window (a): a partial final dir with no _SUCCESS
+    partial = os.path.join(root, "batch=0-1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    final = compact_pack_manifest(spark, root)
+    assert {tuple(r)
+            for r in read_pack_manifest(spark, root).collect()} == before
+
+    # window (b): stale singleton restored next to the range dir —
+    # readers must NOT double-count batch 1
+    shutil.copytree(b1_backup, os.path.join(root, "batch=1"))
+    assert {tuple(r)
+            for r in read_pack_manifest(spark, root).collect()} == before
+    compact_pack_manifest(spark, root)  # collects the stale dir
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("batch=")) == ["batch=0-1"]
+    assert {tuple(r)
+            for r in read_pack_manifest(spark, root).collect()} == before
