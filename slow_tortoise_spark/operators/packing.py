@@ -553,6 +553,48 @@ def pack_sequences_append(
                 "must be appended in increasing order; a replayed "
                 "batch must be dropped before re-appending)")
         next_batch = batch_no
+    appended = pack_sequences_append_rows(
+        new_docs,
+        {int(r["bucket"]): int(r["base_toks"]) for r in hw_rows},
+        next_batch,
+        max_tokens=max_tokens, n_buckets=n_buckets, id_col=id_col,
+        token_count_col=token_count_col, text_col=text_col,
+        order_by_hash=order_by_hash, shuffle_salt=shuffle_salt,
+    )
+    return man.unionByName(appended)
+
+
+def pack_sequences_append_rows(
+    new_docs: DataFrame,
+    high_water: dict,
+    batch_no: int,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    order_by_hash: bool = False,
+    shuffle_salt: str = "packshuf",
+) -> DataFrame:
+    """The placement core of :func:`pack_sequences_append`, taking the
+    per-bucket high-water marks DIRECTLY (``{bucket: base token
+    total}``) and returning ONLY the new batch's manifest rows — no
+    manifest scan at all.  This is the O(1)-state append the streaming
+    ingest tier runs: the marks are ≤ ``n_buckets`` integers a caller
+    can persist (``streaming_pack_manifest`` carries them in its
+    commit marker), so appending batch N costs one window over batch N
+    alone, never a read of the N−1 batches already on disk.  The
+    caller owns the contract that ``high_water`` equals the committed
+    manifest's per-bucket token totals and ``batch_no`` is past every
+    committed batch — :func:`pack_sequences_append` derives both from
+    the manifest and delegates here.
+    """
+    if max_tokens <= 0:
+        raise ValueError("pack_sequences_append_rows: max_tokens must "
+                         "be positive")
+    if not 0 < n_buckets <= 65536:
+        raise ValueError("pack_sequences_append_rows: n_buckets must "
+                         "be in 1..65536")
     toks = _doc_tokens(token_count_col, text_col, "pack_sequences_append")
     extra, order_cols = _pack_order(order_by_hash, shuffle_salt)
     base = new_docs.select(
@@ -566,16 +608,16 @@ def pack_sequences_append(
         "doc_id", "bucket", "tokens",
         F.sum("tokens").over(w).alias("_lce"),
     )
-    if hw_rows:
+    if high_water:
         spark = new_docs.sparkSession
         hw = spark.createDataFrame(
-            [(int(r["bucket"]), int(r["base_toks"])) for r in hw_rows],
+            [(int(b), int(t)) for b, t in high_water.items()],
             schema="bucket int, _hw bigint",
         )
         cum = cum.join(F.broadcast(hw), "bucket", "left")
     else:
         cum = cum.withColumn("_hw", F.lit(None).cast("long"))
-    appended = cum.select(
+    return cum.select(
         "doc_id",
         "bucket",
         "tokens",
@@ -600,6 +642,5 @@ def pack_sequences_append(
         .alias("seq_last"),
         F.pmod(F.col("_cs"), F.lit(max_tokens)).cast("long")
         .alias("offset_in_first"),
-        F.lit(next_batch).cast("long").alias("batch"),
+        F.lit(batch_no).cast("long").alias("batch"),
     )
-    return man.unionByName(appended)

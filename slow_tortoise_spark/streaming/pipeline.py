@@ -964,58 +964,80 @@ def _pack_manifest_merge_fn(
 
     Idempotency is structural: each micro-batch's manifest rows land
     in their own deterministic ``batch={batch_id}`` directory with
-    mode=overwrite, and the high-water marks that place the batch are
-    computed from the COMMITTED directories only (name-filtered
-    ``batch=N`` with ``N < batch_id``) — never from a possibly
+    mode=overwrite, and the high-water marks that place the batch
+    come from the COMMITTED marker state only — never from a possibly
     partial directory of the batch being (re)played.  A replay after
     a crash at any point therefore recomputes the SAME rows (the
     placement inputs are identical) and replaces the dangling
     directory instead of double-appending.  The ``_PACK_COMMITTED``
     marker is the fast-path no-op for already-committed replays and
     the recorded high-water mark ``read_pack_manifest`` trusts.
+
+    Scale shape: the marker CARRIES the ≤ ``n_buckets`` per-bucket
+    token totals (``"hw"``), so appending batch N costs one window
+    over batch N alone plus one bounded read-back aggregate of the
+    rows just written — O(batch), NEVER a scan of the N−1 committed
+    directories (the naive marks-from-manifest design is O(total
+    history) per batch and quadratic over the stream's life).  A
+    legacy marker without ``"hw"`` is migrated once by rebuilding the
+    marks from the committed directories.
     """
     import json
     import os
 
     from slow_tortoise_spark.operators.packing import (
-        pack_sequences_append,
+        pack_sequences_append_rows,
     )
 
     marker = os.path.join(path, "_PACK_COMMITTED")
 
-    def _committed() -> int:
+    def _load_marker():
         if os.path.exists(marker):
             with open(marker) as fh:
-                return int(json.load(fh)["batch_id"])
-        return -1
+                st = json.load(fh)
+            hw = st.get("hw")
+            return int(st["batch_id"]), (
+                {int(b): int(t) for b, t in hw.items()}
+                if hw is not None else None
+            )
+        return -1, {}
 
     def merge(batch_df: DataFrame, batch_id: int):
-        if batch_id <= _committed():
+        committed, hw = _load_marker()
+        if batch_id <= committed:
             return  # committed replay — nothing to redo
-        dirs = (_pack_manifest_dirs(path, batch_id - 1)
-                if os.path.isdir(path) else [])
-        if dirs:
-            man = spark.read.parquet(*sorted(dirs))
-        else:
-            id_type = batch_df.schema[id_col].dataType.simpleString()
-            man = spark.createDataFrame(
-                [],
-                schema=(f"doc_id {id_type}, bucket int, tokens bigint, "
-                        "seq_first bigint, seq_last bigint, "
-                        "offset_in_first bigint, batch bigint"),
-            )
-        out = pack_sequences_append(
-            man, batch_df, max_tokens=max_tokens, n_buckets=n_buckets,
-            id_col=id_col, token_count_col=token_count_col,
-            text_col=text_col, order_by_hash=order_by_hash,
-            shuffle_salt=shuffle_salt, batch_no=batch_id,
-        )
-        (out.filter(F.col("batch") == batch_id)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, f"batch={batch_id}")))
+        if hw is None:
+            # legacy marker (pre-"hw"): rebuild the marks ONCE from
+            # the committed directories
+            dirs = (_pack_manifest_dirs(path, committed)
+                    if os.path.isdir(path) else [])
+            hw = {}
+            if dirs:
+                hw = {
+                    int(r["bucket"]): int(r["t"])
+                    for r in spark.read.parquet(*dirs)
+                    .groupBy("bucket").agg(F.sum("tokens").alias("t"))
+                    .collect()
+                }
+        out_dir = os.path.join(path, f"batch={batch_id}")
+        (pack_sequences_append_rows(
+            batch_df, hw, batch_id,
+            max_tokens=max_tokens, n_buckets=n_buckets, id_col=id_col,
+            token_count_col=token_count_col, text_col=text_col,
+            order_by_hash=order_by_hash, shuffle_salt=shuffle_salt,
+        ).write.mode("overwrite").parquet(out_dir))
+        # advance the marks from the rows JUST WRITTEN (read-back, so
+        # the delta is exactly what a future rebuild would see):
+        # ≤ n_buckets rows — bounded collect
+        for r in (spark.read.parquet(out_dir)
+                  .groupBy("bucket").agg(F.sum("tokens").alias("t"))
+                  .collect()):
+            b = int(r["bucket"])
+            hw[b] = hw.get(b, 0) + int(r["t"])
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
+            json.dump({"batch_id": batch_id,
+                       "hw": {str(b): t for b, t in hw.items()}}, fh)
         os.replace(tmp, marker)
 
     return merge

@@ -1496,3 +1496,142 @@ def test_compact_pack_manifest_crash_windows(spark, tmp_path):
                   if d.startswith("batch=")) == ["batch=0-1"]
     assert {tuple(r)
             for r in read_pack_manifest(spark, root).collect()} == before
+
+
+def test_streaming_pack_manifest_marks_are_o1_state(spark, tmp_path):
+    """The commit marker CARRIES the per-bucket high-water marks, and
+    they are exactly the committed manifest's per-bucket token totals;
+    appending the next batch reads NO committed directory (pinned by
+    physically moving them away before a manual merge) — the O(batch)
+    append contract."""
+    import json
+    import os
+    import shutil
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_append,
+    )
+    from slow_tortoise_spark.streaming.pipeline import (
+        _pack_manifest_merge_fn,
+        read_pack_manifest,
+        streaming_pack_manifest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(15)],
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(40, 70)],
+        [(i, " ".join(["tok"] * ((i * 7) % 23))) for i in range(90, 100)],
+    ]
+    for i, rows in enumerate(batches[:2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(src / f"b{i}.json"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "pack")
+    streaming_pack_manifest(
+        sdf, root, checkpoint=str(tmp_path / "ckpt"),
+        max_tokens=16, n_buckets=4,
+    ).awaitTermination()
+
+    # marker marks == manifest per-bucket totals
+    with open(os.path.join(root, "_PACK_COMMITTED")) as fh:
+        st = json.load(fh)
+    assert st["batch_id"] == 1
+    man_totals = {
+        int(r["bucket"]): int(r["t"])
+        for r in read_pack_manifest(spark, root)
+        .groupBy("bucket").sum("tokens")
+        .withColumnRenamed("sum(tokens)", "t").collect()
+    }
+    assert {int(b): t for b, t in st["hw"].items()} == man_totals
+
+    # move the committed dirs AWAY: batch 2 must still append purely
+    # off the marker state
+    hidden = tmp_path / "hidden"
+    hidden.mkdir()
+    for d in ("batch=0", "batch=1"):
+        shutil.move(os.path.join(root, d), str(hidden / d))
+    merge = _pack_manifest_merge_fn(
+        spark, root, 16, 4, "doc_id", None, "text", False, "packshuf")
+    merge(spark.createDataFrame(batches[2], schema), 2)
+    for d in ("batch=0", "batch=1"):
+        shutil.move(str(hidden / d), os.path.join(root, d))
+
+    got = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+    man = spark.createDataFrame(
+        [], schema=("doc_id long, bucket int, tokens bigint, "
+                    "seq_first bigint, seq_last bigint, "
+                    "offset_in_first bigint, batch bigint"))
+    for bno, rows in enumerate(batches):
+        man = pack_sequences_append(
+            man, spark.createDataFrame(rows, schema),
+            max_tokens=16, n_buckets=4, batch_no=bno)
+    assert got == {tuple(r) for r in man.collect()}
+
+
+def test_streaming_pack_manifest_legacy_marker_migrates(spark, tmp_path):
+    """A marker written by the pre-"hw" build (batch id only) is
+    migrated on the next merge: marks rebuild once from the committed
+    directories, the appended batch places identically, and the new
+    marker carries the marks."""
+    import json
+    import os
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_append,
+    )
+    from slow_tortoise_spark.streaming.pipeline import (
+        _pack_manifest_merge_fn,
+        read_pack_manifest,
+        streaming_pack_manifest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, " ".join(["tok"] * ((i * 5) % 13))) for i in range(10)],
+        [(i, " ".join(["tok"] * ((i * 5) % 13))) for i in range(30, 50)],
+    ]
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(str(src / "b0.json"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    root = str(tmp_path / "pack")
+    streaming_pack_manifest(
+        sdf, root, checkpoint=str(tmp_path / "ckpt"),
+        max_tokens=16, n_buckets=4,
+    ).awaitTermination()
+
+    # rewrite the marker in the legacy shape (no "hw")
+    marker = os.path.join(root, "_PACK_COMMITTED")
+    with open(marker, "w") as fh:
+        json.dump({"batch_id": 0}, fh)
+    merge = _pack_manifest_merge_fn(
+        spark, root, 16, 4, "doc_id", None, "text", False, "packshuf")
+    merge(spark.createDataFrame(batches[1], schema), 1)
+
+    got = {tuple(r) for r in read_pack_manifest(spark, root).collect()}
+    man = spark.createDataFrame(
+        [], schema=("doc_id long, bucket int, tokens bigint, "
+                    "seq_first bigint, seq_last bigint, "
+                    "offset_in_first bigint, batch bigint"))
+    for bno, rows in enumerate(batches):
+        man = pack_sequences_append(
+            man, spark.createDataFrame(rows, schema),
+            max_tokens=16, n_buckets=4, batch_no=bno)
+    assert got == {tuple(r) for r in man.collect()}
+    with open(marker) as fh:
+        st = json.load(fh)
+    assert st["batch_id"] == 1 and "hw" in st
