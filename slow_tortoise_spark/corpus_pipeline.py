@@ -187,6 +187,15 @@ class CorpusParams:
     #: pre-tokenized count column on the corpus (None = whitespace
     #: count of ``text`` — the packing operator's documented default)
     pack_token_count_col: str | None = None
+    #: packing regime: "chunk" = concat-and-chunk (pack_sequences —
+    #: throughput regime, docs may straddle sequence boundaries);
+    #: "nosplit" = greedy next-fit (pack_sequences_nosplit — every doc
+    #: wholly inside one sequence, the cross-document-attention-
+    #: contamination-free regime; docs longer than ``pack_max_tokens``
+    #: are ISOLATED into their own sequence for the loader to window).
+    #: "nosplit" is incompatible with ``pack_epochs_budget`` (the
+    #: epoch-aware packer is chunk-shaped) — raises up front.
+    pack_style: str = "chunk"
 
 
 def _near_dup_drops(
@@ -230,6 +239,18 @@ def run_corpus_pipeline(
     of the run and restored on exit."""
     from slow_tortoise_spark.operators.cachectl import set_checkpoint_mode
 
+    # pack-param validation UP FRONT — a multi-hour run must not die
+    # at its final stage on a config typo
+    if params.pack_style not in ("chunk", "nosplit"):
+        raise ValueError(
+            f"run_corpus_pipeline: pack_style must be 'chunk' or "
+            f"'nosplit', got {params.pack_style!r}")
+    if (params.pack_style == "nosplit"
+            and params.pack_epochs_budget is not None):
+        raise ValueError(
+            "run_corpus_pipeline: pack_style='nosplit' is incompatible "
+            "with pack_epochs_budget (the epoch-aware packer is "
+            "chunk-shaped)")
     prev = set_checkpoint_mode(
         params.checkpoint_mode,
         f"{params.out_dir}/_ckpt"
@@ -660,6 +681,7 @@ def _run_corpus_pipeline(
         from slow_tortoise_spark.operators.packing import (
             pack_sequences,
             pack_sequences_epochs,
+            pack_sequences_nosplit,
         )
 
         packed = None
@@ -693,6 +715,16 @@ def _run_corpus_pipeline(
                     order_by_hash=params.pack_order_by_hash,
                     shuffle_salt=params.pack_shuffle_salt,
                 ).withColumn("split", F.lit(split_name))
+            elif params.pack_style == "nosplit":
+                p = pack_sequences_nosplit(
+                    split_docs,
+                    max_tokens=params.pack_max_tokens,
+                    n_buckets=params.pack_n_buckets,
+                    token_count_col=params.pack_token_count_col,
+                    order_by_hash=params.pack_order_by_hash,
+                    shuffle_salt=params.pack_shuffle_salt,
+                    oversize="isolate",
+                ).withColumn("split", F.lit(split_name))
             else:
                 p = pack_sequences(
                     split_docs,
@@ -712,22 +744,29 @@ def _run_corpus_pipeline(
             pk = spark.read.schema(packed.schema).parquet(
                 f"{params.out_dir}/packing"
             )
-            # sequences per split = Σ_buckets ceil(bucket_tokens /
-            # max_tokens) — exact integer arithmetic off the manifest
+            # sequences per split: chunk manifests pack densely, so
+            # Σ_buckets ceil(bucket_tokens / max_tokens); nosplit
+            # manifests carry the sequence id directly, so
+            # Σ_buckets (max(seq) + 1) — exact integers off the
+            # manifest either way
             mt = int(params.pack_max_tokens)
             has_epochs = "epoch" in pk.columns
+            nosplit = "seq" in pk.columns
             epoch_aggs = (
                 [F.max("_me").alias("_e")] if has_epochs else []
             )
             grouped = pk.groupBy("split", "bucket").agg(
                 F.sum("tokens").alias("_bt"),
+                *([F.expr("max(seq) + 1").alias("_ns")]
+                  if nosplit else []),
                 *([F.max("epoch").alias("_me")] if has_epochs else []),
             )
             stats = (
                 grouped.groupBy("split")
                 .agg(
                     F.sum("_bt").alias("_t"),
-                    F.sum(F.expr(f"(_bt + {mt} - 1) div {mt}"))
+                    (F.sum("_ns") if nosplit
+                     else F.sum(F.expr(f"(_bt + {mt} - 1) div {mt}")))
                     .alias("_s"),
                     *epoch_aggs,
                 )

@@ -983,3 +983,58 @@ def test_corpus_pipeline_epoch_packing_stage(spark, sf_dir, tmp_path):
     )
     assert all(r["s"]["seq_first"] == 0
                and r["s"]["offset_in_first"] == 0 for r in firsts)
+
+
+def test_corpus_pipeline_nosplit_packing_stage(spark, sf_dir, tmp_path):
+    """pack_style='nosplit' exports the next-fit manifest: every doc
+    wholly inside one sequence (oversize docs isolated), per-split
+    independence holds, and the manifest's sequence counts equal
+    Σ_buckets (max(seq) + 1); the epochs combination raises up front."""
+    import pytest as _pytest
+
+    docs = read_table(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(120)
+    out = str(tmp_path / "nosplit_out")
+    manifest = run_corpus_pipeline(
+        spark, docs,
+        CorpusParams(out_dir=out, min_tokens=1, dedup="exact",
+                     pack_max_tokens=32, pack_n_buckets=4,
+                     pack_style="nosplit"),
+    )
+    pk = spark.read.parquet(f"{out}/packing")
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert (pk.select("doc_id").distinct().count()
+            == pk.count() == corpus.count())
+    # no-split invariant: every non-oversize doc fits its sequence
+    bad = pk.filter("tokens <= 32 AND seq_offset + tokens > 32").count()
+    assert bad == 0
+    # oversize docs sit alone at offset 0
+    assert pk.filter("tokens > 32 AND seq_offset != 0").count() == 0
+    # per-split independence: every (split, bucket) starts at seq 0
+    firsts = pk.groupBy("split", "bucket").agg(
+        F.min("seq").alias("m")).collect()
+    assert all(r["m"] == 0 for r in firsts)
+    # manifest arithmetic replays from the written rows
+    rows = pk.groupBy("split", "bucket").agg(
+        F.sum("tokens").alias("bt"),
+        F.expr("max(seq) + 1").alias("ns")).collect()
+    want: dict[str, dict[str, int]] = {}
+    for r in rows:
+        s = want.setdefault(
+            r["split"], {"tokens": 0, "sequences": 0, "max_tokens": 32})
+        s["tokens"] += int(r["bt"])
+        s["sequences"] += int(r["ns"])
+    assert manifest["packing"] == want
+    # guards: bad style / nosplit+epochs raise before any stage runs
+    with _pytest.raises(ValueError, match="pack_style"):
+        run_corpus_pipeline(
+            spark, docs,
+            CorpusParams(out_dir=str(tmp_path / "x1"),
+                         pack_style="bestfit"))
+    with _pytest.raises(ValueError, match="incompatible"):
+        run_corpus_pipeline(
+            spark, docs,
+            CorpusParams(out_dir=str(tmp_path / "x2"),
+                         pack_max_tokens=32, pack_style="nosplit",
+                         pack_epochs_budget=1000))

@@ -1081,3 +1081,60 @@ def test_triangle_counts_matches_python_reference_property(
         c = 2.0 * t / (d * (d - 1.0)) if d >= 2 else 0.0
         want[v] = (d, t, round(c * 1e6))
     assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    mt=st.integers(1, 24),
+)
+@settings(max_examples=8, deadline=None)
+def test_nosplit_packing_invariants_property(spark_session, toks, mt):
+    """Next-fit no-split packing on arbitrary token-count corpora
+    (zero-token docs, exact fits, oversize docs): the Spark manifest
+    equals the single-scan (seq, fill) state machine replayed in pure
+    Python, and no non-oversize doc ever crosses its sequence end."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.packing import (
+        pack_sequences_nosplit,
+    )
+
+    docs = spark_session.createDataFrame(
+        [Row(doc_id=i, n=n) for i, n in enumerate(toks)],
+        "doc_id long, n long",
+    )
+    got = {
+        r["doc_id"]: (r["bucket"], r["tokens"], r["seq"], r["seq_offset"])
+        for r in pack_sequences_nosplit(
+            docs, max_tokens=mt, n_buckets=4, token_count_col="n",
+            oversize="isolate",
+        ).collect()
+    }
+    by_bucket: dict[int, list] = {}
+    for i, n in enumerate(toks):
+        h = hashlib.md5(f"pack:{i}".encode()).hexdigest()
+        by_bucket.setdefault(int(h[:4], 16) % 4, []).append((i, n))
+    want = {}
+    for b, items in by_bucket.items():
+        cur, fill = 0, 0
+        for i, n in sorted(items):
+            if n > mt:
+                if fill > 0:
+                    cur += 1
+                want[i] = (b, n, cur, 0)
+                fill = mt
+            elif n == 0:
+                want[i] = (b, n, cur, fill)
+            elif fill + n <= mt:
+                want[i] = (b, n, cur, fill)
+                fill += n
+            else:
+                cur += 1
+                want[i] = (b, n, cur, 0)
+                fill = n
+    assert got == want
+    for i, (b, n, s, off) in got.items():
+        if 0 < n <= mt:
+            assert off + n <= mt
