@@ -56,6 +56,13 @@ def main() -> int:
             for k, v in (kv.split("=") for kv in args[i + 1].split(","))
         }
         del args[i:i + 2]
+    # Packing regime for the export stage (round-14): "nosplit" soaks
+    # the next-fit applyInPandas path at scale.
+    pack_style = "chunk"
+    if "--pack-style" in args:
+        i = args.index("--pack-style")
+        pack_style = args[i + 1]
+        del args[i:i + 2]
     copies = int(args[0]) if len(args) > 0 else 10
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
 
@@ -178,6 +185,7 @@ def main() -> int:
             # loader-facing artifact
             pack_max_tokens=2048,
             pack_n_buckets=64,
+            pack_style=pack_style,
         ),
     )
     wall = time.time() - t0
