@@ -51,6 +51,16 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), _TOKEN_SPLIT), lambda t: t != "")
 
 
+#: fan_out partition-count memo keyed on (session, analyzed-plan
+#: semanticHash): the ``df.rdd.getNumPartitions()`` probe converts the
+#: plan to an RDD — ~80 ms of driver time per FRESH DataFrame (profiled
+#: r14), paid on every query (re)construction.  Same in-process
+#: staleness caveat as the reader/price memos: a path that gains files
+#: mid-session serves the old count — which only affects the
+#: repartition DECISION (parallelism), never results.
+_FAN_OUT_MEMO: dict[tuple[int, int], int] = {}
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-heavy explodes.
 
@@ -61,7 +71,19 @@ def fan_out(df: DataFrame) -> DataFrame:
     many files and this is a no-op.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(parallelism // 2, 2):
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:
+        key = None
+    if key is not None and key in _FAN_OUT_MEMO:
+        n = _FAN_OUT_MEMO[key]
+    else:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_FAN_OUT_MEMO) > 1024:
+                _FAN_OUT_MEMO.clear()
+            _FAN_OUT_MEMO[key] = n
+    if n < max(parallelism // 2, 2):
         return df.repartition(parallelism)
     return df
 
