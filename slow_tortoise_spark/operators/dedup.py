@@ -80,13 +80,25 @@ def doc_shingles(
     min over the set) — set semantics (Jaccard sizes/intersections) must
     keep the default.
     """
-    tokd = _fan_out(df.select("doc_id", text_col)).select(
-        "doc_id", tokens_col(F.lower(F.col(text_col))).alias("_toks")
-    )
-    out = tokd.select(
+    # Generated SQL rather than a Column-operator chain: the tokenizer +
+    # shingle expressions cost ~60-100 ms of py4j round trips per query
+    # (re)construction (profiled r14) and this runs on every bench
+    # iteration of every shingle consumer.  Expressions are identical to
+    # tokens_col/shingles_from_tokens (incl. the empty-array guard for
+    # docs shorter than n — Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0], not empty, and would feed slice a zero start).
+    tokd = _fan_out(df.select("doc_id", text_col)).selectExpr(
         "doc_id",
-        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"),
+        f"filter(split(trim(lower(`{text_col}`)), r'\\s+'), x -> x != '')"
+        " AS _toks",
     )
+    sh_expr = (
+        f"transform(CASE WHEN size(_toks) - {n - 1} >= 1"
+        f" THEN sequence(1, size(_toks) - {n - 1})"
+        " ELSE CAST(array() AS array<int>) END,"
+        f" i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    out = tokd.selectExpr("doc_id", f"explode({sh_expr}) AS shingle")
     return out.distinct() if distinct else out
 
 
@@ -527,14 +539,14 @@ def minhash_signature(
     over a multiset equals min over its set).
     """
     sh = doc_shingles(df, text_col, n, distinct=False)
-    n_digests = (k + 1) // 2
-    digests = [
-        F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))
-        for j in range(n_digests)
-    ]
+    # k generated-SQL aggregates (one parse each) instead of k Column
+    # chains (~5 py4j round trips each) — the expression trees are
+    # unchanged (the old shared digest Column also expanded to one md5
+    # subtree per member; codegen CSEs the pair within the aggregate).
     aggs = [
-        F.min(F.substring(digests[i // 2], 1 + 16 * (i % 2), 16)).alias(
-            f"mh{i}"
+        F.expr(
+            f"min(substr(md5(concat('{i // 2}:', shingle)),"
+            f" {1 + 16 * (i % 2)}, 16)) AS mh{i}"
         )
         for i in range(k)
     ]

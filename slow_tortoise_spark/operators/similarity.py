@@ -55,7 +55,12 @@ def brute_force_topk(
     The query is a literal array (broadcast in the plan, not a join).
     Ordering ties break by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
+    # One parsed SQL literal instead of len(query) F.lit round trips
+    # (repr() round-trips doubles exactly; the D suffix keeps the
+    # literal DoubleType, not decimal).
+    q = F.expr(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in query) + ")"
+    )
     scored = df.select(
         F.col(id_col),
         cosine_col(F.col(vec_col).cast("array<double>"), q).alias("cosine"),

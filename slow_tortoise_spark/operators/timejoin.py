@@ -44,48 +44,64 @@ def asof_join(
     at the same T; ``last(value, ignorenulls=True)`` carries right values
     forward; filter back to left rows. Cost: one shuffle on ``on``.
     """
+    # Single batched selects/withColumns instead of per-column
+    # withColumn loops: each withColumn is its own driver round trip and
+    # stacks one Project node (profiled r14: ~0.14 s of construction per
+    # bench iteration for the 6-column events case).  Column order and
+    # types are unchanged — r_tagged is built directly in l_tagged's
+    # column order (the old code reordered it with a second select), and
+    # untyped NULL fills coerce to the left side's types in the union
+    # exactly as before.
     lt = F.col(left_time).cast("long")
-    l_tagged = left.withColumn("__t", lt).withColumn("__is_left", F.lit(1))
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    l_tagged = l_tagged.withColumn("__rt", F.lit(None).cast("long"))
-
     rt = F.col(right_time).cast("long")
-    r_tagged = right.select(
-        F.col(on),
-        rt.alias("__t"),
-        F.lit(0).alias("__is_left"),
-        rt.alias("__rt"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    l_tagged = left.select(
+        "*",
+        lt.alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast("long").alias("__rt"),
     )
-    for c in l_tagged.columns:
-        if c not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    r_cols = {
+        on: F.col(on),
+        "__t": rt.alias("__t"),
+        "__is_left": F.lit(0).alias("__is_left"),
+        "__rt": rt.alias("__rt"),
+        **{f"__r_{c}": F.col(c).alias(f"__r_{c}") for c in value_cols},
+    }
+    r_tagged = right.select(
+        *[r_cols.get(c, F.lit(None).alias(c)) for c in l_tagged.columns]
+    )
 
-    stacked = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    stacked = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col("__t"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = stacked
-    for c in value_cols:
-        carried = carried.withColumn(
-            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
-    carried = carried.withColumn("__rt", F.last("__rt", ignorenulls=True).over(w))
+    carried = stacked.withColumns({
+        **{
+            f"__r_{c}": F.last(f"__r_{c}", ignorenulls=True).over(w)
+            for c in value_cols
+        },
+        "__rt": F.last("__rt", ignorenulls=True).over(w),
+    })
 
     out = carried.filter(F.col("__is_left") == 1)
     if tolerance_ms is not None:
         keep = F.col("__t") - F.col("__rt") <= F.lit(tolerance_ms)
-        for c in value_cols:
-            out = out.withColumn(
-                f"__r_{c}", F.when(keep, F.col(f"__r_{c}"))
-            )
-        out = out.withColumn("__rt", F.when(keep, F.col("__rt")))
-    renames = {f"__r_{c}": f"right_{c}" for c in value_cols}
-    for src, dst in renames.items():
-        out = out.withColumnRenamed(src, dst)
+        out = out.withColumns({
+            **{
+                f"__r_{c}": F.when(keep, F.col(f"__r_{c}"))
+                for c in value_cols
+            },
+            "__rt": F.when(keep, F.col("__rt")),
+        })
+    out = out.withColumnsRenamed(
+        {f"__r_{c}": f"right_{c}" for c in value_cols}
+    )
     return out.withColumnRenamed("__rt", "right_time_ms").drop("__t", "__is_left")
 
 
