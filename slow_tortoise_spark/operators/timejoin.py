@@ -193,8 +193,14 @@ def rolling_time_agg(
         .orderBy(t)
         .rangeBetween(-(window_ms - 1), 0)
     )
-    return df.withColumn("rolling_n", F.count(value_col).over(w)).withColumn(
-        "rolling_sum", F.sum(value_col).over(w)
+    # Both aggregates in ONE select: chained withColumn calls insert a
+    # Project re-aliasing the ordering expression between the two Window
+    # operators, which blocks Spark's CollapseWindow rule and pays a
+    # second Sort+Window pass over the full frame (guide §2.4).
+    return df.select(
+        "*",
+        F.count(value_col).over(w).alias("rolling_n"),
+        F.sum(value_col).over(w).alias("rolling_sum"),
     )
 
 
