@@ -174,10 +174,17 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left only")
     big_s = big.withColumn("_salt", _salt_expr(big, salt_buckets))
-    small_s = small.join(
-        big.sparkSession.range(salt_buckets)
-        .select(F.col("id").cast("int").alias("_salt")),
-        on=F.lit(True),
+    # Replicate via explode(sequence): a pure map-side Generate.  The
+    # previous literal-true join against range(salt_buckets) planned as
+    # BroadcastNestedLoopJoin — a broadcast exchange build (one extra
+    # job per run) plus per-row join machinery for what is just "emit
+    # each row salt_buckets times" (guide §2.4: remove joins/shuffles
+    # that move no information).
+    small_s = small.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")
+        ),
     )
     out = big_s.join(small_s, [key_col, "_salt"], how)
     return out.drop("_salt")
