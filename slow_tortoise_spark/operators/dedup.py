@@ -540,40 +540,29 @@ def minhash_signature(
     """
     sh = doc_shingles(df, text_col, n, distinct=False)
     # k generated-SQL aggregates (one parse each) instead of k Column
-    # chains (~5 py4j round trips each).
+    # chains (~5 py4j round trips each) — the expression trees are
+    # unchanged (the old shared digest Column also expanded to one md5
+    # subtree per member; codegen CSEs the pair within the aggregate).
     #
-    # The min runs over a sign-flipped BIGINT image of each 64-bit hex
-    # half, not the hex string itself: min(string) forces an immutable
-    # agg buffer, so Spark plans SortAggregate and SORTS every exploded
-    # shingle row by doc_id before aggregating (the dominant cost of the
-    # signature stage at scale).  A bigint buffer is mutable, so the
-    # same aggregation becomes HashAggregate with map-side partial min
-    # and no sort (guide §2.3/§2.4).  The image is order-isomorphic —
-    # fixed-width lowercase-hex lexicographic order == unsigned-64
-    # numeric order == signed order after XOR-ing the sign bit — so the
-    # SAME shingle wins each min, and the post-aggregation projection
-    # lpad(lower(hex(v ^ sign))) reconstructs the winner's exact hex
-    # chars: output values are bit-identical to the string-min plan
-    # (pytest pins this; the DuckDB oracle replays the hex min).
-    sign = "-9223372036854775808"
-
-    def _half(i: int) -> str:
-        return (f"substr(md5(concat('{i // 2}:', shingle)),"
-                f" {1 + 16 * (i % 2)}, 16)")
-
+    # min(string) plans as SortAggregate (immutable agg buffer).  An
+    # r14 attempt replaced it with min over a sign-flipped bigint image
+    # of each hex half (order-isomorphic, HashAggregate-able, hex
+    # reconstructed post-agg) — value-identical and plan-cleaner, but
+    # MEASURED SLOWER: the 16 conv() calls per shingle row cost more
+    # than the saved per-task sort at every probed scale (sf1 ×10:
+    # 1.36 s string-min vs 1.63 s bigint-min, min-of-4 noop, both
+    # orders).  The sort is per-map-task and bounded by the scan split
+    # size, and partial min compacts to one row per doc before the
+    # shuffle in both plans, so SortAggregate carries no spill risk
+    # here.  Kept the string min (guide §1: measure, then decide).
     aggs = [
         F.expr(
-            f"min((shiftleft(cast(conv(substr({_half(i)}, 1, 8), 16, 10)"
-            f" as bigint), 32) + cast(conv(substr({_half(i)}, 9, 8), 16,"
-            f" 10) as bigint)) ^ {sign}) AS _mh{i}"
+            f"min(substr(md5(concat('{i // 2}:', shingle)),"
+            f" {1 + 16 * (i % 2)}, 16)) AS mh{i}"
         )
         for i in range(k)
     ]
-    posts = [
-        F.expr(f"lpad(lower(hex(_mh{i} ^ {sign})), 16, '0') AS mh{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs).select("doc_id", *posts)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(

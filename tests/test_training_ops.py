@@ -94,34 +94,6 @@ def test_minhash_family_members_nondegenerate(spark, sf_dir):
         assert distinct > max(2, n // 10), f"mh{i} degenerate ({distinct})"
 
 
-def test_minhash_bigint_image_matches_hex_min(spark):
-    """r14 optimization pin: the signature's sign-flipped-bigint min
-    (HashAggregate-able buffer) must select the same winning shingle AND
-    reconstruct bit-identical 16-hex-char values as a plain min over the
-    hex strings — including digests with the high bit set (sign flip)
-    and leading zero nibbles (lpad)."""
-    from slow_tortoise_spark.operators.dedup import (
-        doc_shingles,
-        minhash_signature,
-    )
-
-    docs = spark.createDataFrame(
-        [(i, f"tok{i} alpha beta gamma delta shared words here {i % 7}")
-         for i in range(40)],
-        "doc_id long, text string",
-    )
-    sh = doc_shingles(docs, "text", 3, distinct=False)
-    old = sh.groupBy("doc_id").agg(*[
-        F.expr(
-            f"min(substr(md5(concat('{i // 2}:', shingle)),"
-            f" {1 + 16 * (i % 2)}, 16)) AS mh{i}"
-        )
-        for i in range(8)
-    ]).orderBy("doc_id").collect()
-    new = minhash_signature(docs, k=8).orderBy("doc_id").collect()
-    assert [tuple(r) for r in new] == [tuple(r) for r in old]
-
-
 def test_simhash(spark):
     sh = {r["doc_id"]: r["simhash"] for r in simhash16(_docs(spark)).collect()}
     assert sh[0] == sh[1]  # identical token multisets
