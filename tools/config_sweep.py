@@ -43,6 +43,12 @@ _CONFIGS: dict[str, dict[str, str]] = {
     "aqe_off": {"spark.sql.adaptive.enabled": "false"},
     "parts_7": {"spark.sql.shuffle.partitions": "7"},
     "no_bcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    # The r15 planner-lever candidate (OPTIMIZATION_r14 "not yet" #5):
+    # shuffled-hash instead of sort-merge wherever the planner may pick.
+    # Combined with no_bcast it exercises SHJ on joins that otherwise
+    # broadcast, so value-invariance here clears the lever's risk.
+    "prefer_shj": {"spark.sql.join.preferSortMergeJoin": "false",
+                   "spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 #: session defaults the perturbations override (restored between passes)
@@ -50,6 +56,7 @@ _RESTORE = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.shuffle.partitions": "8",
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.join.preferSortMergeJoin": "true",
 }
 
 
