@@ -11,6 +11,18 @@ window_running measured 0.58s as a count vs 4.5s fully computed). The
 session is warmed with a trivial job first so JVM startup isn't attributed
 to the first query.
 
+Fixed host-noise witnesses run between timed regions and land in the
+JSON line: a CPU spin after each query (``cpu_probe_sec`` min/med/max)
+a 64 MB memory-bandwidth probe after every third query
+(``mem_probe_sec``), and an 8-way parallel spin in a fresh subprocess
+before and after the suite (``par_probe_sec`` — aggregate parallel
+throughput, the dimension single-threaded probes miss under host vCPU
+oversubscription).  Load-average accounting cannot witness HOST-level
+oversubscription (cycles or the memory bus slow down with no
+guest-visible load or steal) — the probes can; see _cpu_probe /
+_mem_probe.  Sustained in-run CPU-probe variance (3rd-slowest ≥ 2× the
+fastest) also sets ``contaminated``.
+
 ``python bench.py --sidecar`` additionally runs the whole suite three
 times and writes ``BENCH_LOCAL.json``: per-repetition timings with the
 1-minute load average captured before and after each repetition, plus the
@@ -89,6 +101,83 @@ def _tree_cpu_seconds() -> float:
         return 0.0
 
 
+def _cpu_probe() -> float:
+    """Fixed pure-Python spin (~0.1 s on an uncontended core): a direct
+    witness of the guest's EFFECTIVE CPU speed.  Guest load averages and
+    the tree's own CPU-seconds cannot see host-level oversubscription —
+    cycles get slower, not visibly stolen (steal% stayed ~3 while suite
+    totals doubled) — but a fixed spin can: the same loop on the same
+    box measured 0.08 s in quiet windows and 0.23 s inside windows where
+    identical-code suite totals went 12.4 → 28.9 s (r14 variance
+    record).  One probe runs after each query, OUTSIDE the timed
+    region, so per-query timings are untouched; the stats land in the
+    JSON line so a reader can tell host noise from a plan regression
+    without re-running anything."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    return time.perf_counter() - t0
+
+
+def _mem_probe() -> float:
+    """Fixed memory-bandwidth witness: 64 MB memset + memcpy + scan
+    (~192 MB of traffic, ~0.11 s here).  Complements _cpu_probe — a
+    register-bound spin cannot see a co-tenant saturating the host's
+    memory bus, which slows shuffle/scan-heavy suites while the spin
+    stays fast (observed: stable 0.08 s spins during a rep 21% above
+    the sealed floor).  Recorded for adjudication only; not wired into
+    the contaminated verdict."""
+    t0 = time.perf_counter()
+    ba = bytearray(64 * 1024 * 1024)
+    b = bytes(ba)
+    b.count(255)
+    return time.perf_counter() - t0
+
+
+#: run in a FRESH subprocess (never fork the threaded bench process):
+#: 8 processes spinning concurrently witness aggregate parallel
+#: throughput — the dimension the single-threaded probes miss when the
+#: host oversubscribes vCPUs (observed: a 16 s suite window, 45% above
+#: floor, with perfectly stable 0.08 s spins and 0.11 s mem probes).
+_PAR_PROBE_SCRIPT = """
+import multiprocessing as mp, time
+def spin(_):
+    x = 0
+    for i in range(4_000_000):
+        x += i
+    return x
+if __name__ == "__main__":
+    t0 = time.perf_counter()
+    with mp.Pool(8) as p:
+        p.map(spin, range(8))
+    print(time.perf_counter() - t0)
+"""
+
+
+def _par_probe() -> float:
+    """8-way parallel spin wall-seconds (~0.26 s uncontended here), or
+    0.0 if the subprocess fails (the field then reads as 'no data')."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PAR_PROBE_SCRIPT],
+            capture_output=True, text=True, timeout=60,
+        )
+        return round(float(out.stdout.strip()), 4)
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return 0.0
+
+
+def _probe_stats(probes: list[float]) -> dict[str, float]:
+    s = sorted(probes)
+    return {
+        "min": round(s[0], 4),
+        "med": round(s[len(s) // 2], 4),
+        "max": round(s[-1], 4),
+    }
+
+
 def _make_session(sf_dir: str):
     from slow_tortoise_spark.session import get_spark
 
@@ -110,9 +199,13 @@ def _make_session(sf_dir: str):
     return spark
 
 
-def run_suite(spark, sf_dir: str, report_rows: bool = True
-              ) -> dict[str, float]:
-    """One suite pass: min-of-3 noop-write timing per headline query."""
+def run_suite(spark, sf_dir: str, report_rows: bool = True,
+              cpu_probes: list[float] | None = None,
+              mem_probes: list[float] | None = None) -> dict[str, float]:
+    """One suite pass: min-of-3 noop-write timing per headline query.
+    When ``cpu_probes``/``mem_probes`` are lists, probe readings are
+    appended after queries (between timed regions): one CPU spin per
+    query, one memory probe per three queries."""
     from slow_tortoise_spark.queries import QUERIES, VERIFIER_QUERIES
 
     timings: dict[str, float] = {}
@@ -137,6 +230,10 @@ def run_suite(spark, sf_dir: str, report_rows: bool = True
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        if cpu_probes is not None:
+            cpu_probes.append(_cpu_probe())
+            if mem_probes is not None and len(cpu_probes) % 3 == 1:
+                mem_probes.append(_mem_probe())
         if report_rows:
             n = df.count()  # row count for the report only — untimed
             print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
@@ -159,8 +256,12 @@ def main() -> None:
         reps = []
         for i in range(3):
             load_before = os.getloadavg()[0]
+            par_before = _par_probe()
+            probes: list[float] = []
+            mprobes: list[float] = []
             t0 = time.time()
-            timings = run_suite(spark, sf_dir, report_rows=False)
+            timings = run_suite(spark, sf_dir, report_rows=False,
+                                cpu_probes=probes, mem_probes=mprobes)
             wall = round(time.time() - t0, 3)
             load_after = os.getloadavg()[0]
             reps.append({
@@ -169,6 +270,10 @@ def main() -> None:
                 "suite_wall_sec": wall,
                 "load_1m_before": round(load_before, 2),
                 "load_1m_after": round(load_after, 2),
+                "cpu_probe_sec": _probe_stats(probes),
+                "mem_probe_sec": _probe_stats(mprobes),
+                "par_probe_sec": {"before": par_before,
+                                  "after": _par_probe()},
             })
             print(f"# sidecar rep {i}: total={reps[-1]['total']}s "
                   f"load={load_before:.1f}->{load_after:.1f}",
@@ -280,7 +385,12 @@ def main() -> None:
 
     sampler = threading.Thread(target=_sample_loop, daemon=True)
     sampler.start()
-    timings = run_suite(spark, sf_dir)
+    par_before = _par_probe()
+    probes: list[float] = []
+    mprobes: list[float] = []
+    timings = run_suite(spark, sf_dir, cpu_probes=probes,
+                        mem_probes=mprobes)
+    par_after = _par_probe()
     stop.set()
     sampler.join(timeout=2.0)
     # Snapshot before appending: if the join timed out (a /proc tree
@@ -320,9 +430,33 @@ def main() -> None:
         "load_1m_before": load_before,
         "load_1m_after": load_after,
         "self_load_est": self_load,
+        # Effective-CPU-speed witness (see _cpu_probe): load accounting
+        # cannot see host-level oversubscription, so the probe stats are
+        # recorded alongside it.  max/min ≳ 2 within one run means the
+        # guest's cycle rate moved mid-suite; compare the absolute
+        # numbers against BENCH_LOCAL.json's per-repetition
+        # cpu_probe_sec to adjudicate a uniformly slow window.
+        "cpu_probe_sec": _probe_stats(probes),
+        "mem_probe_sec": _probe_stats(mprobes),
+        "par_probe_sec": {"before": par_before, "after": par_after},
         "contaminated": (
             load_before > threshold
             or (load_after - self_load) > threshold
+            # host-noise arm: the 3rd-slowest of 18 probes at ≥2× the
+            # fastest means the cycle rate moved for a sustained part
+            # of the run (one GC/page-fault blip can spike only the
+            # max) — the r14 false-negative case where a 23.4 s total
+            # printed clean with load ≈ 0.
+            or sorted(probes)[-3] >= 2.0 * min(probes)
+            # parallel-throughput arm: an ≥1.8× before/after shift in
+            # the 8-way probe means aggregate host capacity moved
+            # mid-run (measured alongside first-queries 3× their
+            # floor with BOTH scalar probes stable); probe noise on a
+            # steady box is ~1.1–1.3×.  0.0 = subprocess failed, no
+            # verdict from this arm.
+            or (min(par_before, par_after) > 0.0
+                and max(par_before, par_after)
+                >= 1.8 * min(par_before, par_after))
         ),
     }
     # a contaminated reading carries the isolated sidecar floor next
