@@ -12,7 +12,7 @@ session is warmed with a trivial job first so JVM startup isn't attributed
 to the first query.
 
 Fixed host-noise witnesses run between timed regions and land in the
-JSON line: a CPU spin after each query (``cpu_probe_sec`` min/med/max)
+JSON line: a CPU spin after each query (``cpu_probe_sec`` min/med/max),
 a 64 MB memory-bandwidth probe after every third query
 (``mem_probe_sec``), and an 8-way parallel spin in a fresh subprocess
 before and after the suite (``par_probe_sec`` — aggregate parallel
@@ -21,7 +21,8 @@ oversubscription).  Load-average accounting cannot witness HOST-level
 oversubscription (cycles or the memory bus slow down with no
 guest-visible load or steal) — the probes can; see _cpu_probe /
 _mem_probe.  Sustained in-run CPU-probe variance (3rd-slowest ≥ 2× the
-fastest) also sets ``contaminated``.
+fastest) and an ≥1.8× before/after parallel-throughput shift also set
+``contaminated``.
 
 ``python bench.py --sidecar`` additionally runs the whole suite three
 times and writes ``BENCH_LOCAL.json``: per-repetition timings with the
