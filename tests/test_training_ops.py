@@ -260,6 +260,47 @@ def test_jaccard_prefix_matches_naive(spark):
     assert naive == pref
 
 
+def test_jaccard_prefix_positional_filter_boundary_pair(spark):
+    """The PPJoin positional filter prunes with an integer overlap
+    upper bound against α = t·(|A|+|B|)/(1+t); when α is exactly
+    integral the boundary pair sits ON the bound and the 1e-9 slack
+    must keep it.  Crafted case: two 5-token docs → 3 trigram shingles
+    each, sharing exactly 2 → J = 2/4 = 0.5 at t=0.5, α = 2.0 exactly.
+    The pair must survive the prefix tier (and match the naive tier)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="x1 x2 x3 x4 x5"),
+        Row(doc_id=2, text="x2 x3 x4 x5 x6"),
+        # an unrelated doc so the candidate join has pruning to do
+        Row(doc_id=3, text="y1 y2 y3 y4 y5"),
+    ])
+    pref = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs_prefix(docs, threshold=0.5).collect()}
+    naive = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+             for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pref == naive == {(1, 2): 0.5}
+
+
+def test_jaccard_prefix_positional_filter_in_plan(spark):
+    """The positional filter must survive into the candidate join's
+    physical plan (the position columns feed the join condition, not a
+    post-join filter) — the r14 candidate-pruning optimization is
+    load-bearing at scale (10.4 M → 3.2 M candidates on the 10×
+    corpus), so its disappearance should fail loudly, not silently
+    re-inflate the rescore."""
+    from slow_tortoise_spark.operators.dedup import jaccard_pairs_prefix
+
+    plan = jaccard_pairs_prefix(
+        _docs(spark), threshold=0.4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_p" in plan  # posexplode position column is in the plan
+    # the join condition applies the tail-length bound on BOTH sides
+    assert plan.count("- _p") >= 2 or plan.count("_p#") >= 2
+
+
 def test_ivf_kmeans_refinement_improves_or_holds_recall(spark, sf_dir):
     from slow_tortoise_spark.sources.reader import read_table
 
