@@ -342,9 +342,17 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
             F.size("_oset").alias("n_shingles"),
         )
     )
-    prefix_len = (F.floor(F.lit(1 - threshold) * F.col("n_shingles")) + 1).cast(
-        "int"
-    )
+    # +1e-9 BEFORE the floor: the prefix bound ⌊(1−t)·n⌋+1 is derived
+    # in exact arithmetic, but (1−t) rounds DOWN in binary for e.g.
+    # t=0.9, so (1−t)·n lands at 0.999… where the exact value is an
+    # integer and floor() loses a whole prefix slot — measured live: at
+    # t=0.9 a true J=9/10 boundary pair (|A|=10, |B|=9, |A\B|=1, the
+    # odd shingle globally rarest) vanished because the prefix held 1
+    # token instead of 2.  The slack can only LENGTHEN the prefix (more
+    # candidates, same exact rescore), never shorten it.
+    prefix_len = (
+        F.floor(F.lit(1 - threshold) * F.col("n_shingles") + F.lit(1e-9)) + 1
+    ).cast("int")
     prefix = ordered.select(
         "doc_id",
         F.col("n_shingles").alias("_n"),
@@ -364,9 +372,14 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # −1e-9: same float-boundary hazard as prefix_len — t·max
+            # can round UP past an exact-boundary pair (t=0.4, |A|=2,
+            # |B|=5 → 0.4·5 = 2.0000000000000004 > 2 drops a true
+            # J=2/5 pair); the slack only admits extra candidates.
             & (
                 F.least("a._n", "b._n")
                 >= F.lit(threshold) * F.greatest("a._n", "b._n")
+                - F.lit(1e-9)
             )
             & (
                 F.least(

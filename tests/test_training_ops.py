@@ -260,6 +260,56 @@ def test_jaccard_prefix_matches_naive(spark):
     assert naive == pref
 
 
+def test_jaccard_prefix_float_boundary_prefix_length(spark):
+    """Latent round-8 hole found (and fixed) in r14: the prefix bound
+    ⌊(1−t)·n⌋+1 was computed in floats, and for t=0.9 the binary
+    rounding of (1−t) makes (1−t)·10 = 0.999…, flooring to a prefix
+    one token SHORT of the theorem's requirement.  Crafted boundary
+    pair: |A|=10, |B|=9, overlap 9 → J = 9/10 = 0.9 exactly, with A's
+    one odd shingle globally rarest (so it fills the too-short
+    prefix).  The shipped tier returned [] for this corpus; naive and
+    prefix must agree."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import jaccard_pairs_prefix
+
+    text_b = " ".join(f"w{i}" for i in range(11))   # 11 tokens → 9 trigrams
+    text_a = text_b + " zz"                          # +1 trigram, unique
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=text_a),
+        Row(doc_id=2, text=text_b),
+    ])
+    naive = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                   for r in jaccard_pairs(docs, threshold=0.9).collect())
+    pref = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                  for r in jaccard_pairs_prefix(docs, threshold=0.9).collect())
+    assert naive == pref == [(1, 2, 0.9)]
+
+
+def test_jaccard_prefix_float_boundary_length_filter(spark):
+    """Companion hole: the PPJoin length filter compared
+    min(|A|,|B|) ≥ t·max(|A|,|B|) without slack, and t=0.9's binary
+    rounding makes 0.9·30 = 27.000000000000004 > 27, dropping a true
+    J = 27/30 = 0.9 boundary pair (|A|=27 ⊂ |B|=30 trigrams) —
+    verified failing on the pre-fix tier, green with the −1e-9
+    slack."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import jaccard_pairs_prefix
+
+    text_b = " ".join(f"w{i}" for i in range(32))   # 32 tokens → 30 trigrams
+    text_a = " ".join(f"w{i}" for i in range(29))   # 29 tokens → 27 ⊂ B
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=text_a),
+        Row(doc_id=2, text=text_b),
+    ])
+    naive = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                   for r in jaccard_pairs(docs, threshold=0.9).collect())
+    pref = sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                  for r in jaccard_pairs_prefix(docs, threshold=0.9).collect())
+    assert naive == pref == [(1, 2, 0.9)]
+
+
 def test_jaccard_prefix_positional_filter_boundary_pair(spark):
     """The PPJoin positional filter prunes with an integer overlap
     upper bound against α = t·(|A|+|B|)/(1+t); when α is exactly
