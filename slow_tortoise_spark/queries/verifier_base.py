@@ -656,8 +656,13 @@ _Q_TFIDF_TERMS = """
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dups over a corpus salted with
     EXCERPTS (the first 8 tokens of every 10th doc as a new doc):
-    excerpt ⊂ original scores 1.0 where symmetric Jaccard stays low."""
-    from slow_tortoise_spark.operators.dedup import containment_pairs
+    excerpt ⊂ original scores 1.0 where symmetric Jaccard stays low.
+
+    Runs the cost-based ``containment_pairs_auto`` (same Σ df² gate as
+    jaccard: naive below the budget, asymmetric prefix filter above) —
+    results identical either side of the gate; the oracle below is the
+    straightforward all-pairs SQL."""
+    from slow_tortoise_spark.operators.dedup import containment_pairs_auto
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     excerpts = docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -667,7 +672,7 @@ def q_containment_pairs(spark, sf_dir):
         ).alias("text"),
     )
     corpus = docs.unionByName(excerpts)
-    out = containment_pairs(corpus, threshold=0.9)
+    out = containment_pairs_auto(corpus, threshold=0.9)
     return out.select(
         "doc_a", "doc_b", F.round("containment", 6).alias("containment")
     ).orderBy("doc_a", "doc_b")

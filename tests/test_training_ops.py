@@ -795,6 +795,52 @@ def test_containment_catches_excerpts_jaccard_misses(spark):
     assert (1, 2) not in jac and (2, 1) not in jac
 
 
+def test_containment_prefix_matches_naive_and_auto_dispatch(spark):
+    """The r14 asymmetric prefix tier must be invisible to results: a
+    budget admitting the naive plan and one forcing the prefix plan
+    return identical containment pairs, both equal to the direct
+    implementations — including excerpt shapes (the operator's reason
+    to exist) and the t=0.9 float-boundary pair the prefix-length fix
+    covers (|A|=10 trigrams, |B|=9 ⊂ A, containment 9/10 = 0.9 with
+    A's odd shingle globally rarest)."""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_auto,
+        containment_pairs_prefix,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    excerpt = " ".join(f"tok{i}" for i in range(10))
+    boundary_b = " ".join(f"w{i}" for i in range(11))  # 9 trigrams
+    boundary_a = boundary_b + " zz"                    # 10 trigrams ⊇ B
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=long_text),
+        Row(doc_id=2, text=excerpt),
+        Row(doc_id=3, text="completely different words x y z"),
+        Row(doc_id=4, text=boundary_a),
+        Row(doc_id=5, text=boundary_b),
+    ])
+
+    def pairs(df):
+        return {(r["doc_a"], r["doc_b"]): round(r["containment"], 9)
+                for r in df.collect()}
+
+    for t in (0.5, 0.9):
+        naive = pairs(containment_pairs(docs, threshold=t))
+        pref = pairs(containment_pairs_prefix(docs, threshold=t))
+        auto_n = pairs(containment_pairs_auto(docs, threshold=t,
+                                              naive_budget=10**9))
+        auto_p = pairs(containment_pairs_auto(docs, threshold=t,
+                                              naive_budget=0))
+        assert naive == pref == auto_n == auto_p
+    # the boundary pair itself: A (10 shingles) contains B exactly
+    # 9/10 → present at t=0.9 in BOTH directions (B ⊂ A scores 1.0)
+    t9 = pairs(containment_pairs_prefix(docs, threshold=0.9))
+    assert t9[(4, 5)] == 0.9 and t9[(5, 4)] == 1.0
+
+
 def test_top_tfidf_terms_rank_semantics(spark):
     """A term unique to one doc outranks corpus-wide terms; k caps the
     output; ranking ties break lexicographically."""
