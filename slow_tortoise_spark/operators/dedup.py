@@ -487,7 +487,14 @@ def verify_pairs_edit_distance(
         pairs.select("doc_a", "doc_b")
         .join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(F.abs(la - lb) <= F.lit(r) * maxlen)
+        # +1e-9: the same derived-float-bound hazard as the jaccard
+        # prefix tier (fixed r14) — the length-gap bound must only ever
+        # ADMIT extra pairs into the exact DP, because the oracle
+        # replays the ratio filter on ALL pairs with no pre-filter; a
+        # half-ulp-down product at an exact-integer boundary would
+        # otherwise drop a ratio-passing pair.  The banded DP threshold
+        # below is already safe (its +1 absorbs the one-ulp cases).
+        .filter(F.abs(la - lb) <= F.lit(r) * maxlen + F.lit(1e-9))
         .select(
             "doc_a",
             "doc_b",
