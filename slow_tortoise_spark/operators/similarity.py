@@ -382,6 +382,126 @@ def star_collapse_drops(
     )
 
 
+#: admit-only slack for the BLAS candidate prune: a float64 dot of d≤4k
+#: terms carries relative error ≤ ~d·2⁻⁵³ ≈ 4.5e-13 under ANY summation
+#: order (pairwise, SIMD-blocked, sequential — standard γ_n bound), and
+#: the norms/division add a few more ulps; 1e-6 dwarfs all of it, so a
+#: pair whose BLAS cosine reads below (bound − slack) provably has
+#: exact cosine < bound and can never survive the caller's filter.
+_BLAS_PRUNE_SLACK = 1e-6
+
+
+def _blas_bound_pairs(
+    side: DataFrame,
+    group_cols: list[str],
+    bound: float,
+    id_col: str,
+    emit_group_cols: bool = False,
+) -> DataFrame:
+    """Per-group candidate pairs whose cosine can reach ``bound``:
+    id pairs (id_a < id_b) within each ``group_cols`` bucket whose
+    float64 BLAS cosine is ≥ bound − :data:`_BLAS_PRUNE_SLACK`.
+
+    ``side`` must carry ``group_cols``, ``id_col``, ``_v``
+    (array<double>) and ``_n`` (the precomputed L2 norm).  One grouped
+    Arrow batch per bucket, one (blocked) ``X @ X.T`` per group — the
+    guide-§4.2 shape: Spark does distribution and the join bookkeeping,
+    BLAS does the per-pair arithmetic, and the group shuffle moves each
+    VECTOR once instead of materializing Σ|group|² candidate rows for
+    the interpreted per-pair fold.  This is a PRUNE, not a rescore: the
+    caller re-scores every returned pair with the exact JVM fold
+    (identical IEEE sequence to the unpruned tier), so results are
+    bit-identical — the bound is admit-only (see slack note), and rows
+    the bound cannot reason about (zero/non-finite norm, non-finite or
+    odd-length vectors — whose exact cosine is NaN and therefore passes
+    Spark's NaN-is-greatest ``>= t`` filter) are admitted against every
+    group member rather than scored.
+
+    Memory per task is O(|group|·d + block·|group|) — the score matrix
+    is computed in row blocks of ≤ ~4M doubles; the 100 TB calling
+    convention bounds |group| itself (semdedup auto-scaling pins the
+    expected cell size; see ``semantic_dedup_pairs``).
+    """
+    import pandas as pd  # noqa: F401  (executor-side import)
+
+    keep = float(bound) - _BLAS_PRUNE_SLACK
+    id_t = side.schema[id_col].dataType.simpleString()
+    out_cols = [f"id_a {id_t}", f"id_b {id_t}"]
+    if emit_group_cols:
+        out_cols += [
+            f"{g} {side.schema[g].dataType.simpleString()}"
+            for g in group_cols
+        ]
+    schema = ", ".join(out_cols)
+    gcols = list(group_cols)
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["id_a", "id_b"] + (gcols if emit_group_cols else [])
+
+        def empty():
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+
+        m = len(pdf)
+        if m < 2:
+            return empty()
+        ids = pdf.iloc[:, pdf.columns.get_loc(id_col)].to_numpy()
+        norms = pdf["_n"].to_numpy(dtype=np.float64)
+        vs = pdf["_v"].to_numpy()
+        d0 = 0
+        for v in vs:
+            if v is not None:
+                d0 = len(v)
+                break
+        V = np.zeros((m, d0), dtype=np.float64)
+        ok = np.isfinite(norms) & (norms > 0.0)
+        for i, v in enumerate(vs):
+            if not ok[i]:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape != (d0,) or not np.isfinite(a).all():
+                ok[i] = False
+            else:
+                V[i] = a / norms[i]
+        out_a, out_b = [], []
+        idx = np.flatnonzero(ok)
+        gids = ids[idx]
+        Xn = V[idx]
+        mm = len(idx)
+        blk = max(1, 4_000_000 // max(mm, 1))
+        for s in range(0, mm, blk):
+            S = Xn[s:s + blk] @ Xn.T
+            mask = (S >= keep) & (gids[s:s + blk, None] < gids[None, :])
+            r, c = np.nonzero(mask)
+            if r.size:
+                out_a.append(gids[s:s + blk][r])
+                out_b.append(gids[c])
+        bad = ids[~ok]
+        dedup = bad.size > 0
+        for x in bad:
+            lo = np.minimum(x, ids)
+            hi = np.maximum(x, ids)
+            ne = lo != hi
+            out_a.append(lo[ne])
+            out_b.append(hi[ne])
+        if not out_a:
+            return empty()
+        res = pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+        })
+        if dedup:  # (bad, bad) pairs are emitted from both sides
+            res = res.drop_duplicates()
+        if emit_group_cols:
+            for g in gcols:
+                res[g] = pdf[g].iloc[0]
+        return res[cols]
+
+    return side.groupBy(*gcols).applyInPandas(prune, schema)
+
+
 def lsh_near_duplicates(
     df: DataFrame,
     planes: list[list[float]],
@@ -389,6 +509,7 @@ def lsh_near_duplicates(
     threshold: float | None = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prune_below: float | None = None,
 ) -> DataFrame:
     """Bucket-then-rescore near-dup pairs — the 100 TB tier.
 
@@ -406,25 +527,48 @@ def lsh_near_duplicates(
     can prune hard when the threshold barely separates signal from noise.
     The exact O(n²) ``embedding_near_duplicates`` below is the verifier
     tier.
+
+    ``prune_below`` is the caller's promise that pairs scoring under it
+    are discarded downstream (e.g. a later rounded-score filter): with
+    it (or a non-None ``threshold``) the candidate set is pre-pruned by
+    a per-bucket BLAS bound (:func:`_blas_bound_pairs`) before the
+    exact rescore, so the Σ|bucket|² candidate explosion happens inside
+    one blocked ``X @ X.T`` per bucket instead of as materialized rows
+    feeding the interpreted per-pair fold.  Returned pairs and their
+    cosines are bit-identical to the unpruned tier (the prune is
+    admit-only and the rescore below is the same IEEE sequence); only
+    pairs that provably cannot reach the bound are absent.
     """
+    bound = threshold if threshold is not None else prune_below
+    if threshold is not None and prune_below is not None:
+        bound = min(threshold, prune_below)
     # cache(): the self-join reads this frame on both sides and AQE does
     # not ReuseExchange across it — uncached, the plane dot-products run
     # twice. bands rows per vector.
     bk = tracked_cache(hyperplane_band_buckets(df, planes, bands, id_col, vec_col))
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if bound is not None:
+        vecs = df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).withColumn("_n", norm_col(F.col("_v")))
+        cand = _blas_bound_pairs(
+            bk.join(vecs, id_col), ["band", "bucket"], bound, id_col
+        ).distinct()
+    else:
+        a, b = bk.alias("a"), bk.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
     # Cast + norm are hoisted to the n-row vector sides — the rescore
     # projection previously re-ran both interpreted array loops per
     # CANDIDATE.  sqrt(Σv²) per vector then na·nb per pair is the same
@@ -460,6 +604,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
     target_cell_rows: int = 256,
+    prune_below: float | None = None,
 ) -> DataFrame:
     """Cluster-bucketed semantic near-dup pairs (SemDeDup-style, public
     method: Abbas et al. 2023, arXiv:2303.09540 — cluster embeddings,
@@ -491,6 +636,15 @@ def semantic_dedup_pairs(
     pins the expected cell size instead, so candidate cost grows
     linearly (Σ|cell|² ≈ n · target_cell_rows) — the default to reach
     for at 100 TB, where any hardcoded cell count is wrong.
+
+    ``prune_below`` is the caller's promise that pairs scoring under it
+    are discarded downstream: with it (or a non-None ``threshold``) the
+    within-cell candidates are pre-pruned by a per-cell BLAS bound
+    (:func:`_blas_bound_pairs`) before the exact rescore — Σ|cell|²
+    interpreted per-pair folds become one blocked ``X @ X.T`` per cell.
+    Returned pairs and cosines are bit-identical to the unpruned tier
+    (admit-only prune, same IEEE rescore); only pairs that provably
+    cannot reach the bound are absent.
     """
     if n_cells is None:
         n = df.count()
@@ -512,6 +666,33 @@ def semantic_dedup_pairs(
             id_col, "cell", F.col(vec_col).cast("array<double>").alias("_v")
         ).withColumn("_n", norm_col(F.col("_v")))
     )
+    bound = threshold if threshold is not None else prune_below
+    if threshold is not None and prune_below is not None:
+        bound = min(threshold, prune_below)
+    if bound is not None:
+        cand = _blas_bound_pairs(
+            side, ["cell"], bound, id_col, emit_group_cols=True
+        )
+        va = side.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        )
+        vb = side.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        )
+        pairs = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a", "id_b", "cell",
+                (dot_col(F.col("_va"), F.col("_vb"))
+                 / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+            )
+        )
+        if threshold is None:
+            return pairs
+        return pairs.filter(F.col("cosine") >= threshold)
     # The pair output explodes Σ|cell|²/n-fold relative to its ~KB-sized
     # input, so AQE's byte-based coalescing collapses the streamed side
     # of the broadcast join to one task and the whole rescore runs on a

@@ -337,8 +337,13 @@ def q_embedding_near_dups(spark, sf_dir):
     from slow_tortoise_spark.operators.similarity import lsh_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
+    # prune_below: the filter below keeps round(cos, 6) >= 0.4, i.e.
+    # exact cos >= 0.3999995; 0.3999 is strictly under that boundary
+    # (margin ~1e-4 >> every float hazard), so the BLAS prune can only
+    # drop pairs the filter would drop anyway — output identical.
     scored = lsh_near_duplicates(
-        emb, planes=_hyperplanes(8), bands=4, threshold=None
+        emb, planes=_hyperplanes(8), bands=4, threshold=None,
+        prune_below=0.3999,
     )
     return (
         scored.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -847,7 +847,13 @@ def q_semdedup_pairs(spark, sf_dir):
     from slow_tortoise_spark.operators.similarity import semantic_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    scored = semantic_dedup_pairs(emb, n_cells=8, threshold=None)
+    # prune_below: the filter below keeps round(cos, 6) >= 0.35, i.e.
+    # exact cos >= 0.3499995; 0.3499 sits strictly under that boundary
+    # (margin ~1e-4 >> every float hazard), so the BLAS prune can only
+    # drop pairs the filter would drop anyway — output identical.
+    scored = semantic_dedup_pairs(
+        emb, n_cells=8, threshold=None, prune_below=0.3499
+    )
     return (
         scored.select(
             "id_a", "id_b", "cell", F.round("cosine", 6).alias("cosine")
@@ -924,7 +930,9 @@ def q_semdedup_auto(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     scored = semantic_dedup_pairs(
-        emb, n_cells=None, threshold=None, target_cell_rows=128
+        emb, n_cells=None, threshold=None, target_cell_rows=128,
+        # same 0.35-boundary argument as q_semdedup_pairs above
+        prune_below=0.3499,
     )
     return (
         scored.select(

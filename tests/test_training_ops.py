@@ -1091,6 +1091,93 @@ def test_semantic_dedup_join_is_equi_not_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_blas_prune_parity_and_plan(spark, sf_dir):
+    """The BLAS candidate prune (threshold / prune_below set) must be
+    invisible in the OUTPUT: pairs AND exact cosines bit-identical to
+    the unpruned tier, across thresholds.  The pruned plan carries the
+    grouped Arrow stage; the unpruned plan must not."""
+    from slow_tortoise_spark.operators.similarity import (
+        lsh_near_duplicates,
+        semantic_dedup_pairs,
+    )
+    from slow_tortoise_spark.queries.training import _hyperplanes
+    from slow_tortoise_spark.sources.reader import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    for t in (0.3, 0.35, 0.95):
+        pruned = {(r["id_a"], r["id_b"], r["cell"], r["cosine"]) for r in
+                  semantic_dedup_pairs(emb, n_cells=4, threshold=t).collect()}
+        full = {(r["id_a"], r["id_b"], r["cell"], r["cosine"]) for r in
+                semantic_dedup_pairs(emb, n_cells=4, threshold=None).collect()
+                if r["cosine"] >= t}
+        assert pruned == full
+    assert len(full) == 0  # t=0.95 finds nothing on this fixture
+    planes = _hyperplanes(8)
+    pruned = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+              lsh_near_duplicates(emb, planes, bands=4, threshold=None,
+                                  prune_below=0.3999).collect()
+              if r["cosine"] >= 0.4}
+    full = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            lsh_near_duplicates(emb, planes, bands=4,
+                                threshold=None).collect()
+            if r["cosine"] >= 0.4}
+    assert pruned == full and len(full) > 0
+    plan_pruned = semantic_dedup_pairs(emb, n_cells=4, threshold=0.3)._jdf \
+        .queryExecution().executedPlan().toString()
+    plan_full = semantic_dedup_pairs(emb, n_cells=4, threshold=None)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan_pruned
+    assert "FlatMapGroupsInPandas" not in plan_full
+
+
+def test_blas_prune_boundary_and_nonfinite_rows(spark):
+    """Admit-only soundness at the edges: a pair sitting EXACTLY on the
+    threshold (cos = 15/25 = 0.6) survives the prune; a non-finite
+    vector — whose exact cosine is NaN, which Spark's ``>= t`` treats
+    as greatest — is admitted to the exact rescore, never silently
+    pruned (numpy comparisons would drop it).  Zero-norm vectors crash
+    the pre-existing ANSI assignment division identically on both
+    paths, so they are out of scope here."""
+    import math
+
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    dim = 8
+    pad = [0.0] * (dim - 2)
+
+    def v(x, y):
+        return [float(x), float(y)] + pad
+
+    rows = [
+        Row(vec_id=1, embedding=v(3.0, 4.0)),    # cos(1,2) = 15/25 = 0.6
+        Row(vec_id=2, embedding=v(5.0, 0.0)),
+        Row(vec_id=3, embedding=v(1.0, 0.0)),    # cos(2,3) = 1.0
+        Row(vec_id=5, embedding=v(float("nan"), 1.0)),  # NaN component
+    ]
+    df = spark.createDataFrame(rows)
+    for t in (0.6, 0.95):
+        pruned = {(r["id_a"], r["id_b"]) for r in
+                  semantic_dedup_pairs(df, n_cells=1, threshold=t).collect()}
+        full_rows = semantic_dedup_pairs(df, n_cells=1,
+                                         threshold=None).collect()
+        # Spark semantics: NaN >= t is TRUE, so NaN pairs are in BOTH
+        full = {(r["id_a"], r["id_b"]) for r in full_rows
+                if r["cosine"] >= t or math.isnan(r["cosine"])}
+        assert pruned == full
+        nan_pairs = {(r["id_a"], r["id_b"]) for r in full_rows
+                     if math.isnan(r["cosine"])}
+        assert {(1, 5), (2, 5), (3, 5)} == nan_pairs
+        assert nan_pairs <= pruned
+    exact_boundary = {(r["id_a"], r["id_b"]) for r in
+                      semantic_dedup_pairs(df, n_cells=1,
+                                           threshold=0.6).collect()}
+    assert (1, 2) in exact_boundary
+
+
 def test_dup_ngram_stats_known_case(spark):
     """Shared trigrams count as duplicated; unique docs score 0; docs
     shorter than n still surface with zero counts."""

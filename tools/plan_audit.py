@@ -23,6 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: catalog, they are pipeline-only)
 ARROW_OK = {"nfc_normalize"}
 
+#: queries whose plans legitimately contain FlatMapGroupsInPandas (the
+#: r15 BLAS candidate prune — similarity._blas_bound_pairs: one blocked
+#: X @ X.T per bucket replaces Σ|bucket|² interpreted per-pair cosine
+#: folds; the exact JVM rescore of survivors keeps results
+#: bit-identical)
+#: plus the pre-existing packing tier (packing.pack_sequences_nosplit:
+#: next-fit packing is inherently sequential per bucket — documented
+#: applyInPandas since the r14 build wave)
+GROUPED_ARROW_OK = {"embedding_near_dups", "semdedup_pairs",
+                    "semdedup_auto", "pack_sequences_nosplit"}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -58,6 +69,10 @@ def main() -> int:
             hits.append("BatchEvalPython (row-at-a-time Python)")
         if "ArrowEvalPython" in plan and name not in ARROW_OK:
             hits.append("ArrowEvalPython (undocumented pandas_udf)")
+        if ("FlatMapGroupsInPandas" in plan
+                and name not in GROUPED_ARROW_OK):
+            hits.append("FlatMapGroupsInPandas (undocumented "
+                        "applyInPandas)")
         if hits:
             flagged[name] = hits
     print(json.dumps({"queries": len(cat), "flagged": flagged}))
