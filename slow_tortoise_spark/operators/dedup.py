@@ -208,6 +208,7 @@ def jaccard_pairs_prefix(
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
+    hashed_ids: bool = False,
 ) -> DataFrame:
     """Exact Jaccard pairs via PPJoin-style prefix filtering.
 
@@ -226,8 +227,13 @@ def jaccard_pairs_prefix(
     arrays (no second pass over exploded shingles).
 
     Results are identical to ``jaccard_pairs`` (pytest asserts equality).
+    ``hashed_ids=True`` substitutes verified-injective 8-byte hash ids
+    for the shingle strings (see :func:`_ordered_shingle_arrays`) — the
+    caller must have proven injectivity; the priced ``jaccard_pairs_auto``
+    dispatcher checks it exactly and sets this automatically.
     """
-    return _jaccard_prefix_from_shingles(doc_shingles(df, text_col, n), threshold)
+    return _jaccard_prefix_from_shingles(
+        doc_shingles(df, text_col, n), threshold, hashed_ids=hashed_ids)
 
 
 def _doc_shingle_sets(sh: DataFrame) -> DataFrame:
@@ -239,24 +245,42 @@ def _doc_shingle_sets(sh: DataFrame) -> DataFrame:
     )
 
 
+#: ceiling (bytes, measured payload estimate) under which the priced
+#: dispatchers hint the per-doc shingle-array frame broadcast into the
+#: rescore attach joins.  Well under the driver/executor headroom and
+#: Spark's 8 GB broadcast cap; above it AQE keeps choosing (guide §3.1
+#: — hint only what you have MEASURED to be small, never by size
+#: estimate: Catalyst's estimate for the post-aggregation docsets frame
+#: is wildly high, so it plans SortMergeJoin and sorts every candidate
+#: row twice — measured 10.5 s → 4.45 s at sf1 on the jaccard rescore
+#: when the 23 MB frame is hinted).
+_DOCSET_BROADCAST_MAX_BYTES = 128 * 1024 * 1024
+
+
 def _rescore_pairs(
-    cand: DataFrame, docsets: DataFrame, threshold: float
+    cand: DataFrame, docsets: DataFrame, threshold: float,
+    broadcast_docsets: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for the given (doc_a, doc_b) pairs via a JVM-side
     ``array_intersect`` on the per-doc shingle arrays — cost linear in
     the pair count, never all-pairs.  No broadcast hint on the candidate
     set: it scales with corpus similarity, so AQE decides (broadcast
-    when small, shuffled hash join when not)."""
-    da = docsets.select(
+    when small, shuffled hash join when not).  ``broadcast_docsets``
+    (set by the priced dispatchers when the measured docsets payload is
+    under :data:`_DOCSET_BROADCAST_MAX_BYTES`) hints the array side
+    broadcast so the candidate stream is never shuffled or sorted for
+    the attach."""
+    hint = F.broadcast if broadcast_docsets else (lambda d: d)
+    da = hint(docsets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shset").alias("_sa"),
         F.col("n_shingles").alias("_na"),
-    )
-    db = docsets.select(
+    ))
+    db = hint(docsets.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shset").alias("_sb"),
         F.col("n_shingles").alias("_nb"),
-    )
+    ))
     # explode(array(struct(...))) is a Generate barrier (same device as
     # verify_pairs_edit_distance): the threshold filter would otherwise
     # be pushed into the join CONDITION, where the jaccard expression's
@@ -286,32 +310,51 @@ def _rescore_pairs(
     )
 
 
-def _ordered_shingle_arrays(sh: DataFrame) -> DataFrame:
-    """Per-doc shingle arrays sorted by (global document frequency asc,
-    shingle) — the rarest-first total order every prefix filter slices —
-    plus the set size.  ``sh`` must be per-doc DISTINCT (doc_shingles'
-    default), so the array IS the shingle set: the exact rescores
-    intersect these arrays directly (element order is irrelevant to
-    ``array_intersect``), which is why the prefix tiers need no separate
-    lex-sorted docsets pass."""
+def _ordered_shingle_arrays(sh: DataFrame, hashed: bool = False) -> DataFrame:
+    """Per-doc shingle arrays sorted rarest-first (ascending global
+    document frequency, ties by shingle) plus the set size.  ``sh``
+    must be per-doc DISTINCT (doc_shingles' default), so the array IS
+    the shingle set: the exact rescores intersect these arrays directly
+    (element order is irrelevant to ``array_intersect``), which is why
+    the prefix tiers need no separate lex-sorted docsets pass.
+
+    ``hashed=True`` replaces each shingle string by ``xxhash64(shingle)``
+    — callers may only set it after PROVING the hash injective on this
+    corpus' vocabulary (the priced dispatchers check it exactly in the
+    same stats job, see :func:`_priced_pair_stats`).  Under a verified
+    bijection every downstream quantity is unchanged (equi-join hits,
+    positions, intersection counts), while the candidate join keys and
+    the rescored arrays become fixed-width longs instead of n-gram
+    strings: narrower exchanges (guide §2.3) and a cheaper per-pair
+    hash-set intersect (measured 2× on the sf1 tier body).  The total
+    order becomes (df, hash) instead of (df, shingle) — a different but
+    equally valid consistent order (the prefix theorem needs only
+    consistency; rarest-first is the cost heuristic and df stays the
+    primary key), so the candidate SET can differ while the exact
+    rescore keeps results identical."""
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    keyed = sh.join(dfreq, "shingle")
+    elem = F.xxhash64("shingle") if hashed else F.col("shingle")
     return (
-        sh.join(dfreq, "shingle")
+        keyed.select("doc_id", "_df", elem.alias("_k"))
         .groupBy("doc_id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias(
+            F.sort_array(F.collect_list(F.struct("_df", "_k"))).alias(
                 "_oset"
             )
         )
         .select(
             "doc_id",
-            F.col("_oset.shingle").alias("_osh"),
+            F.col("_oset._k").alias("_osh"),
             F.size("_oset").alias("n_shingles"),
         )
     )
 
 
-def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_prefix_from_shingles(
+    sh: DataFrame, threshold: float, docset_bytes: int | None = None,
+    hashed_ids: bool = False,
+) -> DataFrame:
     """Prefix-filter (PPJoin-style) candidate generation + exact rescore.
 
     The prefix theorem holds for ANY consistent global token order, but
@@ -356,7 +399,7 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     # array IS the shingle set and array_intersect on it replaces the
     # separate lex-sorted collect_set docsets pass the tier used to
     # build: one fewer full aggregation over the shingle cache).
-    ordered = tracked_cache(_ordered_shingle_arrays(sh))
+    ordered = tracked_cache(_ordered_shingle_arrays(sh, hashed_ids))
     # +1e-9 BEFORE the floor: the prefix bound ⌊(1−t)·n⌋+1 is derived
     # in exact arithmetic, but (1−t) rounds DOWN in binary for e.g.
     # t=0.9, so (1−t)·n lands at 0.999… where the exact value is an
@@ -413,7 +456,11 @@ def _jaccard_prefix_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     docsets = ordered.select(
         "doc_id", F.col("_osh").alias("shset"), "n_shingles"
     )
-    return _rescore_pairs(cand, docsets, threshold)
+    return _rescore_pairs(
+        cand, docsets, threshold,
+        broadcast_docsets=(docset_bytes is not None
+                           and docset_bytes <= _DOCSET_BROADCAST_MAX_BYTES),
+    )
 
 
 def verify_candidate_pairs(
@@ -514,8 +561,66 @@ def verify_pairs_edit_distance(
     return scored.filter(F.col("edit_ratio") <= max_ratio)
 
 
-#: corpus-plan → priced Σdf² (see jaccard_pairs_auto)
-_JACCARD_PRICE_MEMO: dict[tuple, int] = {}
+#: corpus-plan → priced (Σdf², docset payload bytes, hash-injective) —
+#: see _priced_pair_stats
+_JACCARD_PRICE_MEMO: dict[tuple, tuple[int, int, bool]] = {}
+
+
+def _priced_pair_stats(
+    df: DataFrame, sh: DataFrame, text_col: str, n: int
+) -> tuple[int, int, bool]:
+    """(Σ df², docset payload bytes, xxhash64-injective) for a cached
+    shingle frame — the shared pricing pass behind
+    ``jaccard_pairs_auto`` and ``containment_pairs_auto`` (one gate,
+    one memo, one eviction policy; previously duplicated verbatim in
+    both dispatchers).
+
+    Σ df² prices the naive self-join's intermediate exactly; the byte
+    estimate (Σ shingle-string bytes + per-element overhead) prices the
+    prefix tier's per-doc array frame, deciding whether the rescore
+    attach may hint it broadcast (guide §3.1 — a MEASURED size, not
+    Catalyst's post-aggregation estimate).  ``hash_ok`` is an EXACT
+    check that ``xxhash64`` is injective on this corpus' shingle
+    vocabulary (distinct hash count == vocabulary size, one extra
+    aggregate over the same grouped frame — no sort, no collect): only
+    then may the prefix tiers substitute 8-byte hash ids for the n-gram
+    strings, which keeps every count bijection-identical while halving
+    the exchange width and the per-pair intersect cost.  A collision
+    (probability ~|vocab|²/2⁶⁵) simply falls back to the string path.
+    Memoized on the input's logical plan plus a file-catalog freshness
+    token: statistics only, never results — every run still computes
+    pairs from parquet (the same role a catalog's table statistics
+    play for a cost-based optimizer; stale-memo caveat documented at
+    the memo definition).
+    """
+    files = df.inputFiles()
+    memo_key = (df.semanticHash(), text_col, n,
+                len(files), sum(len(f) for f in files))
+    if memo_key in _JACCARD_PRICE_MEMO:
+        return _JACCARD_PRICE_MEMO[memo_key]
+    row = (
+        sh.groupBy("shingle")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum(F.length("shingle")).alias("_b"),
+        )
+        .agg(
+            F.sum(F.col("df") * F.col("df")).alias("pair_rows"),
+            F.sum("df").alias("sh_rows"),
+            F.sum("_b").alias("sh_bytes"),
+            F.count("*").alias("vocab"),
+            F.count_distinct(F.xxhash64("shingle")).alias("hashes"),
+        )
+        .first()
+    )
+    pair_rows = row["pair_rows"] or 0
+    # UnsafeArrayData layout: string bytes + ~16 B/element slot+padding
+    docset_bytes = int((row["sh_bytes"] or 0) + 16 * (row["sh_rows"] or 0))
+    hash_ok = bool(row["vocab"] == row["hashes"])
+    if len(_JACCARD_PRICE_MEMO) > 256:
+        _JACCARD_PRICE_MEMO.clear()
+    _JACCARD_PRICE_MEMO[memo_key] = (pair_rows, docset_bytes, hash_ok)
+    return pair_rows, docset_bytes, hash_ok
 
 
 def jaccard_pairs_auto(
@@ -549,19 +654,8 @@ def jaccard_pairs_auto(
     corpus scan to avoid a shingle pass we were about to pay for
     anyway.)
     """
-    # Stats cache keyed by the input's logical plan (semanticHash) PLUS a
-    # freshness token from the file catalog (count + total name length of
-    # input files): repeated runs over the same corpus reuse the price
-    # instead of re-running the sampling job — the same role a catalog's
-    # table statistics play for a cost-based optimizer.  The token
-    # invalidates the memo when the same path gains/loses files within
-    # one driver process (a stale price could admit the naive plan far
-    # above naive_budget); in-place file REWRITES with identical names
-    # still hit the memo — a documented in-process staleness caveat,
-    # harmless for results (both plans are exact), OOM-hazard only.
-    files = df.inputFiles()
-    memo_key = (df.semanticHash(), text_col, n,
-                len(files), sum(len(f) for f in files))
+    # Stats memo semantics (freshness token, staleness caveat) are
+    # documented at _priced_pair_stats / _JACCARD_PRICE_MEMO.
     # Cache on EVERY path, not just the pricing pass: the winning plan is
     # itself multi-consumer (the naive tier reads the shingle frame three
     # times — sizes agg + both self-join sides — and the prefix tier's
@@ -570,22 +664,12 @@ def jaccard_pairs_auto(
     # repeated calls share one materialization instead of the memo-hit
     # path silently depending on the miss-run's still-registered cache.
     sh = tracked_cache(doc_shingles(df, text_col, n))
-    if memo_key in _JACCARD_PRICE_MEMO:
-        pair_rows = _JACCARD_PRICE_MEMO[memo_key]
-    else:
-        est = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
-            .first()["pair_rows"]
-        )
-        pair_rows = est or 0
-        if len(_JACCARD_PRICE_MEMO) > 256:
-            _JACCARD_PRICE_MEMO.clear()
-        _JACCARD_PRICE_MEMO[memo_key] = pair_rows
+    pair_rows, docset_bytes, hash_ok = _priced_pair_stats(
+        df, sh, text_col, n)
     if pair_rows <= naive_budget:
         return _jaccard_naive_from_shingles(sh, threshold)
-    return _jaccard_prefix_from_shingles(sh, threshold)
+    return _jaccard_prefix_from_shingles(
+        sh, threshold, docset_bytes, hashed_ids=hash_ok)
 
 
 # ---------------------------------------------------------------------------
@@ -1139,6 +1223,7 @@ def containment_pairs_prefix(
     threshold: float = 0.9,
     n: int = 3,
     text_col: str = "text",
+    hashed_ids: bool = False,
 ) -> DataFrame:
     """Containment pairs via an asymmetric prefix filter — the corpus-
     scale plan (identical results to :func:`containment_pairs`, pytest
@@ -1169,16 +1254,20 @@ def containment_pairs_prefix(
     replaces it with the bounded candidate join + per-candidate exact
     ``array_intersect`` rescore.
     """
+    # caching is owned by the helper (matching the jaccard tier —
+    # tracked_cache on an identical plan is a CacheManager no-op, but
+    # the double wrap was inconsistent; r14 ADVICE)
     return _containment_prefix_from_shingles(
-        tracked_cache(doc_shingles(df, text_col, n)), threshold
+        doc_shingles(df, text_col, n), threshold, hashed_ids=hashed_ids
     )
 
 
 def _containment_prefix_from_shingles(
-    sh: DataFrame, threshold: float
+    sh: DataFrame, threshold: float, docset_bytes: int | None = None,
+    hashed_ids: bool = False,
 ) -> DataFrame:
     sh = tracked_cache(sh)
-    ordered = tracked_cache(_ordered_shingle_arrays(sh))
+    ordered = tracked_cache(_ordered_shingle_arrays(sh, hashed_ids))
     prefix_len = (
         F.floor(F.lit(1 - threshold) * F.col("n_shingles") + F.lit(1e-9)) + 1
     ).cast("int")
@@ -1216,14 +1305,24 @@ def _containment_prefix_from_shingles(
         )
         .distinct()
     )
-    da = ordered.select(
+    # broadcast hint iff the dispatcher MEASURED the array frame small
+    # (guide §3.1): otherwise Catalyst's post-agg estimate plans SMJ and
+    # sorts every candidate row twice for the attach (see
+    # _DOCSET_BROADCAST_MAX_BYTES).
+    hint = (
+        F.broadcast
+        if docset_bytes is not None
+        and docset_bytes <= _DOCSET_BROADCAST_MAX_BYTES
+        else (lambda d: d)
+    )
+    da = hint(ordered.select(
         F.col("doc_id").alias("doc_a"),
         F.col("_osh").alias("_sa"),
         F.col("n_shingles").alias("_na"),
-    )
-    db = ordered.select(
+    ))
+    db = hint(ordered.select(
         F.col("doc_id").alias("doc_b"), F.col("_osh").alias("_sb")
-    )
+    ))
     # Generate barrier (same device as _rescore_pairs): the threshold
     # filter must not push the array_intersect into the join condition.
     nc_once = F.explode(
@@ -1258,26 +1357,13 @@ def containment_pairs_auto(
     the ``<`` join's rows, conservatively absorbed by the shared
     budget).  Both plans return identical results (pytest asserts it).
     """
-    files = df.inputFiles()
-    memo_key = (df.semanticHash(), text_col, n,
-                len(files), sum(len(f) for f in files))
     sh = tracked_cache(doc_shingles(df, text_col, n))
-    if memo_key in _JACCARD_PRICE_MEMO:
-        pair_rows = _JACCARD_PRICE_MEMO[memo_key]
-    else:
-        est = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .agg(F.sum(F.col("df") * F.col("df")).alias("pair_rows"))
-            .first()["pair_rows"]
-        )
-        pair_rows = est or 0
-        if len(_JACCARD_PRICE_MEMO) > 256:
-            _JACCARD_PRICE_MEMO.clear()
-        _JACCARD_PRICE_MEMO[memo_key] = pair_rows
+    pair_rows, docset_bytes, hash_ok = _priced_pair_stats(
+        df, sh, text_col, n)
     if pair_rows <= naive_budget:
         return _containment_naive_from_shingles(sh, threshold)
-    return _containment_prefix_from_shingles(sh, threshold)
+    return _containment_prefix_from_shingles(
+        sh, threshold, docset_bytes, hashed_ids=hash_ok)
 
 
 # ---------------------------------------------------------------------------

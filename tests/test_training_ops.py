@@ -349,6 +349,90 @@ def test_jaccard_prefix_positional_filter_in_plan(spark):
     assert "_p" in plan  # posexplode position column is in the plan
     # the join condition applies the tail-length bound on BOTH sides
     assert plan.count("- _p") >= 2 or plan.count("_p#") >= 2
+    # r14 ADVICE: pin the CONDITION itself, not just column presence —
+    # the positional bound is a least(n−p, n−p) ≥ α comparison inside
+    # the join; if the filter were dropped, posexplode's position
+    # attribute could still appear in Project output.
+    import re
+
+    assert re.search(r"least\([^)]*_p", plan), (
+        "positional-filter least(...) bound missing from the plan"
+    )
+
+
+def test_jaccard_containment_hashed_ids_match_string_tier(spark):
+    """The verified-injective hash-id variant must return EXACTLY the
+    string tier's (and the naive tier's) pairs and scores — including
+    the crafted float-boundary corpora, where prefix membership is the
+    fragile part.  (The hash changes the tie-break of the rarest-first
+    order, so the candidate SET may differ; the exact rescore must make
+    the results identical.)"""
+    from pyspark.sql import Row
+
+    from slow_tortoise_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+        jaccard_pairs_prefix,
+    )
+
+    text_b10 = " ".join(f"w{i}" for i in range(11))
+    corpora = [
+        (_docs(spark), 0.4),
+        # |A|=10/|B|=9 J=0.9 prefix-length boundary (r14 fix fixture)
+        (spark.createDataFrame([
+            Row(doc_id=1, text=text_b10 + " zz"),
+            Row(doc_id=2, text=text_b10),
+        ]), 0.9),
+        # α exactly integral positional-filter boundary
+        (spark.createDataFrame([
+            Row(doc_id=1, text="x1 x2 x3 x4 x5"),
+            Row(doc_id=2, text="x2 x3 x4 x5 x6"),
+            Row(doc_id=3, text="y1 y2 y3 y4 y5"),
+        ]), 0.5),
+    ]
+    for docs, t in corpora:
+        naive = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in jaccard_pairs(docs, threshold=t).collect()}
+        strs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in jaccard_pairs_prefix(docs, threshold=t).collect()}
+        hashed = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                  for r in jaccard_pairs_prefix(
+                      docs, threshold=t, hashed_ids=True).collect()}
+        assert naive == strs == hashed
+    docs, t = corpora[0]
+    cn = {(r["doc_a"], r["doc_b"]): r["containment"]
+          for r in containment_pairs(docs, threshold=0.6).collect()}
+    ch = {(r["doc_a"], r["doc_b"]): r["containment"]
+          for r in containment_pairs_prefix(
+              docs, threshold=0.6, hashed_ids=True).collect()}
+    assert cn == ch
+
+
+def test_priced_stats_enable_hash_ids_and_broadcast(spark):
+    """The shared pricing pass must (a) verify xxhash64 injectivity on
+    the vocabulary exactly, (b) price the docsets payload, and (c) the
+    prefix dispatch must then run hash-id arrays (bigint join keys) and
+    a broadcast rescore attach."""
+    from slow_tortoise_spark.operators.dedup import (
+        _priced_pair_stats,
+        doc_shingles,
+        jaccard_pairs_auto,
+    )
+    from slow_tortoise_spark.operators.cachectl import tracked_cache
+
+    docs = _docs(spark)
+    sh = tracked_cache(doc_shingles(docs, "text", 3))
+    pair_rows, docset_bytes, hash_ok = _priced_pair_stats(
+        docs, sh, "text", 3)
+    assert pair_rows > 0 and docset_bytes > 0 and hash_ok is True
+    out = jaccard_pairs_auto(docs, threshold=0.4, naive_budget=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan  # hash-id arrays in the prefix tier
+    assert "BroadcastHashJoin" in plan  # measured-small docsets attach
+    naive = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.4).collect()}
+    assert {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in out.collect()} == naive
 
 
 def test_ivf_kmeans_refinement_improves_or_holds_recall(spark, sf_dir):
