@@ -94,10 +94,19 @@ def pagerank(
     dangling mass is a single-value action (the nature of iterative
     algorithms on Spark — same as the CC loop's convergence count); the
     round result is checkpointed and the previous round freed, so
-    lineage and storage stay O(1) in ``iters``.  The edge/out-degree
-    frames are cached across rounds.  The weighted path adds one
-    double column to the edge cache and nothing else — same joins,
-    same aggregates, same exchange count.
+    lineage and storage stay O(1) in ``iters``.  Two costs are hoisted
+    OUT of the loop (r15, guide §2.4/§1.2 — they were paid per round):
+    the edge⋈out-degree attach is loop-invariant, so the loop joins
+    ranks onto ONE cached (src, dst, degree) frame instead of
+    re-joining deg every round; and the dangling-node SET is
+    loop-invariant, so each round's dangling mass is a filter+sum scan
+    over the already-materialized rank checkpoint (a ``_dang`` flag
+    carried on the node frame) instead of a per-round anti-join.  The
+    per-term share arithmetic (``r/d``, ``r·w/d``) is unchanged — only
+    join placement moved, so every summand the oracle replays is the
+    identical IEEE operation.  The weighted path adds one double column
+    to the edge cache and nothing else — same joins, same aggregates,
+    same exchange count.
 
     Floats: ranks are binary64 sums whose accumulation order differs
     across engines — consumers wanting engine-exact comparison round to
@@ -110,18 +119,30 @@ def pagerank(
     deg = e.groupBy("src").agg(
         (F.count("*") if weight_col is None else F.sum("_w")).alias("_d")
     ).cache()
+    # loop-invariant: the edge list with its source's out-degree
+    # attached ONCE (previously re-joined every round)
+    ed = e.join(deg, "src").cache()
+    # loop-invariant: which nodes are dangling (no out-edges) — carried
+    # as a flag so each round's dangling mass is a scan of the
+    # materialized rank checkpoint, not an anti-join job
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(deg.select(F.col("src").alias("node"),
+                         F.lit(False).alias("_dang")),
+              "node", "left")
+        .select("node", F.coalesce(F.col("_dang"), F.lit(True))
+                .alias("_dang"))
         .cache()
     )
     n = nodes.count()
     if n == 0:
-        out = nodes.withColumn("rank", F.lit(0.0))
-        # the early return must not leak the three (empty) caches
+        out = nodes.select("node").withColumn("rank", F.lit(0.0))
+        # the early return must not leak the four (empty) caches
         e.unpersist()
         deg.unpersist()
+        ed.unpersist()
         nodes.unpersist()
         return out
 
@@ -130,7 +151,7 @@ def pagerank(
     )
     for _ in range(iters):
         dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            ranks.filter(F.col("_dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
             .first()["s"]
         )
@@ -139,8 +160,7 @@ def pagerank(
             else F.col("_r") * F.col("_w") / F.col("_d")
         )
         contrib = (
-            e.join(deg, "src")
-            .join(
+            ed.join(
                 ranks.select(F.col("node").alias("src"),
                              F.col("rank").alias("_r")),
                 "src",
@@ -152,6 +172,7 @@ def pagerank(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
+                "_dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -164,8 +185,9 @@ def pagerank(
         ranks = new_ranks
     e.unpersist()
     deg.unpersist()
+    ed.unpersist()
     nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def harmonic_centrality(
@@ -999,6 +1021,10 @@ def personalized_pagerank(
     deg = e.groupBy("src").agg(
         (F.count("*") if weight_col is None else F.sum("_w")).alias("_d")
     ).cache()
+    # loop-invariant hoists, mirroring :func:`pagerank` (r15): the
+    # edge⋈out-degree attach and the dangling-node flag are computed
+    # once, not per round
+    ed = e.join(deg, "src").cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -1008,6 +1034,11 @@ def personalized_pagerank(
             )
         )
         .distinct()
+        .join(deg.select(F.col("src").alias("node"),
+                         F.lit(False).alias("_dang")),
+              "node", "left")
+        .select("node", F.coalesce(F.col("_dang"), F.lit(True))
+                .alias("_dang"))
         .cache()
     )
     is_seed = F.col("node").isin(s)
@@ -1019,7 +1050,7 @@ def personalized_pagerank(
     )
     for _ in range(iters):
         dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            ranks.filter(F.col("_dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("s"))
             .first()["s"]
         )
@@ -1028,8 +1059,7 @@ def personalized_pagerank(
             else F.col("_r") * F.col("_w") / F.col("_d")
         )
         contrib = (
-            e.join(deg, "src")
-            .join(
+            ed.join(
                 ranks.select(F.col("node").alias("src"),
                              F.col("rank").alias("_r")),
                 "src",
@@ -1041,6 +1071,7 @@ def personalized_pagerank(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
+                "_dang",
                 (
                     F.lit(damping)
                     * F.coalesce(F.col("_c"), F.lit(0.0))
@@ -1057,5 +1088,6 @@ def personalized_pagerank(
         ranks = new_ranks
     e.unpersist()
     deg.unpersist()
+    ed.unpersist()
     nodes.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
